@@ -1,13 +1,373 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Dedup, Events, Multimodal, Relational, Similarity, TextOps}
+import graft.functions.Round.{sqlCents, sqlRn}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching DuckDB oracle in
+  * [[oracleSql]]. Shared determinism conventions (both sides):
+  *  - deterministic full-key ORDER BY;
+  *  - money aggregates on exact integer cents (partition-invariant);
+  *  - portable floor-based rounding (graft.functions.Round), never
+  *    Spark's decimal-string `round` (it disagrees with DuckDB's binary
+  *    rounding at `…5` boundaries);
+  *  - integer outputs as BIGINT; ranking on rounded similarity with id
+  *    tie-breaks.
+  * See graft.ops.* scaladoc for the per-operator scale rationale.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ north-star
+    * LLM-pipeline operators).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core
+    "q01_pricing_summary" -> (Relational.q01PricingSummary(_, _)),
+    "q02_filter_project" -> (Relational.q02FilterProject(_, _)),
+    "q03_customer_revenue" -> (Relational.q03CustomerRevenue(_, _)),
+    "q04_brand_revenue" -> (Relational.q04BrandRevenue(_, _)),
+    "q05_nation_revenue" -> (Relational.q05NationRevenue(_, _)),
+    "q06_top_orders_per_customer" -> (Relational.q06TopOrdersPerCustomer(_, _)),
+    "q07_rollup" -> (Relational.q07Rollup(_, _)),
+    "q08_segment_stats" -> (Relational.q08SegmentStats(_, _)),
+    "q09_setops" -> (Relational.q09SetOps(_, _)),
+    "q10_top_orders" -> (Relational.q10TopOrders(_, _)),
+    "q11_scalar_functions" -> (Relational.q11ScalarFunctions(_, _)),
+    "q12_priority_share" -> (Relational.q12PriorityShare(_, _)),
+    // events / json / windows
+    "q13_events_json_agg" -> (Events.q13JsonAgg(_, _)),
+    "q14_running_value" -> (Events.q14RunningValue(_, _)),
+    "q15_sessionize" -> (Events.q15Sessionize(_, _)),
+    // semi / anti joins
+    "q16_customers_with_big_orders" -> (Relational.q16CustomersWithBigOrders(_, _)),
+    "q17_customers_no_orders" -> (Relational.q17CustomersNoOrders(_, _)),
+    // text analysis
+    "q20_wordcount" -> (TextOps.q20WordCount(_, _)),
+    "q21_wordcount_per_lang" -> (TextOps.q21WordCountPerLang(_, _)),
+    "q22_doc_token_stats" -> (TextOps.q22DocTokenStats(_, _)),
+    "q23_langid" -> (TextOps.q23LangId(_, _)),
+    "q24_fingerprint" -> (TextOps.q24Fingerprint(_, _)),
+    "q25_source_stats" -> (TextOps.q25SourceStats(_, _)),
+    // deduplication
+    "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
+    "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
+    "q32_minhash_lsh" -> (Dedup.q32MinHashLsh(_, _)),
+    "q33_simhash" -> (Dedup.q33SimHash(_, _)),
+    "q34_embedding_neardup" -> (Dedup.q34EmbeddingNearDup(_, _)),
+    // similarity search
+    "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
+    "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
+    // multimodal plumbing
+    "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _))
+  )
+
+  // ---- oracle SQL (DuckDB) ----------------------------------------------
+
+  /** StringTokenizer-faithful tokens of a text column, as DuckDB SQL. */
+  private def toksSql(c: String): String =
+    s"list_filter(string_split($c, ' '), x -> x <> '')"
+
+  /** lineitem cents CTE shared by the money queries (mirrors
+    * Relational.lineitemCents — keep in lockstep).
+    */
+  private val lineitemCentsCte: String =
+    s"""SELECT *,
+       | ${sqlCents("l_quantity")} AS qty_c,
+       | ${sqlCents("l_extendedprice")} AS price_c,
+       | ${sqlCents("l_discount")} AS disc_c,
+       | ${sqlCents("l_tax")} AS tax_c,
+       | ${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")}) AS net_c
+       |FROM lineitem""".stripMargin
+
+  private val simhashSumCols: String = (0 until 16).map { j =>
+    s"SUM(CASE WHEN ascii(substr(md5(t), ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+  }.mkString(", ")
+
+  private val simhashCombine: String = (0 until 16).map { j =>
+    s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
+  private val langScoreCols: String =
+    graft.functions.TextFunctions.LangMarkers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(toks, x -> x IN ($inList))) AS BIGINT) AS score_$lang"
+    }.mkString(", ")
+
+  private val langPredictCase: String = {
+    val langs = graft.functions.TextFunctions.LangMarkers.map(_._1)
+    val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    langs.init.map(l => s"WHEN score_$l = $m THEN '$l'").mkString(
+      "CASE ", " ", s" ELSE '${langs.last}' END")
+  }
+
+  private val cosSql =
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
+      "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
+      "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""WITH lc AS ($lineitemCentsCte)
+         |SELECT l_returnflag, l_linestatus,
+         | CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty,
+         | CAST(sum(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+         | ${sqlRn("CAST(sum(net_c) AS DOUBLE) / 10000.0", 2)} AS sum_disc_price,
+         | ${sqlRn("CAST(sum(net_c * (100 + tax_c)) AS DOUBLE) / 1000000.0", 2)} AS sum_charge,
+         | ${sqlRn("CAST(sum(qty_c) AS DOUBLE) / (100.0 * count(*))", 4)} AS avg_qty,
+         | ${sqlRn("CAST(sum(price_c) AS DOUBLE) / (100.0 * count(*))", 4)} AS avg_price,
+         | ${sqlRn("CAST(sum(disc_c) AS DOUBLE) / (100.0 * count(*))", 4)} AS avg_disc,
+         | count(*) AS count_order
+         |FROM lc WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      s"""WITH lc AS ($lineitemCentsCte)
+         |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+         | CAST(net_c AS DOUBLE) / 10000.0 AS net_price
+         |FROM lc
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_quantity > 45.0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_customer_revenue" ->
+      s"""WITH lc AS ($lineitemCentsCte)
+         |SELECT c.c_custkey, c.c_name,
+         | ${sqlRn("CAST(sum(l.net_c) AS DOUBLE) / 10000.0", 2)} AS revenue,
+         | count(*) AS n_items
+         |FROM lc l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "q04_brand_revenue" ->
+      s"""WITH lc AS ($lineitemCentsCte)
+         |SELECT p.p_brand,
+         | ${sqlRn("CAST(sum(l.net_c) AS DOUBLE) / 10000.0", 2)} AS revenue,
+         | CAST(sum(l.qty_c) AS DOUBLE) / 100.0 AS sum_qty,
+         | count(*) AS n_items
+         |FROM lc l JOIN part p ON l.l_partkey = p.p_partkey
+         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+    "q05_nation_revenue" ->
+      s"""WITH lc AS ($lineitemCentsCte)
+         |SELECT r.r_name, n.n_name,
+         | ${sqlRn("CAST(sum(l.net_c) AS DOUBLE) / 10000.0", 2)} AS revenue,
+         | count(*) AS n_items
+         |FROM lc l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+    "q06_top_orders_per_customer" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        | FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q07_rollup" ->
+      s"""WITH lc AS ($lineitemCentsCte)
+         |SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+         | CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty
+         |FROM lc GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q08_segment_stats" ->
+      s"""WITH cc AS (SELECT *, ${sqlCents("c_acctbal")} AS bal_c FROM customer)
+         |SELECT c_mktsegment, count(*) AS n_customers,
+         | count(DISTINCT c_nationkey) AS n_nations,
+         | ${sqlRn("CAST(sum(bal_c) AS DOUBLE) / (100.0 * count(*))", 4)} AS avg_bal,
+         | CAST(min(bal_c) AS DOUBLE) / 100.0 AS min_bal,
+         | CAST(max(bal_c) AS DOUBLE) / 100.0 AS max_bal
+         |FROM cc GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q09_setops" ->
+      """WITH high_bal AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0),
+        | has_order AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        |SELECT 'both' AS tag, k FROM (SELECT k FROM high_bal INTERSECT SELECT k FROM has_order)
+        |UNION ALL
+        |SELECT 'high_bal_only' AS tag, k FROM (SELECT k FROM high_bal EXCEPT SELECT k FROM has_order)
+        |UNION ALL
+        |SELECT 'order_only' AS tag, k FROM (SELECT k FROM has_order EXCEPT SELECT k FROM high_bal)
+        |ORDER BY tag, k""".stripMargin,
+    "q10_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q11_scalar_functions" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        | CAST(day(o_orderdate) AS BIGINT) AS o_day,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date_str,
+        | upper(o_orderstatus) AS status_u,
+        | lower(o_orderpriority) AS prio_l,
+        | substr(o_orderpriority, 1, 1) AS prio_code,
+        | concat_ws('#', o_orderstatus, o_orderpriority) AS tagged,
+        | CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+        | CASE WHEN o_totalprice > 250000.0 THEN 'big'
+        |      WHEN o_totalprice > 100000.0 THEN 'mid'
+        |      ELSE 'small' END AS size_class
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q12_priority_share" ->
+      s"""WITH agg AS (
+         | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+         |  count(*) AS n_orders
+         | FROM orders GROUP BY 1, 2)
+         |SELECT o_year, o_orderpriority, n_orders,
+         | ${sqlRn("CAST(n_orders AS DOUBLE) / CAST(sum(n_orders) OVER (PARTITION BY o_year) AS DOUBLE)", 4)} AS share
+         |FROM agg ORDER BY o_year, o_orderpriority""".stripMargin,
+    "q13_events_json_agg" ->
+      s"""WITH e AS (SELECT event_type,
+         |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+         |  ${sqlCents("value")} AS value_c
+         | FROM events)
+         |SELECT event_type, count(*) AS n_events,
+         | CAST(sum(k) AS BIGINT) AS sum_k,
+         | ${sqlRn("CAST(sum(k) AS DOUBLE) / count(*)", 4)} AS avg_k,
+         | CAST(sum(value_c) AS DOUBLE) / 100.0 AS sum_value
+         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q14_running_value" ->
+      s"""SELECT user_id,
+         | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_idx,
+         | event_id, event_type,
+         | CAST(sum(${sqlCents("value")}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_value
+         |FROM events ORDER BY user_id, event_idx""".stripMargin,
+    "q15_sessionize" ->
+      s"""WITH flagged AS (
+         | SELECT user_id, ts, value,
+         |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         | SELECT user_id, ts, value,
+         |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         | FROM flagged)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         | CAST(sum(${sqlCents("value")}) AS DOUBLE) / 100.0 AS session_value,
+         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+         |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q16_customers_with_big_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q17_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q20_wordcount" ->
+      s"""SELECT t AS word, count(*) AS cnt FROM (
+         | SELECT unnest(${toksSql("text")}) AS t FROM documents)
+         |GROUP BY t ORDER BY t""".stripMargin,
+    "q21_wordcount_per_lang" ->
+      s"""SELECT lang, t AS word, count(*) AS cnt FROM (
+         | SELECT lang, unnest(${toksSql("text")}) AS t FROM documents)
+         |GROUP BY lang, t ORDER BY lang, t""".stripMargin,
+    "q22_doc_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') AS BIGINT) AS sum_chars,
+         |  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+         | FROM t)
+         |SELECT doc_id, n_tokens, n_distinct,
+         | ${sqlRn("CAST(sum_chars AS DOUBLE) / n_tokens", 4)} AS avg_token_len,
+         | ${sqlRn("CAST(n_distinct AS DOUBLE) / n_tokens", 4)} AS ttr,
+         | ${sqlRn("CAST(n_stop AS DOUBLE) / n_tokens", 4)} AS stopword_ratio,
+         | ${sqlRn("(5000.0 * n_distinct + 3000.0 * (n_tokens - n_stop) + 20.0 * least(n_tokens, 100) * n_tokens) / (10000.0 * n_tokens)", 4)} AS quality
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q23_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id, lang, $langScoreCols FROM t)
+         |SELECT doc_id, lang, $langPredictCase AS lang_pred,
+         | score_de, score_en, score_es, score_fr, score_zh
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q24_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents)
+         |SELECT doc_id, md5(text) AS content_md5,
+         | list_reduce(
+         |   list_prepend(CAST(0 AS BIGINT),
+         |     list_transform(toks, w -> CAST(ascii(w) * 131 + length(w) AS BIGINT))),
+         |   (a, b) -> (a * 1000003 + b) % 1099511627776) AS rolling_fp,
+         | CAST(len(toks) AS BIGINT) AS n_tokens
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q25_source_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         | ${sqlRn(s"CAST(sum(CAST(len(${toksSql("text")}) AS BIGINT)) AS DOUBLE) / count(*)", 4)} AS avg_tokens,
+         | count(DISTINCT lang) AS n_langs
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q30_exact_dedup" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_doc_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_jaccard_pairs" ->
+      s"""WITH dt AS (
+         | SELECT DISTINCT doc_id, lang, source, unnest(list_distinct(${toksSql("text")})) AS t,
+         |  CAST(len(list_distinct(${toksSql("text")})) AS INTEGER) AS nt
+         | FROM documents)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ${sqlRn("CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE)", 4)} AS jaccard
+         | FROM dt a JOIN dt b ON a.lang = b.lang AND a.source = b.source AND a.t = b.t
+         | WHERE a.doc_id < b.doc_id
+         | GROUP BY a.doc_id, b.doc_id, a.nt, b.nt)
+         |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    "q32_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |sh AS (SELECT doc_id,
+         |  unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' '))) AS s
+         | FROM toks WHERE len(ts) >= 3),
+         |sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || s)) AS sig
+         | FROM sh, (SELECT unnest(range(0, 8)) AS band) GROUP BY doc_id, band)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+    "q33_simhash" ->
+      s"""WITH dt AS (SELECT doc_id, unnest(list_distinct(${toksSql("text")})) AS t FROM documents),
+         |s AS (SELECT doc_id, $simhashSumCols FROM dt GROUP BY doc_id)
+         |SELECT doc_id, $simhashCombine AS simhash FROM s ORDER BY doc_id""".stripMargin,
+    "q34_embedding_neardup" ->
+      s"""SELECT vec_a, vec_b, cos_sim FROM (
+         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlRn(cosSql, 4)} AS cos_sim
+         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+    "q40_cosine_topk" ->
+      s"""WITH scored AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |  CAST(b.label AS BIGINT) AS cand_label, ${sqlRn(cosSql, 6)} AS sim6
+         | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         | WHERE a.vec_id % 50 = 0),
+         |ranked AS (
+         | SELECT query_id, cand_id, cand_label, sim6,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS BIGINT) AS rk
+         | FROM scored)
+         |SELECT query_id, rk, cand_id, cand_label, ${sqlRn("sim6", 4)} AS cos_sim
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "q41_ann_lsh_topk" ->
+      s"""WITH bucketed AS (
+         | SELECT vec_id, embedding,
+         |  ${(0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")} AS bucket
+         | FROM embeddings),
+         |scored AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS cand_id, a.bucket AS bucket, ${sqlRn(cosSql, 6)} AS sim6
+         | FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         | WHERE a.vec_id % 25 = 0),
+         |ranked AS (
+         | SELECT query_id, cand_id, bucket, sim6,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS BIGINT) AS rk
+         | FROM scored)
+         |SELECT query_id, rk, cand_id, bucket, ${sqlRn("sim6", 4)} AS cos_sim
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "q50_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha256,
+        | CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+        | CAST(doc_id * 7 % 480 AS BIGINT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.functions.Round._
+
+/** Deduplication suite over the `documents` fixture — the four standard
+  * LLM-training-data dedup families:
+  *
+  *  - exact (content-hash groupBy),
+  *  - n-gram Jaccard (bucketed token-set similarity join),
+  *  - MinHash + LSH banding (shingle → min-hash signature → band-bucket
+  *    join — the scale path: candidate pairs come from equality joins on
+  *    (band, signature), never from an O(n^2) cross join),
+  *  - SimHash (bitwise fingerprint; near-dup = small Hamming distance).
+  *
+  * Everything is engine-portable arithmetic (md5 hex + integer folds) so
+  * the DuckDB oracle reproduces results exactly.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the minimum doc_id
+    * (deterministic canonical representative), report group size.
+    * At 100 TB: a single hash-partitioned shuffle on a 32-char key.
+    */
+  def q30ExactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_md5")
+
+  /** Token-set Jaccard similarity join, bucketed by (lang, source).
+    *
+    * Candidate pairs are generated ONLY inside a bucket (the blocking
+    * key), turning the quadratic pair space into per-bucket joins — the
+    * same blocking strategy that keeps this tractable at 100 TB. Jaccard
+    * = |A∩B| / (|A|+|B|−|A∩B|) from exact distinct-token counts.
+    */
+  def q31JaccardPairs(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(tokens(col("text"))).as("toks"))
+    val dt = docs.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("toks")).as("t"),
+      size(col("toks")).as("nt"))
+    val a = dt.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("t"), col("nt").as("na"))
+    val b = dt.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("t"), col("nt").as("nb"))
+    a.join(b, Seq("lang", "source", "t"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        r4(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH candidate pairs over token 3-gram shingles.
+    *
+    * Signature: for each of 8 bands, min over shingles of
+    * md5(band || ":" || shingle) — md5's hex string order is a portable
+    * stand-in for a random hash permutation. Docs sharing a (band, min)
+    * bucket become candidate pairs (standard banding: similarity
+    * threshold governed by band count). The plan is
+    * explode → hash-agg min → self-equality-join on (band, sig) →
+    * distinct — every step shuffle-partitioned by key, no cross join,
+    * which is exactly the 100 TB formulation.
+    */
+  def q32MinHashLsh(s: SparkSession, d: String, bands: Int = 8): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+    val sig = sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
+      .groupBy("doc_id", "band")
+      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("sh")))).as("sig"))
+    val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash fingerprints (16-bit, md5-digit-parity construction — see
+    * TextFunctions.simhash16) over each document's distinct token set.
+    * Computed entirely map-side (array fold per row, no shuffle).
+    */
+  def q33SimHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), simhash16(array_distinct(tokens(col("text")))).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold on the
+    * rounded similarity). Brute-force all-pairs here (the fixture is
+    * small and fixed-size); the 100 TB path is the sign-LSH bucketed
+    * variant in Similarity.q41 — same scoring, blocked candidate set.
+    */
+  def q34EmbeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        r4(cosine(col("emb_a"), col("emb_b"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.Round._
+
+/** Event-stream operators over the `events` fixture: JSON extraction,
+  * running window frames, and gap-based sessionization. These are the
+  * batch twins of the Structured Streaming pipelines in
+  * `graft.streaming` — same logical transformations, so the streaming
+  * path can be validated against these oracle-checked batch results.
+  */
+object Events {
+
+  /** JSON field extraction (`props` is a JSON object like {"k": 87}) +
+    * per-event-type aggregate.
+    */
+  def q13JsonAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        r4(sum("k").cast("double") / count(lit(1))).as("avg_k"),
+        fromCents(sum(cents(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+
+  /** Running per-user cumulative value (ROWS frame, deterministic order by
+    * (ts, event_id)). Running sums fold left-to-right in both engines, so
+    * values are bit-identical; rounding is belt-and-braces.
+    */
+  def q14RunningValue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("running_value", fromCents(sum(cents(col("value"))).over(w)))
+      .withColumn("event_idx", row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")).cast("long"))
+      .select(col("user_id"), col("event_idx"), col("event_id"), col("event_type"), col("running_value"))
+      .orderBy("user_id", "event_idx")
+  }
+
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * > 30 minutes. lag → boundary flag → running sum = session id; then
+    * per-session aggregates. This is the classic batch formulation; the
+    * streaming twin uses `session_window`/flatMapGroupsWithState.
+    */
+  def q15Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum("new_session").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        fromCents(sum(cents(col("value")))).as("session_value"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy("user_id", "session_id")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
+  *
+  * The fixtures carry no real image/audio bytes, so the payload here is
+  * the UTF-8 encoding of `documents.text` — the POINT is the Spark-side
+  * plumbing (binary columns, metadata extraction, batch-shaped
+  * per-partition decode), which is real and tested. The actual media
+  * decode is a clearly-marked deterministic stub (this container has no
+  * image/audio libraries).
+  */
+object Multimodal {
+
+  /** Binary payload + SQL-derivable metadata: byte length, content hash,
+    * and fake decoded dimensions derived deterministically from the
+    * payload (stands in for width/height of a decoded image).
+    */
+  def q50BinaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha256"),
+        (octet_length(col("payload")) % 640).cast("long").as("fake_width"),
+        (col("doc_id") * 7 % 480).cast("long").as("fake_height"))
+      .orderBy("doc_id")
+
+  /** Decoded-media record produced by the per-partition decode pass. */
+  case class DecodedMedia(doc_id: Long, n_bytes: Int, format: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** Batch decode over binary payloads via mapPartitions — the shape a
+    * real pipeline uses (decoder initialized once per partition, rows
+    * streamed through it; on a cluster each executor core runs one
+    * decoder instance).
+    *
+    * STUB: `decodeStub` fabricates deterministic metadata from the raw
+    * bytes in place of a real image/audio decoder (none is available in
+    * this container). Swap `decodeStub` for a real codec binding to
+    * productionize; nothing else changes.
+    */
+  def decodeBatch(s: SparkSession, d: String): Dataset[DecodedMedia] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // one "decoder" per partition (stands in for e.g. libjpeg init)
+        val decoder = decodeStub _
+        rows.map { case (id, bytes) => decoder(id, bytes) }
+      }
+  }
+
+  /** Deterministic fake decoder: derives pseudo-metadata from payload
+    * bytes. A real implementation would parse the container format here.
+    */
+  private def decodeStub(id: Long, bytes: Array[Byte]): DecodedMedia = {
+    val fmt = if (bytes.length % 2 == 0) "png" else "jpeg"
+    val w = 64 + (bytes.headOption.getOrElse(0: Byte).toInt & 0x7f)
+    val h = 64 + (bytes.lastOption.getOrElse(0: Byte).toInt & 0x7f)
+    DecodedMedia(id, bytes.length, fmt, w, h, 1 + (bytes.length % 16))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+import graft.functions.Round._
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (`embedding: array<float>`, dim 64).
+  *
+  *  - q40: brute-force cosine top-k — the exact baseline. The query set
+  *    is a small broadcast side, so the scan of the candidate corpus is
+  *    a single pass with no shuffle of the big side.
+  *  - q41: sign-LSH (random-hyperplane, axis-aligned) bucketed top-k —
+  *    the scale path: candidates come from an equality join on the
+  *    bucket id, so the pair space shrinks from |Q|×|N| to per-bucket.
+  *
+  * Ranking determinism: neighbors are ordered by similarity rounded to
+  * 6 dp with vec_id as tie-break, so last-ulp float differences between
+  * engines cannot flip ranks.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k for a deterministic query subset
+    * (vec_id % 50 == 0), excluding self-matches.
+    */
+  def q40CosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim6").desc, col("cand_id"))
+    broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("label"),
+        r6(cosine(col("q_emb"), col("c_emb"))).as("sim6"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        col("label").cast("long").as("cand_label"),
+        r4(col("sim6")).as("cos_sim"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Sign-LSH bucketed ANN top-k: bucket on the sign pattern of the
+    * first 8 dimensions (2^8 buckets), join query↔candidate on equal
+    * bucket, rank within bucket. Recall < 1 by construction (that's the
+    * approximation); the bucket join is the piece that scales.
+    */
+  def q41AnnLshTopK(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", signBucket(col("embedding"), 8))
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim6").desc, col("cand_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("bucket"),
+        r6(cosine(col("q_emb"), col("c_emb"))).as("sim6"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("bucket"),
+        r4(col("sim6")).as("cos_sim"))
+      .orderBy("query_id", "rk")
+  }
+}

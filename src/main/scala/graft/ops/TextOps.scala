@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.functions.Round._
+
+/** Text-analysis operators over the `documents` fixture: word count (the
+  * reference's one and only query — `MapClass.java`/`ReduceClass.java` —
+  * generalized to a table column), per-language counts, per-document
+  * token statistics & quality scoring, heuristic language ID, and
+  * document fingerprinting.
+  *
+  * All tokenization is StringTokenizer-faithful (SURVEY §2.4) via
+  * [[graft.functions.TextFunctions.tokens]].
+  */
+object TextOps {
+
+  /** The reference query, Spark-native: tokenize → count per token →
+    * sort. Partial aggregation gives the map-side combine the reference
+    * lacks (it shuffles every (word,1) pair — SURVEY §2 op#4); Zipfian
+    * token skew is absorbed by that partial agg.
+    */
+  def q20WordCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Word count per language — the grouped variant (lang, word). */
+  def q21WordCountPerLang(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "word")
+
+  /** Per-document token statistics + a composite quality score:
+    * token count, distinct count, mean token length, type-token ratio,
+    * stopword ratio. All computed with array higher-order functions —
+    * no explode, no shuffle: a pure map-side pass (at 100 TB this is
+    * embarrassingly parallel over parquet row groups).
+    */
+  def q22DocTokenStats(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a")
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        tokenChars(col("toks")).as("sum_chars"),
+        size(filter(col("toks"), t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        r4(col("sum_chars").cast("double") / col("n_tokens")).as("avg_token_len"),
+        r4(col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+        r4(col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        // quality = 0.5*ttr + 0.3*(1-stop_ratio) + 0.2*min(n/100, 1),
+        // expressed as a single exact-integer rational so both engines
+        // divide identical numerator/denominator bits:
+        r4((lit(5000.0) * col("n_distinct")
+          + lit(3000.0) * (col("n_tokens") - col("n_stop"))
+          + lit(20.0) * least(col("n_tokens"), lit(100L)) * col("n_tokens"))
+          / (lit(10000.0) * col("n_tokens"))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID: marker-lexicon scoring with deterministic
+    * argmax (see TextFunctions.LangMarkers); reports predicted vs actual.
+    */
+  def q23LangId(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).withColumn("toks", tokens(col("text")))
+    val scored = LangMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang", markerScore(col("toks"), markers))
+    }
+    val scores = LangMarkers.map { case (lang, _) => lang -> col(s"score_$lang") }
+    scored
+      .select(
+        Seq(col("doc_id"), col("lang"), langPredict(scores).as("lang_pred")) ++
+          LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: content hash (md5) + order-sensitive rolling
+    * hash over the token sequence (detects reorderings md5 alone would
+    * miss only if text differs — the rolling hash pins token ORDER into
+    * the fingerprint with cheap integer math).
+    */
+  def q24Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        rollingFingerprint(col("toks")).as("rolling_fp"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Corpus statistics per source: document counts, char sums, token
+    * means, language diversity.
+    */
+  def q25SourceStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        r4(sum("n_tokens").cast("double") / count(lit(1))).as("avg_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+}
