@@ -319,10 +319,14 @@ object SparkEntry {
     "q32_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
          |sh AS (SELECT doc_id,
-         |  unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' '))) AS s
+         |  md5(unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' ')))) AS h
          | FROM toks WHERE len(ts) >= 3),
-         |sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || s)) AS sig
-         | FROM sh, (SELECT unnest(range(0, 8)) AS band) GROUP BY doc_id, band)
+         |per_doc AS (SELECT doc_id,
+         |  ${(0 until 8).map(b => s"min(substr(h, ${1 + 2 * b}, 16)) AS sig$b").mkString(", ")}
+         | FROM sh GROUP BY doc_id),
+         |sig AS (SELECT doc_id, band,
+         |  CASE band ${(0 until 8).map(b => s"WHEN $b THEN sig$b").mkString(" ")} END AS sig
+         | FROM per_doc, (SELECT unnest(range(0, 8)) AS band))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
          |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,

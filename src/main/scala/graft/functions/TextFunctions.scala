@@ -98,11 +98,20 @@ object TextFunctions {
   }
 
   /** Token 3-gram shingles ("w1 w2 w3") over the ordered token sequence;
-    * empty array for documents shorter than 3 tokens. The guard matters:
-    * Spark's `sequence(0, n)` with n < 0 generates a DESCENDING range
-    * rather than an empty one.
+    * empty array for documents shorter than 3 tokens. Evaluated by the
+    * custom [[graft.functions.expressions.TokenShingles]] expression (one
+    * tight loop per row); [[shingles3Hof]] is the built-ins-only
+    * formulation it is bit-equivalent to.
     */
   def shingles3(toks: Column): Column =
+    graft.functions.expressions.TextExpressions.tokenShingles(toks, 3)
+
+  /** Spec formulation of [[shingles3]] from composable built-ins (used by
+    * tests to pin equivalence). The size guard matters: Spark's
+    * `sequence(0, n)` with n < 0 generates a DESCENDING range rather than
+    * an empty one.
+    */
+  def shingles3Hof(toks: Column): Column =
     when(size(toks) >= 3,
       transform(
         sequence(lit(0), size(toks) - 3),

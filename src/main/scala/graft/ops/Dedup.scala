@@ -73,10 +73,18 @@ object Dedup {
   def q32MinHashLsh(s: SparkSession, d: String, bands: Int = 8): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
-    val sig = sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
-      .groupBy("doc_id", "band")
-      .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("sh")))).as("sig"))
+    // Band hash b = the 16-hex-char window of md5(shingle) at offset 2b:
+    // ONE md5 per shingle (not per band), and all band-minimums fold
+    // map-side in a single partial aggregation — the shuffle carries
+    // #docs × #bands rows, not #shingles × #bands.
+    val perDoc = sh
+      .withColumn("h", md5(col("sh")))
+      .groupBy("doc_id")
+      .agg(
+        min(substring(col("h"), 1, 16)).as("sig0"),
+        (1 until bands).map(b => min(substring(col("h"), 1 + 2 * b, 16)).as(s"sig$b")): _*)
+    val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(s"stack($bands, ", ", ", ") as (band, sig)")
+    val sig = perDoc.selectExpr("doc_id", stackExpr)
     val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
@@ -102,11 +110,14 @@ object Dedup {
   def q34EmbeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.95): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      norm(col("embedding")).as("norm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      norm(col("embedding")).as("norm_b"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        r4(cosine(col("emb_a"), col("emb_b"))).as("cos_sim"))
+        r4(cosinePrenormed(dot(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

@@ -29,13 +29,16 @@ object Similarity {
   def q40CosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("label"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_norm"), col("label"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim6").desc, col("cand_id"))
     broadcast(q).join(c, col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), col("label"),
-        r6(cosine(col("q_emb"), col("c_emb"))).as("sim6"))
+        r6(cosinePrenormed(dot(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
+          .as("sim6"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
@@ -52,15 +55,19 @@ object Similarity {
   def q41AnnLshTopK(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, d)
       .withColumn("bucket", signBucket(col("embedding"), 8))
+      .withColumn("nrm", norm(col("embedding")))
     val q = e.filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("bucket"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_norm"), col("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim6").desc, col("cand_id"))
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), col("bucket"),
-        r6(cosine(col("q_emb"), col("c_emb"))).as("sim6"))
+        r6(cosinePrenormed(dot(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
+          .as("sim6"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"), col("bucket"),
