@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** The custom Catalyst expressions must be BIT-IDENTICAL to the
+  * composable built-ins formulations they replace (the DuckDB oracle
+  * mirrors the built-ins semantics).
+  */
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("FloatDot ≡ aggregate(zip_with(...)) bit-for-bit on fixture embeddings") {
+    import spark.implicits._
+    val e = graft.core.Tables.embeddings(spark, TestSpark.sf).limit(50)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("ia") < col("ib")).limit(500)
+    val diff = pairs.select(
+      VectorFunctions.dot(col("va"), col("vb")).as("fast"),
+      VectorFunctions.dotHof(col("va"), col("vb")).as("spec"))
+      .filter(col("fast") =!= col("spec"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("FloatDot interpreted eval matches codegen path") {
+    import spark.implicits._
+    val df = Seq((Array(1.5f, -2.0f, 3.25f), Array(0.5f, 4.0f, -1.0f)))
+      .toDF("a", "b")
+    val got = df.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].head()
+    assert(got == (1.5 * 0.5 + -2.0 * 4.0 + 3.25 * -1.0))
+  }
+
+  test("TokenShingles ≡ transform/slice/array_join formulation on fixture docs") {
+    import spark.implicits._
+    val d = graft.core.Tables.documents(spark, TestSpark.sf)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+    val diff = d.select(
+      TextFunctions.shingles3(col("toks")).as("fast"),
+      TextFunctions.shingles3Hof(col("toks")).as("spec"))
+      .filter(col("fast") =!= col("spec"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("TokenShingles edge cases: short arrays") {
+    import spark.implicits._
+    val df = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "b", "c", "d"))
+      .toDF("toks")
+    val got = df.select(TextFunctions.shingles3(col("toks")).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq(), Seq(), Seq("a b c"), Seq("a b c", "b c d")))
+  }
+
+  test("portable rounding: floor-based r2/r4 behave as round-half-up") {
+    import spark.implicits._
+    import graft.functions.Round._
+    val df = Seq(1.005, 2.675, -1.005, 0.12345).toDF("x")
+    val got = df.select(r2(col("x")).as("r")).as[Double].collect().toSeq
+    // NOTE: these are the DOUBLE values' floor(x*100+0.5)/100 results —
+    // deterministic and engine-portable, which is the contract; the
+    // decimal-pretty answer is NOT (1.005 is stored as 1.00499…, while
+    // 2.675*100.0 rounds to exactly 267.5 under IEEE multiplication).
+    assert(got == Seq(1.0, 2.68, -1.0, 0.12))
+  }
+}

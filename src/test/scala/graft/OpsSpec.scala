@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.ops._
+
+/** Operator-level invariants on the sf0.001 fixtures. (Value-exactness
+  * against DuckDB is the driver's t2 gate, replicated locally by
+  * scripts/check.py; these specs pin structural properties and
+  * partition-invariance.)
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q01: group count sums to filtered lineitem count") {
+    val df = Relational.q01PricingSummary(spark, sf)
+    val total = df.agg(sum("count_order")).head().getLong(0)
+    val want = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp")).count()
+    assert(total == want)
+  }
+
+  test("q01: result invariant under shuffle-partition count") {
+    val a = Relational.q01PricingSummary(spark, sf).collect().toSeq
+    val sess2 = spark.newSession()
+    sess2.conf.set("spark.sql.shuffle.partitions", "1")
+    val b = Relational.q01PricingSummary(sess2, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("q03: revenue matches independent SQL formulation") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("li_t")
+    Tables.orders(spark, sf).createOrReplaceTempView("o_t")
+    Tables.customer(spark, sf).createOrReplaceTempView("c_t")
+    val viaSql = spark.sql(
+      """SELECT count(*) FROM li_t l JOIN o_t o ON l.l_orderkey = o.o_orderkey
+        |JOIN c_t c ON o.o_custkey = c.c_custkey""".stripMargin).head().getLong(0)
+    val viaOp = Relational.q03CustomerRevenue(spark, sf)
+      .agg(sum("n_items")).head().getLong(0)
+    assert(viaOp == viaSql)
+  }
+
+  test("q06: at most 3 rows per customer, ranks contiguous from 1") {
+    val df = Relational.q06TopOrdersPerCustomer(spark, sf)
+    val bad = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+      .filter(col("n") > 3 || col("mx") =!= col("n") || col("mn") =!= 1)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("q07 rollup: grand total row equals table count") {
+    val df = Relational.q07Rollup(spark, sf)
+    val grand = df.filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      .select("n_items").head().getLong(0)
+    assert(grand == Tables.lineitem(spark, sf).count())
+  }
+
+  test("q09 setops: tags partition the custkey universe consistently") {
+    val df = Relational.q09SetOps(spark, sf).cache()
+    try {
+      val both = df.filter(col("tag") === "both").count()
+      val highOnly = df.filter(col("tag") === "high_bal_only").count()
+      val orderOnly = df.filter(col("tag") === "order_only").count()
+      val high = Tables.customer(spark, sf).filter(col("c_acctbal") > 5000.0).count()
+      val hasOrder = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+      assert(both + highOnly == high)
+      assert(both + orderOnly == hasOrder)
+    } finally df.unpersist()
+  }
+
+  test("q15 sessionize: session event counts sum to events count") {
+    val df = Events.q15Sessionize(spark, sf)
+    val total = df.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("q16/q17: semi and anti partition customers having/not-having orders") {
+    val semiAll = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = Relational.q17CustomersNoOrders(spark, sf).count()
+    assert(semiAll + anti == Tables.customer(spark, sf).count())
+  }
+}

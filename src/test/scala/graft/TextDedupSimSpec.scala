@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.ops._
+
+/** Invariants for the LLM-pipeline operators (text analysis, dedup,
+  * similarity) on the sf0.001 fixtures.
+  */
+class TextDedupSimSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q20 wordcount: counts sum to total token count") {
+    val sumCnt = TextOps.q20WordCount(spark, sf).agg(sum("cnt")).head().getLong(0)
+    val tokens = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))).count()
+    assert(sumCnt == tokens)
+  }
+
+  test("q21 per-lang counts roll up to q20 global counts") {
+    val global = TextOps.q20WordCount(spark, sf)
+    val rolled = TextOps.q21WordCountPerLang(spark, sf)
+      .groupBy("word").agg(sum("cnt").as("cnt"))
+    assert(global.join(rolled, Seq("word"))
+      .filter(global("cnt") =!= rolled("cnt")).count() == 0L)
+  }
+
+  test("q22 stats: ratios in [0,1], n_distinct <= n_tokens") {
+    val bad = TextOps.q22DocTokenStats(spark, sf)
+      .filter(col("ttr") < 0 || col("ttr") > 1 ||
+        col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+        col("quality") < 0 || col("quality") > 1 ||
+        col("n_distinct") > col("n_tokens"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("q23 langid: prediction always one of the five languages, scores consistent") {
+    val langs = graft.functions.TextFunctions.LangMarkers.map(_._1)
+    val df = TextOps.q23LangId(spark, sf)
+    assert(df.filter(!col("lang_pred").isin(langs.map(lit): _*)).count() == 0L)
+    // predicted language's score is the max score
+    val scoreCols = langs.map(l => col(s"score_$l"))
+    val mismatch = df.filter(
+      langs.map(l => when(col("lang_pred") === l, col(s"score_$l")).otherwise(lit(null)))
+        .reduce((a, b) => coalesce(a, b)) =!= greatest(scoreCols: _*)).count()
+    assert(mismatch == 0L)
+  }
+
+  test("q24 fingerprint: stable across evaluations and within [0, 2^40)") {
+    val a = TextOps.q24Fingerprint(spark, sf).collect().toSeq
+    val b = TextOps.q24Fingerprint(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.forall { r =>
+      val fp = r.getAs[Long]("rolling_fp"); fp >= 0L && fp < (1L << 40)
+    })
+  }
+
+  test("q30 exact dedup: keepers unique, copies sum to doc count") {
+    val df = Dedup.q30ExactDedup(spark, sf).cache()
+    try {
+      assert(df.select("keeper_doc_id").distinct().count() == df.count())
+      assert(df.agg(sum("n_copies")).head().getLong(0) ==
+        Tables.documents(spark, sf).count())
+    } finally df.unpersist()
+  }
+
+  test("q31 jaccard: similarity within [threshold, 1], a < b") {
+    val df = Dedup.q31JaccardPairs(spark, sf).cache()
+    try {
+      assert(df.filter(col("jaccard") < 0.6 || col("jaccard") > 1.0).count() == 0L)
+      assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0L)
+    } finally df.unpersist()
+  }
+
+  test("q32 minhash LSH: candidate pairs are ordered and distinct") {
+    val df = Dedup.q32MinHashLsh(spark, sf).cache()
+    try {
+      assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0L)
+      assert(df.count() == df.distinct().count())
+    } finally df.unpersist()
+  }
+
+  test("q33 simhash: 16-bit range") {
+    assert(Dedup.q33SimHash(spark, sf)
+      .filter(col("simhash") < 0 || col("simhash") > 0xFFFFL).count() == 0L)
+  }
+
+  test("cosine: self-similarity is 1.0 within fp tolerance") {
+    import graft.functions.VectorFunctions._
+    import spark.implicits._
+    val sims = Tables.embeddings(spark, sf).limit(20)
+      .select(cosine(col("embedding"), col("embedding")).as("s"))
+      .as[Double].collect()
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("q40 topk: exactly k neighbors per query, descending similarity") {
+    val df = Similarity.q40CosineTopK(spark, sf).cache()
+    try {
+      val badCounts = df.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 5).count()
+      assert(badCounts == 0L)
+      // rank order must agree with similarity order (ties broken by id)
+      val disordered = df.as("x").join(df.as("y"),
+          col("x.query_id") === col("y.query_id") && col("x.rk") === col("y.rk") - 1)
+        .filter(col("x.cos_sim") < col("y.cos_sim")).count()
+      assert(disordered == 0L)
+    } finally df.unpersist()
+  }
+
+  test("q41 LSH ANN: neighbors share the query's bucket") {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("cand_id"), signBucket(col("embedding"), 8).as("cand_bucket"))
+    val joined = Similarity.q41AnnLshTopK(spark, sf).join(e, Seq("cand_id"))
+    assert(joined.filter(col("bucket") =!= col("cand_bucket")).count() == 0L)
+  }
+
+  test("multimodal decodeBatch: deterministic stub metadata, one row per doc") {
+    val ds = Multimodal.decodeBatch(spark, sf)
+    val rows = ds.collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(r => r.width >= 64 && r.height >= 64 && r.n_frames >= 1))
+  }
+}

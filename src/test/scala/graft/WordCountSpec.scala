@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.wordcount.WordCountJob
+
+/** End-to-end golden test for the reference-parity WordCount pipeline
+  * (SURVEY §5.2(2)): byte-compare the single output part file, including
+  * the UTF-8-byte-order collation case the reference's Text comparator
+  * implies (SURVEY §2.6), plus the sink/CLI failure contracts.
+  */
+class WordCountSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def runJob(lines: Seq[String]): Seq[String] = {
+    val in = Files.createTempDirectory("wc_in")
+    val out = Files.createTempDirectory("wc_out_parent").resolve("out")
+    Files.write(in.resolve("input.txt"), lines.asJava)
+    WordCountJob.run(spark, in.toString, out.toString)
+    val part = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(part.size == 1, "single-file sink must produce exactly one part file")
+    Files.readAllLines(part.head).asScala.toSeq
+  }
+
+  test("golden: counts, tabs-in-tokens, multi-space, empty lines") {
+    val got = runJob(Seq(
+      "hello world",
+      "  leading  and   multiple spaces  ",
+      "",
+      "hello world hello"))
+    assert(got == Seq(
+      "and\t1", "hello\t3", "leading\t1", "multiple\t1", "spaces\t1", "world\t2"))
+  }
+
+  test("collation: supplementary-plane chars sort in UTF-8 byte order, not UTF-16") {
+    // U+FFFD < U+1F600 in UTF-8 byte order; UTF-16 code-unit order says
+    // the opposite (surrogates) — SURVEY §2.6 (verified against Hadoop
+    // Text.Comparator semantics).
+    val got = runJob(Seq("� 😀 zz"))
+    assert(got == Seq("zz\t1", "�\t1", "😀\t1"))
+  }
+
+  test("sink: output dir must not pre-exist (FileOutputFormat contract)") {
+    val in = Files.createTempDirectory("wc_in2")
+    Files.write(in.resolve("a.txt"), Seq("x").asJava)
+    val out = Files.createTempDirectory("wc_out_exists")
+    intercept[Exception] {
+      WordCountJob.run(spark, in.toString, out.toString)
+    }
+  }
+
+  test("CLI: wrong arg count returns -1 with usage (WordCount.java:25-28)") {
+    assert(WordCountJob.execute(Array("only-one")) == -1)
+    assert(WordCountJob.execute(Array("a", "b", "c")) == -1)
+  }
+}
