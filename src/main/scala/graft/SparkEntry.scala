@@ -47,6 +47,10 @@ object SparkEntry {
     // semi / anti joins
     "q16_customers_with_big_orders" -> (Relational.q16CustomersWithBigOrders(_, _)),
     "q17_customers_no_orders" -> (Relational.q17CustomersNoOrders(_, _)),
+    // correlated / math / cube
+    "q18_above_avg_orders" -> (Relational.q18AboveAvgOrders(_, _)),
+    "q19_math_functions" -> (Relational.q19MathFunctions(_, _)),
+    "q28_cube_agg" -> (Relational.q28CubeAgg(_, _)),
     // text analysis
     "q20_wordcount" -> (TextOps.q20WordCount(_, _)),
     "q21_wordcount_per_lang" -> (TextOps.q21WordCountPerLang(_, _)),
@@ -54,6 +58,8 @@ object SparkEntry {
     "q23_langid" -> (TextOps.q23LangId(_, _)),
     "q24_fingerprint" -> (TextOps.q24Fingerprint(_, _)),
     "q25_source_stats" -> (TextOps.q25SourceStats(_, _)),
+    "q26_tfidf" -> (TextOps.q26TfIdf(_, _)),
+    "q27_bigram_freq" -> (TextOps.q27BigramFreq(_, _)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -63,6 +69,7 @@ object SparkEntry {
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
+    "q35_knn_classify" -> (Similarity.q35KnnClassify(_, _)),
     // multimodal plumbing
     "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _))
   )
@@ -248,6 +255,32 @@ object SparkEntry {
          | CAST(sum(${sqlCents("value")}) AS DOUBLE) / 100.0 AS session_value,
          | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
          |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q18_above_avg_orders" ->
+      s"""WITH w AS (SELECT o_orderkey, o_custkey, o_totalprice,
+         |  CAST(sum(${sqlCents("o_totalprice")}) OVER (PARTITION BY o_custkey) AS DOUBLE)
+         |    / (100.0 * count(*) OVER (PARTITION BY o_custkey)) AS cust_avg
+         | FROM orders)
+         |SELECT o_orderkey, o_custkey, o_totalprice, ${sqlRn("cust_avg", 2)} AS cust_avg
+         |FROM w WHERE o_totalprice > 1.2 * cust_avg ORDER BY o_orderkey""".stripMargin,
+    "q19_math_functions" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | sqrt(l_quantity) AS qty_sqrt,
+        | abs(l_discount - 0.05) AS disc_dev,
+        | CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+        | CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+        | CAST(sign(l_quantity - 25.0) AS BIGINT) AS qty_sign,
+        | l_orderkey % 7 AS key_mod7,
+        | l_quantity * l_quantity AS qty_sq,
+        | greatest(l_tax, l_discount) AS max_rate,
+        | least(l_tax, l_discount) AS min_rate
+        |FROM lineitem WHERE l_orderkey % 500 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q28_cube_agg" ->
+      s"""WITH lc AS ($lineitemCentsCte)
+         |SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+         | CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty
+         |FROM lc GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q16_customers_with_big_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -300,6 +333,29 @@ object SparkEntry {
          | ${sqlRn(s"CAST(sum(CAST(len(${toksSql("text")}) AS BIGINT)) AS DOUBLE) / count(*)", 4)} AS avg_tokens,
          | count(DISTINCT lang) AS n_langs
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q26_tfidf" ->
+      s"""WITH terms AS (
+         | SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, unnest(toks) AS token
+         | FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |tf AS (SELECT doc_id, n_tokens, token, count(*) AS tf_cnt
+         | FROM terms GROUP BY doc_id, n_tokens, token),
+         |dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS n_total FROM documents),
+         |scored AS (SELECT doc_id, token,
+         |  ${sqlRn("(CAST(tf_cnt AS DOUBLE) / n_tokens) * ((n_total - df + 0.5) / (df + 0.5))", 6)} AS tfidf6
+         | FROM tf JOIN dft USING (token), n),
+         |ranked AS (SELECT doc_id, token, tfidf6,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf6 DESC, token) AS BIGINT) AS rk
+         | FROM scored)
+         |SELECT doc_id, rk, token, tfidf6 AS tfidf FROM ranked WHERE rk <= 5
+         |ORDER BY doc_id, rk""".stripMargin,
+    "q27_bigram_freq" ->
+      s"""WITH toks AS (SELECT ${toksSql("text")} AS ts FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(0, len(ts) - 1),
+         |  i -> array_to_string(ts[i + 1:i + 2], ' '))) AS bigram
+         | FROM toks WHERE len(ts) >= 2)
+         |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_doc_id,
         | count(*) AS n_copies
@@ -351,6 +407,25 @@ object SparkEntry {
          | FROM scored)
          |SELECT query_id, rk, cand_id, cand_label, ${sqlRn("sim6", 4)} AS cos_sim
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "q35_knn_classify" ->
+      s"""WITH scored AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |  CAST(b.label AS BIGINT) AS cand_label, ${sqlRn(cosSql, 6)} AS sim6
+         | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         | WHERE a.vec_id % 50 = 0),
+         |ranked AS (
+         | SELECT query_id, cand_label,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS BIGINT) AS rk
+         | FROM scored),
+         |votes AS (
+         | SELECT query_id, cand_label, count(*) AS votes
+         | FROM ranked WHERE rk <= 5 GROUP BY query_id, cand_label),
+         |winner AS (
+         | SELECT query_id, cand_label AS pred_label, votes,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, cand_label) AS vr
+         | FROM votes)
+         |SELECT query_id, pred_label, votes FROM winner WHERE vr = 1
+         |ORDER BY query_id""".stripMargin,
     "q41_ann_lsh_topk" ->
       s"""WITH bucketed AS (
          | SELECT vec_id, embedding,

@@ -1,0 +1,86 @@
+package graft.api
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed map/reduce surface — the idiomatic Spark equivalent of the
+  * reference's entire UDF surface (subclassing Mapper / Reducer,
+  * SURVEY §2.2 last row, §2.3):
+  *
+  *  - reference `Mapper.map` with multi-emit ≙ [[flatMapRecords]]
+  *    (`MapClass.java:17-27` is exactly a flatMap from a line to tokens);
+  *  - reference `Reducer.reduce` as a commutative fold ≙ [[reduceByKey]]
+  *    (`ReduceClass.java:12-24` is `_ + _` over grouped ints);
+  *  - the general "plug in your own aggregation" extension point ≙
+  *    [[foldByKey]] with an [[Aggregator]] (partial aggregation /
+  *    map-side combine comes free — the reference never even registered
+  *    a combiner, so every pair crossed its shuffle).
+  *
+  * All of it stays in the Dataset world (Encoders, Tungsten rows,
+  * whole-stage codegen where possible) — no RDDs.
+  */
+object TypedPipeline {
+
+  /** Mapper-with-multi-emit (the reference mapper's shape). */
+  def flatMapRecords[I, O: Encoder](ds: Dataset[I])(f: I => IterableOnce[O]): Dataset[O] =
+    ds.flatMap(f)(implicitly[Encoder[O]])
+
+  /** reduceByKey: group by a typed key, fold values with a commutative,
+    * associative op. Spark plans groupByKey+reduceGroups with partial
+    * aggregation before the shuffle.
+    */
+  def reduceByKey[I, K: Encoder](ds: Dataset[I])(key: I => K)(op: (I, I) => I)(
+      implicit pair: Encoder[(K, I)]): Dataset[(K, I)] =
+    ds.groupByKey(key).reduceGroups(op)
+
+  /** Generalized per-key aggregation with an explicit Aggregator
+    * (zero/reduce/merge/finish) — the typed twin of a Hadoop Reducer
+    * that is NOT a simple fold.
+    */
+  def foldByKey[I, K: Encoder, B, O](ds: Dataset[I])(key: I => K)(
+      agg: Aggregator[I, B, O])(implicit pair: Encoder[(K, O)]): Dataset[(K, O)] =
+    ds.groupByKey(key).agg(agg.toColumn)
+
+  /** The reference reducer, as an Aggregator: sum of ints with Java
+    * `int` arithmetic (wraps on overflow exactly like
+    * `ReduceClass.java:19`; SURVEY §2.5 documents the divergence choice
+    * for the engine's long-typed default).
+    */
+  object IntSum extends Aggregator[Int, Int, Int] {
+    def zero: Int = 0
+    def reduce(b: Int, a: Int): Int = b + a
+    def merge(b1: Int, b2: Int): Int = b1 + b2
+    def finish(b: Int): Int = b
+    def bufferEncoder: Encoder[Int] = Encoders.scalaInt
+    def outputEncoder: Encoder[Int] = Encoders.scalaInt
+  }
+
+  /** Bounded top-k per group as an Aggregator (SURVEY §4.2's candidate
+    * custom aggregate): keeps at most k (score, id) pairs, merging
+    * buffers pairwise — state is O(k) regardless of group size, which is
+    * what makes per-group top-k viable at 100 TB (a window + row_number
+    * materializes and sorts the whole group instead).
+    *
+    * Ordering: higher score first; ties broken by smaller id
+    * (deterministic).
+    */
+  class TopK(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], List[(Double, Long)]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(buf: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] = {
+      val (pre, post) = buf.span(better(_, v))
+      (pre ::: v :: post).take(k)
+    }
+    def zero: List[(Double, Long)] = Nil
+    def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] = insert(b, a)
+    def merge(b1: List[(Double, Long)], b2: List[(Double, Long)]): List[(Double, Long)] =
+      b2.foldLeft(b1)(insert)
+    def finish(b: List[(Double, Long)]): List[(Double, Long)] = b
+    def bufferEncoder: Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    def outputEncoder: Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+  }
+}

@@ -223,6 +223,57 @@ object Relational {
       .orderBy("o_year", "o_orderpriority")
   }
 
+  /** Correlated-subquery shape: orders priced >1.2× their customer's
+    * average order value. Expressed as an unordered window aggregate over
+    * exact cents (deterministic regardless of row arrival order — a
+    * double window-sum would not be).
+    */
+  def q18AboveAvgOrders(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, d)
+      .withColumn("cust_avg",
+        sum(cents(col("o_totalprice"))).over(w).cast("double")
+          / (lit(100.0) * count(lit(1)).over(w)))
+      .filter(col("o_totalprice") > lit(1.2) * col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        r2(col("cust_avg")).as("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Scalar math-function coverage, restricted to operations with exact
+    * IEEE semantics (sqrt is correctly-rounded; ceil/floor/abs/sign/mod
+    * are exact) so both engines produce identical bits — libm-dependent
+    * functions (exp/ln/pow) intentionally excluded from the oracle-gated
+    * surface.
+    */
+  def q19MathFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 500 === 0)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        ceil(col("l_extendedprice") / lit(1000.0)).as("price_k_ceil"),
+        floor(col("l_extendedprice") / lit(1000.0)).as("price_k_floor"),
+        signum(col("l_quantity") - lit(25.0)).cast("long").as("qty_sign"),
+        (col("l_orderkey") % 7).as("key_mod7"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** CUBE aggregation: all grouping-set combinations over
+    * (returnflag, linestatus).
+    */
+  def q28CubeAgg(s: SparkSession, d: String): DataFrame =
+    lineitemCents(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        fromCents(sum("qty_c")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Semi join: customers having at least one large order (EXISTS). */
   def q16CustomersWithBigOrders(s: SparkSession, d: String): DataFrame = {
     val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)

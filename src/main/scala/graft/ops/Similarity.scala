@@ -47,6 +47,22 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** kNN classification: majority label among the exact top-5 cosine
+    * neighbors (built on q40), ties broken toward the smaller label.
+    */
+  def q35KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val votes = q40CosineTopK(s, d, k = 5)
+      .groupBy("query_id", "cand_label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("cand_label"))
+    votes
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cand_label").as("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
   /** Sign-LSH bucketed ANN top-k: bucket on the sign pattern of the
     * first 8 dimensions (2^8 buckets), join query↔candidate on equal
     * bucket, rank within bucket. Recall < 1 by construction (that's the

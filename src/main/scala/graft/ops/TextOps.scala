@@ -101,6 +101,51 @@ object TextOps {
         size(col("toks")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
+  /** TF-IDF top-5 terms per document. IDF uses the BM25-style RATIONAL
+    * form (N − df + 0.5)/(df + 0.5) instead of ln(N/df): exact integer
+    * arithmetic plus two divisions, so both engines compute identical
+    * bits (ln is libm-dependent and NOT portable). The df table is tiny
+    * (vocabulary-sized) and broadcast.
+    */
+  def q26TfIdf(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.select(count(lit(1)).as("n_total"))
+    val terms = docs
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "n_tokens", "token")
+      .agg(count(lit(1)).as("tf_cnt"))
+    val df = terms.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("token"))
+    terms
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf6", r6(
+        (col("tf_cnt").cast("double") / col("n_tokens"))
+          * ((col("n_total") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("token"), col("tfidf6").as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Global bigram frequencies, top 20 (token 2-gram shingles over the
+    * ordered sequence — the n-gram statistics pass of a corpus profile).
+    */
+  def q27BigramFreq(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expressions.TextExpressions.tokenShingles
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(tokenShingles(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */

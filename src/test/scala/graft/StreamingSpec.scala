@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{UserEvent, UserRunning}
+
+/** Drives the Structured Streaming pipelines through MemoryStream
+  * micro-batches and checks results against the batch formulations.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming word count matches batch counts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingOps.wordCount(mem.toDF())
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData("hello world", "  spaced   out  ")
+      q.processAllAvailable()
+      mem.addData("hello again")
+      q.processAllAvailable()
+      val got = spark.table("wc_out").as[(String, Long)].collect().toMap
+      assert(got == Map("hello" -> 2L, "world" -> 1L, "spaced" -> 1L,
+        "out" -> 1L, "again" -> 1L))
+    } finally q.stop()
+  }
+
+  test("windowed event counts with watermark finalize past windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = StreamingOps.windowedEventCounts(events)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(1), "click", 1.0), (2L, ts(5), "click", 2.0),
+        (1L, ts(12), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough (> 30 min late tolerance) to close
+      // the first two windows
+      mem.addData((3L, ts(120), "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select("window_start", "event_type", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(
+        (ts(0), "click", 2L),
+        (ts(10), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val q = StreamingOps.sessionWindows(events)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 2h later a new one
+      mem.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(150), 5.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts(600), 9.0)) // push watermark way past both sessions
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user_id", "session_start", "n_events", "session_value").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == Set(
+        (1L, ts(0), 2L, 3.0),
+        (1L, ts(150), 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamingOps.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("run_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1, ts(0), 2.0), UserEvent(1, ts(1), 3.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, ts(2), 5.0), UserEvent(2, ts(2), 7.0))
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.max
+      val latest = spark.table("run_out").groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("v"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(latest == Set((1L, 3L, 10.0), (2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+}
