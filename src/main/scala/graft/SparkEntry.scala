@@ -47,6 +47,8 @@ object SparkEntry {
     // semi / anti joins
     "q16_customers_with_big_orders" -> (Relational.q16CustomersWithBigOrders(_, _)),
     "q17_customers_no_orders" -> (Relational.q17CustomersNoOrders(_, _)),
+    "q36_left_outer_orders" -> (Relational.q36LeftOuterOrders(_, _)),
+    "q37_full_outer_nation" -> (Relational.q37FullOuterNation(_, _)),
     // correlated / math / cube
     "q18_above_avg_orders" -> (Relational.q18AboveAvgOrders(_, _)),
     "q19_math_functions" -> (Relational.q19MathFunctions(_, _)),
@@ -290,6 +292,24 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q36_left_outer_orders" ->
+      s"""SELECT c.c_custkey, c.c_name,
+         | count(o.o_orderkey) AS n_orders,
+         | CAST(coalesce(sum(${sqlCents("o.o_totalprice")}), 0) AS DOUBLE) / 100.0 AS total_spent
+         |FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+         |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "q37_full_outer_nation" ->
+      """WITH rich AS (
+        | SELECT c_nationkey AS nk_c, count(*) AS n_rich_customers
+        | FROM customer WHERE c_acctbal > 8000.0 GROUP BY c_nationkey),
+        |sup AS (
+        | SELECT s_nationkey AS nk_s, count(*) AS n_suppliers
+        | FROM supplier GROUP BY s_nationkey)
+        |SELECT CAST(coalesce(nk_c, nk_s) AS BIGINT) AS nationkey,
+        | coalesce(n_rich_customers, 0) AS n_rich_customers,
+        | coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM rich FULL OUTER JOIN sup ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin,
     "q20_wordcount" ->
       s"""SELECT t AS word, count(*) AS cnt FROM (
          | SELECT unnest(${toksSql("text")}) AS t FROM documents)

@@ -291,4 +291,41 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .orderBy("c_custkey")
   }
+
+  /** Left outer join with null-side aggregation: every customer with
+    * their order count and revenue — 0 / 0.0 for customers without
+    * orders (count of the null-extended column skips nulls; the sum
+    * coalesces).
+    */
+  def q36LeftOuterOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("price_c", cents(col("o_totalprice")))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        fromCents(coalesce(sum("price_c"), lit(0L))).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer join: per-nation high-balance customer counts vs
+    * supplier counts — nations appearing on either side survive, with
+    * nulls made explicit via coalesce.
+    */
+  def q37FullOuterNation(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 8000.0)
+      .groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_rich_customers"))
+    val sup = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(sup, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).cast("long").as("nationkey"),
+        coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
 }
