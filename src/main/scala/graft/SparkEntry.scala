@@ -44,6 +44,9 @@ object SparkEntry {
     "q13_events_json_agg" -> (Events.q13JsonAgg(_, _)),
     "q14_running_value" -> (Events.q14RunningValue(_, _)),
     "q15_sessionize" -> (Events.q15Sessionize(_, _)),
+    "q42_asof_purchase_click" -> (Events.q42AsofPurchaseClick(_, _)),
+    // sketch (no SQL oracle: HLL impls differ across engines → rows-only check)
+    "q38_approx_distinct" -> (Events.q38ApproxDistinct(_, _)),
     // semi / anti joins
     "q16_customers_with_big_orders" -> (Relational.q16CustomersWithBigOrders(_, _)),
     "q17_customers_no_orders" -> (Relational.q17CustomersNoOrders(_, _)),
@@ -283,6 +286,16 @@ object SparkEntry {
          | CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty
          |FROM lc GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q42_asof_purchase_click" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT user_id, event_id, ts, event_type, us,
+        |  max(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        | FROM e)
+        |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        | (us - last_click_us) // 1000000 AS gap_s
+        |FROM w WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
     "q16_customers_with_big_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -414,7 +427,7 @@ object SparkEntry {
       s"""SELECT vec_a, vec_b, cos_sim FROM (
          | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlRn(cosSql, 4)} AS cos_sim
          | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-         |WHERE cos_sim >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "q40_cosine_topk" ->
       s"""WITH scored AS (
          | SELECT a.vec_id AS query_id, b.vec_id AS cand_id,

@@ -103,11 +103,13 @@ object Dedup {
       .orderBy("doc_id")
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold on the
-    * rounded similarity). Brute-force all-pairs here (the fixture is
-    * small and fixed-size); the 100 TB path is the sign-LSH bucketed
-    * variant in Similarity.q41 — same scoring, blocked candidate set.
+    * rounded similarity; the fixtures' max pair similarity is ~0.51, so
+    * the 0.4 default yields a meaningful, non-empty pair set).
+    * Brute-force all-pairs here (the fixture is small and fixed-size);
+    * the 100 TB path is the sign-LSH bucketed variant in Similarity.q41
+    * — same scoring, blocked candidate set.
     */
-  def q34EmbeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.95): DataFrame = {
+  def q34EmbeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = Tables.embeddings(s, d)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),

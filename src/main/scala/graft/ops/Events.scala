@@ -46,6 +46,43 @@ object Events {
       .orderBy("user_id", "event_idx")
   }
 
+  /** As-of join, composed from built-ins (preference (a) of the custom-
+    * operator ladder — no custom SparkPlan needed): each purchase event
+    * picks up the most recent click AT OR BEFORE it by the same user,
+    * via a running max of click timestamps over the ordered per-user
+    * frame. One shuffle on user_id; no range cross-join. (DuckDB has a
+    * native ASOF JOIN; the oracle uses the identical window formulation
+    * for bit-parity.)
+    */
+  def q42AsofPurchaseClick(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        expr("(us - last_click_us) div 1000000").as("gap_s"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Sketch aggregation: HyperLogLog++ distinct users per event type,
+    * alongside the exact count. No DuckDB oracle — its HLL is a
+    * different sketch — so the driver records a rows-only check;
+    * EventsSpec asserts the relative-error bound instead.
+    */
+  def q38ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** Gap-based sessionization: a new session starts when a user is idle
     * > 30 minutes. lag → boundary flag → running sum = session id; then
     * per-session aggregates. This is the classic batch formulation; the

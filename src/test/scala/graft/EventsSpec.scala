@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.ops.Events
+
+/** Event-operator invariants (sessionize/running are covered in OpsSpec;
+  * here: the as-of join and the HLL sketch).
+  */
+class EventsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q42 as-of: one row per purchase, non-negative gaps") {
+    val df = Events.q42AsofPurchaseClick(spark, sf).cache()
+    try {
+      val purchases = Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase").count()
+      assert(df.count() == purchases)
+      assert(df.filter(col("gap_s") < 0).count() == 0L)
+    } finally df.unpersist()
+  }
+
+  test("q42 as-of: matched click is truly the latest at-or-before (spot check via join)") {
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val expected = purchases.join(clicks, Seq("user_id"), "left_outer")
+      .filter(col("c_us").isNull || col("c_us") <= col("p_us"))
+      .groupBy("user_id", "p_id", "p_us")
+      .agg(max("c_us").as("last_click_us"))
+      .select(col("p_id").as("event_id"),
+        expr("(p_us - last_click_us) div 1000000").as("want_gap"))
+    val got = Events.q42AsofPurchaseClick(spark, sf)
+      .select(col("event_id"), col("gap_s"))
+    val joined = got.join(expected, Seq("event_id"))
+    assert(joined.filter(
+      !(col("gap_s") <=> col("want_gap"))).count() == 0L)
+  }
+
+  test("q38 sketch: HLL distinct within 10% of exact") {
+    val bad = Events.q38ApproxDistinct(spark, sf)
+      .filter(abs(col("approx_users") - col("exact_users"))
+        > col("exact_users") * 0.1)
+      .count()
+    assert(bad == 0L)
+  }
+}
