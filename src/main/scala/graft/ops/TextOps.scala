@@ -136,10 +136,11 @@ object TextOps {
     */
   def q27BigramFreq(s: SparkSession, d: String): DataFrame = {
     import graft.functions.expressions.TextExpressions.tokenShingles
+    // no length filter needed: tokenShingles yields an empty array for
+    // docs shorter than the shingle width (explode then emits nothing),
+    // and the filter would re-evaluate the tokenize HOF per row
     Tables.documents(s, d)
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= 2)
-      .select(explode(tokenShingles(col("toks"), 2)).as("bigram"))
+      .select(explode(tokenShingles(tokens(col("text")), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))

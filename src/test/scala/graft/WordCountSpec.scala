@@ -44,6 +44,24 @@ class WordCountSpec extends AnyFunSuite {
     assert(got == Seq("zz\t1", "�\t1", "😀\t1"))
   }
 
+  test("scale path: multi-part output concatenates to the same global order") {
+    val in = Files.createTempDirectory("wc_in_mp")
+    val out = Files.createTempDirectory("wc_out_mp_parent").resolve("out")
+    val words = (1 to 500).map(i => f"w$i%03d")
+    val rng = new scala.util.Random(7)
+    Files.write(in.resolve("input.txt"),
+      rng.shuffle(words ++ words).grouped(10).map(_.mkString(" ")).toSeq.asJava)
+    // singleFile = false: global orderBy range-partitions; part files in
+    // filename order concatenate to the same total order as the 1-file
+    // path (the reference's copyMerge idiom, SURVEY §7.4)
+    WordCountJob.run(spark, in.toString, out.toString, singleFile = false)
+    val parts = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      .sortBy(_.getFileName.toString)
+    val concat = parts.flatMap(p => Files.readAllLines(p).asScala)
+    assert(concat == words.map(w => s"$w\t2"))
+  }
+
   test("sink: output dir must not pre-exist (FileOutputFormat contract)") {
     val in = Files.createTempDirectory("wc_in2")
     Files.write(in.resolve("a.txt"), Seq("x").asJava)
