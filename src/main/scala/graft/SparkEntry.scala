@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dedup, Events, Multimodal, Relational, Similarity, TextOps}
+import graft.ops.{Dedup, Events, Multimodal, Relational, ScalarSuites, Similarity, TextOps}
 import graft.functions.Round.{sqlCents, sqlRn}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -75,6 +75,12 @@ object SparkEntry {
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
     "q35_knn_classify" -> (Similarity.q35KnnClassify(_, _)),
+    // function-family suites
+    "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
+    "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
+    "q45_string_suite" -> (ScalarSuites.q45StringSuite(_, _)),
+    "q46_array_suite" -> (ScalarSuites.q46ArraySuite(_, _)),
+    "q47_date_suite" -> (ScalarSuites.q47DateSuite(_, _)),
     // multimodal plumbing
     "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _))
   )
@@ -474,6 +480,51 @@ object SparkEntry {
          | FROM scored)
          |SELECT query_id, rk, cand_id, bucket, ${sqlRn("sim6", 4)} AS cos_sim
          |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "q43_pivot" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         | ${ScalarSuites.Priorities.map(p =>
+             s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
+             .mkString(", ")}
+         |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q44_percentiles" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         | ${sqlRn("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
+         | ${sqlRn("quantile_cont(o_totalprice, 0.9)", 4)} AS p90
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q45_string_suite" ->
+      """SELECT c_custkey,
+        | CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+        | regexp_replace(c_name, '[0-9]', '', 'g') AS name_alpha,
+        | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        | rpad(c_mktsegment, 12, '.') AS seg_padded,
+        | left(c_name, 8) AS name_left,
+        | right(c_name, 4) AS name_right,
+        | repeat(substr(c_mktsegment, 1, 1), 3) AS seg_x3,
+        | reverse(c_mktsegment) AS seg_rev,
+        | CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        | split_part(c_name, '#', 2) AS name_id_str,
+        | CAST(length(trim(c_name)) AS BIGINT) AS name_len
+        |FROM customer WHERE c_custkey % 25 = 0 ORDER BY c_custkey""".stripMargin,
+    "q46_array_suite" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS BIGINT) AS n_dims,
+        | CAST(embedding[1] AS DOUBLE) AS first_dim,
+        | CAST(list_max(embedding) AS DOUBLE) AS max_dim,
+        | CAST(list_min(embedding) AS DOUBLE) AS min_dim,
+        | CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_1based,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+        |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY vec_id""".stripMargin,
+    "q47_date_suite" ->
+      """SELECT o_orderkey,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        | strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch95,
+        | CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+        | CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
     "q50_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

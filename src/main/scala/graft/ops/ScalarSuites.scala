@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Round._
+
+/** Function-coverage suites: pivot, percentiles, string / array / date
+  * function families — each expressed once through the DataFrame API and
+  * mirrored in the DuckDB oracle. Functions are restricted to those with
+  * engine-identical semantics (e.g. initcap is absent in DuckDB;
+  * dayofweek bases differ and are normalized; date_trunc's return TYPE
+  * differs so date outputs are formatted strings).
+  */
+object ScalarSuites {
+
+  val Priorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot: order counts per year × priority, missing cells as 0
+    * (Spark pivot yields null for empty cells; na.fill matches the
+    * oracle's CASE-sum zeros).
+    */
+  def q43Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_year")
+
+  /** Interpolated percentiles (median / p90) of order value per market
+    * segment — Spark's exact `percentile` and DuckDB's `quantile_cont`
+    * share the standard p·(n−1) interpolation.
+    */
+  def q44Percentiles(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r4(expr("percentile(o_totalprice, 0.9)")).as("p90"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** String-function family over customer names
+    * ("Customer#000000042"-shaped): regexp extract/replace, pad, slice,
+    * repeat, reverse, search, split_part.
+    */
+  def q45StringSuite(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") % 25 === 0)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("name_num"),
+        regexp_replace(col("c_name"), "[0-9]", "").as("name_alpha"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+        rpad(col("c_mktsegment"), 12, ".").as("seg_padded"),
+        expr("left(c_name, 8)").as("name_left"),
+        expr("right(c_name, 4)").as("name_right"),
+        repeat(substring(col("c_mktsegment"), 1, 1), 3).as("seg_x3"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("name_id_str"),
+        length(trim(col("c_name"))).cast("long").as("name_len"))
+      .orderBy("c_custkey")
+
+  /** Array-function family over the embedding vectors (scalar outputs
+    * only — array-typed result columns don't hash-compare portably).
+    */
+  def q46ArraySuite(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % 10 === 0)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        element_at(col("embedding"), 1).cast("double").as("first_dim"),
+        array_max(col("embedding")).cast("double").as("max_dim"),
+        array_min(col("embedding")).cast("double").as("min_dim"),
+        array_position(col("embedding"), array_max(col("embedding"))).as("argmax_1based"),
+        size(filter(col("embedding"), x => x > 0.0f)).cast("long").as("n_positive"))
+      .orderBy("vec_id")
+
+  /** Date/time-function family over order dates: truncation, month
+    * arithmetic, day/week/quarter parts, diffs. Date-typed results are
+    * formatted to strings (DuckDB's date_trunc returns DATE where
+    * Spark returns TIMESTAMP).
+    */
+  def q47DateSuite(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_3m"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since_epoch95"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))
+      .orderBy("o_orderkey")
+}
