@@ -41,6 +41,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got_n.columns)} != {list(want_n.columns)}")
             n_bad += 1
             continue
+        dtype_diff = [(c, str(got_n[c].dtype), str(want_n[c].dtype))
+                      for c in got_n.columns
+                      if str(got_n[c].dtype) != str(want_n[c].dtype)]
+        if dtype_diff:
+            print(f"FAIL {name}: dtype mismatch {dtype_diff}")
+            n_bad += 1
+            continue
         if len(got_n) != len(want_n):
             print(f"FAIL {name}: rows {len(got_n)} != {len(want_n)}")
             n_bad += 1

@@ -253,13 +253,13 @@ object SparkEntry {
          |FROM events ORDER BY user_id, event_idx""".stripMargin,
     "q15_sessionize" ->
       s"""WITH flagged AS (
-         | SELECT user_id, ts, value,
+         | SELECT user_id, event_id, ts, value,
          |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
          |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
          | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |sessions AS (
          | SELECT user_id, ts, value,
-         |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          | FROM flagged)
          |SELECT user_id, session_id, count(*) AS n_events,
@@ -428,7 +428,9 @@ object SparkEntry {
     "q33_simhash" ->
       s"""WITH dt AS (SELECT doc_id, unnest(list_distinct(${toksSql("text")})) AS t FROM documents),
          |s AS (SELECT doc_id, $simhashSumCols FROM dt GROUP BY doc_id)
-         |SELECT doc_id, $simhashCombine AS simhash FROM s ORDER BY doc_id""".stripMargin,
+         |SELECT d.doc_id, $simhashCombine AS simhash
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q34_embedding_neardup" ->
       s"""SELECT vec_a, vec_b, cos_sim FROM (
          | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlRn(cosSql, 4)} AS cos_sim

@@ -112,9 +112,10 @@ object TextFunctions {
     * an empty one.
     */
   def shingles3Hof(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(
-        sequence(lit(0), size(toks) - 3),
-        i => array_join(slice(toks, i + 1, lit(3)), " ")))
+    when(toks.isNull, lit(null).cast("array<string>")) // match TokenShingles' null-in-null-out
+      .when(size(toks) >= 3,
+        transform(
+          sequence(lit(0), size(toks) - 3),
+          i => array_join(slice(toks, i + 1, lit(3)), " ")))
       .otherwise(array().cast("array<string>"))
 }

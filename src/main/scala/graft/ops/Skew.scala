@@ -54,7 +54,10 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, saltSource: Column,
       salts: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt", crc32(saltSource.cast("string")) % salts)
+    // null saltSource must still salt deterministically (crc32(null) is
+    // null and a null __salt would be silently dropped by the equi-join)
+    val saltedBig = big.withColumn("__salt",
+      coalesce(crc32(saltSource.cast("string")) % salts, lit(0L)))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
