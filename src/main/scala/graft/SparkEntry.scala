@@ -65,6 +65,7 @@ object SparkEntry {
     "q25_source_stats" -> (TextOps.q25SourceStats(_, _)),
     "q26_tfidf" -> (TextOps.q26TfIdf(_, _)),
     "q27_bigram_freq" -> (TextOps.q27BigramFreq(_, _)),
+    "q29_regex_tokens" -> (TextOps.q29RegexTokens(_, _)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -75,6 +76,8 @@ object SparkEntry {
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
     "q35_knn_classify" -> (Similarity.q35KnnClassify(_, _)),
+    // IVF ANN (no SQL oracle: k-means isn't DuckDB-expressible → rows-only check)
+    "q48_ivf_ann" -> (Similarity.q48IvfAnn(_, _)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -395,6 +398,12 @@ object SparkEntry {
          | FROM toks WHERE len(ts) >= 2)
          |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
          |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q29_regex_tokens" ->
+      s"""SELECT doc_id, n_chars,
+         | CAST(len(${toksSql("text")}) AS BIGINT) AS n_words,
+         | CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_regex_tokens,
+         | ${sqlRn("CAST(n_chars AS DOUBLE) / len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> ''))", 4)} AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_doc_id,
         | count(*) AS n_copies

@@ -63,6 +63,55 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** IVF-style ANN: spark.ml KMeans as the coarse quantizer (fixed
+    * seed), candidates drawn only from the query's `nProbe` nearest
+    * centroids, cosine top-k within them. The inverted-file layout is
+    * the production ANN shape at 100 TB: centroid id becomes the
+    * partition key, a query touches nProbe partitions instead of the
+    * whole corpus. No SQL oracle (k-means isn't expressible in DuckDB);
+    * SimilaritySpec bounds recall against the exact top-k instead.
+    */
+  def q48IvfAnn(s: SparkSession, d: String, nCentroids: Int = 8, nProbe: Int = 2,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, d)
+      .withColumn("vec", array_to_vector(col("embedding")))
+      .withColumn("nrm", norm(col("embedding")))
+    val model = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("vec").setPredictionCol("centroid")
+      .fit(e.select("vec"))
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid"))
+    // nProbe nearest centroids per query: the centroid table is tiny
+    // (nCentroids rows) — build it as a broadcast-able DataFrame
+    import s.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("centroid", "c_emb")
+    val queries = assigned.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("c_dist"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_dist", -cosinePrenormed(
+        dot(col("q_emb"), col("c_emb")), col("q_norm"), norm(col("c_emb"))))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("cand_id"))
+    probes.join(assigned.withColumnRenamed("vec_id", "cand_id"), Seq("centroid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("centroid"),
+        r6(cosinePrenormed(dot(col("q_emb"), col("embedding")), col("q_norm"), col("nrm")))
+          .as("sim6"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        col("centroid").cast("long").as("centroid"), r4(col("sim6")).as("cos_sim"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Sign-LSH bucketed ANN top-k: bucket on the sign pattern of the
     * first 8 dimensions (2^8 buckets), join query↔candidate on equal
     * bucket, rank within bucket. Recall < 1 by construction (that's the

@@ -147,6 +147,25 @@ object TextOps {
       .limit(20)
   }
 
+  /** Subword-style token counting: alongside the whitespace word count,
+    * a BPE-ish pre-tokenization pass (alphanumeric runs via regex — the
+    * shape of a byte-pair-encoder's pre-split) with the resulting
+    * chars-per-token compression ratio. Spark's `split` takes a Java
+    * regex; the oracle uses DuckDB's regexp_split_to_array with the same
+    * class-based pattern (identical semantics for this pattern family).
+    */
+  def q29RegexTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        tokenCount(col("text")).cast("long").as("n_words"),
+        size(filter(split(col("text"), "[^a-z0-9]+", -1), t => t =!= lit("")))
+          .cast("long").as("n_regex_tokens"))
+      .withColumn("chars_per_token",
+        r4(col("n_chars").cast("double") / col("n_regex_tokens")))
+      .orderBy("doc_id")
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */
