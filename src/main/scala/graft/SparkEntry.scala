@@ -72,6 +72,7 @@ object SparkEntry {
     "q32_minhash_lsh" -> (Dedup.q32MinHashLsh(_, _)),
     "q33_simhash" -> (Dedup.q33SimHash(_, _)),
     "q34_embedding_neardup" -> (Dedup.q34EmbeddingNearDup(_, _)),
+    "q39_dedup_keep" -> (Dedup.q39DedupKeep(_, _)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -420,6 +421,23 @@ object SparkEntry {
          | WHERE a.doc_id < b.doc_id
          | GROUP BY a.doc_id, b.doc_id, a.nt, b.nt)
          |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    "q39_dedup_keep" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |sh AS (SELECT doc_id,
+         |  md5(unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' ')))) AS h
+         | FROM toks WHERE len(ts) >= 3),
+         |per_doc AS (SELECT doc_id,
+         |  ${(0 until 8).map(b => s"min(substr(h, ${1 + 2 * b}, 16)) AS sig$b").mkString(", ")}
+         | FROM sh GROUP BY doc_id),
+         |sig AS (SELECT doc_id, band,
+         |  CASE band ${(0 until 8).map(b => s"WHEN $b THEN sig$b").mkString(" ")} END AS sig
+         | FROM per_doc, (SELECT unnest(range(0, 8)) AS band)),
+         |dropped AS (SELECT DISTINCT b.doc_id AS doc_id
+         | FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         | WHERE a.doc_id < b.doc_id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
     "q32_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
          |sh AS (SELECT doc_id,

@@ -98,6 +98,23 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup RESOLUTION: turn candidate pairs into the kept corpus with
+    * the greedy min-id policy — a document is dropped iff some
+    * smaller-id document claimed it as a near-duplicate (doc_b side of a
+    * pair, pairs always a<b). One anti-join; no iterative
+    * connected-components pass (greedy is the standard first-cut policy
+    * for LLM corpus dedup: transitive chains collapse toward the
+    * smallest id, possibly over-dropping chain middles — documented
+    * trade-off vs an O(iterations) CC job).
+    */
+  def q39DedupKeep(s: SparkSession, d: String): DataFrame = {
+    val dropped = q32MinHashLsh(s, d).select(col("doc_b").as("doc_id"))
+    Tables.documents(s, d)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprints (16-bit, md5-digit-parity construction — see
     * TextFunctions.simhash16) over each document's distinct token set.
     * Computed entirely map-side (array fold per row, no shuffle).

@@ -84,6 +84,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: new parquet files arrive as micro-batches") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ev_stream").toString
+    val batch1 = graft.core.Tables.events(spark, TestSpark.sf)
+      .filter(col("event_id") < 100)
+    batch1.write.mode("append").parquet(dir)
+    val q = StreamingOps.windowedEventCounts(StreamingOps.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("file_win_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // drop a second file into the landing zone → next micro-batch;
+      // its (late-by-hours) watermark closes the first batch's windows
+      graft.core.Tables.events(spark, TestSpark.sf)
+        .filter(col("event_id") >= 900).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val emitted = spark.table("file_win_out")
+        .agg(sum("n_events")).head().getLong(0)
+      assert(emitted >= batch1.count(),
+        "all first-batch windows must be finalized once the watermark passes them")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
