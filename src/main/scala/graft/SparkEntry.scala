@@ -66,6 +66,7 @@ object SparkEntry {
     "q26_tfidf" -> (TextOps.q26TfIdf(_, _)),
     "q27_bigram_freq" -> (TextOps.q27BigramFreq(_, _)),
     "q29_regex_tokens" -> (TextOps.q29RegexTokens(_, _)),
+    "q49_collocations" -> (TextOps.q49Collocations(_, _)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -399,6 +400,22 @@ object SparkEntry {
          | FROM toks WHERE len(ts) >= 2)
          |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
          |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q49_collocations" ->
+      s"""WITH uni AS (SELECT t AS w, count(*) AS c_u FROM (
+         |  SELECT unnest(${toksSql("text")}) AS t FROM documents) GROUP BY t),
+         |nu AS (SELECT CAST(sum(c_u) AS BIGINT) AS n_u FROM uni),
+         |bg AS (SELECT b AS bigram, count(*) AS c_bg FROM (
+         |  SELECT unnest(list_transform(range(0, len(ts) - 1),
+         |    i -> array_to_string(ts[i + 1:i + 2], ' '))) AS b
+         |  FROM (SELECT ${toksSql("text")} AS ts FROM documents) WHERE len(ts) >= 2) GROUP BY b),
+         |nbg AS (SELECT CAST(sum(c_bg) AS BIGINT) AS n_bg FROM bg),
+         |j AS (SELECT bigram, c_bg, u1.c_u AS c_a, u2.c_u AS c_b
+         | FROM bg JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.w
+         |         JOIN uni u2 ON split_part(bigram, ' ', 2) = u2.w
+         | WHERE c_bg >= 5)
+         |SELECT bigram, c_bg,
+         | ${sqlRn("(CAST(c_bg AS DOUBLE) * n_u * n_u) / (CAST(n_bg AS DOUBLE) * c_a * c_b)", 6)} AS lift
+         |FROM j, nu, nbg ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
     "q29_regex_tokens" ->
       s"""SELECT doc_id, n_chars,
          | CAST(len(${toksSql("text")}) AS BIGINT) AS n_words,

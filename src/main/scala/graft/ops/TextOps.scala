@@ -147,6 +147,41 @@ object TextOps {
       .limit(20)
   }
 
+  /** Collocation mining: bigrams scored by PMI-style LIFT,
+    * P(ab)/(P(a)·P(b)) = c_ab·N_u² / (N_bg·c_a·c_b) — kept as a ratio of
+    * counts (no log: libm log isn't engine-portable) with the
+    * multiplication order mirrored in the oracle so both engines produce
+    * identical double bits. Unigram/bigram total rows are single-row
+    * broadcast cross-joins, not driver collects.
+    */
+  def q49Collocations(s: SparkSession, d: String, minCount: Int = 5, k: Int = 20): DataFrame = {
+    import graft.functions.expressions.TextExpressions.tokenShingles
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    // corpus totals ride along as global-window sums over the (tiny)
+    // aggregated frames — separate .agg branches would make Spark
+    // recompute the token-explode subtree once per branch
+    val globalW = Window.partitionBy()
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_u"))
+      .withColumn("n_u", sum("c_u").over(globalW))
+    val bg = docs.select(explode(tokenShingles(tokens(col("text")), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+      .withColumn("n_bg", sum("c_bg").over(globalW))
+    val u1 = uni.select(col("w").as("w1"), col("c_u").as("c_a"), col("n_u"))
+    val u2 = uni.select(col("w").as("w2"), col("c_u").as("c_b"))
+    bg.filter(col("c_bg") >= minCount)
+      .withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("bigram"), lit(" "), lit(2)))
+      .join(broadcast(u1), Seq("w1"))
+      .join(broadcast(u2), Seq("w2"))
+      .select(col("bigram"), col("c_bg"),
+        r6((col("c_bg").cast("double") * col("n_u") * col("n_u"))
+          / (col("n_bg").cast("double") * col("c_a") * col("c_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Subword-style token counting: alongside the whitespace word count,
     * a BPE-ish pre-tokenization pass (alphanumeric runs via regex — the
     * shape of a byte-pair-encoder's pre-split) with the resulting
