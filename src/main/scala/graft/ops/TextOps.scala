@@ -116,15 +116,19 @@ object TextOps {
         explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "n_tokens", "token")
       .agg(count(lit(1)).as("tf_cnt"))
-    val df = terms.groupBy("token")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // document frequency as a window count over the tf frame (terms has
+    // exactly one row per (doc, token)) — a separate groupBy branch +
+    // rejoin would recompute the whole explode+agg subtree
+    val wDf = Window.partitionBy("token")
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("token"))
     terms
-      .join(broadcast(df), Seq("token"))
+      .withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf6", r6(
         (col("tf_cnt").cast("double") / col("n_tokens"))
           * ((col("n_total") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))))
+      // df (window count, long) matches the oracle's count(DISTINCT doc_id)
+      // because terms is already distinct on (doc_id, token)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rk"), col("token"), col("tfidf6").as("tfidf"))
