@@ -109,8 +109,10 @@ object Dedup {
     */
   def q39DedupKeep(s: SparkSession, d: String): DataFrame = {
     val dropped = q32MinHashLsh(s, d).select(col("doc_b").as("doc_id"))
+    // the dropped list is a small fraction of the corpus — broadcast it
+    // so the anti join never shuffles the documents side
     Tables.documents(s, d)
-      .join(dropped, Seq("doc_id"), "left_anti")
+      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
   }
