@@ -21,9 +21,9 @@ object RunQuery {
       case Some(fn) =>
         val spark = graft.core.GraftSession.local("graft-run")
         try {
-          val df = fn(spark, sfDir)
+          val df = fn(spark, sfDir).persist()
           df.show(n, truncate = false)
-          println(s"rows: ${df.count()}")
+          println(s"rows: ${df.count()}") // served from the persisted result
         } finally spark.stop()
     }
   }

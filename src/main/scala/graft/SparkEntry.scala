@@ -108,6 +108,22 @@ object SparkEntry {
        | ${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")}) AS net_c
        |FROM lineitem""".stripMargin
 
+  /** MinHash-LSH band-signature CTE chain shared by q32 and q39 (keep in
+    * lockstep with Dedup.q32MinHashLsh — shingle width 3, 8 bands of
+    * 16-hex-char md5 windows).
+    */
+  private val lshSigCtes: String =
+    s"""toks AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+       |sh AS (SELECT doc_id,
+       |  md5(unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' ')))) AS h
+       | FROM toks WHERE len(ts) >= 3),
+       |per_doc AS (SELECT doc_id,
+       |  ${(0 until 8).map(b => s"min(substr(h, ${1 + 2 * b}, 16)) AS sig$b").mkString(", ")}
+       | FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, band,
+       |  CASE band ${(0 until 8).map(b => s"WHEN $b THEN sig$b").mkString(" ")} END AS sig
+       | FROM per_doc, (SELECT unnest(range(0, 8)) AS band))""".stripMargin
+
   private val simhashSumCols: String = (0 until 16).map { j =>
     s"SUM(CASE WHEN ascii(substr(md5(t), ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
   }.mkString(", ")
@@ -439,16 +455,7 @@ object SparkEntry {
          | GROUP BY a.doc_id, b.doc_id, a.nt, b.nt)
          |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
     "q39_dedup_keep" ->
-      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
-         |sh AS (SELECT doc_id,
-         |  md5(unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' ')))) AS h
-         | FROM toks WHERE len(ts) >= 3),
-         |per_doc AS (SELECT doc_id,
-         |  ${(0 until 8).map(b => s"min(substr(h, ${1 + 2 * b}, 16)) AS sig$b").mkString(", ")}
-         | FROM sh GROUP BY doc_id),
-         |sig AS (SELECT doc_id, band,
-         |  CASE band ${(0 until 8).map(b => s"WHEN $b THEN sig$b").mkString(" ")} END AS sig
-         | FROM per_doc, (SELECT unnest(range(0, 8)) AS band)),
+      s"""WITH $lshSigCtes,
          |dropped AS (SELECT DISTINCT b.doc_id AS doc_id
          | FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
          | WHERE a.doc_id < b.doc_id)
@@ -456,16 +463,7 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          |ORDER BY doc_id""".stripMargin,
     "q32_minhash_lsh" ->
-      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
-         |sh AS (SELECT doc_id,
-         |  md5(unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' ')))) AS h
-         | FROM toks WHERE len(ts) >= 3),
-         |per_doc AS (SELECT doc_id,
-         |  ${(0 until 8).map(b => s"min(substr(h, ${1 + 2 * b}, 16)) AS sig$b").mkString(", ")}
-         | FROM sh GROUP BY doc_id),
-         |sig AS (SELECT doc_id, band,
-         |  CASE band ${(0 until 8).map(b => s"WHEN $b THEN sig$b").mkString(" ")} END AS sig
-         | FROM per_doc, (SELECT unnest(range(0, 8)) AS band))
+      s"""WITH $lshSigCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
          |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,

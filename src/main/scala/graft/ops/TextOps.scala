@@ -155,8 +155,11 @@ object TextOps {
     * P(ab)/(P(a)·P(b)) = c_ab·N_u² / (N_bg·c_a·c_b) — kept as a ratio of
     * counts (no log: libm log isn't engine-portable) with the
     * multiplication order mirrored in the oracle so both engines produce
-    * identical double bits. Unigram/bigram total rows are single-row
-    * broadcast cross-joins, not driver collects.
+    * identical double bits. Corpus totals are global-window sums over the
+    * already-aggregated frames (vocabulary-sized — bounded on this corpus;
+    * on an open-vocabulary 100 TB corpus, compute them as single-row
+    * aggregate frames cross-joined in, like q26's nDocs, and hash-join
+    * the unigram table instead of broadcasting it).
     */
   def q49Collocations(s: SparkSession, d: String, minCount: Int = 5, k: Int = 20): DataFrame = {
     import graft.functions.expressions.TextExpressions.tokenShingles

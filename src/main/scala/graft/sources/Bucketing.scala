@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Bucketed-table support: pre-shuffle tables once at write time so
   * every later equi-join / aggregation on the bucket key is co-located.
@@ -22,6 +22,4 @@ object Bucketing {
     val w = df.write.mode(mode).format("parquet").bucketBy(buckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
-
-  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }

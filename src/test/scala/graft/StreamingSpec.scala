@@ -101,7 +101,7 @@ class StreamingSpec extends AnyFunSuite {
         .filter(col("event_id") >= 900).write.mode("append").parquet(dir)
       q.processAllAvailable()
       val emitted = spark.table("file_win_out")
-        .agg(sum("n_events")).head().getLong(0)
+        .agg(coalesce(sum("n_events"), lit(0L))).head().getLong(0)
       assert(emitted >= batch1.count(),
         "all first-batch windows must be finalized once the watermark passes them")
     } finally q.stop()
