@@ -56,6 +56,7 @@ object SparkEntry {
     "q18_above_avg_orders" -> (Relational.q18AboveAvgOrders(_, _)),
     "q19_math_functions" -> (Relational.q19MathFunctions(_, _)),
     "q28_cube_agg" -> (Relational.q28CubeAgg(_, _)),
+    "q52_hash_sample" -> (Relational.q52HashSample(_, _)),
     // text analysis
     "q20_wordcount" -> (TextOps.q20WordCount(_, _)),
     "q21_wordcount_per_lang" -> (TextOps.q21WordCountPerLang(_, _)),
@@ -323,6 +324,14 @@ object SparkEntry {
         |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
         | (us - last_click_us) // 1000000 AS gap_s
         |FROM w WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+    "q52_hash_sample" ->
+      s"""WITH lc AS ($lineitemCentsCte)
+         |SELECT l_returnflag, count(*) AS n_sampled,
+         | CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty,
+         | count(DISTINCT l_orderkey) AS n_orders
+         |FROM lc
+         |WHERE ascii(substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1)) % 4 = 0
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q16_customers_with_big_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

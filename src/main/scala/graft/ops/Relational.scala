@@ -274,6 +274,23 @@ object Relational {
         fromCents(sum("qty_c")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Deterministic hash sampling: keep a row iff a hash of its unique
+    * key falls in the sample bucket — reproducible across runs, engines,
+    * and partition layouts (unlike `df.sample`, whose outcome depends on
+    * the partitioning), which is what makes sampled debugging runs
+    * meaningful at 100 TB. ~25% rate here (md5 first hex digit ≡ 0
+    * mod 4); aggregates over the sample use the usual exact-cents rules.
+    */
+  def q52HashSample(s: SparkSession, d: String): DataFrame =
+    lineitemCents(s, d)
+      .filter(ascii(substring(md5(concat(col("l_orderkey"), lit("-"), col("l_linenumber"))), 1, 1)) % 4 === 0)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        fromCents(sum("qty_c")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+
   /** Semi join: customers having at least one large order (EXISTS). */
   def q16CustomersWithBigOrders(s: SparkSession, d: String): DataFrame = {
     val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
