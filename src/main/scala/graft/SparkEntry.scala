@@ -87,6 +87,7 @@ object SparkEntry {
     "q45_string_suite" -> (ScalarSuites.q45StringSuite(_, _)),
     "q46_array_suite" -> (ScalarSuites.q46ArraySuite(_, _)),
     "q47_date_suite" -> (ScalarSuites.q47DateSuite(_, _)),
+    "q53_stats_suite" -> (ScalarSuites.q53StatsSuite(_, _)),
     // multimodal plumbing
     "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _))
   )
@@ -578,6 +579,18 @@ object SparkEntry {
         | CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
         | CAST(quarter(o_orderdate) AS BIGINT) AS qtr
         |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q53_stats_suite" ->
+      s"""WITH lc AS ($lineitemCentsCte),
+         |ps AS (SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(qty_c) AS BIGINT) AS sx, CAST(sum(qty_c * qty_c) AS BIGINT) AS sx2,
+         |  CAST(sum(disc_c) AS BIGINT) AS sy, CAST(sum(disc_c * disc_c) AS BIGINT) AS sy2,
+         |  CAST(sum(qty_c * disc_c) AS BIGINT) AS sxy
+         | FROM lc GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         | ${sqlRn("(CAST(sx AS DOUBLE) / n) / 100.0", 4)} AS mean_qty,
+         | ${sqlRn("sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1))) / 100.0", 4)} AS stddev_qty,
+         | ${sqlRn("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (sqrt(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) * sqrt(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))", 4)} AS corr_qty_disc
+         |FROM ps ORDER BY l_returnflag""".stripMargin,
     "q50_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

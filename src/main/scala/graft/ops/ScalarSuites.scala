@@ -45,6 +45,36 @@ object ScalarSuites {
       .orderBy("c_mktsegment")
   }
 
+  /** Statistical aggregates — stddev, variance, Pearson correlation —
+    * computed from EXACT integer power sums (Σx, Σx², Σxy over cents)
+    * with the textbook closed forms, instead of Spark's built-in
+    * `stddev`/`corr`: the built-ins accumulate doubles in partition
+    * order and are not bit-reproducible across layouts, the power-sum
+    * formulation is (and the oracle mirrors the final arithmetic
+    * expression shape exactly).
+    */
+  def q53StatsSuite(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .withColumn("x", cents(col("l_quantity")))
+      .withColumn("y", cents(col("l_discount")))
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sx2"),
+        sum("y").as("sy"), sum(col("y") * col("y")).as("sy2"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        r4((col("sx").cast("double") / col("n")) / lit(100.0)).as("mean_qty"),
+        r4(sqrt((col("n").cast("double") * col("sx2") - col("sx").cast("double") * col("sx"))
+          / (col("n").cast("double") * (col("n") - lit(1)))) / lit(100.0)).as("stddev_qty"),
+        r4((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+          / (sqrt(col("n").cast("double") * col("sx2") - col("sx").cast("double") * col("sx"))
+            * sqrt(col("n").cast("double") * col("sy2") - col("sy").cast("double") * col("sy"))))
+          .as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
   /** String-function family over customer names
     * ("Customer#000000042"-shaped): regexp extract/replace, pad, slice,
     * repeat, reverse, search, split_part.
