@@ -42,6 +42,19 @@ class EventsSpec extends AnyFunSuite {
       !(col("gap_s") <=> col("want_gap"))).count() == 0L)
   }
 
+  test("session_window (streaming op, batch-evaluated) agrees with the window-based sessionizer") {
+    // two independent formulations of 30-min-gap sessionization must
+    // produce identical (user, n_events, session_value) multisets
+    val viaWindows = Events.q15Sessionize(spark, sf)
+      .select("user_id", "n_events", "session_value")
+    val viaSessionWindow = graft.streaming.StreamingOps
+      .sessionWindows(Tables.events(spark, sf))
+      .select(col("user_id"), col("n_events"),
+        graft.functions.Round.r2(col("session_value")).as("session_value"))
+    assert(viaWindows.exceptAll(viaSessionWindow).count() == 0 &&
+      viaSessionWindow.exceptAll(viaWindows).count() == 0)
+  }
+
   test("q38 sketch: HLL distinct within 10% of exact") {
     val bad = Events.q38ApproxDistinct(spark, sf)
       .filter(abs(col("approx_users") - col("exact_users"))
