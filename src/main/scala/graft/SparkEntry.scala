@@ -88,6 +88,10 @@ object SparkEntry {
     "q46_array_suite" -> (ScalarSuites.q46ArraySuite(_, _)),
     "q47_date_suite" -> (ScalarSuites.q47DateSuite(_, _)),
     "q53_stats_suite" -> (ScalarSuites.q53StatsSuite(_, _)),
+    "q54_posexplode" -> (ScalarSuites.q54Posexplode(_, _)),
+    "q55_conditional_agg" -> (ScalarSuites.q55ConditionalAgg(_, _)),
+    "q56_argmax" -> (ScalarSuites.q56ArgMax(_, _)),
+    "q57_array_predicates" -> (ScalarSuites.q57ArrayPredicates(_, _)),
     // multimodal plumbing
     "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _))
   )
@@ -591,6 +595,36 @@ object SparkEntry {
          | ${sqlRn("sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1))) / 100.0", 4)} AS stddev_qty,
          | ${sqlRn("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (sqrt(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) * sqrt(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))", 4)} AS corr_qty_disc
          |FROM ps ORDER BY l_returnflag""".stripMargin,
+    "q54_posexplode" ->
+      s"""SELECT doc_id, pos, ts[pos + 1] AS token FROM (
+         | SELECT doc_id, ts, CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos
+         | FROM (SELECT doc_id, ${toksSql("text")} AS ts FROM documents WHERE doc_id % 50 = 0))
+         |ORDER BY doc_id, pos""".stripMargin,
+    "q55_conditional_agg" ->
+      s"""SELECT o_orderpriority, count(*) AS n_total,
+         | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+         | count(CASE WHEN o_totalprice > 250000.0 THEN 1 END) AS n_big,
+         | CAST(coalesce(sum(CASE WHEN o_totalprice > 250000.0 THEN ${sqlCents("o_totalprice")} END), 0) AS DOUBLE) / 100.0 AS big_total
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q56_argmax" ->
+      s"""WITH oc AS (SELECT *, ${sqlCents("o_totalprice")} * 10000000 + o_orderkey AS ord_key,
+         |  ${sqlCents("o_totalprice")} AS price_c FROM orders)
+         |SELECT o_custkey, count(*) AS n_orders,
+         | max_by(o_orderkey, ord_key) AS best_order,
+         | CAST(max_by(price_c, ord_key) AS DOUBLE) / 100.0 AS best_price,
+         | min_by(o_orderkey, ord_key) AS worst_order
+         |FROM oc GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q57_array_predicates" ->
+      """WITH p AS (SELECT vec_id, label,
+        |  len(list_filter(embedding, x -> x > 0.3)) > 0 AS has_big,
+        |  len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS all_unit,
+        |  len(list_filter(embedding[1:8], x -> x < 0.0)) > 0 AS neg_in_head
+        | FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+        | CAST(sum(CASE WHEN has_big THEN 1 ELSE 0 END) AS BIGINT) AS n_has_big,
+        | bool_and(all_unit) AS all_all_unit,
+        | bool_or(neg_in_head) AS any_neg_in_head
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
     "q50_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

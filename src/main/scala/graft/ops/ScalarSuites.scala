@@ -113,6 +113,68 @@ object ScalarSuites {
         size(filter(col("embedding"), x => x > 0.0f)).cast("long").as("n_positive"))
       .orderBy("vec_id")
 
+  /** Positional explode: (doc, position, token) triples — the UDTF-style
+    * generation shape with ordinality (Spark posexplode ↔ DuckDB
+    * unnest-over-range + list indexing).
+    */
+  def q54Posexplode(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Conditional aggregation (the FILTER-clause family): per priority,
+    * sub-population counts and a filtered exact-cents sum.
+    */
+  def q55ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("price_c", cents(col("o_totalprice")))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        count(when(col("o_totalprice") > 250000.0, 1)).as("n_big"),
+        fromCents(coalesce(sum(when(col("o_totalprice") > 250000.0, col("price_c"))), lit(0L)))
+          .as("big_total"))
+      .orderBy("o_orderpriority")
+
+  /** arg-max/arg-min aggregates (max_by/min_by) with a DETERMINISTIC
+    * composite ordering key: ties on raw price would make max_by's pick
+    * engine-defined, so the key is price-cents·10^7 + orderkey — unique
+    * per row, so both engines must agree.
+    */
+  def q56ArgMax(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("ord_key", cents(col("o_totalprice")) * lit(10000000L) + col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max_by(col("o_orderkey"), col("ord_key")).as("best_order"),
+        fromCents(max_by(cents(col("o_totalprice")), col("ord_key"))).as("best_price"),
+        min_by(col("o_orderkey"), col("ord_key")).as("worst_order"))
+      .orderBy("o_custkey")
+
+  /** Array predicates (exists / forall) and grouped boolean aggregates
+    * (bool_or / bool_and) over the embedding vectors.
+    */
+  def q57ArrayPredicates(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"), col("label"),
+        exists(col("embedding"), x => x > 0.3f).as("has_big"),
+        forall(col("embedding"), x => abs(x) < lit(1.0f)).as("all_unit"),
+        exists(slice(col("embedding"), 1, 8), x => x < 0.0f).as("neg_in_head"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("has_big").cast("long")).as("n_has_big"),
+        bool_and(col("all_unit")).as("all_all_unit"),
+        bool_or(col("neg_in_head")).as("any_neg_in_head"))
+      .orderBy("label")
+
   /** Date/time-function family over order dates: truncation, month
     * arithmetic, day/week/quarter parts, diffs. Date-typed results are
     * formatted to strings (DuckDB's date_trunc returns DATE where
