@@ -92,6 +92,8 @@ object SparkEntry {
     "q55_conditional_agg" -> (ScalarSuites.q55ConditionalAgg(_, _)),
     "q56_argmax" -> (ScalarSuites.q56ArgMax(_, _)),
     "q57_array_predicates" -> (ScalarSuites.q57ArrayPredicates(_, _)),
+    "q58_band_join" -> (ScalarSuites.q58BandJoin(_, _)),
+    "q60_rank_distributions" -> (ScalarSuites.q60RankDistributions(_, _)),
     // multimodal plumbing
     "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _))
   )
@@ -595,6 +597,25 @@ object SparkEntry {
          | ${sqlRn("sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1))) / 100.0", 4)} AS stddev_qty,
          | ${sqlRn("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (sqrt(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) * sqrt(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))", 4)} AS corr_qty_disc
          |FROM ps ORDER BY l_returnflag""".stripMargin,
+    "q58_band_join" ->
+      s"""SELECT band, count(*) AS n_orders,
+         | CAST(sum(${sqlCents("o_totalprice")}) AS DOUBLE) / 100.0 AS band_total
+         |FROM orders JOIN (VALUES
+         |  ('b0_under_100k', 0.0, 100000.0),
+         |  ('b1_100k_200k', 100000.0, 200000.0),
+         |  ('b2_200k_300k', 200000.0, 300000.0),
+         |  ('b3_300k_400k', 300000.0, 400000.0),
+         |  ('b4_over_400k', 400000.0, 1.0e9)) b(band, lo, hi)
+         | ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+    "q60_rank_distributions" ->
+      s"""WITH cc AS (SELECT c_custkey, ${sqlCents("c_acctbal")} AS bal_c FROM customer)
+         |SELECT c_custkey,
+         | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         | ${sqlRn("percent_rank() OVER w", 6)} AS pct_rank,
+         | ${sqlRn("cume_dist() OVER w", 6)} AS cume
+         |FROM cc WINDOW w AS (ORDER BY bal_c, c_custkey)
+         |ORDER BY c_custkey""".stripMargin,
     "q54_posexplode" ->
       s"""SELECT doc_id, pos, ts[pos + 1] AS token FROM (
          | SELECT doc_id, ts, CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos

@@ -113,6 +113,46 @@ object ScalarSuites {
         size(filter(col("embedding"), x => x > 0.0f)).cast("long").as("n_positive"))
       .orderBy("vec_id")
 
+  /** Range (band) join: non-equi theta join of orders against a small
+    * derived band table (`lo <= price < hi`). The band side is a
+    * broadcast literal relation, so the plan is a BroadcastNestedLoop
+    * join over a handful of bands — the standard shape for banding /
+    * histogram classification at scale (never shuffle the fact side).
+    */
+  def q58BandJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("b0_under_100k", 0.0, 100000.0),
+      ("b1_100k_200k", 100000.0, 200000.0),
+      ("b2_200k_300k", 200000.0, 300000.0),
+      ("b3_300k_400k", 300000.0, 400000.0),
+      ("b4_over_400k", 400000.0, 1.0e9)).toDF("band", "lo", "hi")
+    Tables.orders(s, d)
+      .withColumn("price_c", cents(col("o_totalprice")))
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"), fromCents(sum("price_c")).as("band_total"))
+      .orderBy("band")
+  }
+
+  /** Ranking-distribution windows: ntile quartiles, percent_rank,
+    * cume_dist over a UNIQUE ordering key (balance-cents, custkey) —
+    * ties on raw balance would make ntile's bucket split engine-defined.
+    */
+  def q60RankDistributions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bal_c"), col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("bal_c", cents(col("c_acctbal")))
+      .select(
+        col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        graft.functions.Round.r6(percent_rank().over(w)).as("pct_rank"),
+        graft.functions.Round.r6(cume_dist().over(w)).as("cume"))
+      .orderBy("c_custkey")
+  }
+
   /** Positional explode: (doc, position, token) triples — the UDTF-style
     * generation shape with ordinality (Spark posexplode ↔ DuckDB
     * unnest-over-range + list indexing).
