@@ -94,6 +94,8 @@ object SparkEntry {
     "q57_array_predicates" -> (ScalarSuites.q57ArrayPredicates(_, _)),
     "q58_band_join" -> (ScalarSuites.q58BandJoin(_, _)),
     "q60_rank_distributions" -> (ScalarSuites.q60RankDistributions(_, _)),
+    "q61_window_values" -> (ScalarSuites.q61WindowValues(_, _)),
+    "q62_grouping_sets" -> (ScalarSuites.q62GroupingSets(_, _)),
     // multimodal plumbing
     "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _))
   )
@@ -597,6 +599,27 @@ object SparkEntry {
          | ${sqlRn("sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1))) / 100.0", 4)} AS stddev_qty,
          | ${sqlRn("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (sqrt(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) * sqrt(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))", 4)} AS corr_qty_disc
          |FROM ps ORDER BY l_returnflag""".stripMargin,
+    "q61_window_values" ->
+      """SELECT user_id,
+        | CAST(row_number() OVER wo AS BIGINT) AS event_idx,
+        | event_id,
+        | lead(event_id, 1) OVER wo AS next_event_id,
+        | first_value(event_type) OVER wf AS first_type,
+        | nth_value(event_type, 2) OVER wf AS second_type,
+        | last_value(event_type) OVER wf AS last_type
+        |FROM events WHERE user_id % 10 = 0
+        |WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_idx""".stripMargin,
+    "q62_grouping_sets" ->
+      s"""WITH lc AS ($lineitemCentsCte)
+         |SELECT l_returnflag, l_linestatus,
+         | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         | count(*) AS n_items,
+         | CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty
+         |FROM lc GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q58_band_join" ->
       s"""SELECT band, count(*) AS n_orders,
          | CAST(sum(${sqlCents("o_totalprice")}) AS DOUBLE) / 100.0 AS band_total

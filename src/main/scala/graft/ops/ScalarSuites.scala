@@ -113,6 +113,43 @@ object ScalarSuites {
         size(filter(col("embedding"), x => x > 0.0f)).cast("long").as("n_positive"))
       .orderBy("vec_id")
 
+  /** Window VALUE functions: lead, first_value / nth_value / last_value
+    * over an explicit full-partition ROWS frame, with a deterministic
+    * (ts, event_id) ordering.
+    */
+  def q61WindowValues(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .filter(col("user_id") % 10 === 0)
+      .select(
+        col("user_id"),
+        row_number().over(ordered).cast("long").as("event_idx"),
+        col("event_id"),
+        lead(col("event_id"), 1).over(ordered).as("next_event_id"),
+        first(col("event_type")).over(full).as("first_type"),
+        nth_value(col("event_type"), 2).over(full).as("second_type"),
+        last(col("event_type")).over(full).as("last_type"))
+      .orderBy("user_id", "event_idx")
+  }
+
+  /** GROUPING SETS with grouping_id: per-flag totals, per-status totals,
+    * and the grand total in one pass, with the bitmask distinguishing
+    * rollup-NULLs from data-NULLs.
+    */
+  def q62GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("qty_c", cents(col("l_quantity")))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_items"),
+        fromCents(sum("qty_c")).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Range (band) join: non-equi theta join of orders against a small
     * derived band table (`lo <= price < hi`). The band side is a
     * broadcast literal relation, so the plan is a BroadcastNestedLoop
