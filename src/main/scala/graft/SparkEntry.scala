@@ -596,8 +596,8 @@ object SparkEntry {
          | FROM lc GROUP BY l_returnflag)
          |SELECT l_returnflag, n,
          | ${sqlRn("(CAST(sx AS DOUBLE) / n) / 100.0", 4)} AS mean_qty,
-         | ${sqlRn("sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * (n - 1))) / 100.0", 4)} AS stddev_qty,
-         | ${sqlRn("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (sqrt(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) * sqrt(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))", 4)} AS corr_qty_disc
+         | ${sqlRn("sqrt(greatest(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx, 0.0)) / sqrt(CAST(n AS DOUBLE) * (n - 1)) / 100.0", 4)} AS stddev_qty,
+         | ${sqlRn("CASE WHEN sqrt(greatest(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx, 0.0)) * sqrt(greatest(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy, 0.0)) = 0.0 THEN NULL ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (sqrt(greatest(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx, 0.0)) * sqrt(greatest(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy, 0.0))) END", 4)} AS corr_qty_disc
          |FROM ps ORDER BY l_returnflag""".stripMargin,
     "q61_window_values" ->
       """SELECT user_id,
@@ -651,7 +651,7 @@ object SparkEntry {
          | CAST(coalesce(sum(CASE WHEN o_totalprice > 250000.0 THEN ${sqlCents("o_totalprice")} END), 0) AS DOUBLE) / 100.0 AS big_total
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q56_argmax" ->
-      s"""WITH oc AS (SELECT *, ${sqlCents("o_totalprice")} * 10000000 + o_orderkey AS ord_key,
+      s"""WITH oc AS (SELECT *, ${sqlCents("o_totalprice")} * 1000000000 + o_orderkey AS ord_key,
          |  ${sqlCents("o_totalprice")} AS price_c FROM orders)
          |SELECT o_custkey, count(*) AS n_orders,
          | max_by(o_orderkey, ord_key) AS best_order,
@@ -660,7 +660,7 @@ object SparkEntry {
          |FROM oc GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q57_array_predicates" ->
       """WITH p AS (SELECT vec_id, label,
-        |  len(list_filter(embedding, x -> x > 0.3)) > 0 AS has_big,
+        |  len(list_filter(embedding, x -> x > 0.25)) > 0 AS has_big,
         |  len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS all_unit,
         |  len(list_filter(embedding[1:8], x -> x < 0.0)) > 0 AS neg_in_head
         | FROM embeddings)

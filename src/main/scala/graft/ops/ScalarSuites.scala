@@ -63,15 +63,21 @@ object ScalarSuites {
         sum("x").as("sx"), sum(col("x") * col("x")).as("sx2"),
         sum("y").as("sy"), sum(col("y") * col("y")).as("sy2"),
         sum(col("x") * col("y")).as("sxy"))
+      .withColumn("corr_den",
+        sqrt(greatest(col("n").cast("double") * col("sx2") - col("sx").cast("double") * col("sx"), lit(0.0)))
+          * sqrt(greatest(col("n").cast("double") * col("sy2") - col("sy").cast("double") * col("sy"), lit(0.0))))
       .select(
         col("l_returnflag"), col("n"),
         r4((col("sx").cast("double") / col("n")) / lit(100.0)).as("mean_qty"),
-        r4(sqrt((col("n").cast("double") * col("sx2") - col("sx").cast("double") * col("sx"))
-          / (col("n").cast("double") * (col("n") - lit(1)))) / lit(100.0)).as("stddev_qty"),
-        r4((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
-          / (sqrt(col("n").cast("double") * col("sx2") - col("sx").cast("double") * col("sx"))
-            * sqrt(col("n").cast("double") * col("sy2") - col("sy").cast("double") * col("sy"))))
-          .as("corr_qty_disc"))
+        // greatest(…, 0) clamps the −1-ulp negative a >2^53 power-sum
+        // difference can produce (DuckDB throws on sqrt(negative), Spark
+        // returns NaN); zero denominator → NULL on both engines
+        r4(sqrt(greatest(col("n").cast("double") * col("sx2") - col("sx").cast("double") * col("sx"), lit(0.0)))
+          / sqrt(col("n").cast("double") * (col("n") - lit(1))) / lit(100.0)).as("stddev_qty"),
+        r4(when(col("corr_den") === 0.0, lit(null))
+          .otherwise(
+            (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+              / col("corr_den"))).as("corr_qty_disc"))
       .orderBy("l_returnflag")
   }
 
@@ -185,8 +191,8 @@ object ScalarSuites {
       .select(
         col("c_custkey"),
         ntile(4).over(w).cast("long").as("quartile"),
-        graft.functions.Round.r6(percent_rank().over(w)).as("pct_rank"),
-        graft.functions.Round.r6(cume_dist().over(w)).as("cume"))
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cume"))
       .orderBy("c_custkey")
   }
 
@@ -220,12 +226,13 @@ object ScalarSuites {
 
   /** arg-max/arg-min aggregates (max_by/min_by) with a DETERMINISTIC
     * composite ordering key: ties on raw price would make max_by's pick
-    * engine-defined, so the key is price-cents·10^7 + orderkey — unique
-    * per row, so both engines must agree.
+    * engine-defined, so the key is price-cents·10^9 + orderkey — unique
+    * (and price-ordered) as long as orderkey < 10^9, i.e. far beyond any
+    * fixture scale; price-cents ≤ 5·10^7 keeps the product inside Long.
     */
   def q56ArgMax(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .withColumn("ord_key", cents(col("o_totalprice")) * lit(10000000L) + col("o_orderkey"))
+      .withColumn("ord_key", cents(col("o_totalprice")) * lit(1000000000L) + col("o_orderkey"))
       .groupBy("o_custkey")
       .agg(
         count(lit(1)).as("n_orders"),
@@ -241,7 +248,7 @@ object ScalarSuites {
     Tables.embeddings(s, d)
       .select(
         col("vec_id"), col("label"),
-        exists(col("embedding"), x => x > 0.3f).as("has_big"),
+        exists(col("embedding"), x => x > 0.25f).as("has_big"),
         forall(col("embedding"), x => abs(x) < lit(1.0f)).as("all_unit"),
         exists(slice(col("embedding"), 1, 8), x => x < 0.0f).as("neg_in_head"))
       .groupBy(col("label").cast("long").as("label"))
