@@ -461,16 +461,15 @@ object SparkEntry {
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31_jaccard_pairs" ->
-      s"""WITH dt AS (
-         | SELECT DISTINCT doc_id, lang, source, unnest(list_distinct(${toksSql("text")})) AS t,
-         |  CAST(len(list_distinct(${toksSql("text")})) AS INTEGER) AS nt
-         | FROM documents)
+      s"""WITH $lshSigCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         | WHERE a.doc_id < b.doc_id),
+         |dt AS (SELECT doc_id, list_distinct(${toksSql("text")}) AS dtoks FROM documents)
          |SELECT doc_a, doc_b, jaccard FROM (
-         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  ${sqlRn("CAST(count(*) AS DOUBLE) / CAST(a.nt + b.nt - count(*) AS DOUBLE)", 4)} AS jaccard
-         | FROM dt a JOIN dt b ON a.lang = b.lang AND a.source = b.source AND a.t = b.t
-         | WHERE a.doc_id < b.doc_id
-         | GROUP BY a.doc_id, b.doc_id, a.nt, b.nt)
+         | SELECT doc_a, doc_b,
+         |  ${sqlRn("CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE) / CAST(len(ta.dtoks) + len(tb.dtoks) - len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE)", 4)} AS jaccard
+         | FROM cand JOIN dt ta ON cand.doc_a = ta.doc_id JOIN dt tb ON cand.doc_b = tb.doc_id)
          |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
     "q39_dedup_keep" ->
       s"""WITH $lshSigCtes,

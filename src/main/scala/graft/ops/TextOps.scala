@@ -116,13 +116,15 @@ object TextOps {
         explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "n_tokens", "token")
       .agg(count(lit(1)).as("tf_cnt"))
-    // document frequency as a window count over the tf frame (terms has
-    // exactly one row per (doc, token)) — a separate groupBy branch +
-    // rejoin would recompute the whole explode+agg subtree
-    val wDf = Window.partitionBy("token")
+    // document frequency via groupBy + broadcast join: an earlier
+    // window-count-over-token formulation avoided recomputing the terms
+    // subtree but serialized 3M rows into vocabulary-count partitions at
+    // a 100k-doc stress run (39 s vs seconds) — the vocabulary-sized df
+    // table broadcasts for free, so pay the extra terms pass instead
+    val dfTable = terms.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("token"))
     terms
-      .withColumn("df", count(lit(1)).over(wDf))
+      .join(broadcast(dfTable), Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf6", r6(
         (col("tf_cnt").cast("double") / col("n_tokens"))
