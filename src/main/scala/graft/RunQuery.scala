@@ -19,7 +19,8 @@ object RunQuery {
         System.err.println(s"unknown query '$name' — try: runMain graft.RunQuery list")
         sys.exit(1)
       case Some(fn) =>
-        val spark = graft.core.GraftSession.local("graft-run")
+        val spark = graft.core.GraftSession.local("graft-run",
+          Runtime.getRuntime.availableProcessors())
         try {
           val df = fn(spark, sfDir).persist()
           df.show(n, truncate = false)

@@ -111,6 +111,10 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val nDocs = docs.select(count(lit(1)).as("n_total"))
+    // NOTE measured, not assumed: persisting this frame to share it
+    // between the df aggregation and the scoring join is SLOWER than the
+    // double-compute at 20x stress scale (cache materialization of ~3M
+    // string rows costs more than re-running the columnar explode+agg)
     val terms = docs
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"),
         explode(tokens(col("text"))).as("token"))
