@@ -490,10 +490,20 @@ object SparkEntry {
          |SELECT d.doc_id, $simhashCombine AS simhash
          |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // mirrors Dedup.q34EmbeddingNearDup's banded sign-LSH candidates
+    // (8 bands × 8 dims) + exact cosine verify — keep in lockstep
     "q34_embedding_neardup" ->
-      s"""SELECT vec_a, vec_b, cos_sim FROM (
-         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlRn(cosSql, 4)} AS cos_sim
-         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+      s"""WITH banded AS (
+         | SELECT vec_id, band,
+         |  ${(0 until 8).map(j => s"(CASE WHEN embedding[band * 8 + ${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")} AS bucket
+         | FROM embeddings, (SELECT unnest(range(0, 8)) AS band)),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         | FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+         | WHERE x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         | SELECT cand.vec_a, cand.vec_b, ${sqlRn(cosSql, 4)} AS cos_sim
+         | FROM cand JOIN embeddings a ON cand.vec_a = a.vec_id
+         |           JOIN embeddings b ON cand.vec_b = b.vec_id)
          |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "q40_cosine_topk" ->
       s"""WITH scored AS (

@@ -46,8 +46,15 @@ object VectorFunctions {
     * the pre-partitioning that turns an O(n^2) similarity join into
     * per-bucket joins (bucket count 2^nBits bounds the fan-in).
     */
-  def signBucket(v: Column, nBits: Int = 8): Column =
+  def signBucket(v: Column, nBits: Int = 8): Column = signBucketAt(v, 0, nBits)
+
+  /** Sign-LSH bucket over dimensions [offset+1 .. offset+nBits] — the
+    * banded variant: independent buckets over disjoint dimension windows
+    * give the OR-of-bands recall amplification (a pair is a candidate if
+    * ANY band agrees), exactly the multi-table LSH construction.
+    */
+  def signBucketAt(v: Column, offset: Int, nBits: Int): Column =
     (0 until nBits)
-      .map(j => when(element_at(v, j + 1) > 0.0f, lit(1L << j)).otherwise(lit(0L)))
+      .map(j => when(element_at(v, offset + j + 1) > 0.0f, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 }

@@ -161,33 +161,33 @@ object TextOps {
     * P(ab)/(P(a)·P(b)) = c_ab·N_u² / (N_bg·c_a·c_b) — kept as a ratio of
     * counts (no log: libm log isn't engine-portable) with the
     * multiplication order mirrored in the oracle so both engines produce
-    * identical double bits. Corpus totals are global-window sums over the
-    * already-aggregated frames (vocabulary-sized — bounded on this corpus;
-    * on an open-vocabulary 100 TB corpus, compute them as single-row
-    * aggregate frames cross-joined in, like q26's nDocs, and hash-join
-    * the unigram table instead of broadcasting it).
+    * identical double bits.
+    *
+    * Corpus totals come from ONE extra map-side pass over documents:
+    * N_u = Σ len(toks) and N_bg = Σ max(len − 1, 0) are per-document
+    * facts, so a single-row aggregate frame (the q26 `nDocs` pattern)
+    * cross-joins them in. No no-key `Window.partitionBy()` anywhere — the
+    * earlier global-window formulation funneled the whole (open, at
+    * 100 TB unbounded) vocabulary through a single partition. The unigram
+    * joins are plain hash joins, not broadcasts, for the same reason.
     */
   def q49Collocations(s: SparkSession, d: String, minCount: Int = 5, k: Int = 20): DataFrame = {
     import graft.functions.expressions.TextExpressions.tokenShingles
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    // corpus totals ride along as global-window sums over the (tiny)
-    // aggregated frames — separate .agg branches would make Spark
-    // recompute the token-explode subtree once per branch
-    val globalW = Window.partitionBy()
+    val totals = docs.select(size(tokens(col("text"))).as("n"))
+      .agg(sum("n").as("n_u"), sum(greatest(col("n") - 1, lit(0))).as("n_bg"))
     val uni = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_u"))
-      .withColumn("n_u", sum("c_u").over(globalW))
     val bg = docs.select(explode(tokenShingles(tokens(col("text")), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_bg"))
-      .withColumn("n_bg", sum("c_bg").over(globalW))
-    val u1 = uni.select(col("w").as("w1"), col("c_u").as("c_a"), col("n_u"))
+    val u1 = uni.select(col("w").as("w1"), col("c_u").as("c_a"))
     val u2 = uni.select(col("w").as("w2"), col("c_u").as("c_b"))
     bg.filter(col("c_bg") >= minCount)
       .withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
       .withColumn("w2", split_part(col("bigram"), lit(" "), lit(2)))
-      .join(broadcast(u1), Seq("w1"))
-      .join(broadcast(u2), Seq("w2"))
+      .join(u1, Seq("w1"))
+      .join(u2, Seq("w2"))
+      .crossJoin(broadcast(totals))
       .select(col("bigram"), col("c_bg"),
         r6((col("c_bg").cast("double") * col("n_u") * col("n_u"))
           / (col("n_bg").cast("double") * col("c_a") * col("c_b"))).as("lift"))
