@@ -8,32 +8,43 @@ import org.apache.spark.sql.SparkSession
   * query happens to run first). Prints one JSON line.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val warmDir = "/root/testdata/sf0.001"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.core.GraftSession
-      .builder("graft-bench", s"local[$cpus]", shufflePartitions = cpus.toInt)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Warm up (classloading + codegen) at `warmDir`, then time each query
+    * once at `sfDir`. A query that throws is reported as -1 (NOT its
+    * elapsed-until-crash time) so a regression can't masquerade as a
+    * fast run.
+    */
+  def timeAll(spark: SparkSession, sfDir: String,
+      warmDir: String = "/root/testdata/sf0.001"): Seq[(String, Double)] = {
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    // a query that throws is reported as -1 (NOT its elapsed-until-crash
-    // time) so a regression can't masquerade as a fast run
-    val results = names.map { name =>
+    names.map { name =>
       val t0 = System.nanoTime()
       val elapsed =
         try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       name -> elapsed
     }
+  }
+
+  def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.core.GraftSession
+      .builder("graft-bench", s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(jsonLine(timeAll(spark, sfDir), sfDir))
     spark.stop()
   }
 }

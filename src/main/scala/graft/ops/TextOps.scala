@@ -111,21 +111,32 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val nDocs = docs.select(count(lit(1)).as("n_total"))
-    // NOTE measured, not assumed: persisting this frame to share it
-    // between the df aggregation and the scoring join is SLOWER than the
-    // double-compute at 20x stress scale (cache materialization of ~3M
-    // string rows costs more than re-running the columnar explode+agg)
-    val terms = docs
+    // NOTE measured, not assumed: persisting the exploded frame to share
+    // it between the df aggregation and the scoring join is SLOWER than
+    // the double-compute at 20x stress scale (cache materialization of
+    // ~3M string rows costs more than re-running the columnar explode).
+    val exploded = docs
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"),
         explode(tokens(col("text"))).as("token"))
+    // Scoring path: ONE shuffle. repartition(doc_id) hash-partitions the
+    // exploded tokens once; HashPartitioning(doc_id) satisfies both the
+    // groupBy(doc_id, n_tokens, token) clustering AND the ranking
+    // window's partitionBy(doc_id), so neither adds an exchange (the
+    // broadcast joins in between preserve stream-side partitioning).
+    val terms = exploded
+      .repartition(col("doc_id"))
       .groupBy("doc_id", "n_tokens", "token")
       .agg(count(lit(1)).as("tf_cnt"))
-    // document frequency via groupBy + broadcast join: an earlier
-    // window-count-over-token formulation avoided recomputing the terms
-    // subtree but serialized 3M rows into vocabulary-count partitions at
-    // a 100k-doc stress run (39 s vs seconds) — the vocabulary-sized df
-    // table broadcasts for free, so pay the extra terms pass instead
-    val dfTable = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    // document frequency via groupBy + broadcast join on its own
+    // UN-repartitioned pass (map-side combine shrinks the shuffle to
+    // distinct (doc, token) pairs): an earlier window-count-over-token
+    // formulation avoided recomputing the terms subtree but serialized
+    // 3M rows into vocabulary-count partitions at a 100k-doc stress run
+    // (39 s vs seconds) — the vocabulary-sized df table broadcasts for
+    // free, so pay the extra explode pass instead
+    val dfTable = exploded
+      .groupBy("doc_id", "n_tokens", "token").agg(count(lit(1)).as("tf_cnt"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("token"))
     terms
       .join(broadcast(dfTable), Seq("token"))
