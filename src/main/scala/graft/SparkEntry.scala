@@ -45,8 +45,10 @@ object SparkEntry {
     "q14_running_value" -> (Events.q14RunningValue(_, _)),
     "q15_sessionize" -> (Events.q15Sessionize(_, _)),
     "q42_asof_purchase_click" -> (Events.q42AsofPurchaseClick(_, _)),
-    // sketch (no SQL oracle: HLL impls differ across engines → rows-only check)
+    // sketch (no SQL oracle: HLL impls differ across engines → rows-only
+    // check; q63 is the oracle-gated exact twin that pins its accuracy)
     "q38_approx_distinct" -> (Events.q38ApproxDistinct(_, _)),
+    "q63_exact_distinct" -> (Events.q63ExactDistinct(_, _)),
     // semi / anti joins
     "q16_customers_with_big_orders" -> (Relational.q16CustomersWithBigOrders(_, _)),
     "q17_customers_no_orders" -> (Relational.q17CustomersNoOrders(_, _)),
@@ -275,6 +277,10 @@ object SparkEntry {
          | ${sqlRn("CAST(sum(k) AS DOUBLE) / count(*)", 4)} AS avg_k,
          | CAST(sum(value_c) AS DOUBLE) / 100.0 AS sum_value
          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q63_exact_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q14_running_value" ->
       s"""SELECT user_id,
          | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_idx,

@@ -13,13 +13,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // queries run CONCURRENTLY on the shared session (SparkSession is
+    // thread-safe; each job writes its own directory) — per-job fixed
+    // overhead dominates at sf0.01, so overlapping jobs cuts the wall
+    // time roughly by the pool width. FIFO scheduling is fine: jobs are
+    // small and the pool bounds how many are in flight.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, Runtime.getRuntime.availableProcessors()))
+    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

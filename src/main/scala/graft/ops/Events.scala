@@ -71,14 +71,30 @@ object Events {
 
   /** Sketch aggregation: HyperLogLog++ distinct users per event type,
     * alongside the exact count. No DuckDB oracle — its HLL is a
-    * different sketch — so the driver records a rows-only check;
-    * EventsSpec asserts the relative-error bound instead.
+    * different sketch — so the driver records a rows-only check. The
+    * quantitative gate is two-piece instead: [[q63ExactDistinct]] is the
+    * oracle-gated exact twin (pins the exact side against DuckDB), and
+    * EventsSpec bounds the HLL relative error against it.
     */
   def q38ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Exact-distinct twin of [[q38ApproxDistinct]] — same grouping, exact
+    * aggregates only, so DuckDB can oracle-gate it. Together with the
+    * EventsSpec error-bound test this pins q38's accuracy: the exact
+    * column is hash-verified here, and the sketch column is bounded
+    * against that verified value.
+    */
+  def q63ExactDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Spark-side analog of the reference's vendored `FileUtil.copyMerge`
+  * (reference `FileUtil.java:194-228`): concatenate a job's `part-*`
+  * files, in part-index (= filename) order, into one file.
+  *
+  * Because a global `orderBy` range-partitions, part files are globally
+  * ordered by part index — so the concatenation equals the
+  * `singleFile = true` (coalesce(1)) output byte-for-byte, without ever
+  * funneling the job itself through one task. This is the 100 TB shape:
+  * full-parallelism sort + sink, then one sequential streaming merge (an
+  * fs-level copy, no parse/decode), only when a single artifact file is
+  * actually required.
+  *
+  * Uses the Hadoop FileSystem API so the same code runs against HDFS /
+  * object stores, not just local disk.
+  */
+object Merge {
+
+  /** Concatenate `srcDir`'s part files into `dstFile` (fails if it
+    * exists — the FileOutputFormat overwrite contract). Returns the
+    * number of part files merged.
+    */
+  def copyMerge(conf: Configuration, srcDir: String, dstFile: String,
+      deleteSrc: Boolean = false): Int = {
+    val src = new Path(srcDir)
+    val dst = new Path(dstFile)
+    val fs = src.getFileSystem(conf)
+    val parts = fs.listStatus(src).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    val out = fs.create(dst, /* overwrite = */ false)
+    try parts.foreach { p =>
+      val in = fs.open(p)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, /* close = */ false)
+      finally in.close()
+    } finally out.close()
+    if (deleteSrc) fs.delete(src, true)
+    parts.length
+  }
+}

@@ -48,21 +48,43 @@ object WordCountJob {
 
   def main(args: Array[String]): Unit = sys.exit(execute(args))
 
+  /** `-Dkey=value` generic options, the ToolRunner/GenericOptionsParser
+    * surface the reference driver accepts (`WordCount.java:20`) and then
+    * silently drops (`WordCount.java:30` builds a fresh Configuration
+    * instead of using `getConf()` — documented reference bug, SURVEY
+    * §2.1). Here the overrides are parsed AND applied (fixed, not
+    * reproduced): they land in the session conf via GraftSession's
+    * `extraConf`. A `-D` without `=` is not an option, per
+    * GenericOptionsParser — it falls through to the positional args.
+    */
+  def parseDashD(args: Array[String]): (Map[String, String], Array[String]) = {
+    val (opts, rest) = args.partition(a => a.startsWith("-D") && a.contains("="))
+    val conf = opts.map(_.stripPrefix("-D")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> v
+    }.toMap
+    (conf, rest)
+  }
+
   /** Reference driver contract (`WordCount.java:19-28,44-52`). */
   def execute(args: Array[String]): Int = {
-    if (args.length != 2) {
-      System.err.println("Usage: WordCountJob <input> <output>")
+    val (conf, rest) = parseDashD(args)
+    if (rest.length != 2) {
+      System.err.println("Usage: WordCountJob [-Dkey=value ...] <input> <output>")
       return -1
     }
-    val spark = GraftSession.builder("WordCounter").getOrCreate()
+    // stop only a session this invocation created — getOrCreate may hand
+    // back a caller's live session (and applies `conf` to it)
+    val preexisting = org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+    val spark = GraftSession.builder("WordCounter", extraConf = conf).getOrCreate()
     try {
-      run(spark, args(0), args(1))
+      run(spark, rest(0), rest(1))
       println("Job was successful")
       0
     } catch {
       case e: Exception =>
         System.err.println(s"Job was not successful: ${e.getMessage}")
         1
-    } finally spark.stop()
+    } finally if (!preexisting) spark.stop()
   }
 }

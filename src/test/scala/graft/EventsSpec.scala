@@ -62,4 +62,15 @@ class EventsSpec extends AnyFunSuite {
       .count()
     assert(bad == 0L)
   }
+
+  test("q38's exact column equals the oracle-gated exact twin (q63)") {
+    // ties the sketch query's in-row exact_users to q63, which the
+    // DuckDB gate hash-verifies — so the EventsSpec error bound above is
+    // anchored to an oracle-checked value, not a self-reported one
+    val sketch = Events.q38ApproxDistinct(spark, sf)
+      .select("event_type", "exact_users", "n_events")
+    val twin = Events.q63ExactDistinct(spark, sf)
+    assert(sketch.exceptAll(twin).count() == 0 &&
+      twin.exceptAll(sketch).count() == 0)
+  }
 }

@@ -62,6 +62,25 @@ class WordCountSpec extends AnyFunSuite {
     assert(concat == words.map(w => s"$w\t2"))
   }
 
+  test("copyMerge: concatenated multi-part output equals the single-file output byte-for-byte") {
+    val in = Files.createTempDirectory("wc_in_cm")
+    val words = (1 to 400).map(i => f"t$i%03d")
+    val rng = new scala.util.Random(11)
+    Files.write(in.resolve("input.txt"),
+      rng.shuffle(words ++ words ++ words).grouped(7).map(_.mkString(" ")).toSeq.asJava)
+    val outSingle = Files.createTempDirectory("wc_cm_s").resolve("out")
+    val outMulti = Files.createTempDirectory("wc_cm_m").resolve("out")
+    WordCountJob.run(spark, in.toString, outSingle.toString, singleFile = true)
+    WordCountJob.run(spark, in.toString, outMulti.toString, singleFile = false)
+    val merged = Files.createTempDirectory("wc_cm_merged").resolve("merged.tsv")
+    val nParts = graft.sources.Merge.copyMerge(
+      spark.sparkContext.hadoopConfiguration, outMulti.toString, merged.toString)
+    assert(nParts >= 1)
+    val singlePart = Files.list(outSingle).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+    assert(Files.readAllBytes(merged).sameElements(Files.readAllBytes(singlePart)))
+  }
+
   test("sink: output dir must not pre-exist (FileOutputFormat contract)") {
     val in = Files.createTempDirectory("wc_in2")
     Files.write(in.resolve("a.txt"), Seq("x").asJava)
@@ -74,5 +93,23 @@ class WordCountSpec extends AnyFunSuite {
   test("CLI: wrong arg count returns -1 with usage (WordCount.java:25-28)") {
     assert(WordCountJob.execute(Array("only-one")) == -1)
     assert(WordCountJob.execute(Array("a", "b", "c")) == -1)
+    // -D options don't count toward the positional-arg contract
+    assert(WordCountJob.execute(Array("-Dspark.graft.x=1", "only-one")) == -1)
+  }
+
+  test("CLI: -D overrides are parsed and land in the session conf (SURVEY §2.1 fixed-not-reproduced)") {
+    val (conf, rest) = WordCountJob.parseDashD(
+      Array("-Dspark.graft.marker=round3", "in", "-Dspark.graft.two=2", "out", "-Dnot-an-option"))
+    assert(conf == Map("spark.graft.marker" -> "round3", "spark.graft.two" -> "2"))
+    assert(rest.toSeq == Seq("in", "out", "-Dnot-an-option"))
+    // end-to-end: execute() against the live test session must apply the
+    // override to that session's runtime conf (and must NOT stop it)
+    val in = Files.createTempDirectory("wc_in_dopt")
+    val out = Files.createTempDirectory("wc_out_dopt_parent").resolve("out")
+    Files.write(in.resolve("a.txt"), Seq("x y x").asJava)
+    assert(WordCountJob.execute(
+      Array("-Dspark.graft.marker=round3", in.toString, out.toString)) == 0)
+    assert(spark.conf.get("spark.graft.marker") == "round3")
+    assert(!spark.sparkContext.isStopped)
   }
 }
