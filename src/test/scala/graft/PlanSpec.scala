@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: facts the scale story depends on, checked
+  * mechanically so they can't silently regress.
+  *
+  * Nested-loop joins (BroadcastNestedLoopJoin / CartesianProduct) are
+  * quadratic per partition-pair; they are acceptable ONLY where the
+  * semantics are inherently non-equi AND one side is provably tiny
+  * (single-row aggregate frames, fixed band tables, broadcast query
+  * subsets). Everything else must be a hash/sort-merge join on keys.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  /** Documented exceptions — every entry is a deliberate non-equi or
+    * single-row cross join over a bounded broadcast side.
+    */
+  private val nestedLoopAllowed: Map[String, String] = Map(
+    "q40_cosine_topk" -> "exact all-pairs baseline: =!= join, broadcast query subset",
+    "q35_knn_classify" -> "built on q40's exact baseline",
+    "q48_ivf_ann" -> "nProbe probe: cross join against the nCentroids-row centroid table",
+    "q58_band_join" -> "theta join against the fixed 5-row band table",
+    "q26_tfidf" -> "single-row nDocs aggregate frame cross-joined in",
+    "q49_collocations" -> "single-row corpus-totals aggregate frame cross-joined in")
+
+  test("no nested-loop join outside the documented non-equi allowlist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val hasNlj = plan.linesIterator.exists(l =>
+        l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+      if (hasNlj && !nestedLoopAllowed.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop joins in: ${offenders.mkString(", ")}")
+  }
+
+  test("allowlist is not stale: every allowlisted query still plans a nested-loop join") {
+    // if a query gets restructured away from its nested loop, this forces
+    // the allowlist entry to be removed rather than rot
+    val stale = nestedLoopAllowed.keys.toSeq.sorted.filterNot { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      plan.linesIterator.exists(l =>
+        l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    }
+    assert(stale.isEmpty, s"allowlist entries with no nested loop left: ${stale.mkString(", ")}")
+  }
+
+  test("restructured dedup/text queries have no no-key (global) window") {
+    // the q49 hazard class: Window.partitionBy() with no keys funnels
+    // everything through one partition. q60's global ranking distributions
+    // are the one semantic exception (a total order IS the query).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("q26_tfidf", "q31_jaccard_pairs", "q32_minhash_lsh",
+        "q34_embedding_neardup", "q39_dedup_keep", "q49_collocations")) {
+      val globalWindows = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      assert(globalWindows.isEmpty, s"$name has a no-key global window")
+    }
+  }
+}
