@@ -70,6 +70,8 @@ object SparkEntry {
     "q27_bigram_freq" -> (TextOps.q27BigramFreq(_, _)),
     "q29_regex_tokens" -> (TextOps.q29RegexTokens(_, _)),
     "q49_collocations" -> (TextOps.q49Collocations(_, _)),
+    "q64_pack_sequences" -> (TextOps.q64PackSequences(_, _)),
+    "q65_curation_funnel" -> (TextOps.q65CurationFunnel(_, _)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -456,6 +458,34 @@ object SparkEntry {
          |SELECT bigram, c_bg,
          | ${sqlRn("(CAST(c_bg AS DOUBLE) * n_u * n_u) / (CAST(n_bg AS DOUBLE) * c_a * c_b)", 6)} AS lift
          |FROM j, nu, nbg ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
+    // mirrors TextOps.q64PackSequences (capacity 256, 8 shards) — keep in
+    // lockstep; integer division on both sides
+    "q64_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS cum_before
+         | FROM t)
+         |SELECT shard, cum_before // 256 AS seq_id, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS tokens_used,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         | CAST(sum(CASE WHEN n_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT) AS count_oversize
+         |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+    // mirrors TextOps.q65CurationFunnel — cumulative gates, exact-integer
+    // stopword-ratio comparison (10*n_stop <= 3*n_tokens)
+    "q65_curation_funnel" ->
+      s"""WITH t AS (SELECT source, lang, ${toksSql("text")} AS toks FROM documents),
+         |s AS (SELECT source,
+         |  lang IN ('en', 'de', 'fr') AS g1,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+         | FROM t)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang,
+         | CAST(sum(CASE WHEN g1 AND n_tok >= 10 AND n_tok <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+         | CAST(sum(CASE WHEN g1 AND n_tok >= 10 AND n_tok <= 5000 AND n_stop * 10 <= n_tok * 3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_quality
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "q29_regex_tokens" ->
       s"""SELECT doc_id, n_chars,
          | CAST(len(${toksSql("text")}) AS BIGINT) AS n_words,

@@ -225,6 +225,68 @@ object TextOps {
         r4(col("n_chars").cast("double") / col("n_regex_tokens")))
       .orderBy("doc_id")
 
+  /** Sequence packing for LLM training: assign documents to fixed-
+    * capacity context windows ("sequences") and report per-sequence fill.
+    * Sharded greedy block packing — the distributed formulation: docs are
+    * packed in doc_id order WITHIN a shard (shard = doc_id % nShards), so
+    * each shard packs independently with one partition-local window pass.
+    * A doc lands in the bin its preceding token count fills:
+    * bin = floor(cum_before / capacity). Oversized docs spill past
+    * capacity rather than split (count_oversize reports them) — the
+    * document-preserving packing variant.
+    *
+    * At 100 TB: one shuffle on shard, windows bounded per shard; no
+    * global cumulative sum (a no-key window) anywhere.
+    */
+  def q64PackSequences(s: SparkSession, d: String, capacity: Int = 256,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", sum("n_tokens").over(w) - col("n_tokens"))
+      // integer division (div), never float floor(x/y): exact in both
+      // engines, no double-rounding hazard
+      .withColumn("seq_id", expr(s"cum_before div $capacity"))
+      .groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens_used"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"),
+        sum(when(col("n_tokens") > capacity, 1L).otherwise(0L)).as("count_oversize"))
+      .orderBy("shard", "seq_id")
+  }
+
+  /** Curation funnel: the standard LLM-data quality gauntlet (language
+    * keep-list → length window → stopword-ratio ceiling) with per-stage
+    * survivor counts per source. One pass, conditional aggregation —
+    * each stage is a cumulative AND of the previous gates, so the funnel
+    * is monotone by construction. Embarrassingly parallel map + one
+    * aggregation shuffle on source.
+    */
+  def q65CurationFunnel(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stop.map(lit): _*))).cast("long")
+    val g1 = col("lang").isin("en", "de", "fr")
+    val g2 = g1 && nTok >= lit(10L) && nTok <= lit(5000L)
+    // exact-integer comparison (10*n_stop <= 3*n_tokens ⇔ ratio <= 0.3):
+    // no double division, so both engines agree bit-for-bit
+    val g3 = g2 && (nStop * 10L <= nTok * 3L)
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(g1, 1L).otherwise(0L)).as("pass_lang"),
+        sum(when(g2, 1L).otherwise(0L)).as("pass_len"),
+        sum(when(g3, 1L).otherwise(0L)).as("pass_quality"))
+      .orderBy("source")
+  }
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */

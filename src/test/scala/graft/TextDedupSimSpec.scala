@@ -120,6 +120,29 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(joined.filter(col("bucket") =!= col("cand_bucket")).count() == 0L)
   }
 
+  test("q64 packing: partitions the corpus exactly (every doc in one sequence, tokens conserved)") {
+    val docs = Tables.documents(spark, sf)
+    val packed = ops.TextOps.q64PackSequences(spark, sf).cache()
+    try {
+      val totals = packed.agg(sum("n_docs"), sum("tokens_used")).head
+      assert(totals.getLong(0) == docs.count())
+      val wantTokens = docs
+        .agg(sum(size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long"))).head.getLong(0)
+      assert(totals.getLong(1) == wantTokens)
+      assert(packed.filter(col("first_doc") > col("last_doc")).count() == 0L)
+    } finally packed.unpersist()
+  }
+
+  test("q65 funnel: survivor counts are monotone per source") {
+    val bad = ops.TextOps.q65CurationFunnel(spark, sf)
+      .filter(!(col("n_docs") >= col("pass_lang") &&
+        col("pass_lang") >= col("pass_len") &&
+        col("pass_len") >= col("pass_quality")))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("multimodal decodeBatch: deterministic stub metadata, one row per doc") {
     val ds = Multimodal.decodeBatch(spark, sf)
     val rows = ds.collect()
