@@ -179,20 +179,61 @@ object ScalarSuites {
       .orderBy("band")
   }
 
+  /** Distributed total-order rank: global sort (range partitioning) +
+    * zipWithIndex (per-partition offsets from one lightweight count job)
+    * — the standard scale-safe formulation of a global rank. Spark's
+    * no-key `Window.orderBy(...)` computes the same thing by moving
+    * EVERY row into a single partition (WindowExec warns exactly this),
+    * which is the one unbounded-hazard plan shape this engine bans
+    * (PlanSpec). The RDD hop is deliberate and local to this operator:
+    * Spark has no Catalyst primitive for distributed global ranks, so
+    * this is rung (d) of the custom-operator ladder with the rationale
+    * documented. Sort keys must be UNIQUE for deterministic ranks.
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+      rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Ranking-distribution windows: ntile quartiles, percent_rank,
     * cume_dist over a UNIQUE ordering key (balance-cents, custkey) —
     * ties on raw balance would make ntile's bucket split engine-defined.
+    *
+    * Built on [[globalRank]], not a no-key window: with unique keys the
+    * SQL definitions collapse to closed forms of the total rank —
+    * percent_rank = (rank−1)/(n−1), cume_dist = rank/n, and ntile(k)'s
+    * first n mod k buckets carry ⌈n/k⌉ rows (computed with integer
+    * division, engine-exact). The DuckDB oracle keeps the native window
+    * functions, so the hash gate proves the closed forms match SQL
+    * semantics value-for-value.
     */
   def q60RankDistributions(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("bal_c"), col("c_custkey"))
-    Tables.customer(s, d)
+    val cc = Tables.customer(s, d)
       .withColumn("bal_c", cents(col("c_acctbal")))
-      .select(
-        col("c_custkey"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        r6(percent_rank().over(w)).as("pct_rank"),
-        r6(cume_dist().over(w)).as("cume"))
+      .select(col("c_custkey"), col("bal_c"))
+    val n = cc.count()
+    val k = 4L
+    val base = n / k
+    val rem = n % k
+    val cut = rem * (base + 1) // rows in the ⌈n/k⌉-sized leading buckets
+    val ranked = globalRank(cc, Seq(col("bal_c"), col("c_custkey")))
+    val quartile =
+      if (base == 0) col("rank") // degenerate n < k: one row per bucket
+      else when(col("rank") <= cut, expr(s"(rank - 1) div ${base + 1}"))
+        .otherwise(lit(rem) + expr(s"(rank - 1 - $cut) div $base")) + 1L
+    val pct =
+      if (n <= 1) lit(0.0d)
+      else r6((col("rank") - 1L).cast("double") / lit((n - 1).toDouble))
+    ranked.select(
+      col("c_custkey"),
+      quartile.cast("long").as("quartile"),
+      pct.as("pct_rank"),
+      r6(col("rank").cast("double") / lit(n.toDouble)).as("cume"))
       .orderBy("c_custkey")
   }
 

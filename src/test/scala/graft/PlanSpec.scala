@@ -48,13 +48,15 @@ class PlanSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"allowlist entries with no nested loop left: ${stale.mkString(", ")}")
   }
 
-  test("restructured dedup/text queries have no no-key (global) window") {
-    // the q49 hazard class: Window.partitionBy() with no keys funnels
-    // everything through one partition. q60's global ranking distributions
-    // are the one semantic exception (a total order IS the query).
+  test("no query plans a no-key (global) window") {
+    // the q49 hazard class: Window.partitionBy()/Window.orderBy() with no
+    // partition keys funnels everything through one partition. Even
+    // semantically-global ranks (q60) must use the distributed
+    // sort+zipWithIndex formulation (ScalarSuites.globalRank) instead.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (name <- Seq("q26_tfidf", "q31_jaccard_pairs", "q32_minhash_lsh",
-        "q34_embedding_neardup", "q39_dedup_keep", "q49_collocations")) {
+        "q34_embedding_neardup", "q39_dedup_keep", "q49_collocations",
+        "q60_rank_distributions", "q64_pack_sequences")) {
       val globalWindows = SparkEntry.queries(name)(spark, sf)
         .queryExecution.optimizedPlan.collect {
           case w: LWindow if w.partitionSpec.isEmpty => w
