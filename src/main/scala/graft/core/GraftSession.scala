@@ -16,22 +16,43 @@ import org.apache.spark.sql.SparkSession
   * applied.
   */
 object GraftSession {
+
+  /** Shuffle parallelism derived from the session's actual parallelism
+    * instead of a hard-coded constant: `local[N]` → N, anything else
+    * (a real cluster, where executor count isn't knowable at
+    * session-build time) → 0, meaning "don't pin": leave Spark's
+    * default as the AQE coalesce ceiling and let
+    * adaptive.coalescePartitions shrink per-stage parallelism to the
+    * data at runtime — the shipping configuration for a 1000-executor
+    * cluster, where any number pinned here would be wrong for most
+    * stages of most queries.
+    */
+  private val LocalN = """local\[(\d+)\]""".r
+  def deriveShufflePartitions(master: String): Int = master match {
+    case LocalN(n) => n.toInt
+    case "local" | "local[*]" => Runtime.getRuntime.availableProcessors()
+    case _ => 0
+  }
+
   def builder(
       appName: String = "graft",
       master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
-      shufflePartitions: Int = 32,
+      shufflePartitions: Int = -1,
       extraConf: Map[String, String] = Map.empty): SparkSession.Builder = {
+    val derived =
+      if (shufflePartitions > 0) shufflePartitions
+      else deriveShufflePartitions(master)
     val b = SparkSession
       .builder()
       .appName(appName)
       .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    if (derived > 0) b.config("spark.sql.shuffle.partitions", derived.toString)
     extraConf.foreach { case (k, v) => b.config(k, v) }
     b
   }

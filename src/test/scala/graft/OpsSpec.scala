@@ -15,6 +15,18 @@ class OpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("session: shuffle parallelism derives from master, unpinned on clusters") {
+    import graft.core.GraftSession.deriveShufflePartitions
+    assert(deriveShufflePartitions("local[32]") == 32)
+    assert(deriveShufflePartitions("local[3]") == 3)
+    assert(deriveShufflePartitions("local[*]") ==
+      Runtime.getRuntime.availableProcessors())
+    // cluster masters: 0 = don't pin; Spark default stays as the AQE
+    // coalesce ceiling
+    assert(deriveShufflePartitions("yarn") == 0)
+    assert(deriveShufflePartitions("spark://host:7077") == 0)
+  }
+
   test("q01: group count sums to filtered lineitem count") {
     val df = Relational.q01PricingSummary(spark, sf)
     val total = df.agg(sum("count_order")).head().getLong(0)
