@@ -88,6 +88,9 @@ object SparkEntry {
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
+    // sketch quantiles (no SQL oracle: t-digest internals are
+    // engine-specific → rows-only; accuracy bounded vs exact q44 in-spec)
+    "q66_approx_percentiles" -> (ScalarSuites.q66ApproxPercentiles(_, _)),
     "q45_string_suite" -> (ScalarSuites.q45StringSuite(_, _)),
     "q46_array_suite" -> (ScalarSuites.q46ArraySuite(_, _)),
     "q47_date_suite" -> (ScalarSuites.q47DateSuite(_, _)),

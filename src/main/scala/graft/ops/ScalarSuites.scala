@@ -45,6 +45,26 @@ object ScalarSuites {
       .orderBy("c_mktsegment")
   }
 
+  /** Sketch quantiles: approx_percentile (the t-digest-style mergeable
+    * sketch — the only formulation that scales: exact percentiles need a
+    * global sort or full value collection per group, the sketch merges
+    * map-side in fixed memory). Rows-only at the driver gate (sketch
+    * internals are engine-specific, same policy as q38's HLL); accuracy
+    * is pinned by OpsSpec bounding it against the exact, oracle-gated
+    * q44 twin — the q38/q63 pattern.
+    */
+  def q66ApproxPercentiles(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)").as("p50_approx"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $accuracy)").as("p90_approx"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Statistical aggregates — stddev, variance, Pearson correlation —
     * computed from EXACT integer power sums (Σx, Σx², Σxy over cents)
     * with the textbook closed forms, instead of Spark's built-in

@@ -93,4 +93,33 @@ object StreamingOps {
     spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+
+  /** foreachBatch sink: land each micro-batch as partitioned parquet
+    * (partitioned by event_type — the layout downstream batch queries
+    * prune on). foreachBatch is the production bridge from a stream to
+    * arbitrary batch sinks; the batch_id column makes re-delivered
+    * batches identifiable, which is how exactly-once lands on
+    * at-least-once sinks (readers dedup on (batch_id, event_id), or a
+    * compaction job drops the older batch_id — both standard).
+    * Partition discipline: a 100 TB/day stream writes many small files
+    * per trigger; `coalesce` to a bounded writer count per batch keeps
+    * file counts sane without a global shuffle.
+    */
+  def foreachBatchPartitionedSink(events: DataFrame, outDir: String,
+      checkpointDir: String, writersPerBatch: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(writersPerBatch)
+          .write
+          .mode("append")
+          .partitionBy("event_type")
+          .parquet(outDir)
+        (): Unit
+      }
+      .start()
 }

@@ -27,6 +27,18 @@ class OpsSpec extends AnyFunSuite {
     assert(deriveShufflePartitions("spark://host:7077") == 0)
   }
 
+  test("q66 sketch percentiles track the exact oracle-gated q44 within 2%") {
+    val exact = ops.ScalarSuites.q44Percentiles(spark, sf)
+      .select("c_mktsegment", "p50", "p90")
+    val approx = ops.ScalarSuites.q66ApproxPercentiles(spark, sf)
+    val bad = approx.join(exact, Seq("c_mktsegment"))
+      .filter(
+        abs(col("p50_approx") - col("p50")) > col("p50") * 0.02 ||
+        abs(col("p90_approx") - col("p90")) > col("p90") * 0.02)
+      .count()
+    assert(bad == 0L)
+  }
+
   test("q01: group count sums to filtered lineitem count") {
     val df = Relational.q01PricingSummary(spark, sf)
     val total = df.agg(sum("count_order")).head().getLong(0)

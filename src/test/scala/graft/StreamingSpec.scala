@@ -107,6 +107,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink lands micro-batches as partitioned parquet with batch ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("fb_out").resolve("tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fb_ckpt").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "event_type", "value")
+    val q = StreamingOps.foreachBatchPartitionedSink(events, out, ckpt)
+    try {
+      mem.addData((1L, "click", 1.0), (2L, "purchase", 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, "click", 3.0))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+      assert(landed.count() == 3L)
+      // partition column survives the round trip and prunes
+      assert(landed.filter(col("event_type") === "click").count() == 2L)
+      // distinct batch ids per trigger — the idempotency/compaction handle
+      assert(landed.select("batch_id").distinct().count() == 2L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
