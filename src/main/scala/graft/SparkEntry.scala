@@ -72,6 +72,7 @@ object SparkEntry {
     "q49_collocations" -> (TextOps.q49Collocations(_, _)),
     "q64_pack_sequences" -> (TextOps.q64PackSequences(_, _)),
     "q65_curation_funnel" -> (TextOps.q65CurationFunnel(_, _)),
+    "q67_hash_split" -> (TextOps.q67HashSplit(_, _)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -489,6 +490,15 @@ object SparkEntry {
          | CAST(sum(CASE WHEN g1 AND n_tok >= 10 AND n_tok <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
          | CAST(sum(CASE WHEN g1 AND n_tok >= 10 AND n_tok <= 5000 AND n_stop * 10 <= n_tok * 3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_quality
          |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    // mirrors TextOps.q67HashSplit — content-hash buckets 90/5/5
+    "q67_hash_split" ->
+      """WITH t AS (SELECT source,
+        |  CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) AS bucket FROM documents),
+        |s AS (SELECT source,
+        |  CASE WHEN bucket < 230 THEN 'train'
+        |       WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split FROM t)
+        |SELECT source, split, count(*) AS n_docs FROM s
+        |GROUP BY source, split ORDER BY source, split""".stripMargin,
     "q29_regex_tokens" ->
       s"""SELECT doc_id, n_chars,
          | CAST(len(${toksSql("text")}) AS BIGINT) AS n_words,

@@ -287,6 +287,25 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Deterministic train/val/test split: assignment is a pure function
+    * of the content hash (md5 of text, NOT of doc_id), so (a) it is
+    * reproducible across runs/engines/partitionings, (b) exact
+    * duplicates land in the SAME split — the leakage rule that
+    * doc-id-based splits break when a corpus has dups. 90/5/5 via the
+    * first two hex digits (256 buckets: <230 train, <243 val, rest
+    * test). Pure map-side assignment + one aggregation shuffle.
+    */
+  def q67HashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long")
+    val split = when(bucket < 230L, "train")
+      .when(bucket < 243L, "val").otherwise("test")
+    Tables.documents(s, d)
+      .select(col("source"), split.as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+  }
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */

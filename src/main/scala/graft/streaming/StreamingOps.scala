@@ -94,6 +94,21 @@ object StreamingOps {
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
 
+  /** Streaming exact dedup at ingest — the streaming twin of batch
+    * q30ExactDedup: drop any document whose content hash was already
+    * seen, across micro-batches, via Spark's stateful dropDuplicates.
+    * The watermark bounds the dedup state window (docs arriving more
+    * than `retention` late can re-admit a duplicate — the documented
+    * state/completeness trade every streaming dedup makes; unbounded
+    * retention = unbounded state = the thing that kills a 100 TB/day
+    * ingest job).
+    */
+  def dedupStream(docs: DataFrame, retention: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_md5", md5(col("text")))
+      .withWatermark("ts", retention)
+      .dropDuplicates("content_md5")
+
   /** foreachBatch sink: land each micro-batch as partitioned parquet
     * (partitioned by event_type — the layout downstream batch queries
     * prune on). foreachBatch is the production bridge from a stream to

@@ -107,6 +107,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicate content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma"))
+      q.processAllAvailable()
+      // same content re-sent in a LATER micro-batch must not re-emit
+      mem.addData((3L, ts(2), "alpha beta"), (4L, ts(3), "delta"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands micro-batches as partitioned parquet with batch ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
