@@ -105,7 +105,8 @@ object SparkEntry {
     "q61_window_values" -> (ScalarSuites.q61WindowValues(_, _)),
     "q62_grouping_sets" -> (ScalarSuites.q62GroupingSets(_, _)),
     // multimodal plumbing
-    "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _))
+    "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _)),
+    "q68_frame_sample" -> (Multimodal.q68FrameSample(_, _))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -727,6 +728,16 @@ object SparkEntry {
         | bool_and(all_unit) AS all_all_unit,
         | bool_or(neg_in_head) AS any_neg_in_head
         |FROM p GROUP BY label ORDER BY label""".stripMargin,
+    // mirrors Multimodal.q68FrameSample (step 4; n_frames = stub
+    // arithmetic shared with decodeBatch)
+    "q68_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
+        | FROM documents)
+        |SELECT doc_id, n_frames,
+        | CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx,
+        | CAST(unnest(range(0, n_frames, 4)) AS BIGINT) // 4 AS sample_ord
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
     "q50_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -32,6 +32,25 @@ object Multimodal {
         (col("doc_id") * 7 % 480).cast("long").as("fake_height"))
       .orderBy("doc_id")
 
+  /** Frame sampling: every `step`-th frame index per media payload —
+    * the pre-processing pass that turns video into a bounded set of
+    * frames for feature extraction. Generation (explode of a sequence)
+    * keeps it distributed and shuffle-free; the frame COUNT comes from
+    * the same deterministic stub arithmetic as [[decodeBatch]]
+    * (1 + n_bytes % 16), so the sampling plumbing is oracle-gated even
+    * though the decode itself is stubbed. A real pipeline feeds
+    * frame_idx into the per-partition decoder to seek+extract.
+    */
+  def q68FrameSample(s: SparkSession, d: String, step: Int = 4): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        (lit(1) + octet_length(col("payload")) % 16).cast("long").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(step.toLong))).as("frame_idx"))
+      .withColumn("sample_ord", expr(s"frame_idx div $step"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Decoded-media record produced by the per-partition decode pass. */
   case class DecodedMedia(doc_id: Long, n_bytes: Int, format: String,
       width: Int, height: Int, n_frames: Int)
