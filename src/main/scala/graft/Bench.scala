@@ -12,11 +12,14 @@ object Bench {
   /** Warm up (classloading + codegen) at `warmDir`, then time each query
     * once at `sfDir`. A query that throws is reported as -1 (NOT its
     * elapsed-until-crash time) so a regression can't masquerade as a
-    * fast run.
+    * fast run. `only` non-empty restricts to that subset (Stress's
+    * targeted mode) — one timing protocol, no duplicated loop.
     */
   def timeAll(spark: SparkSession, sfDir: String,
-      warmDir: String = "/root/testdata/sf0.001"): Seq[(String, Double)] = {
+      warmDir: String = "/root/testdata/sf0.001",
+      only: Set[String] = Set.empty): Seq[(String, Double)] = {
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }

@@ -22,13 +22,9 @@ object Explain {
     "q34_embedding_neardup", "q41_ann_lsh_topk")
 
   private def writeArtifacts(sfDir: String, outDir: String): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    // the SAME session config every real run uses — artifacts generated
+    // under a drifting hand-built config would be claims, not facts
+    val spark = graft.core.GraftSession.builder("graft-explain", "local[4]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
@@ -53,13 +49,7 @@ object Explain {
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.drop(1)
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.core.GraftSession.builder("graft-explain", "local[4]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val targets: Seq[String] =

@@ -57,22 +57,7 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generateIfAbsent(spark, "/root/testdata/sf0.1", dst)
-    val results =
-      if (only.isEmpty) Bench.timeAll(spark, dst)
-      else {
-        // targeted mode: time only the named queries (still warmed)
-        val names = SparkEntry.queries.keys.toSeq.sorted.filter(only)
-        names.foreach { n =>
-          try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
-          catch { case _: Throwable => () }
-        }
-        names.map { n =>
-          val t0 = System.nanoTime()
-          val e = try { SparkEntry.queries(n)(spark, dst).count(); (System.nanoTime() - t0) / 1e9 }
-                  catch { case _: Throwable => -1.0 }
-          n -> e
-        }
-      }
+    val results = Bench.timeAll(spark, dst, only = only)
     val line = Bench.jsonLine(results, dst)
     println(line)
     artifact.foreach(f => Files.writeString(Paths.get(f), line + "\n"))

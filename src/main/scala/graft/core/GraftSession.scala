@@ -27,10 +27,12 @@ object GraftSession {
     * cluster, where any number pinned here would be wrong for most
     * stages of most queries.
     */
-  private val LocalN = """local\[(\d+)\]""".r
+  private val LocalN = """local\[(\d+)(?:,\d+)?\]""".r
+  private val LocalStar = """local\[\*(?:,\d+)?\]""".r
   def deriveShufflePartitions(master: String): Int = master match {
     case LocalN(n) => n.toInt
-    case "local" | "local[*]" => Runtime.getRuntime.availableProcessors()
+    case "local" => Runtime.getRuntime.availableProcessors()
+    case LocalStar() => Runtime.getRuntime.availableProcessors()
     case _ => 0
   }
 

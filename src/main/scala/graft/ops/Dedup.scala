@@ -93,6 +93,20 @@ object Dedup {
   private val sigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
+  /** Drop every memoized signature frame (unpersisting live ones).
+    * Call when the documents under a cached dir change within a session
+    * (e.g. after a streaming ingest lands new files) or when embedding
+    * the engine in a long-lived JVM that cycles sessions — the memo is
+    * a per-(session, dir) SNAPSHOT and holds session references until
+    * cleared.
+    */
+  def invalidateSignatureCache(): Unit = {
+    sigCache.values.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    sigCache.clear()
+  }
+
   def lshSignatures(s: SparkSession, d: String, bands: Int = 8): DataFrame =
     sigCache.getOrElseUpdate((s, d, bands), {
       val sh = Tables.documents(s, d)

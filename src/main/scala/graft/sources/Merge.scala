@@ -29,9 +29,17 @@ object Merge {
     val src = new Path(srcDir)
     val dst = new Path(dstFile)
     val fs = src.getFileSystem(conf)
+    // sort by the PARSED part index, not lexicographically: once a job
+    // exceeds 99,999 tasks the index outgrows its %05d padding and
+    // "part-100000" sorts before "part-99999" as a string — exactly at
+    // the scale this utility exists for
     val parts = fs.listStatus(src).map(_.getPath)
       .filter(_.getName.startsWith("part-"))
-      .sortBy(_.getName)
+      .sortBy { p =>
+        val idx = p.getName.split("-").lift(1)
+          .flatMap(s => s.toIntOption).getOrElse(Int.MaxValue)
+        (idx, p.getName)
+      }
     val out = fs.create(dst, /* overwrite = */ false)
     try parts.foreach { p =>
       val in = fs.open(p)

@@ -96,18 +96,22 @@ object StreamingOps {
 
   /** Streaming exact dedup at ingest — the streaming twin of batch
     * q30ExactDedup: drop any document whose content hash was already
-    * seen, across micro-batches, via Spark's stateful dropDuplicates.
-    * The watermark bounds the dedup state window (docs arriving more
-    * than `retention` late can re-admit a duplicate — the documented
-    * state/completeness trade every streaming dedup makes; unbounded
-    * retention = unbounded state = the thing that kills a 100 TB/day
-    * ingest job).
+    * seen, across micro-batches, via `dropDuplicatesWithinWatermark`.
+    * That variant (not plain `dropDuplicates("content_md5")`!) is what
+    * makes the watermark actually bound the dedup state: with plain
+    * dropDuplicates on a non-event-time key, StreamingDeduplicateExec
+    * never evicts state (keys don't carry event time) while the
+    * watermark still DROPS late rows — the worst of both. Within-
+    * watermark dedup instead evicts hash-state once the watermark
+    * passes, trading completeness (a dup arriving > `retention` after
+    * its first copy is re-admitted) for bounded state — the trade every
+    * 100 TB/day streaming dedup makes, made explicit here.
     */
   def dedupStream(docs: DataFrame, retention: String = "1 hour"): DataFrame =
     docs
       .withColumn("content_md5", md5(col("text")))
       .withWatermark("ts", retention)
-      .dropDuplicates("content_md5")
+      .dropDuplicatesWithinWatermark("content_md5")
 
   /** foreachBatch sink: land each micro-batch as partitioned parquet
     * (partitioned by event_type — the layout downstream batch queries

@@ -21,6 +21,10 @@ class OpsSpec extends AnyFunSuite {
     assert(deriveShufflePartitions("local[3]") == 3)
     assert(deriveShufflePartitions("local[*]") ==
       Runtime.getRuntime.availableProcessors())
+    // the maxFailures forms are legal master strings too
+    assert(deriveShufflePartitions("local[4,2]") == 4)
+    assert(deriveShufflePartitions("local[*,3]") ==
+      Runtime.getRuntime.availableProcessors())
     // cluster masters: 0 = don't pin; Spark default stays as the AQE
     // coalesce ceiling
     assert(deriveShufflePartitions("yarn") == 0)
