@@ -48,6 +48,22 @@ class PlanSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"allowlist entries with no nested loop left: ${stale.mkString(", ")}")
   }
 
+  test("filter pushdown and column pruning reach the parquet scan") {
+    // q01/q02 carry scan-pushable predicates (timestamp/number
+    // comparisons); modulo-filter queries (q11, q54) are excluded —
+    // Spark can't push `%`. Pruning: q01 needs 7 lineitem columns, so
+    // the scan schema must not include unneeded ones.
+    for (name <- Seq("q01_pricing_summary", "q02_filter_project")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: ["), s"$name: no pushdown block")
+      assert(!plan.contains("PushedFilters: []"), s"$name: empty pushdown")
+    }
+    val q01 = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!q01.contains("l_orderkey"), "q01 scan reads an unneeded column")
+  }
+
   test("no query plans a no-key (global) window") {
     // the q49 hazard class: Window.partitionBy()/Window.orderBy() with no
     // partition keys funnels everything through one partition. Even
