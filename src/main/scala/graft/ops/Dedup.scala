@@ -46,7 +46,7 @@ object Dedup {
     * blocking keys don't bound block size as the corpus grows.
     */
   def q31JaccardPairs(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
-    val cand = q32MinHashLsh(s, d)
+    val cand = lshCandidatePairs(s, d)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
     val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
@@ -126,15 +126,22 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  def q32MinHashLsh(s: SparkSession, d: String, bands: Int = 8): DataFrame = {
+  /** Unordered LSH candidate pairs — the shared internal form: q31 and
+    * q39 consume candidates as join input, where q32's presentation
+    * `orderBy` would be a wasted range-partition + sort of a
+    * millions-of-pairs frame on a dup-heavy corpus.
+    */
+  def lshCandidatePairs(s: SparkSession, d: String, bands: Int = 8): DataFrame = {
     val sig = lshSignatures(s, d, bands)
     val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  def q32MinHashLsh(s: SparkSession, d: String, bands: Int = 8): DataFrame =
+    lshCandidatePairs(s, d, bands).orderBy("doc_a", "doc_b")
 
   /** Dedup RESOLUTION: turn candidate pairs into the kept corpus with
     * the greedy min-id policy — a document is dropped iff some
@@ -146,11 +153,13 @@ object Dedup {
     * trade-off vs an O(iterations) CC job).
     */
   def q39DedupKeep(s: SparkSession, d: String): DataFrame = {
-    val dropped = q32MinHashLsh(s, d).select(col("doc_b").as("doc_id"))
-    // the dropped list is a small fraction of the corpus — broadcast it
-    // so the anti join never shuffles the documents side
+    val dropped = lshCandidatePairs(s, d).select(col("doc_b").as("doc_id"))
+    // anti-join strategy left to AQE: on a low-dup corpus the dropped
+    // list broadcasts (documents side never shuffles); on a dup-heavy
+    // one it is corpus-sized and pinning broadcast(dropped) would be the
+    // same mistake the 371 s q31 measurement recorded (NOTES.md)
     Tables.documents(s, d)
-      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
   }
