@@ -16,8 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** StringTokenizer-equivalent tokenization: array of non-empty tokens. */
+  /** StringTokenizer-equivalent tokenization: array of non-empty tokens.
+    * Evaluated by the custom [[graft.functions.expressions.StringTokens]]
+    * expression (single byte scan per row); [[tokensHof]] is the
+    * built-ins-only formulation it is bit-equivalent to (spec-pinned in
+    * ExpressionsSpec, and TokenizeSpec property-tests this one against
+    * the JDK StringTokenizer oracle directly).
+    */
   def tokens(text: Column): Column =
+    graft.functions.expressions.TextExpressions.stringTokens(text)
+
+  /** Spec formulation of [[tokens]] from composable built-ins. */
+  def tokensHof(text: Column): Column =
     filter(split(text, " ", -1), t => t =!= lit(""))
 
   /** Number of tokens in a document. */

@@ -54,8 +54,52 @@ case class TokenShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** StringTokenizer-equivalent tokenization as one tight byte scan.
+  *
+  * Semantically identical to `filter(split(text, " ", -1), t => t <> "")`
+  * (kept in TextFunctions as `tokensHof`, the spec / oracle mirror), but
+  * a single pass over the UTF-8 bytes instead of a regex split plus an
+  * interpreted higher-order filter. Tokenization runs under every
+  * explode in the text family — word count, TF-IDF, shingles, stats —
+  * so it is the hottest scalar in the engine. Splitting on the single
+  * byte 0x20 is UTF-8-safe: an ASCII byte never occurs inside a
+  * multi-byte sequence.
+  *
+  * CodegenFallback is fine: one call per document ROW (not per token);
+  * the per-row loop is the win, codegen would only shave the call.
+  */
+case class StringTokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "string_tokens"
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[UTF8String].getBytes
+    val out = new java.util.ArrayList[AnyRef](8)
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x20) {
+        if (i > start) out.add(UTF8String.fromBytes(b, start, i - start))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API for [[TokenShingles]]. */
   def tokenShingles(toks: Column, n: Int): Column =
     Bridge.column(TokenShingles(Bridge.expression(toks), n))
+
+  /** Column API for [[StringTokens]]. */
+  def stringTokens(text: Column): Column =
+    Bridge.column(StringTokens(Bridge.expression(text)))
 }

@@ -46,6 +46,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("StringTokens ≡ split+filter formulation on fixture docs") {
+    val d = graft.core.Tables.documents(spark, TestSpark.sf)
+    val diff = d.select(
+      TextFunctions.tokens(col("text")).as("fast"),
+      TextFunctions.tokensHof(col("text")).as("spec"))
+      .filter(!(col("fast") <=> col("spec")))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("StringTokens edge cases: empties, runs of spaces, multibyte, null") {
+    import spark.implicits._
+    val df = Seq("", " ", "  a  b ", "a", "😀 b", "ü ß").toDF("t")
+    val got = df.select(TextFunctions.tokens(col("t")).as("x"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq(), Seq(), Seq("a", "b"), Seq("a"), Seq("😀", "b"), Seq("ü", "ß")))
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .select(TextFunctions.tokens(col("t")).as("x")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("TokenShingles edge cases: short arrays") {
     import spark.implicits._
     val df = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "b", "c", "d"))
