@@ -94,6 +94,71 @@ case class StringTokens(child: Expression)
     copy(child = newChild)
 }
 
+/** `size(array_intersect(a, b))` without materializing the intersection
+  * array — the verify-stage scalar of the Jaccard join, evaluated once
+  * per CANDIDATE PAIR (millions of times on a dup-heavy corpus), which
+  * is why it carries real codegen (`doGenCode`) like FloatDot rather
+  * than CodegenFallback. Counts DISTINCT elements of `a` present in `b`
+  * (identical contract to size(array_intersect) for any inputs, not
+  * just pre-distincted ones). Elements are assumed non-null (the token
+  * arrays' schema: containsNull = false).
+  */
+case class ArrayIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "array_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val inB = new java.util.HashSet[UTF8String](y.numElements() * 2)
+    var i = 0
+    while (i < y.numElements()) { inB.add(y.getUTF8String(i)); i += 1 }
+    val seen = new java.util.HashSet[UTF8String](x.numElements() * 2)
+    var cnt = 0
+    var j = 0
+    while (j < x.numElements()) {
+      val t = x.getUTF8String(j)
+      if (inB.contains(t) && seen.add(t)) cnt += 1
+      j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val inB = ctx.freshName("inB")
+      val seen = ctx.freshName("seen")
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      // raw HashSet: janino compiles no generics
+      s"""
+         |java.util.HashSet $inB = new java.util.HashSet($b.numElements() * 2);
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  $inB.add($b.getUTF8String($i));
+         |}
+         |java.util.HashSet $seen = new java.util.HashSet($a.numElements() * 2);
+         |int $cnt = 0;
+         |for (int $j = 0; $j < $a.numElements(); $j++) {
+         |  org.apache.spark.unsafe.types.UTF8String $t = $a.getUTF8String($j);
+         |  if ($inB.contains($t) && $seen.add($t)) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   /** Column API for [[TokenShingles]]. */
   def tokenShingles(toks: Column, n: Int): Column =
@@ -102,4 +167,8 @@ object TextExpressions {
   /** Column API for [[StringTokens]]. */
   def stringTokens(text: Column): Column =
     Bridge.column(StringTokens(Bridge.expression(text)))
+
+  /** Column API for [[ArrayIntersectCount]]. */
+  def arrayIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(ArrayIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

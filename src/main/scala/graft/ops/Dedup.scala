@@ -62,7 +62,12 @@ object Dedup {
     // fits): 54 s. The persisted signature frame (lshSignatures) is the
     // other measured win: 89 s → 54 s vs recomputing signatures.
     cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .withColumn("common", size(array_intersect(col("toks_a"), col("toks_b"))))
+      // count-only intersect (custom codegen expression): same value as
+      // size(array_intersect(...)) without allocating the intersection
+      // array per pair — this scalar runs once per candidate pair
+      .withColumn("common",
+        graft.functions.expressions.TextExpressions
+          .arrayIntersectCount(col("toks_a"), col("toks_b")))
       .select(
         col("doc_a"), col("doc_b"),
         r4(col("common").cast("double") /

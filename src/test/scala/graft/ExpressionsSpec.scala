@@ -67,6 +67,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("ArrayIntersectCount ≡ size(array_intersect) on fixture token pairs") {
+    import graft.functions.expressions.TextExpressions.arrayIntersectCount
+    val d = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val a = d.select(col("doc_id").as("ia"), col("toks").as("ta"))
+    val b = d.select(col("doc_id").as("ib"), col("toks").as("tb"))
+    // NON-distinct arrays too: the contract must match for any input
+    val pairs = a.join(b, col("ia") % 7 === col("ib") % 7 && col("ia") < col("ib"))
+    val diff = pairs.select(
+      arrayIntersectCount(col("ta"), col("tb")).as("fast"),
+      size(array_intersect(col("ta"), col("tb"))).as("spec"))
+      .filter(col("fast") =!= col("spec"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("TokenShingles edge cases: short arrays") {
     import spark.implicits._
     val df = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "b", "c", "d"))
