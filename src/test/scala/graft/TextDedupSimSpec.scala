@@ -120,6 +120,14 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(joined.filter(col("bucket") =!= col("cand_bucket")).count() == 0L)
   }
 
+  test("signature cache: invalidate unpersists and clears the memo") {
+    ops.Dedup.lshSignatures(spark, sf) // populate
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    ops.Dedup.invalidateSignatureCache()
+    // re-running after invalidation recomputes and re-persists cleanly
+    assert(ops.Dedup.q32MinHashLsh(spark, sf).count() >= 0L)
+  }
+
   test("q64 packing: partitions the corpus exactly (every doc in one sequence, tokens conserved)") {
     val docs = Tables.documents(spark, sf)
     val packed = ops.TextOps.q64PackSequences(spark, sf).cache()
