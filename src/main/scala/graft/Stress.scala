@@ -25,7 +25,7 @@ object Stress {
   private def replicate(spark: SparkSession, src: String, table: String,
       idCol: String, copies: Int, dst: String): Unit = {
     val df = spark.read.parquet(s"$src/$table.parquet")
-    val off = df.agg(max(col(idCol))).head.getLong(0) + 1L
+    val off = df.agg(max(col(idCol))).head().getLong(0) + 1L
     df.crossJoin(spark.range(copies).toDF("copy_k"))
       .withColumn(idCol, col(idCol) + col("copy_k") * off)
       .drop("copy_k")

@@ -216,7 +216,7 @@ object ScalarSuites {
     import org.apache.spark.sql.types.LongType
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema.add(rankCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
