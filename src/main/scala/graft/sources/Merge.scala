@@ -20,6 +20,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object Merge {
 
+  /** Part index parsed from the filename ("part-00042-uuid.ext" → 42).
+    * Merging sorts by the PARSED index, not lexicographically: once a
+    * job exceeds 99,999 tasks the index outgrows its %05d padding and
+    * "part-100000" sorts before "part-99999" as a string — exactly at
+    * the scale this utility exists for. Unparseable names sort last,
+    * stably by full name.
+    */
+  def partIndex(name: String): Int =
+    name.split("-").lift(1).flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+
   /** Concatenate `srcDir`'s part files into `dstFile` (fails if it
     * exists — the FileOutputFormat overwrite contract). Returns the
     * number of part files merged.
@@ -29,17 +39,9 @@ object Merge {
     val src = new Path(srcDir)
     val dst = new Path(dstFile)
     val fs = src.getFileSystem(conf)
-    // sort by the PARSED part index, not lexicographically: once a job
-    // exceeds 99,999 tasks the index outgrows its %05d padding and
-    // "part-100000" sorts before "part-99999" as a string — exactly at
-    // the scale this utility exists for
     val parts = fs.listStatus(src).map(_.getPath)
       .filter(_.getName.startsWith("part-"))
-      .sortBy { p =>
-        val idx = p.getName.split("-").lift(1)
-          .flatMap(s => s.toIntOption).getOrElse(Int.MaxValue)
-        (idx, p.getName)
-      }
+      .sortBy(p => (partIndex(p.getName), p.getName))
     val out = fs.create(dst, /* overwrite = */ false)
     try parts.foreach { p =>
       val in = fs.open(p)

@@ -62,6 +62,18 @@ class WordCountSpec extends AnyFunSuite {
     assert(concat == words.map(w => s"$w\t2"))
   }
 
+  test("copyMerge: part ordering is numeric, not lexicographic (past %05d padding)") {
+    import graft.sources.Merge.partIndex
+    assert(partIndex("part-00007-uuid.txt") == 7)
+    assert(partIndex("part-99999-uuid.txt") == 99999)
+    assert(partIndex("part-100000-uuid.txt") == 100000)
+    val names = Seq("part-100000-a.txt", "part-99999-a.txt", "part-00001-a.txt")
+    assert(names.sortBy(n => (partIndex(n), n)) ==
+      Seq("part-00001-a.txt", "part-99999-a.txt", "part-100000-a.txt"))
+    // lexicographic order would be wrong, which is the point
+    assert(names.sorted != names.sortBy(n => (partIndex(n), n)))
+  }
+
   test("copyMerge: concatenated multi-part output equals the single-file output byte-for-byte") {
     val in = Files.createTempDirectory("wc_in_cm")
     val words = (1 to 400).map(i => f"t$i%03d")
