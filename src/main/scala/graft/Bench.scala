@@ -18,6 +18,10 @@ object Bench {
   def timeAll(spark: SparkSession, sfDir: String,
       warmDir: String = "/root/testdata/sf0.001",
       only: Set[String] = Set.empty): Seq[(String, Double)] = {
+    // fail loudly on unknown names: a typo in a targeted stress run must
+    // not produce a success-looking empty artifact
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     names.foreach { name =>

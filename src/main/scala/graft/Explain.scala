@@ -30,11 +30,16 @@ object Explain {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
+      // EXECUTE before explaining: the artifact must show the AQE-final
+      // plan (isFinalPlan=true) — the runtime join-strategy choices are
+      // the facts being committed; an unexecuted initial plan would show
+      // strategies AQE may replace
+      df.collect()
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/$name.txt"),
-        s"== $name (sfDir=$sfDir) ==\n\n" + txt)
+        s"== $name (sfDir=$sfDir, executed: AQE-final plan) ==\n\n" + txt)
       println(s"wrote $outDir/$name.txt")
     }
     spark.stop()

@@ -34,8 +34,12 @@ object Stress {
 
   def generateIfAbsent(spark: SparkSession, src: String, dst: String,
       docCopies: Int = 20, vecCopies: Int = 10): Unit = {
+    // the marker records the replication factors: a request for a
+    // DIFFERENT scale must regenerate, not silently reuse the old corpus
+    // under the new label
     val marker = Paths.get(s"$dst/_GRAFT_STRESS_READY")
-    if (Files.exists(marker)) return
+    val stamp = s"docCopies=$docCopies,vecCopies=$vecCopies,src=$src"
+    if (Files.exists(marker) && Files.readString(marker).trim == stamp) return
     replicate(spark, src, "documents", "doc_id", docCopies, dst)
     replicate(spark, src, "embeddings", "vec_id", vecCopies, dst)
     graft.core.Tables.all.filterNot(t => t == "documents" || t == "embeddings")
@@ -43,7 +47,7 @@ object Stress {
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
-    Files.createFile(marker)
+    Files.writeString(marker, stamp + "\n")
   }
 
   def main(args: Array[String]): Unit = {

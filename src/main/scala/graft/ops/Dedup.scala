@@ -105,15 +105,20 @@ object Dedup {
     * a per-(session, dir) SNAPSHOT and holds session references until
     * cleared.
     */
-  def invalidateSignatureCache(): Unit = {
+  def invalidateSignatureCache(): Unit = sigCache.synchronized {
     sigCache.values.foreach { df =>
       try df.unpersist() catch { case _: Throwable => () }
     }
     sigCache.clear()
   }
 
+  // the synchronized block makes invalidate atomic against in-flight
+  // lookups (an unsynchronized getOrElseUpdate racing clear() could
+  // re-insert a stale frame, or persist one the clear never unpersists);
+  // building the lazy DataFrame holds the lock only briefly — no Spark
+  // job runs inside it
   def lshSignatures(s: SparkSession, d: String, bands: Int = 8): DataFrame =
-    sigCache.getOrElseUpdate((s, d, bands), {
+    sigCache.synchronized { sigCache.getOrElseUpdate((s, d, bands), {
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
       // Band hash b = the 16-hex-char window of md5(shingle) at offset 2b:
@@ -129,7 +134,7 @@ object Dedup {
       val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(s"stack($bands, ", ", ", ") as (band, sig)")
       perDoc.selectExpr("doc_id", stackExpr)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    })}
 
   /** Unordered LSH candidate pairs — the shared internal form: q31 and
     * q39 consume candidates as join input, where q32's presentation
@@ -187,9 +192,10 @@ object Dedup {
     * amplification, the multi-table LSH construction). Candidate
     * generation is equality joins on (band, bucket) — per-band fan-in is
     * bounded by 2^bitsPerBand buckets, never an all-pairs cross join.
-    * Verify: exact cosine on the candidate pairs only; the candidate set
-    * is collision-density-sized, so it broadcasts and the embeddings side
-    * never shuffles.
+    * Verify: exact cosine on the candidate pairs only; join strategy is
+    * deliberately left to AQE (see the inline note — the candidate set
+    * is collision-density-sized, a constant fraction of n² on
+    * unclustered data, so pinning it broadcast would be wrong at scale).
     *
     * Recall caveat (documented, inherent to LSH — same as q31): pairs
     * whose sign patterns disagree in every band are not scored. The

@@ -80,6 +80,13 @@ object Similarity {
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), org.apache.spark.ml.clustering.KMeansModel]
 
+  /** Drop memoized quantizers — the IVF analog of
+    * [[graft.ops.Dedup.invalidateSignatureCache]]; call it for the same
+    * reasons (corpus changed under a cached dir, or session cycling in
+    * a long-lived JVM).
+    */
+  def invalidateIvfCache(): Unit = ivfCache.synchronized { ivfCache.clear() }
+
   def q48IvfAnn(s: SparkSession, d: String, nCentroids: Int = 8, nProbe: Int = 2,
       k: Int = 3): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -87,10 +94,12 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .withColumn("vec", array_to_vector(col("embedding")))
       .withColumn("nrm", norm(col("embedding")))
-    val model = ivfCache.getOrElseUpdate((s, d, nCentroids),
-      new KMeans().setK(nCentroids).setSeed(42L)
-        .setFeaturesCol("vec").setPredictionCol("centroid")
-        .fit(e.select("vec")))
+    val model = ivfCache.synchronized {
+      ivfCache.getOrElseUpdate((s, d, nCentroids),
+        new KMeans().setK(nCentroids).setSeed(42L)
+          .setFeaturesCol("vec").setPredictionCol("centroid")
+          .fit(e.select("vec")))
+    }
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid"))
     // nProbe nearest centroids per query: the centroid table is tiny

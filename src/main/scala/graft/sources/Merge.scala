@@ -20,15 +20,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object Merge {
 
-  /** Part index parsed from the filename ("part-00042-uuid.ext" → 42).
+  /** Part index parsed from the filename: Spark ("part-00042-uuid.ext")
+    * and classic Hadoop MR ("part-r-00042" / "part-m-00042") forms.
     * Merging sorts by the PARSED index, not lexicographically: once a
     * job exceeds 99,999 tasks the index outgrows its %05d padding and
     * "part-100000" sorts before "part-99999" as a string — exactly at
     * the scale this utility exists for. Unparseable names sort last,
     * stably by full name.
     */
-  def partIndex(name: String): Int =
-    name.split("-").lift(1).flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+  def partIndex(name: String): Int = {
+    val segs = name.split("-")
+    val idxSeg = segs.lift(1) match {
+      case Some("r") | Some("m") => segs.lift(2) // Hadoop part-r-NNNNN
+      case other => other // Spark part-NNNNN-uuid
+    }
+    idxSeg.flatMap(s => s.takeWhile(_.isDigit) match {
+      case "" => None
+      case ds => ds.toIntOption
+    }).getOrElse(Int.MaxValue)
+  }
 
   /** Concatenate `srcDir`'s part files into `dstFile` (fails if it
     * exists — the FileOutputFormat overwrite contract). Returns the
