@@ -68,20 +68,45 @@ object StreamingOps {
     * mapGroupsWithState — the escape hatch for state machines the
     * built-in windows can't express (the streaming analog of the
     * reference's "write your own Reducer" extension point).
+    *
+    * State is BOUNDED (per the module contract above): the input carries
+    * a watermark and each group arms an event-time timeout `idle` past
+    * its latest event. A user idle longer than `idle` (by event time,
+    * once the watermark passes) has its state emitted one final time and
+    * REMOVED — a later event for the same user starts a fresh total.
+    * That restart is the observable proof of eviction StreamingSpec
+    * asserts on. EventTimeTimeout over ProcessingTimeTimeout because
+    * eviction is then deterministic in event time (replayable,
+    * testable), not wall-clock-dependent.
     */
-  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+  def runningTotals(events: Dataset[UserEvent],
+      lateness: String = "10 minutes", idleMillis: Long = 30L * 60 * 1000)
+      : Dataset[UserRunning] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
-          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
-            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          if (state.hasTimedOut) {
+            // final emission for an idle user, then eviction
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+            var maxTs = Long.MinValue
+            val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+              case ((cn, cv), e) =>
+                maxTs = math.max(maxTs, e.ts.getTime); (cn + 1, cv + e.value)
+            }
+            val next = UserRunning(userId, n, v)
+            state.update(next)
+            // timeout must be strictly beyond the current watermark
+            val base = math.max(maxTs, state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(base + idleMillis)
+            next
           }
-          val next = UserRunning(userId, n, v)
-          state.update(next)
-          next
       }
   }
 

@@ -167,4 +167,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest == Set((1L, 3L, 10.0), (2L, 1L, 7.0)))
     } finally q.stop()
   }
+
+  test("running totals evict idle-user state once the watermark passes the idle timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    // lateness 10 min, idle 30 min → user 1's timeout arms at minute 31
+    val q = StreamingOps.runningTotals(mem.toDS(), "10 minutes", 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("evict_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1, ts(0), 2.0), UserEvent(1, ts(1), 3.0))
+      q.processAllAvailable()
+      // advance the watermark to minute ~110, far past user 1's timeout;
+      // the timeout fires on the NEXT trigger after the watermark moves
+      mem.addData(UserEvent(2, ts(120), 7.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, ts(121), 1.0))
+      q.processAllAvailable()
+      // user 1 returns AFTER eviction: totals must restart from zero —
+      // the observable proof that the idle state was removed, not kept
+      mem.addData(UserEvent(1, ts(122), 100.0))
+      q.processAllAvailable()
+      val user1 = spark.table("evict_out").filter(col("user_id") === 1L)
+        .select("n_events", "total_value").as[(Long, Double)].collect().toSet
+      // pre-eviction snapshots (1,2)/(2,5) and the fresh-start (1,100.0);
+      // an unbounded-state implementation would instead show (3,105.0)
+      assert(user1.contains((1L, 100.0)),
+        s"expected a restarted total (1,100.0) proving eviction; got $user1")
+      assert(!user1.contains((3L, 105.0)),
+        "state survived the idle timeout — eviction did not happen")
+    } finally q.stop()
+  }
 }
