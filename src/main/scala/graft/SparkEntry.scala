@@ -80,6 +80,7 @@ object SparkEntry {
     "q33_simhash" -> (Dedup.q33SimHash(_, _)),
     "q34_embedding_neardup" -> (Dedup.q34EmbeddingNearDup(_, _)),
     "q39_dedup_keep" -> (Dedup.q39DedupKeep(_, _)),
+    "q69_dedup_components" -> ((s, d) => Dedup.q69DedupComponents(s, d)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -534,6 +535,23 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
          |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+    // connected-components resolution: min reachable doc_id through the
+    // symmetric candidate graph — the recursive CTE is the independent
+    // (non-iterative) formulation of Dedup.q69DedupComponents' min-label
+    // propagation loop
+    "q69_dedup_components" ->
+      s"""WITH RECURSIVE $lshSigCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         | WHERE a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         | UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(doc_id, lbl) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+         |SELECT doc_id, min(lbl) AS component FROM reach
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q33_simhash" ->
       s"""WITH dt AS (SELECT doc_id, unnest(list_distinct(${toksSql("text")})) AS t FROM documents),
          |s AS (SELECT doc_id, $simhashSumCols FROM dt GROUP BY doc_id)

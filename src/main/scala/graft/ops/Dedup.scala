@@ -174,6 +174,71 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup resolution, CONNECTED-COMPONENTS policy — the alternative to
+    * q39's greedy min-id: every document is labeled with the minimum
+    * doc_id reachable through the LSH candidate-pair graph (singletons
+    * label themselves), so one representative survives per transitive
+    * near-dup cluster. Greedy q39 instead drops any doc ever claimed as
+    * a pair's larger side, which on a chain 1–2, 2–3 (no 1–3 pair)
+    * reaches the same keep-set but assigns no cluster identity, and on
+    * star shapes (1–3, 2–3) keeps {1,2} while CC merges all three into
+    * component 1 — CC is the policy that guarantees exactly one keeper
+    * per transitive cluster.
+    *
+    * Algorithm: iterative min-label propagation (Pregel shape). Each
+    * round pushes every node's current label across the symmetric edge
+    * list and takes the per-node min; labels only decrease, so
+    * sum(label) is a strictly-decreasing convergence witness and the
+    * loop stops the first round it is unchanged. Each round is one hash
+    * join + one hash agg, both partitioned by doc_id — the 100 TB shape.
+    * Round count is bounded by component DIAMETER, and near-dup clusters
+    * are band-collision cliques-ish (tiny diameters); the O(log n)
+    * small-star/large-star variant is the upgrade path if a corpus ever
+    * exhibits long chains. The driver-side loop holds only one scalar
+    * per round (the sum), never row data.
+    */
+  def q69DedupComponents(s: SparkSession, d: String, maxIters: Int = 20): DataFrame =
+    connectedComponents(
+      Tables.documents(s, d).select("doc_id"),
+      lshCandidatePairs(s, d), maxIters)
+
+  /** The propagation core, reusable over any (doc_id) node frame and
+    * (doc_a, doc_b) pair frame — q69 feeds it the LSH candidates, specs
+    * feed it synthetic chains/stars.
+    */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select("doc_a", "doc_b").union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // localCheckpoint (eager) per round truncates lineage — without it
+      // the logical plan embeds the previous round's plan twice (union +
+      // join) and doubles per iteration. On a real cluster this becomes
+      // a reliable checkpoint to durable storage; the iteration count is
+      // small either way (component diameter)
+      var labels = docs
+        .select(col("doc_id"), col("doc_id").as("component"))
+        .localCheckpoint()
+      var prevSum = labels.agg(sum("component")).head().getLong(0)
+      var converged = false
+      var iters = 0
+      while (!converged && iters < maxIters) {
+        val pushed = edges.join(labels, edges("doc_a") === labels("doc_id"))
+          .select(edges("doc_b").as("doc_id"), col("component"))
+        val next = labels.union(pushed)
+          .groupBy("doc_id").agg(min("component").as("component"))
+          .localCheckpoint()
+        val nextSum = next.agg(sum("component")).head().getLong(0)
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        iters += 1
+      }
+      labels.orderBy("doc_id")
+    } finally edges.unpersist()
+  }
+
   /** SimHash fingerprints (16-bit, md5-digit-parity construction — see
     * TextFunctions.simhash16) over each document's distinct token set.
     * Computed entirely map-side (array fold per row, no shuffle).

@@ -84,6 +84,44 @@ class TextDedupSimSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("connected components: a 3-chain keeps exactly its min-id doc") {
+    import spark.implicits._
+    // chain 1–2, 2–3 with NO direct 1–3 pair, plus singleton 9: the
+    // transitive cluster {1,2,3} must collapse to component 1
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("connected components: star shape merges both leaves (where greedy keeps one)") {
+    import spark.implicits._
+    // star 1–3, 2–3: greedy min-id keeps {1,2} (only 3 is ever a doc_b);
+    // CC merges all three into component 1 — exactly one keeper per
+    // transitive cluster
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("q69 components: labels are component minima and respect candidate pairs") {
+    import spark.implicits._
+    val comp = Dedup.q69DedupComponents(spark, sf)
+    // every component label is a member of its own component (and its min)
+    val bad = comp.groupBy("component").agg(min("doc_id").as("mn"))
+      .filter(col("component") =!= col("mn")).count()
+    assert(bad == 0L)
+    // paired docs always share a component
+    val pairs = Dedup.lshCandidatePairs(spark, sf)
+    val a = comp.toDF("doc_a", "ca")
+    val b = comp.toDF("doc_b", "cb")
+    assert(pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .filter(col("ca") =!= col("cb")).count() == 0L)
+  }
+
   test("q33 simhash: 16-bit range") {
     assert(Dedup.q33SimHash(spark, sf)
       .filter(col("simhash") < 0 || col("simhash") > 0xFFFFL).count() == 0L)
