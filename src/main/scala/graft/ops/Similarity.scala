@@ -87,8 +87,12 @@ object Similarity {
     */
   def invalidateIvfCache(): Unit = ivfCache.synchronized { ivfCache.clear() }
 
-  def q48IvfAnn(s: SparkSession, d: String, nCentroids: Int = 8, nProbe: Int = 2,
-      k: Int = 3): DataFrame = {
+  /** Fit-or-fetch the memoized coarse quantizer over the embeddings at
+    * `d`, and the (vec_id, embedding, nrm, centroid) assignment frame it
+    * induces.
+    */
+  private def quantize(s: SparkSession, d: String, nCentroids: Int)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(s, d)
@@ -100,14 +104,26 @@ object Similarity {
           .setFeaturesCol("vec").setPredictionCol("centroid")
           .fit(e.select("vec")))
     }
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid"))
-    // nProbe nearest centroids per query: the centroid table is tiny
-    // (nCentroids rows) — build it as a broadcast-able DataFrame
+    (model, model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid")))
+  }
+
+  /** The centroid vectors as a tiny broadcast-able frame. */
+  private def centroidFrame(s: SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
     import s.implicits._
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
+    model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
       .toDF("centroid", "c_emb")
+  }
+
+  /** The probe core shared by the in-session q48 and the persisted-index
+    * path: rank the `nProbe` nearest centroids per query (queries =
+    * vec_id % 25 == 0 of the assignment frame), then cosine top-k within
+    * only those centroids' assignments.
+    */
+  private def ivfProbe(assigned: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
     val queries = assigned.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"))
@@ -130,6 +146,40 @@ object Similarity {
         col("centroid").cast("long").as("centroid"), r4(col("sim6")).as("cos_sim"))
       .orderBy("query_id", "rk")
   }
+
+  def q48IvfAnn(s: SparkSession, d: String, nCentroids: Int = 8, nProbe: Int = 2,
+      k: Int = 3): DataFrame = {
+    val (model, assigned) = quantize(s, d, nCentroids)
+    ivfProbe(assigned, centroidFrame(s, model), nProbe, k)
+  }
+
+  /** Materialize the IVF index: the assignment frame lands as a catalog
+    * table BUCKETED BY centroid (`graft.sources.Bucketing.writeBucketed`)
+    * plus a `<table>_centroids` side table with the centroid vectors.
+    * This makes the "centroid id is the partition key" claim a physical
+    * layout: any later join or aggregation keyed on centroid is
+    * co-located with zero Exchange on the index side, and a cold session
+    * probes the table without re-fitting the quantizer — the production
+    * build-once / probe-many split at 100 TB (where this write is the
+    * expensive pass and probes touch only nProbe buckets' worth of
+    * rows via the broadcast probe join).
+    */
+  def buildIvfIndex(s: SparkSession, d: String, table: String,
+      nCentroids: Int = 8, buckets: Int = 8,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    val (model, assigned) = quantize(s, d, nCentroids)
+    graft.sources.Bucketing.writeBucketed(
+      assigned, table, "centroid", buckets, Some("vec_id"), mode)
+    centroidFrame(s, model).write.mode(mode).format("parquet")
+      .saveAsTable(table + "_centroids")
+  }
+
+  /** Probe a persisted IVF index by table name — no KMeans fit anywhere
+    * on this path; the quantizer lives in `<table>_centroids`.
+    */
+  def ivfProbeIndexed(s: SparkSession, table: String, nProbe: Int = 2,
+      k: Int = 3): DataFrame =
+    ivfProbe(s.table(table), s.table(table + "_centroids"), nProbe, k)
 
   /** Sign-LSH bucketed ANN top-k: bucket on the sign pattern of the
     * first 8 dimensions (2^8 buckets), join query↔candidate on equal

@@ -40,4 +40,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(hits.toDouble / total >= 0.3, s"recall $hits/$total")
     } finally ivf.unpersist()
   }
+
+  test("persisted IVF index: probe-from-table equals the in-session q48 result") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("ivf_idx", "ivf_idx_centroids").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(warehouse, t)
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    try {
+      Similarity.buildIvfIndex(spark, sf, "ivf_idx")
+      // the index table carries the physical layout claim
+      val catalog = spark.sql("DESCRIBE EXTENDED ivf_idx").collect()
+        .map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+      assert(catalog.contains("Bucket Columns") && catalog.contains("centroid"),
+        s"index table must be bucketed by centroid:\n$catalog")
+      // probing the persisted index (no KMeans fit on this path) must
+      // reproduce the in-session result exactly — same quantizer, same
+      // probe core; this transitively pins the recall bound above
+      val fromIndex = Similarity.ivfProbeIndexed(spark, "ivf_idx")
+      val inSession = Similarity.q48IvfAnn(spark, sf)
+      assert(fromIndex.exceptAll(inSession).count() == 0L &&
+        inSession.exceptAll(fromIndex).count() == 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_idx")
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_centroids")
+    }
+  }
 }
