@@ -25,25 +25,43 @@ object Similarity {
 
   /** Brute-force cosine top-k for a deterministic query subset
     * (vec_id % 50 == 0), excluding self-matches.
+    *
+    * Formulation: per-group top-k via the O(k)-state
+    * [[graft.api.TypedPipeline.TopK]] Aggregator, which folds candidates
+    * map-side and shuffles only k pairs per (query, partition). MEASURED
+    * against the window + row_number alternative on the 20× stress
+    * corpus (8M scored pairs): TopK 7.0–7.5 s vs window 9.9–12.1 s, with
+    * byte-identical output — WindowGroupLimit prunes ranks but still
+    * sorts each group's full partition slice, while the Aggregator's
+    * insertion fold never materializes a group (NOTES.md round 4; the
+    * losing window formulation was removed per the measured-verdict
+    * discipline).
     */
   def q40CosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_norm"))
     val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-      norm(col("embedding")).as("c_norm"), col("label"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim6").desc, col("cand_id"))
-    broadcast(q).join(c, col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("label"),
+      norm(col("embedding")).as("c_norm"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"),
         r6(cosinePrenormed(dot(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
-          .as("sim6"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+          .as("sim6"),
+        col("cand_id"))
+      .as[(Long, Double, Long)]
+    val top = scored.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.api.TypedPipeline.TopK(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+    val labels = e.select(col("vec_id").as("cand_id"), col("label"))
+    top.select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("pair._2").as("cand_id"), col("pair._1").as("sim6"))
+      .join(labels, Seq("cand_id"))
       .select(col("query_id"), col("rk"), col("cand_id"),
-        col("label").cast("long").as("cand_label"),
-        r4(col("sim6")).as("cos_sim"))
+        col("label").cast("long").as("cand_label"), r4(col("sim6")).as("cos_sim"))
       .orderBy("query_id", "rk")
   }
 
