@@ -138,6 +138,73 @@ object StreamingOps {
       .withWatermark("ts", retention)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  case class BandedDoc(band: Int, sig: String, doc_id: Long, ts: java.sql.Timestamp)
+  case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Streaming MinHash-LSH near-dup candidates — the incremental twin of
+    * batch q32MinHashLsh (`graft.ops.Dedup.lshCandidatePairs`). Arriving
+    * docs compute their per-band min-hash signatures MAP-SIDE (the same
+    * one-md5-per-shingle window construction as the batch path, as a
+    * per-row array fold — no explode/groupBy before the stateful op),
+    * then group on (band, sig): each bucket's state is the doc-id list
+    * seen within the watermark, and a new arrival emits one normalized
+    * (doc_a < doc_b) candidate pair per co-bucketed predecessor. A
+    * downstream consumer drops near-dups by anti-joining arriving docs
+    * against the pairs' doc_b side (the q39 resolution, incrementally)
+    * or distinct-merges them across bands.
+    *
+    * State is BOUNDED the same way dedupStream's is: an event-time
+    * timeout `retentionMillis` past a bucket's latest arrival clears the
+    * bucket, trading cross-batch recall beyond the retention horizon for
+    * bounded state — with the additional per-bucket bound that a bucket
+    * holds ids, not documents. Dup-heavy buckets hold many ids; that is
+    * the same candidate-volume cost the batch plan pays in its
+    * equality-join fan-in, surfaced here as state size.
+    */
+  def lshCandidateStream(docs: DataFrame, bands: Int = 8,
+      lateness: String = "10 minutes", retentionMillis: Long = 3600000L)
+      : Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextFunctions.{shingles3, tokens}
+    val banded = docs
+      .withWatermark("ts", lateness)
+      .withColumn("hs", transform(shingles3(tokens(col("text"))), sh => md5(sh)))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), col("ts"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => array_min(transform(col("hs"),
+            h => h.substr(lit(1) + b * 2, lit(16)))))))
+      .toDF("doc_id", "ts", "band", "sig")
+      .select(col("band"), col("sig"), col("doc_id"), col("ts"))
+      .as[BandedDoc]
+    banded.groupByKey(bd => (bd.band, bd.sig))
+      .flatMapGroupsWithState[List[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrived = rows.toList.sortBy(_.doc_id)
+            var known = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[CandPair]
+            arrived.foreach { bd =>
+              known.foreach { k =>
+                if (k != bd.doc_id)
+                  out += (if (k < bd.doc_id) CandPair(k, bd.doc_id)
+                          else CandPair(bd.doc_id, k))
+              }
+              if (!known.contains(bd.doc_id)) known = bd.doc_id :: known
+            }
+            state.update(known)
+            val maxTs = arrived.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + retentionMillis)
+            out.result().iterator
+          }
+      }
+  }
+
   /** foreachBatch sink: land each micro-batch as partitioned parquet
     * (partitioned by event_type — the layout downstream batch queries
     * prune on). foreachBatch is the production bridge from a stream to

@@ -126,6 +126,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH candidates match batch lshCandidatePairs on the same micro-batched corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real fixture corpus, streamed in three micro-batches: the
+    // candidate-pair set (distinct-merged across bands) must equal the
+    // batch formulation's — including CROSS-batch pairs, which is the
+    // part the bucket state exists for
+    val corpus = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.lshCandidateStream(docs)
+      .writeStream.format("memory").queryName("lsh_out")
+      .outputMode("append").start()
+    try {
+      corpus.grouped((corpus.size + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk.map { case (id, text) => (id, ts(i), text) })
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("lsh_out")
+        .select("doc_a", "doc_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.ops.Dedup.lshCandidatePairs(spark, TestSpark.sf)
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pairs, batch ${batch.size}; " +
+          s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming LSH candidates: bucket state evicted past retention re-admits dups silently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    // 10-minute lateness, 30-minute retention
+    val q = StreamingOps.lshCandidateStream(docs, 8, "10 minutes", 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("lsh_evict_out")
+      .outputMode("append").start()
+    try {
+      val text = "alpha beta gamma delta epsilon"
+      mem.addData((1L, ts(0), text))
+      q.processAllAvailable()
+      // push the watermark far past doc 1's retention, then fire timeouts
+      mem.addData((50L, ts(300), "unrelated words entirely here now"))
+      q.processAllAvailable()
+      mem.addData((51L, ts(301), "different unrelated filler text again"))
+      q.processAllAvailable()
+      // doc 2 duplicates doc 1 AFTER eviction: no (1,2) pair may appear —
+      // bounded state traded that recall away, which is the documented
+      // contract (and proves the bucket state is actually gone)
+      mem.addData((2L, ts(302), text))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_evict_out")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(!pairs.contains((1L, 2L)),
+        s"bucket state for doc 1 survived past retention: $pairs")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands micro-batches as partitioned parquet with batch ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
