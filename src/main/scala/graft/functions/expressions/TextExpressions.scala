@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -21,9 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * row (not per shingle/pair), so interpretation overhead is negligible.
   */
 case class TokenShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
   require(n >= 1, "shingle width must be >= 1")
+
+  // wrong-typed input is an ANALYSIS error, not a runtime ClassCastException
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -69,7 +72,10 @@ case class TokenShingles(child: Expression, n: Int)
   * the per-row loop is the win, codegen would only shave the call.
   */
 case class StringTokens(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  // wrong-typed input is an ANALYSIS error, not a runtime ClassCastException
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -100,11 +106,17 @@ case class StringTokens(child: Expression)
   * is why it carries real codegen (`doGenCode`) like FloatDot rather
   * than CodegenFallback. Counts DISTINCT elements of `a` present in `b`
   * (identical contract to size(array_intersect) for any inputs, not
-  * just pre-distincted ones). Elements are assumed non-null (the token
-  * arrays' schema: containsNull = false).
+  * just pre-distincted ones — including null elements, which
+  * array_intersect treats as a value: null counts once iff present on
+  * both sides).
   */
 case class ArrayIntersectCount(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  // wrong-typed input is an ANALYSIS error, not a runtime ClassCastException
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
@@ -114,14 +126,23 @@ case class ArrayIntersectCount(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val inB = new java.util.HashSet[UTF8String](y.numElements() * 2)
+    var bHasNull = false
     var i = 0
-    while (i < y.numElements()) { inB.add(y.getUTF8String(i)); i += 1 }
+    while (i < y.numElements()) {
+      if (y.isNullAt(i)) bHasNull = true else inB.add(y.getUTF8String(i))
+      i += 1
+    }
     val seen = new java.util.HashSet[UTF8String](x.numElements() * 2)
+    var aHadNull = false
     var cnt = 0
     var j = 0
     while (j < x.numElements()) {
-      val t = x.getUTF8String(j)
-      if (inB.contains(t) && seen.add(t)) cnt += 1
+      if (x.isNullAt(j)) {
+        if (!aHadNull) { aHadNull = true; if (bHasNull) cnt += 1 }
+      } else {
+        val t = x.getUTF8String(j)
+        if (inB.contains(t) && seen.add(t)) cnt += 1
+      }
       j += 1
     }
     cnt
@@ -138,17 +159,26 @@ case class ArrayIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val t = ctx.freshName("t")
+      val bHasNull = ctx.freshName("bHasNull")
+      val aHadNull = ctx.freshName("aHadNull")
       // raw HashSet: janino compiles no generics
       s"""
          |java.util.HashSet $inB = new java.util.HashSet($b.numElements() * 2);
+         |boolean $bHasNull = false;
          |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  $inB.add($b.getUTF8String($i));
+         |  if ($b.isNullAt($i)) { $bHasNull = true; }
+         |  else { $inB.add($b.getUTF8String($i)); }
          |}
          |java.util.HashSet $seen = new java.util.HashSet($a.numElements() * 2);
+         |boolean $aHadNull = false;
          |int $cnt = 0;
          |for (int $j = 0; $j < $a.numElements(); $j++) {
-         |  org.apache.spark.unsafe.types.UTF8String $t = $a.getUTF8String($j);
-         |  if ($inB.contains($t) && $seen.add($t)) $cnt++;
+         |  if ($a.isNullAt($j)) {
+         |    if (!$aHadNull) { $aHadNull = true; if ($bHasNull) $cnt++; }
+         |  } else {
+         |    org.apache.spark.unsafe.types.UTF8String $t = $a.getUTF8String($j);
+         |    if ($inB.contains($t) && $seen.add($t)) $cnt++;
+         |  }
          |}
          |${ev.value} = $cnt;
        """.stripMargin

@@ -95,8 +95,12 @@ object Dedup {
     * is #docs × #bands rows — tiny next to the corpus — so MEMORY_AND_DISK
     * persistence is safe at any scale the executors can hold the corpus.
     */
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+  // key carries a content fingerprint of the documents table (listing +
+  // mtimes, graft.core.Fingerprint) so a corpus changing under a cached
+  // dir is DETECTED: the next lookup sees a new fingerprint, evicts the
+  // stale snapshot, and rebuilds — staleness is enforced, not documented
+  private val sigCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, String), DataFrame]
 
   /** Drop every memoized signature frame (unpersisting live ones).
     * Call when the documents under a cached dir change within a session
@@ -118,7 +122,16 @@ object Dedup {
   // building the lazy DataFrame holds the lock only briefly — no Spark
   // job runs inside it
   def lshSignatures(s: SparkSession, d: String, bands: Int = 8): DataFrame =
-    sigCache.synchronized { sigCache.getOrElseUpdate((s, d, bands), {
+    sigCache.synchronized {
+      val fp = graft.core.Fingerprint.of(d, "documents")
+      sigCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 == bands && k._4 != fp)
+        .foreach { stale =>
+          sigCache.remove(stale).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+        }
+      sigCache.getOrElseUpdate((s, d, bands, fp), {
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
       // Band hash b = the 16-hex-char window of md5(shingle) at offset 2b:

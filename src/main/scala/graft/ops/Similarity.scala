@@ -95,8 +95,11 @@ object Similarity {
     * is persisted alongside the corpus and queries only pay the probe.
     * Seeded fit ⇒ the memo does not change results.
     */
+  // key carries a content fingerprint of the embeddings table (listing +
+  // mtimes, graft.core.Fingerprint) so a corpus changing under a cached
+  // dir evicts the stale quantizer instead of silently probing it
   private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), org.apache.spark.ml.clustering.KMeansModel]
+    .empty[(SparkSession, String, Int, String), org.apache.spark.ml.clustering.KMeansModel]
 
   /** Drop memoized quantizers — the IVF analog of
     * [[graft.ops.Dedup.invalidateSignatureCache]]; call it for the same
@@ -117,7 +120,11 @@ object Similarity {
       .withColumn("vec", array_to_vector(col("embedding")))
       .withColumn("nrm", norm(col("embedding")))
     val model = ivfCache.synchronized {
-      ivfCache.getOrElseUpdate((s, d, nCentroids),
+      val fp = graft.core.Fingerprint.of(d, "embeddings")
+      ivfCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 == nCentroids && k._4 != fp)
+        .foreach(ivfCache.remove)
+      ivfCache.getOrElseUpdate((s, d, nCentroids, fp),
         new KMeans().setK(nCentroids).setSeed(42L)
           .setFeaturesCol("vec").setPredictionCol("centroid")
           .fit(e.select("vec")))

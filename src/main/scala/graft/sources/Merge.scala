@@ -53,11 +53,21 @@ object Merge {
       .filter(_.getName.startsWith("part-"))
       .sortBy(p => (partIndex(p.getName), p.getName))
     val out = fs.create(dst, /* overwrite = */ false)
-    try parts.foreach { p =>
-      val in = fs.open(p)
-      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, /* close = */ false)
-      finally in.close()
-    } finally out.close()
+    try {
+      try parts.foreach { p =>
+        val in = fs.open(p)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, /* close = */ false)
+        finally in.close()
+      } finally out.close()
+    } catch {
+      case e: Throwable =>
+        // a partially-written dst would make the retry fail on the
+        // fail-if-exists create with no hint the file is garbage —
+        // remove it so retries start clean
+        try fs.delete(dst, /* recursive = */ false)
+        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+        throw e
+    }
     if (deleteSrc) fs.delete(src, true)
     parts.length
   }

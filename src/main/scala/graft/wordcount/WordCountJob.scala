@@ -74,8 +74,11 @@ object WordCountJob {
       return -1
     }
     // stop only a session this invocation created — getOrCreate may hand
-    // back a caller's live session (and applies `conf` to it)
-    val preexisting = org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+    // back a caller's live session (and applies `conf` to it). A default
+    // session whose context was already stopped does NOT count: getOrCreate
+    // replaces it with a fresh one that this invocation then owns
+    val preexisting = org.apache.spark.sql.SparkSession.getDefaultSession
+      .exists(s => !s.sparkContext.isStopped)
     val spark = GraftSession.builder("WordCounter", extraConf = conf).getOrCreate()
     try {
       run(spark, rest(0), rest(1))

@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]` in Spark 4; this public alias
+    * lets our expressions declare `ExpectsInputTypes.inputTypes` (so
+    * misuse fails at ANALYSIS time) from outside the package tree.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

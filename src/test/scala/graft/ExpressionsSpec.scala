@@ -83,6 +83,34 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("input type contracts: wrong-typed input fails at analysis, not execution") {
+    import spark.implicits._
+    val df = Seq((1, Array(1, 2))).toDF("n", "ints")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.expressions.TextExpressions
+        .stringTokens(col("n"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.expressions.TextExpressions
+        .arrayIntersectCount(col("ints"), col("ints"))).collect()
+    }
+  }
+
+  test("ArrayIntersectCount ≡ size(array_intersect) on null-bearing arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[String]("a", null, "b", null), Seq[String](null, "b", "c")),
+      (Seq[String]("a", null), Seq[String]("a", "b")),
+      (Seq[String]("x"), Seq[String](null)))
+      .toDF("a", "b")
+    val diff = df.select(
+      graft.functions.expressions.TextExpressions
+        .arrayIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("spec"))
+      .filter(col("fast") =!= col("spec")).count()
+    assert(diff == 0L)
+  }
+
   test("TokenShingles edge cases: short arrays") {
     import spark.implicits._
     val df = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "b", "c", "d"))

@@ -41,6 +41,37 @@ class SimilaritySpec extends AnyFunSuite {
     } finally ivf.unpersist()
   }
 
+  test("q34 banded near-dup: exact verify (no false positives) and recall vs all-pairs pinned") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val threshold = 0.4
+    val got = graft.ops.Dedup.q34EmbeddingNearDup(spark, sf, threshold)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // independent exact all-pairs formulation (not the banded CTEs the
+    // oracle mirrors): the gate verifies mirroring, THIS pins semantics
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      norm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      norm(col("embedding")).as("nb"))
+    val exact = a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.Round.r4(
+          cosinePrenormed(dot(col("ea"), col("eb")), col("na"), col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // the verify stage is exact cosine → banding can only MISS pairs,
+    // never invent them
+    assert((got -- exact).isEmpty,
+      s"q34 emitted non-pairs (verify must be exact): ${(got -- exact).take(5)}")
+    // recall at the fixture's adversarial threshold (weakly-similar
+    // pairs, far below the 8-band design point of cos>=0.9) stays above
+    // the floor the banding math predicts — a banding bug replicated
+    // into the oracle would trip this independent assertion
+    val recall = if (exact.isEmpty) 1.0 else got.size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall (${got.size}/${exact.size})")
+  }
+
   test("persisted IVF index: probe-from-table equals the in-session q48 result") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     Seq("ivf_idx", "ivf_idx_centroids").foreach { t =>

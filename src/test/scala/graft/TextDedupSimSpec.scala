@@ -158,6 +158,25 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(joined.filter(col("bucket") =!= col("cand_bucket")).count() == 0L)
   }
 
+  test("signature cache: a corpus changing under a cached dir is detected, not served stale") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sig_stale").toString
+    val textA = "alpha beta gamma delta epsilon zeta"
+    def write(texts: Seq[(Long, String)]): Unit =
+      texts.toDF("doc_id", "text")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // two identical docs → at least one candidate pair
+    write(Seq((1L, textA), (2L, textA)))
+    assert(ops.Dedup.q32MinHashLsh(spark, dir).count() >= 1L)
+    // the corpus changes IN PLACE under the cached dir: all-distinct docs
+    write(Seq((1L, "one two three four five six"),
+      (2L, "seven eight nine ten eleven twelve")))
+    // no invalidate call — the fingerprint key must detect the change
+    assert(ops.Dedup.q32MinHashLsh(spark, dir).count() == 0L,
+      "stale signature frame served after the corpus changed under the dir")
+  }
+
   test("signature cache: invalidate unpersists and clears the memo") {
     ops.Dedup.lshSignatures(spark, sf) // populate
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
