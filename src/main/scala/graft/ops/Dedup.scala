@@ -210,19 +210,33 @@ object Dedup {
     * exhibits long chains. The driver-side loop holds only one scalar
     * per round (the sum), never row data.
     */
-  def q69DedupComponents(s: SparkSession, d: String, maxIters: Int = 20): DataFrame =
-    connectedComponents(
-      Tables.documents(s, d).select("doc_id"),
-      lshCandidatePairs(s, d), maxIters)
+  def q69DedupComponents(s: SparkSession, d: String, maxIters: Int = 20): DataFrame = {
+    val comp = connectedComponents(lshCandidatePairs(s, d), maxIters)
+    // singletons never enter the propagation (see connectedComponents);
+    // they label themselves via the coalesce — one broadcast-or-hash
+    // left join against the corpus, no per-round cost for unpaired docs
+    Tables.documents(s, d).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
 
-  /** The propagation core, reusable over any (doc_id) node frame and
-    * (doc_a, doc_b) pair frame — q69 feeds it the LSH candidates, specs
-    * feed it synthetic chains/stars.
+  /** The propagation core over the PAIR GRAPH ONLY: nodes are the docs
+    * that appear in at least one pair — at production dup densities a
+    * small fraction of the corpus — so every per-round join and agg is
+    * sized by the near-dup population, not the corpus. Callers union
+    * singletons back in afterwards (q69 does it with one left join +
+    * coalesce). Returns (doc_id, component) for paired docs only.
     */
-  def connectedComponents(docs: DataFrame, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select("doc_a", "doc_b").union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // symmetrize in ONE pass over the pair frame (explode of a 2-array),
+    // not a self-union — a union would run the candidate-generation
+    // subtree twice to materialize the persist
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // localCheckpoint (eager) per round truncates lineage — without it
@@ -230,8 +244,9 @@ object Dedup {
       // join) and doubles per iteration. On a real cluster this becomes
       // a reliable checkpoint to durable storage; the iteration count is
       // small either way (component diameter)
-      var labels = docs
-        .select(col("doc_id"), col("doc_id").as("component"))
+      var labels = edges
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(least(col("doc_a"), col("doc_b"))).as("component"))
         .localCheckpoint()
       var prevSum = labels.agg(sum("component")).head().getLong(0)
       var converged = false

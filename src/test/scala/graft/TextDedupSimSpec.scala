@@ -86,13 +86,23 @@ class TextDedupSimSpec extends AnyFunSuite {
 
   test("connected components: a 3-chain keeps exactly its min-id doc") {
     import spark.implicits._
-    // chain 1–2, 2–3 with NO direct 1–3 pair, plus singleton 9: the
-    // transitive cluster {1,2,3} must collapse to component 1
-    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    // chain 1–2, 2–3 with NO direct 1–3 pair: the transitive cluster
+    // {1,2,3} must collapse to component 1. Propagation covers paired
+    // nodes only — singletons ride q69's coalesce, not the loop
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(docs, pairs)
+    val got = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connected components: long chain converges past the first-round neighbor min") {
+    import spark.implicits._
+    // a 6-node path needs several propagation rounds (diameter 5): guards
+    // the convergence loop, not just the free neighbor-min initialization
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 6L).map(_ -> 1L).toMap)
   }
 
   test("connected components: star shape merges both leaves (where greedy keeps one)") {
@@ -100,9 +110,8 @@ class TextDedupSimSpec extends AnyFunSuite {
     // star 1–3, 2–3: greedy min-id keeps {1,2} (only 3 is ever a doc_b);
     // CC merges all three into component 1 — exactly one keeper per
     // transitive cluster
-    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
     val pairs = Seq((1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(docs, pairs)
+    val got = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
