@@ -19,7 +19,7 @@ object Explain {
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_customer_revenue", "q05_nation_revenue",
     "q26_tfidf", "q31_jaccard_pairs", "q32_minhash_lsh",
-    "q34_embedding_neardup", "q41_ann_lsh_topk")
+    "q34_embedding_neardup", "q40_cosine_topk", "q41_ann_lsh_topk")
 
   private def writeArtifacts(sfDir: String, outDir: String): Unit = {
     // the SAME session config every real run uses — artifacts generated
