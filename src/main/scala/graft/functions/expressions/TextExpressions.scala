@@ -100,6 +100,62 @@ case class StringTokens(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document term frequencies in ONE byte scan:
+  * `array<struct<token string, cnt int>>` over StringTokenizer-faithful
+  * tokens (same 0x20-split/empty-suppression contract as
+  * [[StringTokens]]). Semantically `explode(tokens) → groupBy(token) →
+  * count` per row, but computed row-local — downstream consumers
+  * (TF-IDF) explode one row per DISTINCT term instead of one per token
+  * occurrence, and need NO shuffle to obtain tf. Struct order is
+  * first-occurrence order; consumers must not depend on it (and don't —
+  * everything downstream re-sorts or aggregates).
+  *
+  * CodegenFallback for the usual reason: one call per document ROW.
+  */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "token_counts"
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[UTF8String].getBytes
+    val counts = new java.util.LinkedHashMap[UTF8String, Int](16)
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x20) {
+        if (i > start) {
+          val t = UTF8String.fromBytes(b, start, i - start)
+          counts.put(t, counts.getOrDefault(t, 0) + 1)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `size(array_intersect(a, b))` without materializing the intersection
   * array — the verify-stage scalar of the Jaccard join, evaluated once
   * per CANDIDATE PAIR (millions of times on a dup-heavy corpus), which
@@ -201,4 +257,8 @@ object TextExpressions {
   /** Column API for [[ArrayIntersectCount]]. */
   def arrayIntersectCount(a: Column, b: Column): Column =
     Bridge.column(ArrayIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for [[TokenCounts]]. */
+  def tokenCounts(text: Column): Column =
+    Bridge.column(TokenCounts(Bridge.expression(text)))
 }

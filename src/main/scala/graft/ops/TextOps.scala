@@ -115,28 +115,28 @@ object TextOps {
     // it between the df aggregation and the scoring join is SLOWER than
     // the double-compute at 20x stress scale (cache materialization of
     // ~3M string rows costs more than re-running the columnar explode).
-    val exploded = docs
+    //
+    // tf is computed ROW-LOCAL by the TokenCounts expression (one byte
+    // scan per doc): the explode emits one row per DISTINCT term instead
+    // of one per token occurrence, and the old repartition+groupBy tf
+    // aggregation disappears entirely — the scoring path's only exchange
+    // is the ranking window's partitionBy(doc_id), carrying
+    // distinct-term rows. Measured at 20× stress: 24.4 s → see NOTES.md.
+    val terms = docs
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"),
-        explode(tokens(col("text"))).as("token"))
-    // Scoring path: ONE shuffle. repartition(doc_id) hash-partitions the
-    // exploded tokens once; HashPartitioning(doc_id) satisfies both the
-    // groupBy(doc_id, n_tokens, token) clustering AND the ranking
-    // window's partitionBy(doc_id), so neither adds an exchange (the
-    // broadcast joins in between preserve stream-side partitioning).
-    val terms = exploded
-      .repartition(col("doc_id"))
-      .groupBy("doc_id", "n_tokens", "token")
-      .agg(count(lit(1)).as("tf_cnt"))
-    // document frequency via groupBy + broadcast join on its own
-    // UN-repartitioned pass (map-side combine shrinks the shuffle to
-    // distinct (doc, token) pairs): an earlier window-count-over-token
-    // formulation avoided recomputing the terms subtree but serialized
-    // 3M rows into vocabulary-count partitions at a 100k-doc stress run
-    // (39 s vs seconds) — the vocabulary-sized df table broadcasts for
-    // free, so pay the extra explode pass instead
-    val dfTable = exploded
-      .groupBy("doc_id", "n_tokens", "token").agg(count(lit(1)).as("tf_cnt"))
-      .groupBy("token").agg(count(lit(1)).as("df"))
+        explode(graft.functions.expressions.TextExpressions.tokenCounts(col("text")))
+          .as("tc"))
+      .select(col("doc_id"), col("n_tokens"), col("tc.token").as("token"),
+        col("tc.cnt").cast("long").as("tf_cnt"))
+    // document frequency: groupBy + broadcast join on a second pass of
+    // the terms subtree (already (doc, token)-distinct, so count(1) =
+    // count distinct docs; map-side combine shrinks the shuffle to
+    // per-partition term counts). An earlier window-count-over-token
+    // formulation avoided recomputing the subtree but serialized 3M rows
+    // into vocabulary-count partitions at a 100k-doc stress run (39 s vs
+    // seconds) — the vocabulary-sized df table broadcasts for free, so
+    // pay the second pass instead
+    val dfTable = terms.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("token"))
     terms
       .join(broadcast(dfTable), Seq("token"))

@@ -83,6 +83,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("TokenCounts ≡ explode(tokens)+groupBy count on fixture docs") {
+    import spark.implicits._
+    val d = graft.core.Tables.documents(spark, TestSpark.sf)
+    val viaExpr = d.select(col("doc_id"),
+        explode(graft.functions.expressions.TextExpressions.tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"),
+        col("tc.cnt").cast("long").as("cnt"))
+    val viaAgg = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    assert(viaExpr.exceptAll(viaAgg).count() == 0L &&
+      viaAgg.exceptAll(viaExpr).count() == 0L)
+  }
+
+  test("TokenCounts edge cases: empty, spaces-only, repeats, null") {
+    import spark.implicits._
+    val df = Seq(Some(""), Some("   "), Some("a b a  a"), None).toDF("t")
+    val got = df.select(graft.functions.expressions.TextExpressions
+        .tokenCounts(col("t")).as("tc"))
+      .as[Option[Seq[(String, Int)]]].collect().toSeq
+    assert(got == Seq(Some(Seq()), Some(Seq()),
+      Some(Seq(("a", 3), ("b", 1))), None))
+  }
+
   test("input type contracts: wrong-typed input fails at analysis, not execution") {
     import spark.implicits._
     val df = Seq((1, Array(1, 2))).toDF("n", "ints")
