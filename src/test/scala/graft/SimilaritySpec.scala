@@ -86,6 +86,12 @@ class SimilaritySpec extends AnyFunSuite {
         .map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
       assert(catalog.contains("Bucket Columns") && catalog.contains("centroid"),
         s"index table must be bucketed by centroid:\n$catalog")
+      // the layout is functional, not just recorded: a centroid-keyed
+      // aggregation over the index plans with ZERO shuffle Exchange
+      val aggPlan = spark.table("ivf_idx").groupBy("centroid")
+        .agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"centroid agg over the bucketed index must not shuffle:\n$aggPlan")
       // probing the persisted index (no KMeans fit on this path) must
       // reproduce the in-session result exactly — same quantizer, same
       // probe core; this transitively pins the recall bound above
