@@ -46,11 +46,19 @@ object Bench {
     }
   }
 
+  /** Timing-protocol version, embedded in every artifact so cross-round
+    * totals are never silently compared across protocol changes (the
+    * round-3→4 warm-at-timed-dir change made r3 numbers look like
+    * regressions until re-diagnosed). warm2 = warmup at sf0.001 AND at
+    * the timed dir (steady-state memos), one timed pass.
+    */
+  val Protocol = "warm2"
+
   def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$Protocol","queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -85,8 +85,12 @@ object SparkEntry {
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
     "q35_knn_classify" -> (Similarity.q35KnnClassify(_, _)),
-    // IVF ANN (no SQL oracle: k-means isn't DuckDB-expressible → rows-only check)
+    // IVF ANN (no SQL oracle: k-means isn't DuckDB-expressible → rows-only
+    // check; q70 is the persisted-index probe path — builds the bucketed
+    // index table once, then answers from it with no fit; SimilaritySpec
+    // pins q70 ≡ q48 exactly, and q48's recall bound covers both)
     "q48_ivf_ann" -> (Similarity.q48IvfAnn(_, _)),
+    "q70_ivf_probe_indexed" -> ((s, d) => Similarity.q70IvfProbeIndexed(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),

@@ -101,19 +101,26 @@ object Dedup {
   // stale snapshot, and rebuilds — staleness is enforced, not documented
   private val sigCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int, String), DataFrame]
+  private val candCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, String), DataFrame]
 
-  /** Drop every memoized signature frame (unpersisting live ones).
-    * Call when the documents under a cached dir change within a session
-    * (e.g. after a streaming ingest lands new files) or when embedding
-    * the engine in a long-lived JVM that cycles sessions — the memo is
-    * a per-(session, dir) SNAPSHOT and holds session references until
-    * cleared.
+  /** Drop every memoized signature AND candidate-pair frame (unpersisting
+    * live ones). Call when the documents under a cached dir change within
+    * a session (e.g. after a streaming ingest lands new files) or when
+    * embedding the engine in a long-lived JVM that cycles sessions — the
+    * memos are per-(session, dir) SNAPSHOTS and hold session references
+    * until cleared. Lock order is candCache then sigCache, matching
+    * lshCandidatePairs (which builds signatures while holding the
+    * candidate lock), so invalidation cannot deadlock against a build.
     */
-  def invalidateSignatureCache(): Unit = sigCache.synchronized {
-    sigCache.values.foreach { df =>
-      try df.unpersist() catch { case _: Throwable => () }
+  def invalidateSignatureCache(): Unit = candCache.synchronized {
+    sigCache.synchronized {
+      (candCache.values ++ sigCache.values).foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+      candCache.clear()
+      sigCache.clear()
     }
-    sigCache.clear()
   }
 
   // the synchronized block makes invalidate atomic against in-flight
@@ -123,7 +130,7 @@ object Dedup {
   // job runs inside it
   def lshSignatures(s: SparkSession, d: String, bands: Int = 8): DataFrame =
     sigCache.synchronized {
-      val fp = graft.core.Fingerprint.of(d, "documents")
+      val fp = graft.core.Fingerprint.of(s, d, "documents")
       sigCache.keys
         .filter(k => k._1 == s && k._2 == d && k._3 == bands && k._4 != fp)
         .foreach { stale =>
@@ -153,15 +160,39 @@ object Dedup {
     * q39 consume candidates as join input, where q32's presentation
     * `orderBy` would be a wasted range-partition + sort of a
     * millions-of-pairs frame on a dup-heavy corpus.
+    *
+    * Memoized and persisted like [[lshSignatures]] (same
+    * fingerprint-keyed staleness discipline): q31, q32, q39 and q69 all
+    * consume the SAME candidate set, and on a dup-heavy corpus the
+    * (band, sig) self-join + distinct behind it is the dominant cost of
+    * every consumer (STRESS_r04: q69 25.2 s, q31 19.7 s, q39 8.2 s —
+    * each paying the join again). One persisted frame turns that into
+    * one build per (session, dir, bands). The frame is
+    * near-dup-density-sized (pairs, two longs each), far smaller than
+    * the corpus, so MEMORY_AND_DISK persistence holds anywhere the
+    * executors hold the signatures. Production shape unchanged:
+    * candidates land in a table once, every dedup pass reads it.
     */
-  def lshCandidatePairs(s: SparkSession, d: String, bands: Int = 8): DataFrame = {
-    val sig = lshSignatures(s, d, bands)
-    val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+  def lshCandidatePairs(s: SparkSession, d: String, bands: Int = 8): DataFrame =
+    candCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "documents")
+      candCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 == bands && k._4 != fp)
+        .foreach { stale =>
+          candCache.remove(stale).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+        }
+      candCache.getOrElseUpdate((s, d, bands, fp), {
+        val sig = lshSignatures(s, d, bands)
+        val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+        a.join(b, Seq("band", "sig"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
 
   def q32MinHashLsh(s: SparkSession, d: String, bands: Int = 8): DataFrame =
     lshCandidatePairs(s, d, bands).orderBy("doc_a", "doc_b")
@@ -228,42 +259,87 @@ object Dedup {
     * singletons back in afterwards (q69 does it with one left join +
     * coalesce). Returns (doc_id, component) for paired docs only.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // symmetrize in ONE pass over the pair frame (explode of a 2-array),
-    // not a self-union — a union would run the candidate-generation
-    // subtree twice to materialize the persist
-    val edges = pairs
+  /** One min-label propagation round: push every node's current label
+    * across the symmetric edge list and take the per-node min of (own
+    * label, pushed labels). Factored out of the loop so PlanSpec can
+    * assert the physical shape of the exact operator each round runs —
+    * a hash join + hash agg partitioned by doc_id, never a nested loop.
+    */
+  def propagateOnce(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val pushed = edges.join(labels, edges("doc_a") === labels("doc_id"))
+      .select(edges("doc_b").as("doc_id"), col("component"))
+    labels.union(pushed)
+      .groupBy("doc_id").agg(min("component").as("component"))
+  }
+
+  /** Symmetrize a (doc_a, doc_b) pair frame into a directed edge list in
+    * ONE pass (explode of a 2-array), not a self-union — a union would
+    * run the candidate-generation subtree twice to materialize the
+    * persist. Public so the plan artifact and PlanSpec inspect the exact
+    * edge construction the loop runs.
+    */
+  def symmetrizeEdges(pairs: DataFrame): DataFrame =
+    pairs
       .select(explode(array(
         struct(col("doc_a"), col("doc_b")),
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
       .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * ran — the observable the explain artifact records (round count is
+    * bounded by component diameter; it IS the scale argument).
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIters: Int = 20)
+      : (DataFrame, Int) = {
+    val edges = symmetrizeEdges(pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // localCheckpoint (eager) per round truncates lineage — without it
-      // the logical plan embeds the previous round's plan twice (union +
-      // join) and doubles per iteration. On a real cluster this becomes
-      // a reliable checkpoint to durable storage; the iteration count is
-      // small either way (component diameter)
-      var labels = edges
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(least(col("doc_a"), col("doc_b"))).as("component"))
-        .localCheckpoint()
-      var prevSum = labels.agg(sum("component")).head().getLong(0)
-      var converged = false
+      // localCheckpoint per round truncates lineage — without it the
+      // logical plan embeds the previous round's plan twice (union +
+      // join) and doubles per iteration. eager=false so the convergence
+      // witness below is the action that materializes the checkpoint:
+      // ONE job per round, not two (the plan is truncated to a
+      // LogicalRDD either way). On a real cluster this becomes a
+      // reliable checkpoint to durable storage; the iteration count is
+      // small either way (component diameter).
+      //
+      // sum(component) is the witness (labels only decrease, so the sum
+      // strictly decreases until fixpoint). Read it null-safely: an
+      // EMPTY pair graph (no LSH candidates — all docs distinct) has
+      // zero label rows and sum() = NULL; q69 then labels every doc as
+      // its own singleton via the left-join coalesce.
+      def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+        val cp = df.localCheckpoint(eager = false)
+        val row = cp.agg(sum("component")).head()
+        (cp, if (row.isNullAt(0)) 0L else row.getLong(0))
+      }
+      var (labels, prevSum) = checkpointWithSum(
+        edges.groupBy(col("doc_a").as("doc_id"))
+          .agg(min(least(col("doc_a"), col("doc_b"))).as("component")))
+      // sum == 0 means no labels at all (empty graph) or every label is
+      // already the global minimum id 0 — converged either way, since
+      // non-negative labels only decrease
+      var converged = prevSum == 0L
       var iters = 0
       while (!converged && iters < maxIters) {
-        val pushed = edges.join(labels, edges("doc_a") === labels("doc_id"))
-          .select(edges("doc_b").as("doc_id"), col("component"))
-        val next = labels.union(pushed)
-          .groupBy("doc_id").agg(min("component").as("component"))
-          .localCheckpoint()
-        val nextSum = next.agg(sum("component")).head().getLong(0)
+        val (next, nextSum) = checkpointWithSum(propagateOnce(edges, labels))
         labels = next
         converged = nextSum == prevSum
         prevSum = nextSum
         iters += 1
       }
-      labels.orderBy("doc_id")
+      if (!converged)
+        // surfaced loudly (but non-fatally): a component with diameter >
+        // maxIters would otherwise return partially-propagated labels
+        // that mismatch any exact oracle with no signal at all
+        System.err.println(
+          s"[graft] connectedComponents did NOT converge after $maxIters rounds — " +
+            "labels may be partially propagated (component diameter exceeds maxIters); " +
+            "raise maxIters for long-chain graphs")
+      (labels.orderBy("doc_id"), iters)
     } finally edges.unpersist()
   }
 

@@ -26,6 +26,14 @@ object Similarity {
   /** Brute-force cosine top-k for a deterministic query subset
     * (vec_id % 50 == 0), excluding self-matches.
     *
+    * SCALE ASSUMPTION (do not lift this pattern blindly): `broadcast(q)`
+    * is correct only because the QUERY SET is assumed bounded (a fixed
+    * batch of probes, not a corpus slice that grows with the data). The
+    * fixture's `% 50` filter is corpus-proportional, so at a literal
+    * 100× this exact query set would outgrow a broadcast — q40 is the
+    * documented EXACT BASELINE the specs pin recall against; the
+    * corpus-scale formulations are q41 (sign-LSH) and q48/q70 (IVF).
+    *
     * Formulation: per-group top-k via the O(k)-state
     * [[graft.api.TypedPipeline.TopK]] Aggregator, which folds candidates
     * map-side and shuffles only k pairs per (query, partition). MEASURED
@@ -120,7 +128,7 @@ object Similarity {
       .withColumn("vec", array_to_vector(col("embedding")))
       .withColumn("nrm", norm(col("embedding")))
     val model = ivfCache.synchronized {
-      val fp = graft.core.Fingerprint.of(d, "embeddings")
+      val fp = graft.core.Fingerprint.of(s, d, "embeddings")
       ivfCache.keys
         .filter(k => k._1 == s && k._2 == d && k._3 == nCentroids && k._4 != fp)
         .foreach(ivfCache.remove)
@@ -191,11 +199,13 @@ object Similarity {
     */
   def buildIvfIndex(s: SparkSession, d: String, table: String,
       nCentroids: Int = 8, buckets: Int = 8,
-      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists,
+      path: Option[String] = None): Unit = {
     val (model, assigned) = quantize(s, d, nCentroids)
     graft.sources.Bucketing.writeBucketed(
-      assigned, table, "centroid", buckets, Some("vec_id"), mode)
-    centroidFrame(s, model).write.mode(mode).format("parquet")
+      assigned, table, "centroid", buckets, Some("vec_id"), mode, path)
+    val cw = centroidFrame(s, model).write.mode(mode).format("parquet")
+    path.fold(cw)(p => cw.option("path", p + "_centroids"))
       .saveAsTable(table + "_centroids")
   }
 
@@ -205,6 +215,51 @@ object Similarity {
   def ivfProbeIndexed(s: SparkSession, table: String, nProbe: Int = 2,
       k: Int = 3): DataFrame =
     ivfProbe(s.table(table), s.table(table + "_centroids"), nProbe, k)
+
+  // build-once memo for q70's index table, keyed like every other session
+  // memo (fingerprint detects a corpus changing under a cached dir; the
+  // table NAME carries the fingerprint, so a stale entry can never be
+  // probed by name collision either)
+  private val indexTableCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, String), String]
+
+  /** The persisted-index probe as a driver-visible query: build the
+    * bucketed index table once per (session, corpus fingerprint) — the
+    * production build-once half — then answer ENTIRELY from the table
+    * via [[ivfProbeIndexed]] (no KMeans fit on the probe path; the
+    * quantizer is read from `<table>_centroids`). Output is identical to
+    * the in-session q48 by construction (same seeded quantizer, same
+    * probe core) and SimilaritySpec pins that equality through THIS
+    * entry point; like q48 it is rows-only at the driver's gate
+    * (k-means is not DuckDB-expressible). The index lands as an
+    * EXTERNAL table under java.io.tmpdir so the probe query needs no
+    * writable warehouse dir.
+    */
+  def q70IvfProbeIndexed(s: SparkSession, d: String, nCentroids: Int = 8,
+      nProbe: Int = 2, k: Int = 3): DataFrame = {
+    val table = indexTableCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "embeddings")
+      indexTableCache.keys
+        .filter(t => t._1 == s && t._2 == d && t._3 == nCentroids && t._4 != fp)
+        .foreach { stale =>
+          indexTableCache.remove(stale).foreach { tbl =>
+            s.sql(s"DROP TABLE IF EXISTS $tbl")
+            s.sql(s"DROP TABLE IF EXISTS ${tbl}_centroids")
+          }
+        }
+      indexTableCache.getOrElseUpdate((s, d, nCentroids, fp), {
+        val tbl = "graft_ivf_" + fp.replace("-", "").take(16)
+        val loc = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-ivf/$tbl").getAbsolutePath
+        // Overwrite: the in-memory catalog starts empty per session, but
+        // a previous session's files may linger at the external location
+        buildIvfIndex(s, d, tbl, nCentroids, buckets = 8,
+          mode = org.apache.spark.sql.SaveMode.Overwrite, path = Some(loc))
+        tbl
+      })
+    }
+    ivfProbeIndexed(s, table, nProbe, k)
+  }
 
   /** Sign-LSH bucketed ANN top-k: bucket on the sign pattern of the
     * first 8 dimensions (2^8 buckets), join query↔candidate on equal

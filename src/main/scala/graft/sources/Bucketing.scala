@@ -13,13 +13,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *
   * Uses the session catalog (`saveAsTable` — bucketing metadata lives in
   * the catalog, not the parquet files), so callers must have a writable
-  * `spark.sql.warehouse.dir`.
+  * `spark.sql.warehouse.dir` — or pass `path` to create the table
+  * EXTERNAL at an explicit location instead (the bucketing metadata
+  * still lives in the catalog either way).
   */
 object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
-      sortCol: Option[String] = None, mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
-    val w = df.write.mode(mode).format("parquet").bucketBy(buckets, bucketCol)
-    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+      sortCol: Option[String] = None, mode: SaveMode = SaveMode.ErrorIfExists,
+      path: Option[String] = None): Unit = {
+    val w0 = df.write.mode(mode).format("parquet").bucketBy(buckets, bucketCol)
+    val w1 = path.fold(w0)(p => w0.option("path", p))
+    sortCol.fold(w1)(c => w1.sortBy(c)).saveAsTable(table)
   }
 }

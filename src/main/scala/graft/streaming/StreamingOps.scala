@@ -187,6 +187,13 @@ object StreamingOps {
           } else {
             val arrived = rows.toList.sortBy(_.doc_id)
             var known = state.getOption.getOrElse(Nil)
+            // membership via a hash set: the stored state stays a list
+            // (stable emission order, compact encoder), but the per-
+            // arrival `contains` is O(1) instead of O(bucket size) — on
+            // a dup-heavy bucket of k ids the update cost is the
+            // inherent O(k) pair emission alone, not O(k) twice
+            val seen = scala.collection.mutable.HashSet.empty[Long]
+            seen ++= known
             val out = List.newBuilder[CandPair]
             arrived.foreach { bd =>
               known.foreach { k =>
@@ -194,7 +201,7 @@ object StreamingOps {
                   out += (if (k < bd.doc_id) CandPair(k, bd.doc_id)
                           else CandPair(bd.doc_id, k))
               }
-              if (!known.contains(bd.doc_id)) known = bd.doc_id :: known
+              if (seen.add(bd.doc_id)) known = bd.doc_id :: known
             }
             state.update(known)
             val maxTs = arrived.map(_.ts.getTime).max

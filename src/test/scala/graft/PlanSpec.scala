@@ -22,6 +22,7 @@ class PlanSpec extends AnyFunSuite {
     "q40_cosine_topk" -> "exact all-pairs baseline: =!= join, broadcast query subset",
     "q35_knn_classify" -> "built on q40's exact baseline",
     "q48_ivf_ann" -> "nProbe probe: cross join against the nCentroids-row centroid table",
+    "q70_ivf_probe_indexed" -> "same probe core as q48, reading the persisted index table",
     "q58_band_join" -> "theta join against the fixed 5-row band table",
     "q26_tfidf" -> "single-row nDocs aggregate frame cross-joined in",
     "q49_collocations" -> "single-row corpus-totals aggregate frame cross-joined in")
@@ -62,6 +63,23 @@ class PlanSpec extends AnyFunSuite {
     val q01 = SparkEntry.queries("q01_pricing_summary")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!q01.contains("l_orderkey"), "q01 scan reads an unneeded column")
+  }
+
+  test("q69 propagation round is a hash join + hash agg, never a nested loop") {
+    // the exact operator connectedComponents runs each round, via the
+    // factored-out propagateOnce — a nested-loop or cartesian here would
+    // be quadratic in the pair-graph size every round
+    import org.apache.spark.sql.functions._
+    val edges = graft.ops.Dedup.symmetrizeEdges(
+      graft.ops.Dedup.lshCandidatePairs(spark, sf))
+    val labels = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(min(least(col("doc_a"), col("doc_b"))).as("component"))
+    val plan = graft.ops.Dedup.propagateOnce(edges, labels)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"propagation round must be an equi join:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"propagation round must fold labels in a hash agg:\n$plan")
   }
 
   test("no query plans a no-key (global) window") {

@@ -72,6 +72,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall (${got.size}/${exact.size})")
   }
 
+  test("q70 registered query: build-once/probe-from-index output equals in-session q48 exactly") {
+    // through the SparkEntry registration (the path the driver runs):
+    // first call builds the index table under tmpdir, second call must
+    // hit the memo and probe only — both must equal q48 bit-for-bit
+    // (same seeded quantizer, same probe core), which transitively pins
+    // q48's spec-bounded recall onto the persisted path
+    val q70 = SparkEntry.queries("q70_ivf_probe_indexed")
+    val first = q70(spark, sf)
+    val inSession = Similarity.q48IvfAnn(spark, sf)
+    assert(first.exceptAll(inSession).count() == 0L &&
+      inSession.exceptAll(first).count() == 0L)
+    val again = q70(spark, sf)
+    assert(again.exceptAll(inSession).count() == 0L &&
+      inSession.exceptAll(again).count() == 0L)
+  }
+
   test("persisted IVF index: probe-from-table equals the in-session q48 result") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     Seq("ivf_idx", "ivf_idx_centroids").foreach { t =>

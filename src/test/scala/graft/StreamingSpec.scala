@@ -156,6 +156,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH candidates: a dup-heavy bucket (hundreds of ids) emits the complete pair set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 250 identical documents collide in EVERY band's bucket — the
+    // worst-case state shape the Set-backed membership exists for; the
+    // distinct-merged candidate set must be all n·(n−1)/2 pairs,
+    // including cross-batch ones
+    val n = 250
+    val text = "alpha beta gamma delta epsilon zeta"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.lshCandidateStream(docs)
+      .writeStream.format("memory").queryName("lsh_dense_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L to (n / 2).toLong).map(i => (i, ts(0), text)))
+      q.processAllAvailable()
+      mem.addData(((n / 2 + 1).toLong to n.toLong).map(i => (i, ts(1), text)))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_dense_out")
+        .select("doc_a", "doc_b").distinct()
+      assert(pairs.count() == n.toLong * (n - 1) / 2,
+        s"expected all ${n * (n - 1) / 2} pairs from one dense bucket")
+    } finally q.stop()
+  }
+
   test("streaming LSH candidates: bucket state evicted past retention re-admits dups silently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
