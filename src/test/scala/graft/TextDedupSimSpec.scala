@@ -116,6 +116,33 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connected components: empty pair graph yields empty labels (and q69 labels all docs singleton)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0L)
+    assert(Dedup.connectedComponentsStar(empty).count() == 0L)
+  }
+
+  test("small-star/large-star CC matches min-label propagation (fixture graph + chain + star shapes)") {
+    import spark.implicits._
+    // the fixture's real LSH candidate graph
+    val fixture = Dedup.lshCandidatePairs(spark, sf)
+    val prop = Dedup.connectedComponents(fixture)
+    val star = Dedup.connectedComponentsStar(fixture)
+    assert(prop.exceptAll(star).count() == 0L && star.exceptAll(prop).count() == 0L)
+    // a 12-node path (diameter 11) — the shape star exists for; rounds
+    // must come in logarithmic, far under the diameter
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (chainLabels, rounds) = Dedup.connectedComponentsStarWithRounds(chain)
+    assert(chainLabels.as[(Long, Long)].collect().toMap ==
+      (1L to 12L).map(_ -> 1L).toMap)
+    assert(rounds <= 6, s"star took $rounds rounds on a 12-node chain")
+    // star topology: hub must label itself too
+    val hub = Seq((1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsStar(hub).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("q69 components: labels are component minima and respect candidate pairs") {
     import spark.implicits._
     val comp = Dedup.q69DedupComponents(spark, sf)
