@@ -81,6 +81,7 @@ object SparkEntry {
     "q34_embedding_neardup" -> (Dedup.q34EmbeddingNearDup(_, _)),
     "q39_dedup_keep" -> (Dedup.q39DedupKeep(_, _)),
     "q69_dedup_components" -> ((s, d) => Dedup.q69DedupComponents(s, d)),
+    "q71_dedup_components_star" -> ((s, d) => Dedup.q71DedupComponentsStar(s, d)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -168,6 +169,23 @@ object SparkEntry {
     langs.init.map(l => s"WHEN score_$l = $m THEN '$l'").mkString(
       "CASE ", " ", s" ELSE '${langs.last}' END")
   }
+
+  /** Recursive-CTE reachability components, shared by q69 and q71 (two
+    * Spark algorithms, one ground truth).
+    */
+  private lazy val componentsOracleSql: String =
+    s"""WITH RECURSIVE $lshSigCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+       | WHERE a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       | UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach(doc_id, lbl) AS (
+       | SELECT doc_id, doc_id FROM documents
+       | UNION
+       | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+       |SELECT doc_id, min(lbl) AS component FROM reach
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val cosSql =
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
@@ -541,21 +559,11 @@ object SparkEntry {
          |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
     // connected-components resolution: min reachable doc_id through the
     // symmetric candidate graph — the recursive CTE is the independent
-    // (non-iterative) formulation of Dedup.q69DedupComponents' min-label
-    // propagation loop
-    "q69_dedup_components" ->
-      s"""WITH RECURSIVE $lshSigCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
-         | WHERE a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-         | UNION ALL SELECT doc_b, doc_a FROM cand),
-         |reach(doc_id, lbl) AS (
-         | SELECT doc_id, doc_id FROM documents
-         | UNION
-         | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
-         |SELECT doc_id, min(lbl) AS component FROM reach
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // (non-iterative) formulation of BOTH Spark-side algorithms, so the
+    // min-label propagation (q69) and small-star/large-star (q71) paths
+    // are each gated against the same reachability ground truth
+    "q69_dedup_components" -> componentsOracleSql,
+    "q71_dedup_components_star" -> componentsOracleSql,
     "q33_simhash" ->
       s"""WITH dt AS (SELECT doc_id, unnest(list_distinct(${toksSql("text")})) AS t FROM documents),
          |s AS (SELECT doc_id, $simhashSumCols FROM dt GROUP BY doc_id)

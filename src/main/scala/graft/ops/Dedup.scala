@@ -241,8 +241,18 @@ object Dedup {
     * exhibits long chains. The driver-side loop holds only one scalar
     * per round (the sum), never row data.
     */
-  def q69DedupComponents(s: SparkSession, d: String, maxIters: Int = 20): DataFrame = {
-    val comp = connectedComponents(lshCandidatePairs(s, d), maxIters)
+  def q69DedupComponents(s: SparkSession, d: String, maxIters: Int = 20): DataFrame =
+    resolveComponents(s, d, connectedComponents(lshCandidatePairs(s, d), maxIters))
+
+  /** q69's semantics through the small-star/large-star variant — the
+    * same transitive-cluster labels (one keeper per component, min-id
+    * hub), gated by the SAME recursive-CTE oracle, so the long-chain
+    * path is driver-verified end to end, not only spec-pinned equal.
+    */
+  def q71DedupComponentsStar(s: SparkSession, d: String, maxIters: Int = 50): DataFrame =
+    resolveComponents(s, d, connectedComponentsStar(lshCandidatePairs(s, d), maxIters))
+
+  private def resolveComponents(s: SparkSession, d: String, comp: DataFrame): DataFrame =
     // singletons never enter the propagation (see connectedComponents);
     // they label themselves via the coalesce — one broadcast-or-hash
     // left join against the corpus, no per-round cost for unpaired docs
@@ -250,7 +260,6 @@ object Dedup {
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
       .orderBy("doc_id")
-  }
 
   /** The propagation core over the PAIR GRAPH ONLY: nodes are the docs
     * that appear in at least one pair — at production dup densities a
