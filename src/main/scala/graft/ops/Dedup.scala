@@ -348,7 +348,9 @@ object Dedup {
           s"[graft] connectedComponents did NOT converge after $maxIters rounds — " +
             "labels may be partially propagated (component diameter exceeds maxIters); " +
             "raise maxIters for long-chain graphs")
-      (labels.orderBy("doc_id"), iters)
+      // no ordering promise: every consumer either joins (q69 — a sort
+      // here would be destroyed and re-done) or aggregates
+      (labels, iters)
     } finally edges.unpersist()
   }
 
@@ -438,7 +440,7 @@ object Dedup {
     val leaves = edges.select(col("u").as("doc_id"), col("v").as("component"))
     val hubs = edges.select(col("v").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("component"))
-    (leaves.union(hubs).distinct().orderBy("doc_id"), iters)
+    (leaves.union(hubs).distinct(), iters)
   }
 
   /** SimHash fingerprints (16-bit, md5-digit-parity construction — see
