@@ -73,6 +73,8 @@ object SparkEntry {
     "q64_pack_sequences" -> (TextOps.q64PackSequences(_, _)),
     "q65_curation_funnel" -> (TextOps.q65CurationFunnel(_, _)),
     "q67_hash_split" -> (TextOps.q67HashSplit(_, _)),
+    "q72_stratified_sample" -> (TextOps.q72StratifiedSample(_, _)),
+    "q73_quality_quota" -> ((s, d) => TextOps.q73QualityQuota(s, d)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -523,6 +525,31 @@ object SparkEntry {
         |       WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split FROM t)
         |SELECT source, split, count(*) AS n_docs FROM s
         |GROUP BY source, split ORDER BY source, split""".stripMargin,
+    // mirrors TextOps.q72StratifiedSample — per-lang keep thresholds on
+    // an independent hex window of the content md5 (keep in lockstep)
+    "q72_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) <
+        |  CASE WHEN lang = 'en' THEN 64
+        |       WHEN lang IN ('de', 'fr') THEN 128 ELSE 256 END
+        |ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q73QualityQuota (quota 10; ranks on the 4-dp q22
+    // quality rational with doc_id tie-break — keep in lockstep)
+    "q73_quality_quota" ->
+      s"""WITH t AS (SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+         | FROM t),
+         |q AS (SELECT doc_id, source,
+         |  ${sqlRn("(5000.0 * n_distinct + 3000.0 * (n_tok - n_stop) + 20.0 * least(n_tok, 100) * n_tok) / (10000.0 * n_tok)", 4)} AS quality
+         | FROM s),
+         |ranked AS (SELECT source, doc_id, quality,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+         | FROM q)
+         |SELECT source, rk, doc_id, quality FROM ranked WHERE rk <= 10
+         |ORDER BY source, rk""".stripMargin,
     "q29_regex_tokens" ->
       s"""SELECT doc_id, n_chars,
          | CAST(len(${toksSql("text")}) AS BIGINT) AS n_words,

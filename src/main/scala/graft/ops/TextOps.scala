@@ -60,15 +60,23 @@ object TextOps {
         r4(col("sum_chars").cast("double") / col("n_tokens")).as("avg_token_len"),
         r4(col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
         r4(col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
-        // quality = 0.5*ttr + 0.3*(1-stop_ratio) + 0.2*min(n/100, 1),
-        // expressed as a single exact-integer rational so both engines
-        // divide identical numerator/denominator bits:
-        r4((lit(5000.0) * col("n_distinct")
-          + lit(3000.0) * (col("n_tokens") - col("n_stop"))
-          + lit(20.0) * least(col("n_tokens"), lit(100L)) * col("n_tokens"))
-          / (lit(10000.0) * col("n_tokens"))).as("quality"))
+        qualityExpr(col("n_tokens"), col("n_distinct"), col("n_stop")).as("quality"))
       .orderBy("doc_id")
   }
+
+  /** The composite quality score shared by q22 and q73:
+    * quality = 0.5*ttr + 0.3*(1-stop_ratio) + 0.2*min(n/100, 1),
+    * expressed as a single exact-integer rational so both engines divide
+    * identical numerator/denominator bits, rounded to 4 dp so rankings
+    * over it are cross-engine stable.
+    */
+  private def qualityExpr(nTokens: org.apache.spark.sql.Column,
+      nDistinct: org.apache.spark.sql.Column,
+      nStop: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    r4((lit(5000.0) * nDistinct
+      + lit(3000.0) * (nTokens - nStop)
+      + lit(20.0) * least(nTokens, lit(100L)) * nTokens)
+      / (lit(10000.0) * nTokens))
 
   /** Heuristic language ID: marker-lexicon scoring with deterministic
     * argmax (see TextFunctions.LangMarkers); reports predicted vs actual.
@@ -304,6 +312,54 @@ object TextOps {
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "split")
+  }
+
+  /** Deterministic per-language stratified sampling — the data-MIXING
+    * op: rebalance a corpus's language distribution by keeping each
+    * language at a fixed rate, decided by a pure content-hash predicate
+    * (reproducible across runs / engines / partitionings, like q67's
+    * split; an independent hex window of the same md5 so the sampling
+    * decision does not correlate with split assignment). Rates here
+    * model downsampling the dominant language: en 25% (bucket < 64 of
+    * 256), de/fr 50%, everything else kept whole. Pure map-side filter —
+    * at 100 TB this is a scan with zero shuffle, and per-language rates
+    * arrive as a tiny literal (production: a broadcast rates table).
+    */
+  def q72StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 3, 2), 16, 10).cast("long")
+    val threshold = when(col("lang") === "en", 64L)
+      .when(col("lang").isin("de", "fr"), 128L)
+      .otherwise(256L)
+    Tables.documents(s, d)
+      .filter(bucket < threshold)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source quality QUOTA selection — the curation step after q65's
+    * pass/fail funnel: cap each source's contribution at `quota` docs,
+    * keeping its highest-quality ones (rank on the 4-dp-rounded q22
+    * quality score, doc_id tie-break, so the cut is deterministic and
+    * cross-engine stable). One window partitioned by source —
+    * WindowGroupLimit prunes each partition to the quota, no global
+    * window, no shuffle beyond the source partitioning.
+    */
+  def q73QualityQuota(s: SparkSession, d: String, quota: Int = 10): DataFrame = {
+    val stop = Seq("the", "a")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(filter(col("toks"), t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("source"),
+        qualityExpr(col("n_tokens"), col("n_distinct"), col("n_stop")).as("quality"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+      .select("source", "rk", "doc_id", "quality")
+      .orderBy("source", "rk")
   }
 
   /** Corpus statistics per source: document counts, char sums, token

@@ -90,7 +90,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (name <- Seq("q26_tfidf", "q31_jaccard_pairs", "q32_minhash_lsh",
         "q34_embedding_neardup", "q39_dedup_keep", "q49_collocations",
-        "q60_rank_distributions", "q64_pack_sequences")) {
+        "q60_rank_distributions", "q64_pack_sequences", "q73_quality_quota")) {
       val globalWindows = SparkEntry.queries(name)(spark, sf)
         .queryExecution.optimizedPlan.collect {
           case w: LWindow if w.partitionSpec.isEmpty => w
