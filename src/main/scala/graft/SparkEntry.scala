@@ -75,6 +75,8 @@ object SparkEntry {
     "q67_hash_split" -> (TextOps.q67HashSplit(_, _)),
     "q72_stratified_sample" -> (TextOps.q72StratifiedSample(_, _)),
     "q73_quality_quota" -> ((s, d) => TextOps.q73QualityQuota(s, d)),
+    "q74_decontaminate" -> (TextOps.q74Decontaminate(_, _)),
+    "q75_repetition" -> (TextOps.q75Repetition(_, _)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -550,6 +552,32 @@ object SparkEntry {
          | FROM q)
          |SELECT source, rk, doc_id, quality FROM ranked WHERE rk <= 10
          |ORDER BY source, rk""".stripMargin,
+    // mirrors TextOps.q74Decontaminate — same hashed-3-shingle CTE shape
+    // as the LSH family (keep in lockstep); eval stand-in doc_id%100==0
+    "q74_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |sh AS (SELECT doc_id,
+         |  md5(unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' ')))) AS h
+         | FROM t WHERE len(ts) >= 3),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0)
+         |SELECT DISTINCT doc_id FROM sh
+         |WHERE doc_id % 100 <> 0 AND h IN (SELECT h FROM bench)
+         |ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q75Repetition — exact-integer 0.2-threshold flag
+    // (5*distinct < 4*total), 4-dp ratio; keep in lockstep
+    "q75_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_transform(range(0, greatest(len(ts) - 2, 0)), i -> array_to_string(ts[i + 1:i + 3], ' ')) AS shs
+         | FROM t)
+         |SELECT doc_id,
+         | CAST(len(shs) AS BIGINT) AS n_shingles,
+         | CAST(len(list_distinct(shs)) AS BIGINT) AS n_distinct_shingles,
+         | CASE WHEN len(shs) > 0
+         |   THEN ${sqlRn("1.0 - CAST(len(list_distinct(shs)) AS DOUBLE) / len(shs)", 4)}
+         |   ELSE 0.0 END AS rep_ratio,
+         | (len(shs) > 0 AND len(list_distinct(shs)) * 5 < len(shs) * 4) AS is_repetitive
+         |FROM sh ORDER BY doc_id""".stripMargin,
     "q29_regex_tokens" ->
       s"""SELECT doc_id, n_chars,
          | CAST(len(${toksSql("text")}) AS BIGINT) AS n_words,

@@ -362,6 +362,56 @@ object TextOps {
       .orderBy("source", "rk")
   }
 
+  /** Benchmark DECONTAMINATION — flag training documents that share any
+    * token 3-gram with the eval set (stand-in: doc_id % 100 == 0), the
+    * overlap check every training pipeline runs before a corpus ships.
+    * Shape: explode both sides to hashed shingles, LEFT SEMI join the
+    * training side against the DISTINCT benchmark shingle set, distinct
+    * the flagged ids. At 100 TB the benchmark side is eval-suite-sized
+    * (bounded, tiny) → AQE broadcasts it and the corpus side never
+    * shuffles; the training side's explode is the same one-md5-per-
+    * shingle pass the LSH family uses. The n-gram width is the
+    * conservative knob: production decontamination uses 8–13-gram
+    * windows, same plan, longer shingles.
+    */
+  def q74Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .withColumn("h", md5(col("sh")))
+    val bench = sh.filter(col("doc_id") % 100 === 0).select("h").distinct()
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .join(bench, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document REPETITION statistics — the Gopher-style repetition
+    * filter: a document whose 3-gram shingles repeat heavily is
+    * boilerplate/spam-shaped. Per doc: shingle count, distinct shingle
+    * count, repetition ratio (1 − distinct/total as an exact rational,
+    * 4 dp), and the filter flag at the 0.2 threshold via exact integer
+    * cross-multiplication (5·distinct ≥ 4·total) so the cut is
+    * bit-stable across engines. Entirely map-side array arithmetic —
+    * no explode, no shuffle; at 100 TB this is a scan.
+    */
+  def q75Repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .select(
+        col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct_shingles"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_distinct_shingles"),
+        when(col("n_shingles") > 0L,
+          r4(lit(1.0) - col("n_distinct_shingles").cast("double")
+            / col("n_shingles").cast("double")))
+          .otherwise(lit(0.0)).as("rep_ratio"),
+        (col("n_shingles") > 0L &&
+          col("n_distinct_shingles") * 5L < col("n_shingles") * 4L)
+          .as("is_repetitive"))
+      .orderBy("doc_id")
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */
