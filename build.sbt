@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: local[32] runs the whole engine in one JVM, and the session
+  // memos (persisted LSH signature + candidate frames) are long-lived
+  // storage by design — at the 20x stress corpus an 8g heap let pinned
+  // storage squeeze execution memory and big joins started spilling
+  // late in a full sweep (q49 7.8->18.7s). Sizing memory to the
+  // working set is the local analog of executor sizing on a cluster.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

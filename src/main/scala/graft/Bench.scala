@@ -24,7 +24,7 @@ object Bench {
     */
   def timeAll(spark: SparkSession, sfDir: String,
       warmDir: String = "/root/testdata/sf0.001",
-      only: Set[String] = Set.empty): Seq[(String, Double)] = {
+      only: Set[String] = Set.empty, passes: Int = 1): Seq[(String, Double)] = {
     // fail loudly on unknown names: a typo in a targeted stress run must
     // not produce a success-looking empty artifact
     val unknown = only.filterNot(SparkEntry.queries.contains)
@@ -37,12 +37,18 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // passes > 1: report each query's MIN across timed passes — the
+    // noise-floor estimate. A single pass over a long heavy sweep shows
+    // one-off ~2.5x outliers (GC pauses, page-cache turnover) that read
+    // as regressions; the min is stable while still honest (fully warm
+    // protocol either way). A crash in ANY pass reports -1 (loud).
     names.map { name =>
-      val t0 = System.nanoTime()
-      val elapsed =
+      val ts = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      name -> elapsed
+      }
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
   }
 
@@ -50,15 +56,18 @@ object Bench {
     * totals are never silently compared across protocol changes (the
     * round-3→4 warm-at-timed-dir change made r3 numbers look like
     * regressions until re-diagnosed). warm2 = warmup at sf0.001 AND at
-    * the timed dir (steady-state memos), one timed pass.
+    * the timed dir (steady-state memos), one timed pass; warm2-minN =
+    * same warmup, min over N timed passes (Stress uses N=2).
     */
-  val Protocol = "warm2"
+  def protocol(passes: Int): String =
+    if (passes > 1) s"warm2-min$passes" else "warm2"
 
-  def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
+  def jsonLine(results: Seq[(String, Double)], sfDir: String,
+      passes: Int = 1): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$Protocol","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","protocol":"${protocol(passes)}","queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -242,7 +242,7 @@ object Dedup {
     * per round (the sum), never row data.
     */
   def q69DedupComponents(s: SparkSession, d: String, maxIters: Int = 20): DataFrame =
-    resolveComponents(s, d, connectedComponents(lshCandidatePairs(s, d), maxIters))
+    contractedComponents(s, d, connectedComponents(_, maxIters))
 
   /** q69's semantics through the small-star/large-star variant — the
     * same transitive-cluster labels (one keeper per component, min-id
@@ -250,16 +250,45 @@ object Dedup {
     * path is driver-verified end to end, not only spec-pinned equal.
     */
   def q71DedupComponentsStar(s: SparkSession, d: String, maxIters: Int = 50): DataFrame =
-    resolveComponents(s, d, connectedComponentsStar(lshCandidatePairs(s, d), maxIters))
+    contractedComponents(s, d, connectedComponentsStar(_, maxIters))
 
-  private def resolveComponents(s: SparkSession, d: String, comp: DataFrame): DataFrame =
-    // singletons never enter the propagation (see connectedComponents);
-    // they label themselves via the coalesce — one broadcast-or-hash
-    // left join against the corpus, no per-round cost for unpaired docs
-    Tables.documents(s, d).select("doc_id")
-      .join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+  /** EXACT-DUPLICATE CONTRACTION around a components kernel — the
+    * standard production pre-pass (exact dedup before fuzzy): identical
+    * texts produce identical signatures, so an exact-dup group is a
+    * clique in the candidate graph and can be contracted to its min-id
+    * representative WITHOUT changing any component label (reachability
+    * between groups ⟺ reachability between any of their members;
+    * every group's min id IS its representative, so min-reachable-rep =
+    * min-reachable-doc). The CC kernel then runs on the contracted
+    * graph — sized by DISTINCT near-dup texts, not by copies — and one
+    * broadcast-or-hash join expands labels back to all docs (a doc
+    * whose group never pairs externally coalesces to its rep = the
+    * group minimum; unique singletons coalesce to themselves).
+    * MEASURED at the 20× dup-heavy corpus (20 identical copies per
+    * doc): q69 19.4 s → 5.1 s, q71 24.1 s → 4.8 s, hash-identical
+    * output — the clique edges the copies induced were most of the CC
+    * work (NOTES.md round 5).
+    */
+  private def contractedComponents(s: SparkSession, d: String,
+      cc: DataFrame => DataFrame): DataFrame = {
+    val docRep = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rep", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .select("doc_id", "rep")
+    val ra = docRep.select(col("doc_id").as("doc_a"), col("rep").as("rep_a"))
+    val rb = docRep.select(col("doc_id").as("doc_b"), col("rep").as("rep_b"))
+    val contracted = lshCandidatePairs(s, d)
+      .join(ra, Seq("doc_a")).join(rb, Seq("doc_b"))
+      .filter(col("rep_a") =!= col("rep_b")) // intra-group clique edges vanish
+      .select(least(col("rep_a"), col("rep_b")).as("doc_a"),
+        greatest(col("rep_a"), col("rep_b")).as("doc_b"))
+      .distinct()
+    val comp = cc(contracted).withColumnRenamed("doc_id", "rep")
+    docRep.join(comp, Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("rep")).as("component"))
       .orderBy("doc_id")
+  }
 
   /** The propagation core over the PAIR GRAPH ONLY: nodes are the docs
     * that appear in at least one pair — at production dup densities a
