@@ -40,22 +40,29 @@ object Explain {
     round.collect()
     val planTxt = round.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    val (_, rounds) = Dedup.connectedComponentsWithRounds(
-      Dedup.lshCandidatePairs(spark, sfDir))
+    def roundsLine(dir: String): String = {
+      val raw = Dedup.lshCandidatePairs(spark, dir)
+      val contracted = Dedup.contractedCandidatePairs(spark, dir)
+      val (_, rRaw) = Dedup.connectedComponentsWithRounds(raw)
+      val (_, rCon) = Dedup.connectedComponentsWithRounds(contracted)
+      s"$dir: raw graph ${raw.count()} pairs / $rRaw rounds; " +
+        s"after exact-dup contraction (what q69 actually runs) " +
+        s"${contracted.count()} pairs / $rCon rounds\n"
+    }
     val stressDir = "/tmp/graft-stress"
     val stressLine =
-      if (new java.io.File(s"$stressDir/documents.parquet").exists()) {
-        val (_, r20) = Dedup.connectedComponentsWithRounds(
-          Dedup.lshCandidatePairs(spark, stressDir))
-        s"rounds to convergence at 20x dup-heavy ($stressDir): $r20\n"
-      } else ""
+      if (new java.io.File(s"$stressDir/documents.parquet").exists())
+        roundsLine(stressDir)
+      else ""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/q69_dedup_components.txt"),
       s"== q69_dedup_components (sfDir=$sfDir) ==\n\n" +
         "One propagation round of connectedComponents (executed, AQE-final plan).\n" +
         "Each round is exactly this operator re-run on the checkpointed labels;\n" +
-        "round count is bounded by component diameter.\n\n" +
-        s"rounds to convergence at $sfDir: $rounds\n" + stressLine + "\n" + planTxt)
+        "round count is bounded by component diameter. q69 feeds the kernel the\n" +
+        "exact-dup-CONTRACTED graph (Dedup.contractedCandidatePairs) — identical\n" +
+        "texts collapse to their min-id rep with labels provably unchanged.\n\n" +
+        roundsLine(sfDir) + stressLine + "\n" + planTxt)
     println(s"wrote $outDir/q69_dedup_components.txt")
   }
 

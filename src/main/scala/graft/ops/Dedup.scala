@@ -269,23 +269,36 @@ object Dedup {
     * output — the clique edges the copies induced were most of the CC
     * work (NOTES.md round 5).
     */
-  private def contractedComponents(s: SparkSession, d: String,
-      cc: DataFrame => DataFrame): DataFrame = {
-    val docRep = Tables.documents(s, d)
+  /** (doc_id → exact-dup-group representative) for every doc: the min
+    * doc_id sharing its content hash.
+    */
+  private def docReps(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("rep", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .select("doc_id", "rep")
+
+  /** The candidate-pair graph after exact-dup contraction — what the
+    * q69/q71 components kernels actually consume (public so the plan
+    * artifact reports the kernel's true input size/rounds).
+    */
+  def contractedCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val docRep = docReps(s, d)
     val ra = docRep.select(col("doc_id").as("doc_a"), col("rep").as("rep_a"))
     val rb = docRep.select(col("doc_id").as("doc_b"), col("rep").as("rep_b"))
-    val contracted = lshCandidatePairs(s, d)
+    lshCandidatePairs(s, d)
       .join(ra, Seq("doc_a")).join(rb, Seq("doc_b"))
       .filter(col("rep_a") =!= col("rep_b")) // intra-group clique edges vanish
       .select(least(col("rep_a"), col("rep_b")).as("doc_a"),
         greatest(col("rep_a"), col("rep_b")).as("doc_b"))
       .distinct()
-    val comp = cc(contracted).withColumnRenamed("doc_id", "rep")
-    docRep.join(comp, Seq("rep"), "left")
+  }
+
+  private def contractedComponents(s: SparkSession, d: String,
+      cc: DataFrame => DataFrame): DataFrame = {
+    val comp = cc(contractedCandidatePairs(s, d)).withColumnRenamed("doc_id", "rep")
+    docReps(s, d).join(comp, Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("rep")).as("component"))
       .orderBy("doc_id")
   }
