@@ -143,6 +143,37 @@ class TextDedupSimSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("exact-dup contraction preserves component labels on a synthetic dup-heavy corpus") {
+    import spark.implicits._
+    // the gate fixtures contain NO exact duplicates (verified), so the
+    // contracting branch of q69/q71 is never exercised there — this
+    // corpus (10 identical copies of each text) pins it: contraction
+    // must be invisible in the labels and visible in the kernel input
+    val dir = java.nio.file.Files.createTempDirectory("dup_docs").toString
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta",
+      "one two three four five six",
+      "totally different words appear here instead")
+    val docs = (0 until 40).map { i =>
+      val t = texts(i % texts.length)
+      (i.toLong, t, "en", s"s${i % 3}", t.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // reference formulation: the UN-contracted kernel + singleton coalesce
+    val raw = Dedup.connectedComponents(Dedup.lshCandidatePairs(spark, dir))
+    val want = graft.core.Tables.documents(spark, dir).select("doc_id")
+      .join(raw, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    for (got <- Seq(Dedup.q69DedupComponents(spark, dir),
+        Dedup.q71DedupComponentsStar(spark, dir)))
+      assert(got.exceptAll(want).count() == 0L && want.exceptAll(got).count() == 0L)
+    // and the contraction genuinely contracted (intra-group clique edges gone)
+    assert(Dedup.contractedCandidatePairs(spark, dir).count() <
+      Dedup.lshCandidatePairs(spark, dir).count())
+  }
+
   test("q69 components: labels are component minima and respect candidate pairs") {
     import spark.implicits._
     val comp = Dedup.q69DedupComponents(spark, sf)
