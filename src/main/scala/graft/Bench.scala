@@ -62,12 +62,21 @@ object Bench {
   def protocol(passes: Int): String =
     if (passes > 1) s"warm2-min$passes" else "warm2"
 
+  /** Per-query seconds at 3 decimals (1 ms resolution — run-to-run noise
+    * is ±20% on sub-second queries, so extra digits are false precision)
+    * and the headline total LAST: the artifact harvester keeps only a
+    * fixed-size tail of the run output, and with 70+ queries a
+    * total-first line loses its "value" field to the window (BENCH_r04/
+    * r05 both captured query timings but not the total). Key order makes
+    * the tail self-sufficient; the line is still one valid JSON object.
+    */
   def jsonLine(results: Seq[(String, Double)], sfDir: String,
       passes: Int = 1): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","protocol":"${protocol(passes)}","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"queries":$qs,"sf":"$sfDir","protocol":"${protocol(passes)}","unit":"sec","metric":"total","value":${r3(total)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,7 +86,13 @@ object Bench {
       .builder("graft-bench", s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(jsonLine(timeAll(spark, sfDir), sfDir))
+    // min-of-2 timed passes, same as Stress: a single pass over a 70+
+    // query sweep shows one-off ~2.5x GC/page-cache outliers (r5 driver
+    // run: q52 0.5→3.4 s, q69 3.0→6.6 s) that read as regressions in
+    // round-over-round comparison. The min is the stable noise-floor
+    // estimate; protocol field records the change.
+    val passes = 2
+    println(jsonLine(timeAll(spark, sfDir, passes = passes), sfDir, passes))
     spark.stop()
   }
 }

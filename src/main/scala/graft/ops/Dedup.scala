@@ -336,6 +336,36 @@ object Dedup {
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
       .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
 
+  /** Run an iterative kernel with shuffle parallelism sized to the
+    * MEASURED edge count instead of the session-wide setting, restoring
+    * the session conf afterwards. Rationale: a CC round is a join + agg
+    * over the pair graph, and the pair graph is near-dup-density-sized —
+    * often orders of magnitude smaller than the corpus the session's
+    * shuffle.partitions was sized for. Paying 32 (or on a real cluster,
+    * 2000) shuffle tasks per round times O(diameter) rounds on a
+    * few-thousand-edge graph is pure scheduling overhead: at sf0.1 the
+    * q69 loop spent ~0.5 s/round on a ~1k-edge graph. ~500k edges per
+    * partition gives every round-task real work; AQE is also paused for
+    * small graphs because its per-stage replanning/materialization adds
+    * round latency while having nothing to coalesce beyond what the
+    * explicit sizing already did (big graphs keep AQE: skew-split in the
+    * propagation join matters there). This is the sizing rule, made
+    * automatic, that the cluster tuning guide prescribes per-stage.
+    */
+  private def withIterationConf[A](s: SparkSession, edgeCount: Long)(body: => A): A = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions", "200")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 500000L + 1L))
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      if (edgeCount < 500000L) s.conf.set("spark.sql.adaptive.enabled", "false")
+      body
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     connectedComponentsWithRounds(pairs, maxIters)._1
 
@@ -348,6 +378,11 @@ object Dedup {
     val edges = symmetrizeEdges(pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // one count materializes the persisted edges AND sizes the loop's
+      // shuffle parallelism (withIterationConf) to the graph, not the
+      // corpus — the first witness job previously paid materialization
+      val edgeCount = edges.count()
+      withIterationConf(pairs.sparkSession, edgeCount) {
       // localCheckpoint per round truncates lineage — without it the
       // logical plan embeds the previous round's plan twice (union +
       // join) and doubles per iteration. eager=false so the convergence
@@ -393,6 +428,7 @@ object Dedup {
       // no ordering promise: every consumer either joins (q69 — a sort
       // here would be destroyed and re-done) or aggregates
       (labels, iters)
+      }
     } finally edges.unpersist()
   }
 
@@ -449,6 +485,10 @@ object Dedup {
     var w = witness(edges)
     var converged = w._1 == 0L
     var iters = 0
+    // w._1 is the materialized edge count — size the loop's shuffles to
+    // the graph (see withIterationConf); the post-loop leaves/hubs
+    // projection runs lazily under the restored session conf
+    withIterationConf(pairs.sparkSession, w._1) {
     while (!converged && iters < maxIters) {
       // LARGE-STAR over the symmetric adjacency
       val sym = symmetrizeEdges(edges
@@ -473,6 +513,7 @@ object Dedup {
       converged = w2 == w
       w = w2
       iters += 1
+    }
     }
     if (!converged)
       System.err.println(
