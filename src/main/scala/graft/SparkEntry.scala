@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dedup, Events, Multimodal, Relational, ScalarSuites, Similarity, TextOps}
+import graft.ops.{Dedup, Events, Layout, Multimodal, Relational, ScalarSuites, Similarity, TextOps}
 import graft.functions.Round.{sqlCents, sqlRn}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -77,6 +77,7 @@ object SparkEntry {
     "q73_quality_quota" -> ((s, d) => TextOps.q73QualityQuota(s, d)),
     "q74_decontaminate" -> (TextOps.q74Decontaminate(_, _)),
     "q75_repetition" -> (TextOps.q75Repetition(_, _)),
+    "q78_normalize_text" -> (TextOps.q78NormalizeText(_, _)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -86,6 +87,8 @@ object SparkEntry {
     "q39_dedup_keep" -> (Dedup.q39DedupKeep(_, _)),
     "q69_dedup_components" -> ((s, d) => Dedup.q69DedupComponents(s, d)),
     "q71_dedup_components_star" -> ((s, d) => Dedup.q71DedupComponentsStar(s, d)),
+    "q76_incremental_dedup" -> (Dedup.q76IncrementalDedup(_, _)),
+    "q77_component_keeper" -> (Dedup.q77ComponentKeeper(_, _)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -116,7 +119,10 @@ object SparkEntry {
     "q62_grouping_sets" -> (ScalarSuites.q62GroupingSets(_, _)),
     // multimodal plumbing
     "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _)),
-    "q68_frame_sample" -> (Multimodal.q68FrameSample(_, _))
+    "q68_frame_sample" -> (Multimodal.q68FrameSample(_, _)),
+    // data layout / table maintenance
+    "q79_zorder_layout" -> (Layout.q79ZOrderLayout(_, _)),
+    "q80_compact_roundtrip" -> ((s, d) => Layout.q80CompactRoundtrip(s, d))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -174,11 +180,13 @@ object SparkEntry {
       "CASE ", " ", s" ELSE '${langs.last}' END")
   }
 
-  /** Recursive-CTE reachability components, shared by q69 and q71 (two
-    * Spark algorithms, one ground truth).
+  /** Recursive-CTE reachability components as a reusable CTE chain
+    * (terminal CTE `comp` = (doc_id, component)), shared by q69, q71
+    * and q77 (two Spark CC algorithms + the keeper selection, one
+    * ground truth).
     */
-  private lazy val componentsOracleSql: String =
-    s"""WITH RECURSIVE $lshSigCtes,
+  private lazy val componentsCtes: String =
+    s"""$lshSigCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        | FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
        | WHERE a.doc_id < b.doc_id),
@@ -187,9 +195,24 @@ object SparkEntry {
        |reach(doc_id, lbl) AS (
        | SELECT doc_id, doc_id FROM documents
        | UNION
-       | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
-       |SELECT doc_id, min(lbl) AS component FROM reach
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(lbl) AS component FROM reach GROUP BY doc_id)""".stripMargin
+
+  private lazy val componentsOracleSql: String =
+    s"""WITH RECURSIVE $componentsCtes
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+
+  /** Morton bit-spread as a DuckDB CTE chain (mirrors Layout.spread16's
+    * mask-and-shift steps bit for bit; expects a `zin(px, sx)` CTE,
+    * yields `z4(ax, bx, px, sx)` with spread coordinates).
+    */
+  private val zSpreadCtes: String = {
+    val steps = Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+    val init = "z0 AS (SELECT (px & 65535) AS ax, (sx & 65535) AS bx, px, sx FROM zin)"
+    (init +: steps.zipWithIndex.map { case ((sh, m), i) =>
+      s"z${i + 1} AS (SELECT ((ax | (ax << $sh)) & $m) AS ax, ((bx | (bx << $sh)) & $m) AS bx, px, sx FROM z$i)"
+    }).mkString(",\n")
+  }
 
   private val cosSql =
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
@@ -578,6 +601,23 @@ object SparkEntry {
          |   ELSE 0.0 END AS rep_ratio,
          | (len(shs) > 0 AND len(list_distinct(shs)) * 5 < len(shs) * 4) AS is_repetitive
          |FROM sh ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q78NormalizeText — identical constructed mess, then
+    // lower -> strip_accents -> URL scrub -> email scrub -> collapse ->
+    // trim (keep patterns and operation order in lockstep)
+    "q78_normalize_text" ->
+      """WITH m AS (SELECT doc_id,
+        |  '  Héllo ' || upper(substr(text, 1, 40)) || ' visit https://Ex.Ample.com/p/' ||
+        |  CAST(doc_id AS VARCHAR) || '?q=1 mail Tést.Üser@Example.COM and çafé  dönér  ' AS messy
+        | FROM documents),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    strip_accents(lower(messy)),
+        |    'https?://[^ ]+', '', 'g'),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text
+        | FROM m)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q29_regex_tokens" ->
       s"""SELECT doc_id, n_chars,
          | CAST(len(${toksSql("text")}) AS BIGINT) AS n_words,
@@ -619,6 +659,44 @@ object SparkEntry {
     // are each gated against the same reachability ground truth
     "q69_dedup_components" -> componentsOracleSql,
     "q71_dedup_components_star" -> componentsOracleSql,
+    // mirrors Dedup.q76IncrementalDedup — batch = doc_id % 10 = 7, exact
+    // md5 match + any-band signature match vs the rest (keep in lockstep)
+    "q76_incremental_dedup" ->
+      s"""WITH $lshSigCtes,
+         |d2 AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |exact AS (SELECT h, min(doc_id) AS exact_rep FROM d2
+         | WHERE doc_id % 10 <> 7 GROUP BY h),
+         |near AS (SELECT a.doc_id AS doc_id, min(b.doc_id) AS near_rep
+         | FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         | WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7 GROUP BY a.doc_id)
+         |SELECT b.doc_id,
+         | CASE WHEN e.exact_rep IS NOT NULL THEN 'exact_dup'
+         |      WHEN n.near_rep IS NOT NULL THEN 'near_dup'
+         |      ELSE 'new' END AS status,
+         | e.exact_rep, n.near_rep
+         |FROM d2 b LEFT JOIN exact e ON b.h = e.h
+         |LEFT JOIN near n ON b.doc_id = n.doc_id
+         |WHERE b.doc_id % 10 = 7 ORDER BY b.doc_id""".stripMargin,
+    // mirrors Dedup.q77ComponentKeeper — components ground truth +
+    // 4-dp q22/q73 quality, keeper = rank 1 per component (lockstep)
+    "q77_component_keeper" ->
+      s"""WITH RECURSIVE $componentsCtes,
+         |t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |sq AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+         | FROM t),
+         |q AS (SELECT doc_id,
+         |  ${sqlRn("(5000.0 * n_distinct + 3000.0 * (n_tok - n_stop) + 20.0 * least(n_tok, 100) * n_tok) / (10000.0 * n_tok)", 4)} AS quality
+         | FROM sq),
+         |j AS (SELECT c.component, q.doc_id, q.quality FROM comp c JOIN q USING (doc_id)),
+         |ranked AS (SELECT component, doc_id, quality,
+         |  CAST(row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+         |  count(*) OVER (PARTITION BY component) AS n_docs
+         | FROM j)
+         |SELECT component, n_docs, doc_id AS keeper_doc_id, quality AS keeper_quality
+         |FROM ranked WHERE rk = 1 ORDER BY component""".stripMargin,
     "q33_simhash" ->
       s"""WITH dt AS (SELECT doc_id, unnest(list_distinct(${toksSql("text")})) AS t FROM documents),
          |s AS (SELECT doc_id, $simhashSumCols FROM dt GROUP BY doc_id)
@@ -829,6 +907,20 @@ object SparkEntry {
         | sha256(text) AS sha256,
         | CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
         | CAST(doc_id * 7 % 480 AS BIGINT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors Layout.q79ZOrderLayout — identical mask-and-shift Morton
+    // steps (zSpreadCtes), bucket = top 6 of 20 Z bits (keep in lockstep)
+    "q79_zorder_layout" ->
+      s"""WITH zin AS (SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS sx FROM lineitem),
+         |$zSpreadCtes
+         |SELECT (((ax << 1) | bx) >> 14) AS zbucket, count(*) AS n_rows,
+         | min(px) AS px_min, max(px) AS px_max,
+         | min(sx) AS sx_min, max(sx) AS sx_max
+         |FROM z4 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle reads the ORIGINAL table: the gate proves the compacted
+    // rewrite Layout.q80CompactRoundtrip returns is lossless
+    "q80_compact_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -245,6 +245,54 @@ case class ArrayIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode accent stripping: NFD decomposition, then drop combining
+  * marks (category Mn) — the `strip_accents` contract (DuckDB/utf8proc
+  * agree on this construction for Latin text: é→e, ü→u, ñ→n, ç→c).
+  * Spark has no builtin for this; it is the accent-folding half of the
+  * standard training-data normalization pass (q78).
+  *
+  * ASCII fast path: a byte scan decides whether the (expensive)
+  * Normalizer pass is needed at all — on mostly-ASCII corpora the
+  * expression is one branch per row. CodegenFallback for the usual
+  * reason: one call per document ROW, not per pair/token.
+  */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  // wrong-typed input is an ANALYSIS error, not a runtime ClassCastException
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) u
+    else {
+      val nfd = java.text.Normalizer.normalize(u.toString, java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var j = 0
+      while (j < nfd.length) {
+        val c = nfd.charAt(j)
+        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+        j += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API for [[TokenShingles]]. */
   def tokenShingles(toks: Column, n: Int): Column =
@@ -261,4 +309,8 @@ object TextExpressions {
   /** Column API for [[TokenCounts]]. */
   def tokenCounts(text: Column): Column =
     Bridge.column(TokenCounts(Bridge.expression(text)))
+
+  /** Column API for [[StripAccents]]. */
+  def stripAccents(text: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(text)))
 }

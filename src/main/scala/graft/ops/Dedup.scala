@@ -242,7 +242,7 @@ object Dedup {
     * per round (the sum), never row data.
     */
   def q69DedupComponents(s: SparkSession, d: String, maxIters: Int = 20): DataFrame =
-    contractedComponents(s, d, connectedComponents(_, maxIters))
+    contractedComponents(s, d, connectedComponents(_, maxIters)).orderBy("doc_id")
 
   /** q69's semantics through the small-star/large-star variant — the
     * same transitive-cluster labels (one keeper per component, min-id
@@ -250,7 +250,7 @@ object Dedup {
     * path is driver-verified end to end, not only spec-pinned equal.
     */
   def q71DedupComponentsStar(s: SparkSession, d: String, maxIters: Int = 50): DataFrame =
-    contractedComponents(s, d, connectedComponentsStar(_, maxIters))
+    contractedComponents(s, d, connectedComponentsStar(_, maxIters)).orderBy("doc_id")
 
   /** EXACT-DUPLICATE CONTRACTION around a components kernel — the
     * standard production pre-pass (exact dedup before fuzzy): identical
@@ -295,12 +295,16 @@ object Dedup {
       .distinct()
   }
 
+  /** Unordered (doc_id, component) for every doc — the shared internal
+    * form: q69/q71 add their presentation sort; q77 consumes it as join
+    * input where a sort here would be destroyed by the keeper window's
+    * exchange and re-done.
+    */
   private def contractedComponents(s: SparkSession, d: String,
       cc: DataFrame => DataFrame): DataFrame = {
     val comp = cc(contractedCandidatePairs(s, d)).withColumnRenamed("doc_id", "rep")
     docReps(s, d).join(comp, Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("rep")).as("component"))
-      .orderBy("doc_id")
   }
 
   /** The propagation core over the PAIR GRAPH ONLY: nodes are the docs
@@ -524,6 +528,81 @@ object Dedup {
     val hubs = edges.select(col("v").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("component"))
     (leaves.union(hubs).distinct(), iters)
+  }
+
+  /** INCREMENTAL dedup: classify an incoming batch against the EXISTING
+    * corpus — the production shape for a continuously-fed training
+    * pipeline, where yesterday's corpus is already deduped and only the
+    * new arrivals need checking (running q30/q32 over corpus ∪ batch
+    * would re-pay the whole corpus every ingest). Batch stand-in:
+    * doc_id % 10 == 7 (deterministic, ~10% of docs — mirrors q74's
+    * eval-set convention).
+    *
+    * Two checks, exact-before-fuzzy (the q69-contraction production
+    * order):
+    *  - exact: the batch doc's content md5 equals an existing doc's —
+    *    reports the minimum such corpus doc as `exact_rep`;
+    *  - near: the batch doc shares an LSH band signature with an
+    *    existing doc — reports the minimum such corpus doc as
+    *    `near_rep`.
+    *
+    * Both sides read the SAME persisted signature frame
+    * ([[lshSignatures]] — in production, the signature table built at
+    * last ingest), so the incremental cost is one hash join + one
+    * (band, sig) join, each sized by the BATCH, not the corpus: AQE
+    * broadcasts the batch side when it fits, which is the expected
+    * regime (small batch vs huge corpus). Nothing here rescans corpus
+    * text.
+    */
+  def q76IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val isBatch = col("doc_id") % 10 === 7
+    val batch = hashed.filter(isBatch)
+    val exactRep = hashed.filter(!isBatch)
+      .groupBy("h").agg(min("doc_id").as("exact_rep"))
+    val sig = lshSignatures(s, d)
+    val nearRep = sig.filter(col("doc_id") % 10 === 7)
+      .join(sig.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id").as("corpus_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .groupBy("doc_id").agg(min("corpus_id").as("near_rep"))
+    batch
+      .join(exactRep, Seq("h"), "left")
+      .join(nearRep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_rep").isNotNull, "exact_dup")
+          .when(col("near_rep").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        col("exact_rep"), col("near_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** CANONICAL-KEEPER selection: for each transitive near-dup cluster
+    * (q69's connected components), pick the single document to train on —
+    * the highest-QUALITY member, not the min-id one (the doc you keep
+    * should be the best copy, not the earliest-crawled). Rank is on the
+    * 4-dp q22/q73 quality score with doc_id tie-break, so the choice is
+    * deterministic and cross-engine stable.
+    *
+    * Plan shape: the component labels come from the oracle-gated CC pass;
+    * quality is a pure map-side pass over documents; then ONE exchange on
+    * `component` feeds both window functions (the keeper rank and the
+    * member count). Sized by the corpus' component structure — no
+    * all-pairs anything.
+    */
+  def q77ComponentKeeper(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = contractedComponents(s, d, connectedComponents(_, 20))
+    val byComp = Window.partitionBy("component")
+    comp.join(TextOps.docQuality(s, d), Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        byComp.orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("n_docs", count(lit(1)).over(byComp))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("n_docs"),
+        col("doc_id").as("keeper_doc_id"), col("quality").as("keeper_quality"))
+      .orderBy("component")
   }
 
   /** SimHash fingerprints (16-bit, md5-digit-parity construction — see

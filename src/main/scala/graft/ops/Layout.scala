@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Data-LAYOUT operators: multi-dimensional clustering (Z-order) and
+  * small-file compaction — the table-maintenance half of running a
+  * 100 TB lakehouse that query operators alone don't cover.
+  *
+  * Why these are engine surface: parquet scans prune on per-file and
+  * per-row-group min/max statistics, so the LAYOUT of rows across files
+  * decides how much of the corpus a selective scan touches. Sorting by
+  * one column prunes one predicate dimension; interleaving the bits of
+  * two columns (Morton / Z-order) bounds BOTH dimensions per file, so
+  * range predicates on either (or both) columns skip most files. And a
+  * streaming ingest that lands thousands of small files per hour needs
+  * periodic compaction or scan planning drowns in file-open overhead.
+  * Both operators here are one repartitionByRange + sorted write — the
+  * shape that scales to any corpus the cluster can shuffle.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` to even bit positions (0,2,4,…,30)
+    * — the textbook mask-and-shift Morton construction, expressed in
+    * builtin bitwise ops so the whole Z-value computation stays inside
+    * whole-stage codegen (no UDF, no custom expression needed).
+    */
+  def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 2-D Morton (Z-order) value of two 16-bit coordinates: bits of `a`
+    * at odd positions, bits of `b` at even positions.
+    */
+  def zValue2(a: Column, b: Column): Column =
+    shiftleft(spread16(a), 1).bitwiseOR(spread16(b))
+
+  /** Z-order the frame on two integer coordinate columns and write it
+    * range-partitioned by Z-value: consecutive files hold Z-adjacent
+    * rows, so every file's (a, b) bounding box is small and parquet
+    * min/max pruning works for predicates on either column. This is the
+    * write-side operator; [[q79ZOrderLayout]] is the driver-gated
+    * arithmetic check of the same Z mapping.
+    */
+  def zOrderWrite(df: DataFrame, aCol: String, bCol: String, outPath: String,
+      files: Int, mod: Int = 1 << 16): Unit =
+    df.withColumn("__z", zValue2(pmod(col(aCol), lit(mod)), pmod(col(bCol), lit(mod))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
+  /** Z-order bucket statistics over lineitem's (part, supplier) key
+    * pair: bucket = top 6 bits of the 20-bit Z-value of
+    * (l_partkey % 1024, l_suppkey % 1024). The per-bucket min/max of
+    * BOTH coordinates — what a parquet footer would store per file
+    * after [[zOrderWrite]] — is the observable: each bucket covers a
+    * bounded rectangle of the key space (≤ 1/8 of each dimension's
+    * range), which is exactly the property that makes two-dimensional
+    * scan pruning work. Pure integer arithmetic, mirrored bit-for-bit
+    * by the DuckDB oracle; one hash aggregation, no joins.
+    */
+  def q79ZOrderLayout(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(pmod(col("l_partkey"), lit(1024L)).as("px"),
+        pmod(col("l_suppkey"), lit(1024L)).as("sx"))
+      .withColumn("zbucket", shiftright(zValue2(col("px"), col("sx")), 14))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("px").as("px_min"), max("px").as("px_max"),
+        min("sx").as("sx_min"), max("sx").as("sx_max"))
+      .orderBy("zbucket")
+
+  // compacted-copy memo, fingerprint-keyed like every other session memo
+  // (a corpus changing under a cached dir is detected and re-compacted)
+  private val compactCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
+
+  /** Compact a parquet directory into ~`targetRecordsPerFile`-row files,
+    * range-clustered and sorted by `rangeCol`: one count to size the
+    * file count, one range shuffle, one sorted write. Output files hold
+    * disjoint `rangeCol` ranges (repartitionByRange) with rows sorted
+    * inside (sortWithinPartitions), so post-compaction scans prune on
+    * `rangeCol` min/max per file AND benefit from parquet run-length/
+    * delta encoding on the sort column. maxRecordsPerFile caps any
+    * straggler partition AQE-style range skew could inflate.
+    */
+  def compact(df: DataFrame, outPath: String, targetRecordsPerFile: Long,
+      rangeCol: String): Unit = {
+    val n = df.count()
+    val files = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    df.repartitionByRange(files, col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(outPath)
+  }
+
+  /** Compaction as a driver-gated query: compact the documents table
+    * into ~200-row files under java.io.tmpdir (once per session ×
+    * corpus fingerprint — the build-once memo q70 also uses), then read
+    * the COMPACTED copy back and return every row. The oracle reads the
+    * ORIGINAL table, so the gate proves the rewrite is lossless
+    * byte-for-byte across all columns — the property a maintenance
+    * operator must never violate. LayoutSpec asserts the file-level
+    * layout (count, disjoint doc_id ranges).
+    */
+  def q80CompactRoundtrip(s: SparkSession, d: String,
+      targetRecordsPerFile: Long = 200): DataFrame = {
+    val out = compactCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "documents")
+      compactCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+        .foreach(compactCache.remove)
+      compactCache.getOrElseUpdate((s, d, fp), {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-compact/${fp.replace("-", "").take(16)}").getAbsolutePath
+        compact(Tables.documents(s, d), p, targetRecordsPerFile, "doc_id")
+        p
+      })
+    }
+    s.read.parquet(out)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+}

@@ -78,6 +78,57 @@ object TextOps {
       + lit(20.0) * least(nTokens, lit(100L)) * nTokens)
       / (lit(10000.0) * nTokens))
 
+  /** (doc_id, quality) — the 4-dp composite score as a standalone frame
+    * for consumers outside this file (q77's keeper selection). Pure
+    * map-side (array HOFs, no explode, no shuffle), like q22.
+    */
+  private[ops] def docQuality(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a")
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(filter(col("toks"), t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"),
+        qualityExpr(col("n_tokens"), col("n_distinct"), col("n_stop")).as("quality"))
+  }
+
+  /** Text NORMALIZATION — the pre-tokenization cleanup pass every
+    * training pipeline runs before dedup/quality: lowercase → Unicode
+    * accent strip (NFD + drop combining marks, the strip_accents
+    * contract) → URL scrub → email scrub → whitespace collapse → trim.
+    * Everything is a per-row scalar chain (builtin codegen'd
+    * regexp_replace + the [[graft.functions.expressions.StripAccents]]
+    * expression) — embarrassingly parallel over row groups, no shuffle.
+    *
+    * The fixture corpus is already clean lowercase ASCII (FIXTURES.md),
+    * so — like q50/q68's stub arithmetic — the input is a DETERMINISTIC
+    * MESS constructed from (text, doc_id): mixed case, accented words,
+    * a URL and an email address, doubled spaces. Both engines build the
+    * identical messy string and normalize it, so the driver gate
+    * exercises every real code path (case folding, accent folding,
+    * regex scrubs, collapse) rather than vacuously passing on
+    * already-clean text.
+    */
+  def q78NormalizeText(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expressions.TextExpressions.stripAccents
+    val messy = concat(
+      lit("  Héllo "), upper(substring(col("text"), 1, 40)),
+      lit(" visit https://Ex.Ample.com/p/"), col("doc_id").cast("string"),
+      lit("?q=1 mail Tést.Üser@Example.COM and çafé  dönér  "))
+    val cleaned = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(stripAccents(lower(messy)), "https?://[^ ]+", ""),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", ""),
+      " +", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), cleaned.as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Heuristic language ID: marker-lexicon scoring with deterministic
     * argmax (see TextFunctions.LangMarkers); reports predicted vs actual.
     */

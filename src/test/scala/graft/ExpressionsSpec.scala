@@ -154,4 +154,32 @@ class ExpressionsSpec extends AnyFunSuite {
     // 2.675*100.0 rounds to exactly 267.5 under IEEE multiplication).
     assert(got == Seq(1.0, 2.68, -1.0, 0.12))
   }
+
+  test("StripAccents: Latin accents fold, non-Latin and ASCII pass through") {
+    import spark.implicits._
+    import graft.functions.expressions.TextExpressions.stripAccents
+    val cases = Seq(
+      "café" -> "cafe", "Émile" -> "Emile", "über" -> "uber",
+      "niño" -> "nino", "çafé dönér" -> "cafe doner",
+      "plain ascii 123" -> "plain ascii 123", // ASCII fast path
+      "mixed tëxt ok" -> "mixed text ok",
+      "中文 unchanged" -> "中文 unchanged", // no combining marks: untouched
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(stripAccents(col("t"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .select(stripAccents(col("t"))).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("StripAccents: precomposed and decomposed input normalize identically") {
+    import spark.implicits._
+    import graft.functions.expressions.TextExpressions.stripAccents
+    // é as U+00E9 vs e + U+0301 (combining acute): NFD inside the
+    // expression makes both collapse to the same stripped form
+    val df = Seq("café", "café").toDF("t")
+    val got = df.select(stripAccents(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("cafe", "cafe"))
+  }
 }

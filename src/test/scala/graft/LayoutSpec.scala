@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Layout
+
+/** Data-layout operators: the Z-order mapping itself (vs a bit-twiddling
+  * reference implementation), the pruning property a Z-ordered WRITE
+  * buys (per-file bounding boxes a fraction of the key space), and the
+  * compaction contract (lossless, target file count, disjoint sorted
+  * ranges — i.e. min/max pruning works after the rewrite).
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Reference Morton interleave: the obvious bit loop. */
+  private def zRef(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((a >> i) & 1L) << (2 * i + 1)
+      z |= ((b >> i) & 1L) << (2 * i)
+      i += 1
+    }
+    z
+  }
+
+  test("zValue2 matches the bit-loop reference across the 16-bit range") {
+    import spark.implicits._
+    // corners, powers of two, and a pseudo-random spread of the domain
+    val samples = (Seq(0L, 1L, 2L, 0xFFFFL, 0x8000L, 0x5555L, 0xAAAAL) ++
+      (0 until 500).map(i => (i * 2654435761L) & 0xFFFFL))
+    val pairs = for (a <- samples.take(40); b <- samples.take(40)) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue2(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == zRef(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("zValue2 is a bijection on the sampled grid (interleave loses no bits)") {
+    import spark.implicits._
+    val n = 64
+    val grid = for (a <- 0 until n; b <- 0 until n) yield (a.toLong, b.toLong)
+    val distinct = grid.toDF("a", "b")
+      .select(Layout.zValue2(col("a"), col("b")).as("z"))
+      .distinct().count()
+    assert(distinct == n.toLong * n)
+  }
+
+  test("zOrderWrite: per-file bounding boxes cover a fraction of the key space") {
+    import spark.implicits._
+    val n = 64 // 4096 rows over a full 64x64 grid
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder")
+      .resolve("grid").toString
+    val grid = (for (a <- 0 until n; b <- 0 until n) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    Layout.zOrderWrite(grid, "a", "b", out, files = 16)
+    val boxes = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("a") - min("a") + 1).as("wa"), (max("b") - min("b") + 1).as("wb"),
+        count(lit(1)).as("rows"))
+      .collect()
+    assert(boxes.length == 16)
+    assert(boxes.map(_.getAs[Long]("rows")).sum == n.toLong * n)
+      // Z-order property: every file's (a, b) bounding box is a bounded
+      // tile, not a full-width stripe — 16 Z-contiguous files over a
+      // 64x64 grid tile into boxes no wider than a quarter of each axis
+      // (a 1-D sort by `a` would instead give wa = 4, wb = 64: pruning
+      // on b impossible). That bounded-both-dimensions box IS the
+      // two-dimensional min/max pruning claim.
+    boxes.foreach { r =>
+      assert(r.getAs[Long]("wa") <= n / 4 && r.getAs[Long]("wb") <= n / 4,
+        s"file box ${r.getAs[Long]("wa")}x${r.getAs[Long]("wb")} too wide")
+    }
+  }
+
+  test("compact: lossless, target file count, disjoint sorted doc_id ranges") {
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-spec")
+      .resolve("docs").toString
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+    val n = docs.count()
+    val target = 20L
+    Layout.compact(docs, out, target, "doc_id")
+    val back = spark.read.parquet(out)
+    // lossless: same multiset of rows (both directions)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    // file count = ceil(n / target)
+    val files = back.select(input_file_name().as("f"), col("doc_id"))
+      .groupBy("f").agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
+        count(lit(1)).as("rows"))
+      .collect()
+    assert(files.length == ((n + target - 1) / target).toInt)
+    files.foreach(r => assert(r.getAs[Long]("rows") <= target))
+    // disjoint ranges: sort files by lo, every hi < next lo (this is
+    // what makes per-file min/max pruning on doc_id exact)
+    val ranges = files.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sorted
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: $hi1 >= $lo2")
+      case _ => ()
+    }
+  }
+
+  test("q79 buckets: bounded rectangles, counts conserve, Spark ≡ reference z") {
+    val q = graft.ops.Layout.q79ZOrderLayout(spark, TestSpark.sf)
+    val rows = q.collect()
+    val total = graft.core.Tables.lineitem(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach { r =>
+      // top-6-bit Z buckets tile the 1024x1024 key plane into rectangles
+      // no wider than 1/8 of each axis (6 bits = 3 from each coordinate)
+      assert(r.getAs[Long]("px_max") - r.getAs[Long]("px_min") < 1024 / 8)
+      assert(r.getAs[Long]("sx_max") - r.getAs[Long]("sx_min") < 1024 / 8)
+    }
+  }
+}

@@ -189,6 +189,50 @@ class TextDedupSimSpec extends AnyFunSuite {
       .filter(col("ca") =!= col("cb")).count() == 0L)
   }
 
+  test("q76 incremental dedup: exact reps share text, 'new' docs share no signature") {
+    val res = Dedup.q76IncrementalDedup(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    // one row per batch doc, statuses well-formed
+    val nBatch = docs.filter(col("doc_id") % 10 === 7).count()
+    assert(res.count() == nBatch)
+    // exact_dup: the reported corpus rep has IDENTICAL text (and is not
+    // itself a batch doc)
+    val tx = docs.select(col("doc_id"), col("text"))
+    val exacts = res.filter(col("status") === "exact_dup")
+      .join(tx.toDF("doc_id", "batch_text"), Seq("doc_id"))
+      .join(tx.toDF("exact_rep", "rep_text"), Seq("exact_rep"))
+    assert(exacts.filter(col("batch_text") =!= col("rep_text")).count() == 0L)
+    assert(res.filter(col("exact_rep") % 10 === 7).count() == 0L)
+    assert(res.filter(col("near_rep") % 10 === 7).count() == 0L)
+    // 'new' docs: no LSH candidate pair links them to any corpus doc
+    val cand = Dedup.lshCandidatePairs(spark, sf)
+    val crossPaired = cand
+      .filter((col("doc_a") % 10 === 7) =!= (col("doc_b") % 10 === 7))
+      .select(when(col("doc_a") % 10 === 7, col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id")).distinct()
+    assert(res.filter(col("status") === "new")
+      .join(crossPaired, Seq("doc_id"), "left_semi").count() == 0L)
+  }
+
+  test("q77 keeper: max quality per component, exactly one keeper, counts conserve") {
+    val res = Dedup.q77ComponentKeeper(spark, sf)
+    val comp = Dedup.q69DedupComponents(spark, sf)
+    // one keeper per component, n_docs conserves the corpus
+    assert(res.select("component").distinct().count() == res.count())
+    assert(res.count() == comp.select("component").distinct().count())
+    assert(res.agg(sum("n_docs")).head().getLong(0) == comp.count())
+    // the keeper's quality is its component's maximum
+    val q = comp.join(graft.ops.TextOps.q22DocTokenStats(spark, sf)
+      .select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .groupBy("component").agg(max("quality").as("max_q"))
+    assert(res.join(q, Seq("component"))
+      .filter(col("keeper_quality") =!= col("max_q")).count() == 0L)
+    // the keeper belongs to its component
+    val membership = comp.toDF("keeper_doc_id", "member_of")
+    assert(res.join(membership, Seq("keeper_doc_id"))
+      .filter(col("component") =!= col("member_of")).count() == 0L)
+  }
+
   test("q33 simhash: 16-bit range") {
     assert(Dedup.q33SimHash(spark, sf)
       .filter(col("simhash") < 0 || col("simhash") > 0xFFFFL).count() == 0L)
