@@ -36,4 +36,15 @@ object Formats {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** ORC: the other columnar lake format (predicate pushdown + column
+    * pruning work the same way as parquet — Spark's ORC reader consumes
+    * file/stripe min/max exactly like row-group stats). Same
+    * ErrorIfExists default as every sink here.
+    */
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+    df.write.mode(mode).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

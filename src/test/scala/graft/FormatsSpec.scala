@@ -36,6 +36,19 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.exceptAll(cust).count() == 0 && cust.exceptAll(back).count() == 0)
   }
 
+  test("ORC round-trip preserves rows and values, pushes filters to the scan") {
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("orc_rt")
+    Formats.writeOrc(docs, path)
+    val back = Formats.readOrc(spark, path)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = Formats.readOrc(spark, path).filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"ORC scan must receive pushed filters:\n$plan")
+  }
+
   test("partitioned parquet: lang filter prunes to one partition directory") {
     val docs = Tables.documents(spark, sf)
     val path = tmp("part_pq")
