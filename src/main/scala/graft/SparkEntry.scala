@@ -89,6 +89,7 @@ object SparkEntry {
     "q71_dedup_components_star" -> ((s, d) => Dedup.q71DedupComponentsStar(s, d)),
     "q76_incremental_dedup" -> (Dedup.q76IncrementalDedup(_, _)),
     "q77_component_keeper" -> (Dedup.q77ComponentKeeper(_, _)),
+    "q81_minhash_estimate" -> (Dedup.q81MinhashEstimate(_, _)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -677,6 +678,17 @@ object SparkEntry {
          |FROM d2 b LEFT JOIN exact e ON b.h = e.h
          |LEFT JOIN near n ON b.doc_id = n.doc_id
          |WHERE b.doc_id % 10 = 7 ORDER BY b.doc_id""".stripMargin,
+    // mirrors Dedup.q81MinhashEstimate — same (band, sig) join with a
+    // count agg; est = n/8 is exact binary, r4 identical both sides
+    "q81_minhash_estimate" ->
+      s"""WITH $lshSigCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | count(*) AS n_match_bands,
+         | ${sqlRn("CAST(count(*) AS DOUBLE) / 8.0", 4)} AS est_jaccard
+         |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // mirrors Dedup.q77ComponentKeeper — components ground truth +
     // 4-dp q22/q73 quality, keeper = rank 1 per component (lockstep)
     "q77_component_keeper" ->

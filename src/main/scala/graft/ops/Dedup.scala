@@ -109,17 +109,21 @@ object Dedup {
     * a session (e.g. after a streaming ingest lands new files) or when
     * embedding the engine in a long-lived JVM that cycles sessions — the
     * memos are per-(session, dir) SNAPSHOTS and hold session references
-    * until cleared. Lock order is candCache then sigCache, matching
-    * lshCandidatePairs (which builds signatures while holding the
-    * candidate lock), so invalidation cannot deadlock against a build.
+    * until cleared. Lock order is compCache, then candCache, then
+    * sigCache — the same total order the builds take (components build
+    * candidates, candidates build signatures, each while holding its own
+    * lock), so invalidation cannot deadlock against a build.
     */
-  def invalidateSignatureCache(): Unit = candCache.synchronized {
-    sigCache.synchronized {
-      (candCache.values ++ sigCache.values).foreach { df =>
-        try df.unpersist() catch { case _: Throwable => () }
+  def invalidateSignatureCache(): Unit = compCache.synchronized {
+    candCache.synchronized {
+      sigCache.synchronized {
+        (compCache.values ++ candCache.values ++ sigCache.values).foreach { df =>
+          try df.unpersist() catch { case _: Throwable => () }
+        }
+        compCache.clear()
+        candCache.clear()
+        sigCache.clear()
       }
-      candCache.clear()
-      sigCache.clear()
     }
   }
 
@@ -197,6 +201,31 @@ object Dedup {
   def q32MinHashLsh(s: SparkSession, d: String, bands: Int = 8): DataFrame =
     lshCandidatePairs(s, d, bands).orderBy("doc_a", "doc_b")
 
+  /** MinHash similarity ESTIMATION: for every candidate pair, the
+    * fraction of the `bands` independent min-hashes that agree — the
+    * classical unbiased MinHash estimate of Jaccard similarity (each
+    * min-hash agrees with probability J; resolution 1/bands). This is
+    * the sketch-only answer: the same (band, sig) equality self-join
+    * candidates come from, with a COUNT aggregation instead of a
+    * distinct — no token-set verify join, no second pass over text.
+    * At 100 TB that is the whole point: the estimate prices similarity
+    * from the signature table alone; q31 is the exact-verify twin when
+    * the decision needs true Jaccard. DedupSpec pins the estimate's
+    * internal consistency and its separation on exact-verified pairs.
+    */
+  def q81MinhashEstimate(s: SparkSession, d: String, bands: Int = 8): DataFrame = {
+    val sig = lshSignatures(s, d, bands)
+    val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_match_bands"))
+      .withColumn("est_jaccard",
+        r4(col("n_match_bands").cast("double") / lit(bands.toDouble)))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Dedup RESOLUTION: turn candidate pairs into the kept corpus with
     * the greedy min-id policy — a document is dropped iff some
     * smaller-id document claimed it as a near-duplicate (doc_b side of a
@@ -241,8 +270,36 @@ object Dedup {
     * exhibits long chains. The driver-side loop holds only one scalar
     * per round (the sum), never row data.
     */
+  // memoized, persisted propagation-components frame, fingerprint-keyed
+  // like lshSignatures/lshCandidatePairs: q69 and q77 consume the SAME
+  // (doc_id, component) labels, and the CC pass behind them is the
+  // dominant cost of both at 20x (the production shape is identical —
+  // component labels land in a table once per corpus version, every
+  // resolution/keeper pass reads it)
+  private val compCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def propagationComponents(s: SparkSession, d: String): DataFrame =
+    compCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "documents")
+      compCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+        .foreach { stale =>
+          compCache.remove(stale).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+        }
+      compCache.getOrElseUpdate((s, d, fp),
+        contractedComponents(s, d, connectedComponents(_, 20))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   def q69DedupComponents(s: SparkSession, d: String, maxIters: Int = 20): DataFrame =
-    contractedComponents(s, d, connectedComponents(_, maxIters)).orderBy("doc_id")
+    // non-default maxIters bypasses the memo (it would change the labels
+    // a non-converged long-chain graph yields)
+    (if (maxIters == 20) propagationComponents(s, d)
+     else contractedComponents(s, d, connectedComponents(_, maxIters)))
+      .orderBy("doc_id")
 
   /** q69's semantics through the small-star/large-star variant — the
     * same transitive-cluster labels (one keeper per component, min-id
@@ -593,7 +650,7 @@ object Dedup {
     */
   def q77ComponentKeeper(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = contractedComponents(s, d, connectedComponents(_, 20))
+    val comp = propagationComponents(s, d)
     val byComp = Window.partitionBy("component")
     comp.join(TextOps.docQuality(s, d), Seq("doc_id"))
       .withColumn("rk", row_number().over(

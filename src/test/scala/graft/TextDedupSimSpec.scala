@@ -233,6 +233,30 @@ class TextDedupSimSpec extends AnyFunSuite {
       .filter(col("component") =!= col("member_of")).count() == 0L)
   }
 
+  test("q81 minhash estimate: same pair set as q32, est = n/8, separates exact-verified pairs") {
+    val est = Dedup.q81MinhashEstimate(spark, sf)
+    // identical pair set to the LSH candidates (same join, count vs distinct)
+    val estPairs = est.select("doc_a", "doc_b")
+    val candPairs = Dedup.q32MinHashLsh(spark, sf).select("doc_a", "doc_b")
+    assert(estPairs.exceptAll(candPairs).count() == 0 &&
+      candPairs.exceptAll(estPairs).count() == 0)
+    // n in [1, bands], est is exactly n/8 rounded
+    assert(est.filter(col("n_match_bands") < 1 || col("n_match_bands") > 8).count() == 0)
+    assert(est.filter(col("est_jaccard") =!=
+      graft.functions.Round.r4(col("n_match_bands").cast("double") / lit(8.0))).count() == 0)
+    // separation: pairs the exact verify passes at >= 0.6 (q31) estimate
+    // higher on average than candidates that fail it — the property that
+    // makes the sketch usable as a pre-filter
+    val verified = Dedup.q31JaccardPairs(spark, sf).select("doc_a", "doc_b")
+    val hi = est.join(verified, Seq("doc_a", "doc_b"), "left_semi")
+    val lo = est.join(verified, Seq("doc_a", "doc_b"), "left_anti")
+    if (hi.count() > 0 && lo.count() > 0) {
+      val mHi = hi.agg(avg("est_jaccard")).head().getDouble(0)
+      val mLo = lo.agg(avg("est_jaccard")).head().getDouble(0)
+      assert(mHi > mLo, s"estimate does not separate: verified=$mHi unverified=$mLo")
+    }
+  }
+
   test("q33 simhash: 16-bit range") {
     assert(Dedup.q33SimHash(spark, sf)
       .filter(col("simhash") < 0 || col("simhash") > 0xFFFFL).count() == 0L)
