@@ -90,6 +90,7 @@ object SparkEntry {
     "q76_incremental_dedup" -> (Dedup.q76IncrementalDedup(_, _)),
     "q77_component_keeper" -> (Dedup.q77ComponentKeeper(_, _)),
     "q81_minhash_estimate" -> (Dedup.q81MinhashEstimate(_, _)),
+    "q82_component_split" -> (Dedup.q82ComponentSplit(_, _)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -689,6 +690,15 @@ object SparkEntry {
          |WHERE a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // mirrors Dedup.q82ComponentSplit — components ground truth + q67's
+    // 90/5/5 byte-bucket arithmetic on the COMPONENT id (keep in lockstep)
+    "q82_component_split" ->
+      s"""WITH RECURSIVE $componentsCtes
+         |SELECT doc_id, component,
+         | CASE WHEN CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 2) AS BIGINT) < 230 THEN 'train'
+         |      WHEN CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 2) AS BIGINT) < 243 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM comp ORDER BY doc_id""".stripMargin,
     // mirrors Dedup.q77ComponentKeeper — components ground truth +
     // 4-dp q22/q73 quality, keeper = rank 1 per component (lockstep)
     "q77_component_keeper" ->

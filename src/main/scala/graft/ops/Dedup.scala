@@ -662,6 +662,27 @@ object Dedup {
       .orderBy("component")
   }
 
+  /** LEAKAGE-SAFE train/val/test split: bucket on the hash of the
+    * near-dup COMPONENT id, not the document content (q67's split), so
+    * every member of a transitive near-dup cluster lands in the same
+    * split. This is why production pipelines run connected components
+    * BEFORE splitting: a content-hash split keeps exact dups together
+    * (identical text ⇒ identical hash) but scatters NEAR-dups across
+    * train and eval — evaluation leakage. Same 90/5/5 byte-bucket
+    * arithmetic as q67, applied to the component label; component
+    * labels come from the persisted memo ([[q69DedupComponents]]'
+    * frame), so the split itself is one map-side pass over it.
+    */
+  def q82ComponentSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("component").cast("string")), 1, 2), 16, 10)
+      .cast("long")
+    propagationComponents(s, d)
+      .select(col("doc_id"), col("component"),
+        when(bucket < 230L, "train").when(bucket < 243L, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprints (16-bit, md5-digit-parity construction — see
     * TextFunctions.simhash16) over each document's distinct token set.
     * Computed entirely map-side (array fold per row, no shuffle).

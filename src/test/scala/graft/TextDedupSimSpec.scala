@@ -257,6 +257,23 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("q82 component split: near-dup pairs never straddle splits, full coverage") {
+    val sp = Dedup.q82ComponentSplit(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    // every doc exactly once, valid split labels
+    assert(sp.count() == docs.count())
+    assert(sp.select("doc_id").distinct().count() == docs.count())
+    assert(sp.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    // same component ⇒ same split (by construction) AND the observable
+    // leakage property: no LSH candidate pair crosses a split boundary
+    assert(sp.groupBy("component").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count() == 0)
+    val a = sp.select(col("doc_id").as("doc_a"), col("split").as("sa"))
+    val b = sp.select(col("doc_id").as("doc_b"), col("split").as("sb"))
+    assert(Dedup.lshCandidatePairs(spark, sf).join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b")).filter(col("sa") =!= col("sb")).count() == 0)
+  }
+
   test("q33 simhash: 16-bit range") {
     assert(Dedup.q33SimHash(spark, sf)
       .filter(col("simhash") < 0 || col("simhash") > 0xFFFFL).count() == 0L)
