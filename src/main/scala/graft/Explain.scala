@@ -20,7 +20,8 @@ object Explain {
     "q01_pricing_summary", "q03_customer_revenue", "q05_nation_revenue",
     "q26_tfidf", "q31_jaccard_pairs", "q32_minhash_lsh",
     "q34_embedding_neardup", "q40_cosine_topk", "q41_ann_lsh_topk",
-    "q76_incremental_dedup", "q77_component_keeper", "q79_zorder_layout")
+    "q76_incremental_dedup", "q77_component_keeper", "q79_zorder_layout",
+    "q81_minhash_estimate")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from

@@ -274,6 +274,24 @@ class TextDedupSimSpec extends AnyFunSuite {
       .join(b, Seq("doc_b")).filter(col("sa") =!= col("sb")).count() == 0)
   }
 
+  test("CC loop restores session shuffle/AQE conf (both variants)") {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // a tiny graph drives the 1-partition/AQE-off branch of
+    // withIterationConf; both variants must leave the session conf as
+    // they found it (the finally-restore is what makes the loop-scoped
+    // sizing safe to embed in a long-lived session)
+    Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")).count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parts)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe)
+    Dedup.connectedComponentsStar(
+      Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")).count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parts)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe)
+  }
+
   test("q33 simhash: 16-bit range") {
     assert(Dedup.q33SimHash(spark, sf)
       .filter(col("simhash") < 0 || col("simhash") > 0xFFFFL).count() == 0L)
