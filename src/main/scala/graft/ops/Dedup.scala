@@ -177,7 +177,14 @@ object Dedup {
     * executors hold the signatures. Production shape unchanged:
     * candidates land in a table once, every dedup pass reads it.
     */
-  def lshCandidatePairs(s: SparkSession, d: String, bands: Int = 8): DataFrame =
+  /** The memoized frame is (doc_a, doc_b, n_match_bands): the same
+    * (band, sig) self-join either way, with the distinct folded into a
+    * count aggregation — so ONE persisted frame serves both the
+    * candidate consumers (q31/q32/q39/q69/q77, which project the pair)
+    * and the MinHash estimator (q81, which needs the per-pair matching-
+    * band count). Group-by produces exactly the distinct pair set.
+    */
+  def lshCandidateCounts(s: SparkSession, d: String, bands: Int = 8): DataFrame =
     candCache.synchronized {
       val fp = graft.core.Fingerprint.of(s, d, "documents")
       candCache.keys
@@ -193,10 +200,14 @@ object Dedup {
         val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
         a.join(b, Seq("band", "sig"))
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_match_bands"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
+
+  def lshCandidatePairs(s: SparkSession, d: String, bands: Int = 8): DataFrame =
+    lshCandidateCounts(s, d, bands).select("doc_a", "doc_b")
 
   def q32MinHashLsh(s: SparkSession, d: String, bands: Int = 8): DataFrame =
     lshCandidatePairs(s, d, bands).orderBy("doc_a", "doc_b")
@@ -213,18 +224,11 @@ object Dedup {
     * the decision needs true Jaccard. DedupSpec pins the estimate's
     * internal consistency and its separation on exact-verified pairs.
     */
-  def q81MinhashEstimate(s: SparkSession, d: String, bands: Int = 8): DataFrame = {
-    val sig = lshSignatures(s, d, bands)
-    val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_match_bands"))
+  def q81MinhashEstimate(s: SparkSession, d: String, bands: Int = 8): DataFrame =
+    lshCandidateCounts(s, d, bands)
       .withColumn("est_jaccard",
         r4(col("n_match_bands").cast("double") / lit(bands.toDouble)))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Dedup RESOLUTION: turn candidate pairs into the kept corpus with
     * the greedy min-id policy — a document is dropped iff some

@@ -212,6 +212,63 @@ object StreamingOps {
       }
   }
 
+  /** Streaming INCREMENTAL dedup against an EXISTING corpus — the
+    * streaming twin of batch q76 (`Dedup.q76IncrementalDedup`), and the
+    * missing join pattern in this module: STREAM-STATIC joins. The
+    * corpus is distilled once into two static lookup tables —
+    * (content md5 → min doc_id) and, per LSH band, (band signature →
+    * min doc_id in bucket) — and each arriving doc is classified
+    * exact_dup / near_dup / new entirely map-side plus `bands`+1 left
+    * joins against those tables. No aggregation, no streaming state, no
+    * watermark needed: state lives in the STATIC side (in production, a
+    * signature table refreshed by the nightly batch), which is exactly
+    * what keeps per-ingest cost O(batch) rather than O(corpus).
+    *
+    * near_rep = least over the per-band bucket minima = the global
+    * minimum corpus doc sharing any band signature — the same value
+    * batch q76's (band, sig) join + min aggregation produces
+    * (StreamingSpec pins exact equality). The per-band construction is
+    * the same one-md5-per-shingle window fold as the batch signatures
+    * and lshCandidateStream.
+    */
+  def incrementalDedupStream(docs: DataFrame, corpus: DataFrame,
+      bands: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.shingles3
+    def hsOf(text: org.apache.spark.sql.Column) =
+      transform(shingles3(tokens(text)), sh => md5(sh))
+    def sigAt(hs: org.apache.spark.sql.Column, b: Int) =
+      array_min(transform(hs, h => h.substr(lit(1 + 2 * b), lit(16))))
+    val corpusHash = corpus
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("exact_rep"))
+    val corpusBanded = corpus
+      .select(col("doc_id"), hsOf(col("text")).as("hs"))
+      .filter(size(col("hs")) >= 1)
+    val bucketMin = (0 until bands).map { b =>
+      b -> corpusBanded
+        .select(sigAt(col("hs"), b).as(s"sig$b"), col("doc_id"))
+        .groupBy(s"sig$b").agg(min("doc_id").as(s"min$b"))
+    }.toMap
+    val base = docs
+      .select(col("doc_id"), md5(col("text")).as("h"), hsOf(col("text")).as("hs"))
+    val withSigs = (0 until bands).foldLeft(base) { (df, b) =>
+      // empty shingle arrays yield a null signature, which never joins —
+      // matching the batch path, where such docs have no signatures
+      df.withColumn(s"sig$b", sigAt(col("hs"), b))
+    }
+    val joined = (0 until bands).foldLeft(
+      withSigs.join(corpusHash, Seq("h"), "left")) { (df, b) =>
+      df.join(bucketMin(b), Seq(s"sig$b"), "left")
+    }
+    joined
+      .withColumn("near_rep", least((0 until bands).map(b => col(s"min$b")): _*))
+      .select(col("doc_id"),
+        when(col("exact_rep").isNotNull, "exact_dup")
+          .when(col("near_rep").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        col("exact_rep"), col("near_rep"))
+  }
+
   /** foreachBatch sink: land each micro-batch as partitioned parquet
     * (partitioned by event_type — the layout downstream batch queries
     * prune on). foreachBatch is the production bridge from a stream to

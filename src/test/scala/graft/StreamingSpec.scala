@@ -285,4 +285,38 @@ class StreamingSpec extends AnyFunSuite {
         "state survived the idle timeout — eviction did not happen")
     } finally q.stop()
   }
+
+  test("streaming incremental dedup matches batch q76 exactly (stream-static joins)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.core.Tables.documents(spark, TestSpark.sf)
+    val corpus = all.filter(col("doc_id") % 10 =!= 7)
+    val batchDocs = all.filter(col("doc_id") % 10 === 7)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.incrementalDedupStream(stream, corpus)
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    try {
+      // split the batch across two micro-batches: classification is
+      // stateless per doc, so arrival batching must not matter
+      val (first, second) = batchDocs.splitAt(batchDocs.length / 2)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("incdedup_out")
+        .select("doc_id", "status", "exact_rep", "near_rep").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3))).toSet
+      val expect = graft.ops.Dedup.q76IncrementalDedup(spark, TestSpark.sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3))).toSet
+      assert(got == expect, s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+    } finally q.stop()
+  }
 }
