@@ -78,6 +78,7 @@ object SparkEntry {
     "q74_decontaminate" -> (TextOps.q74Decontaminate(_, _)),
     "q75_repetition" -> (TextOps.q75Repetition(_, _)),
     "q78_normalize_text" -> (TextOps.q78NormalizeText(_, _)),
+    "q83_lm_score" -> (TextOps.q83LmScore(_, _)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -620,6 +621,25 @@ object SparkEntry {
         | FROM m)
         |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
         |FROM n ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q83LmScore — integral micro-probs ((c*1e6)//prefix,
+    // exact both engines), per-doc integer sum, portable 4-dp mean
+    "q83_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |db AS (SELECT doc_id,
+         |  unnest(list_transform(range(0, len(ts) - 1), i -> array_to_string(ts[i + 1:i + 2], ' '))) AS bigram
+         | FROM t WHERE len(ts) >= 2),
+         |bc AS (SELECT bigram, count(*) AS c_bg FROM db GROUP BY bigram),
+         |pc AS (SELECT split_part(bigram, ' ', 1) AS w1,
+         |  CAST(sum(c_bg) AS BIGINT) AS c_prefix FROM bc GROUP BY 1),
+         |sc AS (SELECT db.doc_id, (bc.c_bg * 1000000) // pc.c_prefix AS micro
+         | FROM db JOIN bc USING (bigram)
+         | JOIN pc ON split_part(db.bigram, ' ', 1) = pc.w1),
+         |agg AS (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS sum_micro,
+         |  count(*) AS n_bigrams FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+         | ${sqlRn("CAST(a.sum_micro AS DOUBLE) / (1000000.0 * a.n_bigrams)", 4)} AS lm_score
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q29_regex_tokens" ->
       s"""SELECT doc_id, n_chars,
          | CAST(len(${toksSql("text")}) AS BIGINT) AS n_words,

@@ -129,6 +129,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Statistical LM quality score — the perplexity-proxy filter: each
+    * document scores as the MEAN CORPUS BIGRAM CONDITIONAL PROBABILITY
+    * of its bigrams, P(w2|w1) = count(w1 w2) / count(w1 ·) estimated
+    * from the corpus itself. Fluent, corpus-typical text scores high;
+    * token salad scores low — the classic n-gram stand-in for
+    * model-based perplexity filtering.
+    *
+    * Exactness design (the q53 power-sum discipline applied to
+    * probabilities): each per-occurrence probability is an exact
+    * integral micro-prob `(c_bg * 1e6) div c_prefix` (true integer
+    * division, mirroring DuckDB's `//` — floating division + floor
+    * would round differently near integer boundaries), so the per-doc
+    * sum is an exact integer and partition-order-invariant; the final
+    * mean divides two exact numbers and rounds portably. Plan shape:
+    * two hash aggs build the count tables, two hash joins score the
+    * exploded bigrams, one keyed agg per doc — open-vocabulary tables
+    * stay hash-joined, never broadcast-pinned.
+    */
+  def q83LmScore(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expressions.TextExpressions.tokenShingles
+    val docBg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokenShingles(tokens(col("text")), 2)).as("bigram"))
+    val bgCounts = docBg.groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+    val prefixCounts = bgCounts
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum("c_bg").as("c_prefix"))
+    val perDoc = docBg
+      .join(bgCounts, Seq("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(prefixCounts, Seq("w1"))
+      .withColumn("micro", expr("(c_bg * 1000000) div c_prefix"))
+      .groupBy("doc_id")
+      .agg(sum("micro").as("sum_micro"), count(lit(1)).as("n_bigrams"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        // null for docs with no bigrams (< 2 tokens): no evidence ≠ low score
+        r4(col("sum_micro").cast("double") / (lit(1000000.0) * col("n_bigrams")))
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** Heuristic language ID: marker-lexicon scoring with deterministic
     * argmax (see TextFunctions.LangMarkers); reports predicted vs actual.
     */

@@ -292,6 +292,21 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe)
   }
 
+  test("q83 LM score: probabilities in (0,1], full coverage, null only without bigrams") {
+    val sc = TextOps.q83LmScore(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(sc.count() == docs.count())
+    // a mean of conditional probabilities lives in (0, 1]
+    assert(sc.filter(col("lm_score") <= 0.0 || col("lm_score") > 1.0).count() == 0)
+    // score is null exactly when the doc has no bigrams
+    assert(sc.filter(col("lm_score").isNull =!= (col("n_bigrams") === 0L)).count() == 0)
+    // a bigram that always follows its prefix scores micro-prob 1.0: a
+    // doc made of one repeated bigram would score exactly 1 — check the
+    // bound is actually attained somewhere or scores stay consistent
+    // with the corpus (upper-bound sanity, no exact fixture dependence)
+    assert(sc.agg(max("lm_score")).head().getDouble(0) <= 1.0)
+  }
+
   test("q33 simhash: 16-bit range") {
     assert(Dedup.q33SimHash(spark, sf)
       .filter(col("simhash") < 0 || col("simhash") > 0xFFFFL).count() == 0L)
