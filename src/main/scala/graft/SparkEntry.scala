@@ -79,6 +79,7 @@ object SparkEntry {
     "q75_repetition" -> (TextOps.q75Repetition(_, _)),
     "q78_normalize_text" -> (TextOps.q78NormalizeText(_, _)),
     "q83_lm_score" -> (TextOps.q83LmScore(_, _)),
+    "q84_heavy_hitters" -> ((s, d) => TextOps.q84HeavyHitters(s, d)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -621,6 +622,15 @@ object SparkEntry {
         | FROM m)
         |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
         |FROM n ORDER BY doc_id""".stripMargin,
+    // the ORACLE for q84 is the naive full group-by (what the bounded-
+    // memory two-phase Misra-Gries path must reproduce bit-for-bit);
+    // threshold cnt*256 > N is the same exact-integer compare
+    "q84_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest(${toksSql("text")}) AS word FROM documents),
+         |n AS (SELECT count(*) AS n_total FROM w),
+         |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)
+         |SELECT word, cnt FROM c, n WHERE cnt * 256 > n_total
+         |ORDER BY word""".stripMargin,
     // mirrors TextOps.q83LmScore — integral micro-probs ((c*1e6)//prefix,
     // exact both engines), per-doc integer sum, portable 4-dp mean
     "q83_lm_score" ->

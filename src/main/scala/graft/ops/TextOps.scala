@@ -172,6 +172,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** EXACT heavy hitters at BOUNDED memory — two-phase Misra-Gries:
+    * tokens whose global frequency strictly exceeds N/k, without ever
+    * holding the full vocabulary in aggregation state.
+    *
+    * Phase 1 (candidates): each partition runs a k-counter Misra-Gries
+    * summary over its token stream — O(k) memory regardless of local
+    * vocabulary. Guarantee chain making the final result EXACT, not
+    * approximate: a globally-heavy token (freq > N/k) must be locally
+    * heavy (freq_p > N_p/k) in at least one partition (else summing the
+    * per-partition bounds caps its total at N/k), and Misra-Gries'
+    * undercount is at most N_p/k, so every locally-heavy token survives
+    * in that partition's summary. The union of per-partition summaries
+    * is therefore a SUPERSET of the true heavy hitters, of size ≤
+    * k × partitions — independent of vocabulary size.
+    *
+    * Phase 2 (exact recount): one hash agg over the token stream
+    * restricted to candidates (broadcast semi-join), so aggregation
+    * state is candidate-bounded, then the exact integer threshold
+    * cnt · k > N filters the supersets' false positives. At 100 TB this
+    * is the difference between agg state sized by an open web-scale
+    * vocabulary and state sized by k × partitions; the output is
+    * bit-identical to the naive full groupBy (which is the oracle).
+    */
+  def q84HeavyHitters(s: SparkSession, d: String, k: Int = 256): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        counters.get(w) match {
+          case Some(c) => counters.update(w, c + 1)
+          case None if counters.size < k => counters.update(w, 1L)
+          case None =>
+            // classic MG step: decrement every counter, evict zeros
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters.update(key, c - 1)
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("word").distinct()
+    val totals = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(candidates), Seq("word"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * lit(k.toLong) > col("n_total"))
+      .select("word", "cnt")
+      .orderBy("word")
+  }
+
   /** Heuristic language ID: marker-lexicon scoring with deterministic
     * argmax (see TextFunctions.LangMarkers); reports predicted vs actual.
     */

@@ -25,7 +25,8 @@ class PlanSpec extends AnyFunSuite {
     "q70_ivf_probe_indexed" -> "same probe core as q48, reading the persisted index table",
     "q58_band_join" -> "theta join against the fixed 5-row band table",
     "q26_tfidf" -> "single-row nDocs aggregate frame cross-joined in",
-    "q49_collocations" -> "single-row corpus-totals aggregate frame cross-joined in")
+    "q49_collocations" -> "single-row corpus-totals aggregate frame cross-joined in",
+    "q84_heavy_hitters" -> "single-row token-total aggregate frame cross-joined in")
 
   test("no nested-loop join outside the documented non-equi allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -307,6 +307,30 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(sc.agg(max("lm_score")).head().getDouble(0) <= 1.0)
   }
 
+  test("q84 heavy hitters: two-phase MG equals naive groupBy under heavy eviction") {
+    import spark.implicits._
+    // 180+ distinct words against k = 4 counters: the Misra-Gries pass
+    // evicts constantly, so the superset guarantee (not counter luck) is
+    // what must carry the heavy token through
+    val dir = java.nio.file.Files.createTempDirectory("hh_docs").toString
+    val docs = (0 until 100).map { i =>
+      val rare = s"rare${i % 97} rare${(i * 7) % 89}"
+      val text = if (i % 2 == 0) s"alpha alpha beta $rare" else s"alpha $rare beta"
+      (i.toLong, text, "en", "syn", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.q84HeavyHitters(spark, dir, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val n = toks.count()
+    val naive = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 4L > n).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "synthetic corpus must produce at least one heavy hitter")
+    assert(got == naive, s"two-phase != naive: ${(got diff naive) ++ (naive diff got)}")
+  }
+
   test("q33 simhash: 16-bit range") {
     assert(Dedup.q33SimHash(spark, sf)
       .filter(col("simhash") < 0 || col("simhash") > 0xFFFFL).count() == 0L)
