@@ -283,6 +283,12 @@ object Dedup {
   private val compCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
+  // unlike the sig/cand memos (whose builds only CONSTRUCT a lazy plan),
+  // building this entry runs the CC loop's jobs while holding the comp
+  // lock — intentional build-once semantics: a second thread asking for
+  // components has nothing useful to do but wait for the same result.
+  // Lock order stays comp → cand → sig (the loop consumes the candidate
+  // memo), so no deadlock against the other builders or invalidate.
   private def propagationComponents(s: SparkSession, d: String): DataFrame =
     compCache.synchronized {
       val fp = graft.core.Fingerprint.of(s, d, "documents")

@@ -207,11 +207,9 @@ object TextOps {
           case None if counters.size < k => counters.update(w, 1L)
           case None =>
             // classic MG step: decrement every counter, evict zeros
-            val dead = List.newBuilder[String]
-            counters.foreach { case (key, c) =>
-              if (c == 1L) dead += key else counters.update(key, c - 1)
-            }
-            dead.result().foreach(counters.remove)
+            // (in-place value map + filter — no mutation mid-iteration)
+            counters.mapValuesInPlace((_, c) => c - 1)
+            counters.filterInPlace((_, c) => c > 0)
         }
       }
       counters.keysIterator

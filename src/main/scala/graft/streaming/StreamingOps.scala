@@ -238,9 +238,16 @@ object StreamingOps {
       transform(shingles3(tokens(text)), sh => md5(sh))
     def sigAt(hs: org.apache.spark.sql.Column, b: Int) =
       array_min(transform(hs, h => h.substr(lit(1 + 2 * b), lit(16))))
+    // the static sides are PERSISTED: a stream-static join re-executes
+    // the static subplan every micro-batch, and without the persist each
+    // of the bands+1 lookup tables would re-shingle the whole corpus per
+    // trigger. The persisted tables are hash-sized (one row per distinct
+    // content hash / band signature) — the in-memory form of the
+    // signature table a production pipeline would read from storage.
     val corpusHash = corpus
       .select(md5(col("text")).as("h"), col("doc_id"))
       .groupBy("h").agg(min("doc_id").as("exact_rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBanded = corpus
       .select(col("doc_id"), hsOf(col("text")).as("hs"))
       .filter(size(col("hs")) >= 1)
@@ -248,6 +255,7 @@ object StreamingOps {
       b -> corpusBanded
         .select(sigAt(col("hs"), b).as(s"sig$b"), col("doc_id"))
         .groupBy(s"sig$b").agg(min("doc_id").as(s"min$b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }.toMap
     val base = docs
       .select(col("doc_id"), md5(col("text")).as("h"), hsOf(col("text")).as("hs"))
