@@ -80,6 +80,7 @@ object SparkEntry {
     "q78_normalize_text" -> (TextOps.q78NormalizeText(_, _)),
     "q83_lm_score" -> (TextOps.q83LmScore(_, _)),
     "q84_heavy_hitters" -> ((s, d) => TextOps.q84HeavyHitters(s, d)),
+    "q85_source_drift" -> (TextOps.q85SourceDrift(_, _)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -622,6 +623,23 @@ object SparkEntry {
         | FROM m)
         |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
         |FROM n ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q85SourceDrift — same exact-integer TVD with the
+    // closed-form absent-token mass; op order in the final division is
+    // mirrored exactly ((2.0 * n_s) * n_total, left-assoc both engines)
+    "q85_source_drift" ->
+      s"""WITH tok AS (SELECT source, unnest(${toksSql("text")}) AS word FROM documents),
+         |ost AS (SELECT source, word, count(*) AS o FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT word, CAST(sum(o) AS BIGINT) AS c FROM ost GROUP BY 1),
+         |ns AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_s FROM ost GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM ct),
+         |terms AS (SELECT ost.source, ns.n_s, tot.n_total,
+         |  abs(ost.o * tot.n_total - ct.c * ns.n_s) - ct.c * ns.n_s AS term
+         | FROM ost JOIN ct USING (word) JOIN ns USING (source), tot),
+         |agg AS (SELECT source, n_s, n_total, CAST(sum(term) AS BIGINT) AS obs_sum
+         | FROM terms GROUP BY 1, 2, 3)
+         |SELECT source, n_s AS n_tokens,
+         | ${sqlRn("CAST(obs_sum + n_s * n_total AS DOUBLE) / (2.0 * n_s * n_total)", 4)} AS tvd
+         |FROM agg ORDER BY source""".stripMargin,
     // the ORACLE for q84 is the naive full group-by (what the bounded-
     // memory two-phase Misra-Gries path must reproduce bit-for-bit);
     // threshold cnt*256 > N is the same exact-integer compare

@@ -223,6 +223,44 @@ object TextOps {
       .orderBy("word")
   }
 
+  /** Per-source DISTRIBUTION DRIFT: exact total-variation distance
+    * between each source's token distribution and the whole-corpus
+    * distribution, TVD(s) = ½ Σ_t |o_st/n_s − c_t/N| — the monitoring
+    * metric mixture curation watches (a source drifting from the corpus
+    * profile gets re-weighted or investigated).
+    *
+    * Exactness: multiply through by the per-source common denominator
+    * n_s·N, so every |o_st·N − c_t·n_s| term is an exact integer and
+    * the sum is partition-order-invariant; one division + portable
+    * rounding at the end. Tokens ABSENT from a source still contribute
+    * (|0 − c_t·n_s| = c_t·n_s) without materializing the source×vocab
+    * grid: Σ_t |…| = Σ_{observed} (|o·N − c·n_s| − c·n_s) + n_s·N —
+    * the absent-token mass has the closed form n_s·N. Long arithmetic
+    * is exact to ~10^18 intermediate products (fixture scales are
+    * ≤ 10^14); a true 100 TB corpus would lift the same expressions to
+    * DECIMAL(38,0). Plan: two hash aggs, two hash joins, a single-row
+    * totals cross-join (allowlisted like q26/q49/q84).
+    */
+  def q85SourceDrift(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+    val ost = tok.groupBy("source", "word").agg(count(lit(1)).as("o"))
+    val ct = ost.groupBy("word").agg(sum("o").as("c"))
+    val ns = ost.groupBy("source").agg(sum("o").as("n_s"))
+    val totals = ct.agg(sum("c").as("n_total"))
+    ost.join(ct, Seq("word")).join(ns, Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("term",
+        abs(col("o") * col("n_total") - col("c") * col("n_s"))
+          - col("c") * col("n_s"))
+      .groupBy("source", "n_s", "n_total")
+      .agg(sum("term").as("obs_sum"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        r4((col("obs_sum") + col("n_s") * col("n_total")).cast("double")
+          / (lit(2.0) * col("n_s") * col("n_total"))).as("tvd"))
+      .orderBy("source")
+  }
+
   /** Heuristic language ID: marker-lexicon scoring with deterministic
     * argmax (see TextFunctions.LangMarkers); reports predicted vs actual.
     */

@@ -331,6 +331,29 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got == naive, s"two-phase != naive: ${(got diff naive) ++ (naive diff got)}")
   }
 
+  test("q85 source drift: TVD in [0,1], and identically-distributed sources score 0") {
+    import spark.implicits._
+    val drift = TextOps.q85SourceDrift(spark, sf)
+    assert(drift.count() ==
+      Tables.documents(spark, sf).select("source").distinct().count())
+    assert(drift.filter(col("tvd") < 0.0 || col("tvd") > 1.0).count() == 0)
+    // identity case: two sources with the SAME token multiset must both
+    // measure zero drift vs the combined corpus — this pins the
+    // absent-token closed form too (any error there shifts 0 upward)
+    val dir = java.nio.file.Files.createTempDirectory("drift_docs").toString
+    (0 until 40).map { i =>
+      // pairs (2j, 2j+1) share a text, split across the two sources, so
+      // both sources hold the exact same token multiset
+      val text = s"alpha beta gamma word${(i / 2) % 10}"
+      (i.toLong, text, "en", if (i % 2 == 0) "srcA" else "srcB", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val zero = TextOps.q85SourceDrift(spark, dir).collect()
+    assert(zero.length == 2)
+    zero.foreach(r => assert(r.getDouble(2) == 0.0,
+      s"identical distributions must give tvd 0, got $r"))
+  }
+
   test("q33 simhash: 16-bit range") {
     assert(Dedup.q33SimHash(spark, sf)
       .filter(col("simhash") < 0 || col("simhash") > 0xFFFFL).count() == 0L)
