@@ -72,7 +72,10 @@ object Bench {
     */
   def jsonLine(results: Seq[(String, Double)], sfDir: String,
       passes: Int = 1): String = {
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE, fr_FR) would emit 0,123 — invalid JSON
+    def r3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

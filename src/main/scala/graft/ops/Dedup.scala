@@ -423,19 +423,29 @@ object Dedup {
     * propagation join matters there). This is the sizing rule, made
     * automatic, that the cluster tuning guide prescribes per-stage.
     */
-  private def withIterationConf[A](s: SparkSession, edgeCount: Long)(body: => A): A = {
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions", "200")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
-    val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 500000L + 1L))
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      if (edgeCount < 500000L) s.conf.set("spark.sql.adaptive.enabled", "false")
-      body
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  // serializes CC loops across threads: session conf is session-GLOBAL,
+  // so two concurrently-tuning loops could each read the other's
+  // temporary value as "previous" and the last restore would pin the
+  // session at 1 partition / AQE off permanently. One lock removes that
+  // corruption; a concurrent UNRELATED query on the same session still
+  // plans under the loop conf for the loop's duration (inherent to
+  // session-scoped conf — documented, and the loops are short).
+  private val iterationConfLock = new Object
+
+  private def withIterationConf[A](s: SparkSession, edgeCount: Long)(body: => A): A =
+    iterationConfLock.synchronized {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions", "200")
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 500000L + 1L))
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        if (edgeCount < 500000L) s.conf.set("spark.sql.adaptive.enabled", "false")
+        body
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
     }
-  }
 
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     connectedComponentsWithRounds(pairs, maxIters)._1

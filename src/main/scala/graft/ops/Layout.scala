@@ -81,6 +81,20 @@ object Layout {
   private val compactCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), String]
 
+  // per-JVM path component: two JVMs (parallel bench/test runs) sharing
+  // java.io.tmpdir must not Overwrite-compact onto a directory the other
+  // is actively reading; the session identity hash further separates
+  // cycled sessions inside one long-lived JVM
+  private val jvmNonce: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "_")
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val sub = f.listFiles()
+    if (sub != null) sub.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Compact a parquet directory into ~`targetRecordsPerFile`-row files,
     * range-clustered and sorted by `rangeCol`: one count to size the
     * file count, one range shuffle, one sorted write. Output files hold
@@ -116,10 +130,17 @@ object Layout {
       val fp = graft.core.Fingerprint.of(s, d, "documents")
       compactCache.keys
         .filter(k => k._1 == s && k._2 == d && k._3 != fp)
-        .foreach(compactCache.remove)
+        .foreach { stale =>
+          // a stale fingerprint means the corpus changed: the superseded
+          // compacted copy is unreachable (path carries the fingerprint)
+          // — delete it rather than leak tmpdir space for the JVM's life
+          compactCache.remove(stale)
+            .foreach(p => deleteRecursively(new java.io.File(p)))
+        }
       compactCache.getOrElseUpdate((s, d, fp), {
         val p = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft-compact/${fp.replace("-", "").take(16)}").getAbsolutePath
+          s"graft-compact/$jvmNonce/${System.identityHashCode(s)}/" +
+            fp.replace("-", "").take(16)).getAbsolutePath
         compact(Tables.documents(s, d), p, targetRecordsPerFile, "doc_id")
         p
       })

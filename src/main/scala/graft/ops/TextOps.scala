@@ -43,16 +43,28 @@ object TextOps {
     * no explode, no shuffle: a pure map-side pass (at 100 TB this is
     * embarrassingly parallel over parquet row groups).
     */
-  def q22DocTokenStats(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, n_tokens, n_distinct, sum_chars, n_stop) — the raw
+    * per-document token stats q22 and docQuality (q77's input) both
+    * feed into [[qualityExpr]]; ONE definition so the stop-word list
+    * and stat expressions can never drift between consumers (each
+    * oracle mirrors these exact expressions). Consumers that skip
+    * columns get them pruned by Catalyst — docQuality never pays for
+    * sum_chars.
+    */
+  private def tokenStats(s: SparkSession, d: String): DataFrame = {
     val stop = Seq("the", "a")
     Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(
-        col("doc_id"),
+        col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
         tokenChars(col("toks")).as("sum_chars"),
         size(filter(col("toks"), t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"))
+  }
+
+  def q22DocTokenStats(s: SparkSession, d: String): DataFrame =
+    tokenStats(s, d)
       .select(
         col("doc_id"),
         col("n_tokens"),
@@ -62,7 +74,6 @@ object TextOps {
         r4(col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
         qualityExpr(col("n_tokens"), col("n_distinct"), col("n_stop")).as("quality"))
       .orderBy("doc_id")
-  }
 
   /** The composite quality score shared by q22 and q73:
     * quality = 0.5*ttr + 0.3*(1-stop_ratio) + 0.2*min(n/100, 1),
@@ -82,18 +93,10 @@ object TextOps {
     * for consumers outside this file (q77's keeper selection). Pure
     * map-side (array HOFs, no explode, no shuffle), like q22.
     */
-  private[ops] def docQuality(s: SparkSession, d: String): DataFrame = {
-    val stop = Seq("the", "a")
-    Tables.documents(s, d)
-      .withColumn("toks", tokens(col("text")))
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        size(filter(col("toks"), t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"))
+  private[ops] def docQuality(s: SparkSession, d: String): DataFrame =
+    tokenStats(s, d)
       .select(col("doc_id"),
         qualityExpr(col("n_tokens"), col("n_distinct"), col("n_stop")).as("quality"))
-  }
 
   /** Text NORMALIZATION — the pre-tokenization cleanup pass every
     * training pipeline runs before dedup/quality: lowercase → Unicode
@@ -528,15 +531,9 @@ object TextOps {
     * window, no shuffle beyond the source partitioning.
     */
   def q73QualityQuota(s: SparkSession, d: String, quota: Int = 10): DataFrame = {
-    val stop = Seq("the", "a")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
-    Tables.documents(s, d)
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), col("source"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        size(filter(col("toks"), t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"))
+    tokenStats(s, d)
       .select(col("doc_id"), col("source"),
         qualityExpr(col("n_tokens"), col("n_distinct"), col("n_stop")).as("quality"))
       .withColumn("rk", row_number().over(w).cast("long"))

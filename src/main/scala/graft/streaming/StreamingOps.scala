@@ -231,23 +231,42 @@ object StreamingOps {
     * the same one-md5-per-shingle window fold as the batch signatures
     * and lshCandidateStream.
     */
-  def incrementalDedupStream(docs: DataFrame, corpus: DataFrame,
-      bands: Int = 8): DataFrame = {
+  private def hsOf(text: org.apache.spark.sql.Column) = {
     import graft.functions.TextFunctions.shingles3
-    def hsOf(text: org.apache.spark.sql.Column) =
-      transform(shingles3(tokens(text)), sh => md5(sh))
-    def sigAt(hs: org.apache.spark.sql.Column, b: Int) =
-      array_min(transform(hs, h => h.substr(lit(1 + 2 * b), lit(16))))
-    // the static sides are PERSISTED: a stream-static join re-executes
-    // the static subplan every micro-batch, and without the persist each
-    // of the bands+1 lookup tables would re-shingle the whole corpus per
-    // trigger. The persisted tables are hash-sized (one row per distinct
-    // content hash / band signature) — the in-memory form of the
-    // signature table a production pipeline would read from storage.
+    transform(shingles3(tokens(text)), sh => md5(sh))
+  }
+  private def sigAt(hs: org.apache.spark.sql.Column, b: Int) =
+    array_min(transform(hs, h => h.substr(lit(1 + 2 * b), lit(16))))
+
+  /** The corpus distilled into persisted lookup tables for
+    * [[incrementalDedupStream]]: (content md5 → min doc_id) and, per
+    * band, (band signature → min doc_id in bucket). PERSISTED because a
+    * stream-static join re-executes the static subplan every
+    * micro-batch — without it each of the bands+1 tables would
+    * re-shingle the whole corpus per trigger. The tables are hash-sized
+    * (one row per distinct hash/signature) — the in-memory form of the
+    * signature table a production pipeline reads from storage.
+    *
+    * Lifecycle is the CALLER's: build once per corpus version, pass to
+    * any number of streams, `unpersist()` when the corpus changes or
+    * the streams stop (there is deliberately no hidden cache here — the
+    * owner of the stream owns the index, unlike the fingerprint-keyed
+    * session memos in `Dedup`, whose consumers are one-shot queries).
+    */
+  final case class CorpusDedupIndex(exactRep: DataFrame,
+      bucketMin: Map[Int, DataFrame]) {
+    def unpersist(): Unit =
+      (exactRep :: bucketMin.values.toList).foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+  }
+
+  def buildCorpusDedupIndex(corpus: DataFrame, bands: Int = 8): CorpusDedupIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpusHash = corpus
       .select(md5(col("text")).as("h"), col("doc_id"))
       .groupBy("h").agg(min("doc_id").as("exact_rep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     val corpusBanded = corpus
       .select(col("doc_id"), hsOf(col("text")).as("hs"))
       .filter(size(col("hs")) >= 1)
@@ -255,8 +274,13 @@ object StreamingOps {
       b -> corpusBanded
         .select(sigAt(col("hs"), b).as(s"sig$b"), col("doc_id"))
         .groupBy(s"sig$b").agg(min("doc_id").as(s"min$b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(lvl)
     }.toMap
+    CorpusDedupIndex(corpusHash, bucketMin)
+  }
+
+  def incrementalDedupStream(docs: DataFrame, index: CorpusDedupIndex): DataFrame = {
+    val bands = index.bucketMin.size
     val base = docs
       .select(col("doc_id"), md5(col("text")).as("h"), hsOf(col("text")).as("hs"))
     val withSigs = (0 until bands).foldLeft(base) { (df, b) =>
@@ -265,8 +289,8 @@ object StreamingOps {
       df.withColumn(s"sig$b", sigAt(col("hs"), b))
     }
     val joined = (0 until bands).foldLeft(
-      withSigs.join(corpusHash, Seq("h"), "left")) { (df, b) =>
-      df.join(bucketMin(b), Seq(s"sig$b"), "left")
+      withSigs.join(index.exactRep, Seq("h"), "left")) { (df, b) =>
+      df.join(index.bucketMin(b), Seq(s"sig$b"), "left")
     }
     joined
       .withColumn("near_rep", least((0 until bands).map(b => col(s"min$b")): _*))
@@ -276,6 +300,16 @@ object StreamingOps {
           .otherwise("new").as("status"),
         col("exact_rep"), col("near_rep"))
   }
+
+  /** Convenience one-shot form: builds the index internally — the index
+    * then lives for the session (no handle to unpersist). Long-lived
+    * sessions that cycle streams or corpora should call
+    * [[buildCorpusDedupIndex]] themselves, pass the index to the
+    * two-argument overload, and `unpersist()` it when done.
+    */
+  def incrementalDedupStream(docs: DataFrame, corpus: DataFrame,
+      bands: Int = 8): DataFrame =
+    incrementalDedupStream(docs, buildCorpusDedupIndex(corpus, bands))
 
   /** foreachBatch sink: land each micro-batch as partitioned parquet
     * (partitioned by event_type — the layout downstream batch queries

@@ -295,7 +295,8 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "text").as[(Long, String)].collect()
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF().toDF("doc_id", "text")
-    val q = StreamingOps.incrementalDedupStream(stream, corpus)
+    val index = StreamingOps.buildCorpusDedupIndex(corpus)
+    val q = StreamingOps.incrementalDedupStream(stream, index)
       .writeStream.format("memory").queryName("incdedup_out")
       .outputMode("append").start()
     try {
@@ -317,6 +318,6 @@ class StreamingSpec extends AnyFunSuite {
           if (r.isNullAt(2)) null else r.getLong(2),
           if (r.isNullAt(3)) null else r.getLong(3))).toSet
       assert(got == expect, s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
-    } finally q.stop()
+    } finally { q.stop(); index.unpersist() }
   }
 }
