@@ -158,7 +158,7 @@ object SparkEntry {
        |  md5(unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' ')))) AS h
        | FROM toks WHERE len(ts) >= 3),
        |per_doc AS (SELECT doc_id,
-       |  ${(0 until 8).map(b => s"min(substr(h, ${1 + 2 * b}, 16)) AS sig$b").mkString(", ")}
+       |  ${(0 until 8).map(b => s"min(substr(h, ${graft.functions.TextFunctions.bandOffset(b)}, ${graft.functions.TextFunctions.BandHashWidth})) AS sig$b").mkString(", ")}
        | FROM sh GROUP BY doc_id),
        |sig AS (SELECT doc_id, band,
        |  CASE band ${(0 until 8).map(b => s"WHEN $b THEN sig$b").mkString(" ")} END AS sig

@@ -107,6 +107,18 @@ object TextFunctions {
     bitCols.reduce(_ + _)
   }
 
+  /** Band-window constants of the MinHash-LSH signature construction:
+    * band b reads the [[BandHashWidth]]-hex-char window of md5(shingle)
+    * at offset `1 + 2·b`. This is THE single source for every site that
+    * must stay in lockstep — the batch signatures (Dedup.lshSignatures),
+    * both streaming folds (StreamingOps), and the generated oracle SQL
+    * (SparkEntry.lshSigCtes) all read these; a width/offset change in
+    * one place now IS a change in all of them.
+    */
+  val BandHashWidth: Int = 16
+  def bandOffset(b: Int): Int = 1 + 2 * b
+  def bandOffsetCol(b: Column): Column = lit(1) + b * lit(2)
+
   /** Token 3-gram shingles ("w1 w2 w3") over the ordered token sequence;
     * empty array for documents shorter than 3 tokens. Evaluated by the
     * custom [[graft.functions.expressions.TokenShingles]] expression (one

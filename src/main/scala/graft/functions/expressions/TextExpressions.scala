@@ -245,14 +245,18 @@ case class ArrayIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Unicode accent stripping: NFD decomposition, then drop combining
-  * marks (category Mn) — the `strip_accents` contract (DuckDB/utf8proc
-  * agree on this construction for Latin text: é→e, ü→u, ñ→n, ç→c).
-  * Spark has no builtin for this; it is the accent-folding half of the
-  * standard training-data normalization pass (q78).
+/** Unicode accent stripping: NFD decomposition, drop ALL mark
+  * categories (Mn/Mc/Me) by CODE POINT, then NFC recomposition — the
+  * utf8proc strip-mark pipeline DuckDB's `strip_accents` runs, verified
+  * against it on Latin (é→e, ü→u, ñ→n, ç→c), kana (ば→は), Hangul
+  * (한 stays COMPOSED — hence the NFC pass; NFD residue would differ),
+  * and supplementary-plane marks (U+1D165/U+11100 stripped — hence
+  * code-point iteration; a char loop never sees a surrogate pair's
+  * category). Spark has no builtin for this; it is the accent-folding
+  * half of the standard training-data normalization pass (q78).
   *
   * ASCII fast path: a byte scan decides whether the (expensive)
-  * Normalizer pass is needed at all — on mostly-ASCII corpora the
+  * Normalizer passes are needed at all — on mostly-ASCII corpora the
   * expression is one branch per row. CodegenFallback for the usual
   * reason: one call per document ROW, not per pair/token.
   */
@@ -281,11 +285,15 @@ case class StripAccents(child: Expression)
       val sb = new java.lang.StringBuilder(nfd.length)
       var j = 0
       while (j < nfd.length) {
-        val c = nfd.charAt(j)
-        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-        j += 1
+        val cp = nfd.codePointAt(j)
+        val t = Character.getType(cp)
+        if (t != Character.NON_SPACING_MARK &&
+            t != Character.COMBINING_SPACING_MARK &&
+            t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+        j += Character.charCount(cp)
       }
-      UTF8String.fromString(sb.toString)
+      UTF8String.fromString(
+        java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
     }
   }
 

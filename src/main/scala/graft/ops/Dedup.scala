@@ -103,6 +103,32 @@ object Dedup {
     .empty[(SparkSession, String, Int, String), DataFrame]
   private val candCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int, String), DataFrame]
+  private val hashCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  /** Memoized, persisted (doc_id, content md5) frame — the exact-dup
+    * half of the signature table: q76's exact check and the q69/q71
+    * contraction pre-pass (docReps) both consume it, so corpus text is
+    * md5-scanned once per (session, dir, fingerprint) rather than once
+    * per call. Same fingerprint-keyed staleness discipline as the other
+    * memos; hashCache is the INNERMOST lock (taken under compCache via
+    * docReps and directly by q76; never takes another).
+    */
+  def contentHashes(s: SparkSession, d: String): DataFrame =
+    hashCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "documents")
+      hashCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+        .foreach { stale =>
+          hashCache.remove(stale).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+        }
+      hashCache.getOrElseUpdate((s, d, fp),
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** Drop every memoized signature AND candidate-pair frame (unpersisting
     * live ones). Call when the documents under a cached dir change within
@@ -117,12 +143,16 @@ object Dedup {
   def invalidateSignatureCache(): Unit = compCache.synchronized {
     candCache.synchronized {
       sigCache.synchronized {
-        (compCache.values ++ candCache.values ++ sigCache.values).foreach { df =>
-          try df.unpersist() catch { case _: Throwable => () }
+        hashCache.synchronized {
+          (compCache.values ++ candCache.values ++ sigCache.values ++
+            hashCache.values).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+          compCache.clear()
+          candCache.clear()
+          sigCache.clear()
+          hashCache.clear()
         }
-        compCache.clear()
-        candCache.clear()
-        sigCache.clear()
       }
     }
   }
@@ -153,8 +183,9 @@ object Dedup {
         .withColumn("h", md5(col("sh")))
         .groupBy("doc_id")
         .agg(
-          min(substring(col("h"), 1, 16)).as("sig0"),
-          (1 until bands).map(b => min(substring(col("h"), 1 + 2 * b, 16)).as(s"sig$b")): _*)
+          min(substring(col("h"), bandOffset(0), BandHashWidth)).as("sig0"),
+          (1 until bands).map(b =>
+            min(substring(col("h"), bandOffset(b), BandHashWidth)).as(s"sig$b")): _*)
       val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(s"stack($bands, ", ", ", ") as (band, sig)")
       perDoc.selectExpr("doc_id", stackExpr)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -213,15 +244,23 @@ object Dedup {
     lshCandidatePairs(s, d, bands).orderBy("doc_a", "doc_b")
 
   /** MinHash similarity ESTIMATION: for every candidate pair, the
-    * fraction of the `bands` independent min-hashes that agree — the
-    * classical unbiased MinHash estimate of Jaccard similarity (each
-    * min-hash agrees with probability J; resolution 1/bands). This is
-    * the sketch-only answer: the same (band, sig) equality self-join
-    * candidates come from, with a COUNT aggregation instead of a
-    * distinct — no token-set verify join, no second pass over text.
-    * At 100 TB that is the whole point: the estimate prices similarity
-    * from the signature table alone; q31 is the exact-verify twin when
-    * the decision needs true Jaccard. DedupSpec pins the estimate's
+    * fraction of the `bands` band min-hashes that agree (each agrees
+    * with probability J marginally, so n/bands is unbiased; resolution
+    * 1/bands). Honesty note on variance: the bands are OVERLAPPING
+    * 16-hex-char windows of one md5 per shingle (the engine's portable
+    * band construction, see lshSignatures), not independent random
+    * permutations — adjacent windows share 14 characters, so bands tend
+    * to agree/disagree together and the estimator's spread is
+    * materially wider than the binomial model of the classical
+    * independent-permutation sketch. Use it as a cheap RANKING /
+    * pre-filter signal, not as a calibrated confidence; q31 is the
+    * exact-verify twin when the decision needs true Jaccard.
+    *
+    * This is the sketch-only answer: the same (band, sig) equality
+    * self-join candidates come from, with a COUNT aggregation instead
+    * of a distinct — no token-set verify join, no second pass over
+    * text. At 100 TB that is the whole point: similarity is priced
+    * from the signature table alone. The spec pins the estimate's
     * internal consistency and its separation on exact-verified pairs.
     */
   def q81MinhashEstimate(s: SparkSession, d: String, bands: Int = 8): DataFrame =
@@ -340,8 +379,7 @@ object Dedup {
     * doc_id sharing its content hash.
     */
   private def docReps(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), md5(col("text")).as("h"))
+    contentHashes(s, d)
       .withColumn("rep", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .select("doc_id", "rep")
@@ -623,17 +661,17 @@ object Dedup {
     *    existing doc — reports the minimum such corpus doc as
     *    `near_rep`.
     *
-    * Both sides read the SAME persisted signature frame
-    * ([[lshSignatures]] — in production, the signature table built at
-    * last ingest), so the incremental cost is one hash join + one
+    * Both checks read PERSISTED per-corpus frames — [[contentHashes]]
+    * for the exact side, [[lshSignatures]] for the near side (in
+    * production, the hash/signature tables built at last ingest) — so
+    * the steady-state incremental cost is one hash join + one
     * (band, sig) join, each sized by the BATCH, not the corpus: AQE
     * broadcasts the batch side when it fits, which is the expected
-    * regime (small batch vs huge corpus). Nothing here rescans corpus
-    * text.
+    * regime (small batch vs huge corpus). Corpus text is scanned once
+    * per corpus version (the memo builds), never per ingest.
     */
   def q76IncrementalDedup(s: SparkSession, d: String): DataFrame = {
-    val hashed = Tables.documents(s, d)
-      .select(col("doc_id"), md5(col("text")).as("h"))
+    val hashed = contentHashes(s, d)
     val isBatch = col("doc_id") % 10 === 7
     val batch = hashed.filter(isBatch)
     val exactRep = hashed.filter(!isBatch)

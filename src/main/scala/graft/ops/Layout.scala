@@ -78,8 +78,10 @@ object Layout {
 
   // compacted-copy memo, fingerprint-keyed like every other session memo
   // (a corpus changing under a cached dir is detected and re-compacted)
+  // key carries targetRecordsPerFile too: a non-default file-size request
+  // must build its own copy, not silently serve the default layout
   private val compactCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), String]
+    .empty[(SparkSession, String, String, Long), String]
 
   // per-JVM path component: two JVMs (parallel bench/test runs) sharing
   // java.io.tmpdir must not Overwrite-compact onto a directory the other
@@ -137,10 +139,10 @@ object Layout {
           compactCache.remove(stale)
             .foreach(p => deleteRecursively(new java.io.File(p)))
         }
-      compactCache.getOrElseUpdate((s, d, fp), {
+      compactCache.getOrElseUpdate((s, d, fp, targetRecordsPerFile), {
         val p = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft-compact/$jvmNonce/${System.identityHashCode(s)}/" +
-            fp.replace("-", "").take(16)).getAbsolutePath
+            s"${fp.replace("-", "").take(16)}-t$targetRecordsPerFile").getAbsolutePath
         compact(Tables.documents(s, d), p, targetRecordsPerFile, "doc_id")
         p
       })

@@ -217,7 +217,10 @@ object TextOps {
       }
       counters.keysIterator
     }.toDF("word").distinct()
-    val totals = toks.agg(count(lit(1)).as("n_total"))
+    // N without a third explode pass: per-row token counts summed
+    // row-local (identical value to count over the exploded stream)
+    val totals = Tables.documents(s, d)
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_total"))
     toks.join(broadcast(candidates), Seq("word"), "left_semi")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(totals))

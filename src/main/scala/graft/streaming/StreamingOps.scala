@@ -168,12 +168,13 @@ object StreamingOps {
     import graft.functions.TextFunctions.{shingles3, tokens}
     val banded = docs
       .withWatermark("ts", lateness)
-      .withColumn("hs", transform(shingles3(tokens(col("text"))), sh => md5(sh)))
+      .withColumn("hs", hsOf(col("text")))
       .filter(size(col("hs")) >= 1)
       .select(col("doc_id"), col("ts"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => array_min(transform(col("hs"),
-            h => h.substr(lit(1) + b * 2, lit(16)))))))
+            h => h.substr(graft.functions.TextFunctions.bandOffsetCol(b),
+              lit(graft.functions.TextFunctions.BandHashWidth)))))))
       .toDF("doc_id", "ts", "band", "sig")
       .select(col("band"), col("sig"), col("doc_id"), col("ts"))
       .as[BandedDoc]
@@ -235,8 +236,10 @@ object StreamingOps {
     import graft.functions.TextFunctions.shingles3
     transform(shingles3(tokens(text)), sh => md5(sh))
   }
-  private def sigAt(hs: org.apache.spark.sql.Column, b: Int) =
-    array_min(transform(hs, h => h.substr(lit(1 + 2 * b), lit(16))))
+  private def sigAt(hs: org.apache.spark.sql.Column, b: Int) = {
+    import graft.functions.TextFunctions.{bandOffset, BandHashWidth}
+    array_min(transform(hs, h => h.substr(lit(bandOffset(b)), lit(BandHashWidth))))
+  }
 
   /** The corpus distilled into persisted lookup tables for
     * [[incrementalDedupStream]]: (content md5 → min doc_id) and, per

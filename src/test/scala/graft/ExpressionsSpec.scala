@@ -158,12 +158,20 @@ class ExpressionsSpec extends AnyFunSuite {
   test("StripAccents: Latin accents fold, non-Latin and ASCII pass through") {
     import spark.implicits._
     import graft.functions.expressions.TextExpressions.stripAccents
+    // expected values PROBED from DuckDB strip_accents (the oracle this
+    // expression must match): Latin folds, kana voicing mark stripped,
+    // Hangul stays COMPOSED (NFC recomposition), supplementary-plane
+    // marks (U+1D165 Mc, U+11100 Mn) stripped via code-point iteration
     val cases = Seq(
       "café" -> "cafe", "Émile" -> "Emile", "über" -> "uber",
       "niño" -> "nino", "çafé dönér" -> "cafe doner",
       "plain ascii 123" -> "plain ascii 123", // ASCII fast path
       "mixed tëxt ok" -> "mixed text ok",
       "中文 unchanged" -> "中文 unchanged", // no combining marks: untouched
+      "ば" -> "は",
+      "한국어" -> "한국어",
+      "x𝅥y" -> "xy",
+      "a𑄀b" -> "ab",
       "" -> "")
     val got = cases.map(_._1).toDF("t")
       .select(stripAccents(col("t"))).as[String].collect().toSeq
