@@ -76,6 +76,7 @@ object SparkEntry {
     "q72_stratified_sample" -> (TextOps.q72StratifiedSample(_, _)),
     "q73_quality_quota" -> ((s, d) => TextOps.q73QualityQuota(s, d)),
     "q74_decontaminate" -> (TextOps.q74Decontaminate(_, _)),
+    "q86_bloom_decontaminate" -> ((s, d) => TextOps.q86BloomDecontaminate(s, d)),
     "q75_repetition" -> (TextOps.q75Repetition(_, _)),
     "q78_normalize_text" -> (TextOps.q78NormalizeText(_, _)),
     "q83_lm_score" -> (TextOps.q83LmScore(_, _)),
@@ -94,6 +95,8 @@ object SparkEntry {
     "q77_component_keeper" -> (Dedup.q77ComponentKeeper(_, _)),
     "q81_minhash_estimate" -> (Dedup.q81MinhashEstimate(_, _)),
     "q82_component_split" -> (Dedup.q82ComponentSplit(_, _)),
+    "q87_semantic_clusters" -> ((s, d) => Dedup.q87SemanticClusters(s, d)),
+    "q89_curation_report" -> ((s, d) => Dedup.q89CurationReport(s, d)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -104,6 +107,7 @@ object SparkEntry {
     // pins q70 ≡ q48 exactly, and q48's recall bound covers both)
     "q48_ivf_ann" -> (Similarity.q48IvfAnn(_, _)),
     "q70_ivf_probe_indexed" -> ((s, d) => Similarity.q70IvfProbeIndexed(s, d)),
+    "q88_label_centroids" -> (Similarity.q88LabelCentroids(_, _)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -223,6 +227,26 @@ object SparkEntry {
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
       "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
       "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+
+  /** Banded sign-LSH candidates + exact-cosine-verified embedding pairs
+    * as shared CTEs (mirrors Dedup.q34EmbeddingNearDup — keep in
+    * lockstep): yields `epairs(vec_a, vec_b, cos_sim)` at the 0.4
+    * threshold. Consumed by q34 (the pairs themselves) and q87 (the
+    * reachability closure over them).
+    */
+  private lazy val embeddingPairCtes: String =
+    s"""banded AS (
+       | SELECT vec_id, band,
+       |  ${(0 until 8).map(j => s"(CASE WHEN embedding[band * 8 + ${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")} AS bucket
+       | FROM embeddings, (SELECT unnest(range(0, 8)) AS band)),
+       |ecand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       | FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+       | WHERE x.vec_id < y.vec_id),
+       |epairs AS (SELECT vec_a, vec_b, cos_sim FROM (
+       | SELECT ecand.vec_a, ecand.vec_b, ${sqlRn(cosSql, 4)} AS cos_sim
+       | FROM ecand JOIN embeddings a ON ecand.vec_a = a.vec_id
+       |            JOIN embeddings b ON ecand.vec_b = b.vec_id)
+       | WHERE cos_sim >= 0.4)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.
@@ -591,6 +615,18 @@ object SparkEntry {
          |SELECT DISTINCT doc_id FROM sh
          |WHERE doc_id % 100 <> 0 AND h IN (SELECT h FROM bench)
          |ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q86BloomDecontaminate — the oracle knows nothing
+    // about the Bloom pre-filter, so an FP leak or FN drop breaks the
+    // hash match; same shingle CTEs as q74 (keep in lockstep)
+    "q86_bloom_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |sh AS (SELECT doc_id,
+         |  md5(unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' ')))) AS h
+         | FROM t WHERE len(ts) >= 3),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0)
+         |SELECT doc_id, count(DISTINCT h) AS n_contaminated_shingles
+         |FROM sh WHERE doc_id % 100 <> 0 AND h IN (SELECT h FROM bench)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // mirrors TextOps.q75Repetition — exact-integer 0.2-threshold flag
     // (5*distinct < 4*total), 4-dp ratio; keep in lockstep
     "q75_repetition" ->
@@ -776,18 +812,45 @@ object SparkEntry {
     // mirrors Dedup.q34EmbeddingNearDup's banded sign-LSH candidates
     // (8 bands × 8 dims) + exact cosine verify — keep in lockstep
     "q34_embedding_neardup" ->
-      s"""WITH banded AS (
-         | SELECT vec_id, band,
-         |  ${(0 until 8).map(j => s"(CASE WHEN embedding[band * 8 + ${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")} AS bucket
-         | FROM embeddings, (SELECT unnest(range(0, 8)) AS band)),
-         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         | FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
-         | WHERE x.vec_id < y.vec_id)
-         |SELECT vec_a, vec_b, cos_sim FROM (
-         | SELECT cand.vec_a, cand.vec_b, ${sqlRn(cosSql, 4)} AS cos_sim
-         | FROM cand JOIN embeddings a ON cand.vec_a = a.vec_id
-         |           JOIN embeddings b ON cand.vec_b = b.vec_id)
-         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+      s"""WITH $embeddingPairCtes
+         |SELECT vec_a, vec_b, cos_sim FROM epairs
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // mirrors Similarity.q88LabelCentroids — micro-unit integer sums,
+    // one double divide at the end (exact cross-engine; keep in lockstep)
+    "q88_label_centroids" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+         | count(*) AS n_vecs,
+         | ${sqlRn("CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (1000000.0 * count(*))", 4)} AS centroid
+         |FROM (SELECT label, unnest(embedding) AS e,
+         |        generate_subscripts(embedding, 1) AS i FROM embeddings) u
+         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    // mirrors Dedup.q87SemanticClusters — reachability over q34's
+    // verified pair graph, min-reachable vec_id per vector, singletons
+    // label themselves (same recursive shape as q69's oracle)
+    "q87_semantic_clusters" ->
+      s"""WITH RECURSIVE $embeddingPairCtes,
+         |eedges AS (SELECT vec_a AS src, vec_b AS dst FROM epairs
+         | UNION ALL SELECT vec_b, vec_a FROM epairs),
+         |ereach(vec_id, lbl) AS (
+         | SELECT vec_id, vec_id FROM embeddings
+         | UNION
+         | SELECT e.dst, r.lbl FROM ereach r JOIN eedges e ON e.src = r.vec_id)
+         |SELECT vec_id, min(lbl) AS cluster FROM ereach
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // mirrors Dedup.q89CurationReport — exact reps via the min-id window
+    // over md5(text), near-dup labels via the same components CTEs as q69
+    "q89_curation_report" ->
+      s"""WITH RECURSIVE $componentsCtes,
+         |reps AS (SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents)
+         |SELECT d.source, count(*) AS n_docs,
+         | count(CASE WHEN r.rep <> d.doc_id THEN 1 END) AS n_exact_dups,
+         | count(CASE WHEN c.component <> d.doc_id THEN 1 END) AS n_near_dups,
+         | ${sqlRn("CAST(count(CASE WHEN c.component <> d.doc_id THEN 1 END) AS DOUBLE) / count(*)", 4)} AS near_dup_rate
+         |FROM documents d
+         |JOIN reps r ON d.doc_id = r.doc_id
+         |JOIN comp c ON d.doc_id = c.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q40_cosine_topk" ->
       s"""WITH scored AS (
          | SELECT a.vec_id AS query_id, b.vec_id AS cand_id,

@@ -806,4 +806,69 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** SEMANTIC CLUSTERS — SemDeDup-style resolution over the EMBEDDING
+    * near-dup graph: q34's verified pairs (sign-LSH candidates, exact
+    * cosine ≥ threshold) become edges, connected components labels each
+    * vector with the min vec_id reachable through chains of semantic
+    * near-duplicates, and every vector not in any pair is its own
+    * singleton cluster. This is the embedding-space twin of q69 (which
+    * clusters the TEXT near-dup graph): production semantic dedup
+    * (SemDeDup, Abbas et al. 2023) keeps one representative per such
+    * cluster; q77's keeper-selection applies downstream unchanged.
+    *
+    * Scale shape: edge generation is q34's banded equality join (never
+    * all-pairs), the CC kernel runs on the pair graph only (near-dup-
+    * density-sized, not corpus-sized), and singletons rejoin via one
+    * left join + coalesce — the same 100 TB argument as q69, inherited
+    * from the shared [[connectedComponents]] kernel. Transitivity is
+    * the point: cosine-θ chains A~B~C with cos(A,C) < θ still cluster
+    * together, which is what "keep one per semantic group" means.
+    */
+  def q87SemanticClusters(s: SparkSession, d: String, threshold: Double = 0.4)
+      : DataFrame = {
+    val pairs = q34EmbeddingNearDup(s, d, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("component"))
+    Tables.embeddings(s, d).select("vec_id")
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** PER-SOURCE CURATION REPORT — the dedup health dashboard a corpus
+    * release ships with: per source, how many docs, how many an exact
+    * (content-hash, min-id keeper) pass would remove, how many the full
+    * transitive near-dup resolution removes, and the removal rate.
+    * `n_near_dups` counts non-keepers under CC labels, so it is a
+    * superset of `n_exact_dups` by construction (identical text ⇒ same
+    * signatures ⇒ same component).
+    *
+    * Cost shape: both inputs are existing corpus passes — the exact-rep
+    * window over content hashes and the PERSISTED component memo
+    * ([[q69DedupComponents]]' frame) — so the report itself is two
+    * joins keyed on doc_id plus one source-keyed agg whose cardinality
+    * is |sources|. At 100 TB this is the cheap read-back over artifacts
+    * the pipeline has already paid for, which is exactly how production
+    * dedup reporting works (labels land in a table once per corpus
+    * version; every report reads them).
+    */
+  def q89CurationReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source")
+    docs.join(docReps(s, d), Seq("doc_id"))
+      .join(propagationComponents(s, d), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rep") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_exact_dups"),
+        sum(when(col("component") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_near_dups"))
+      .select(col("source"), col("n_docs"), col("n_exact_dups"), col("n_near_dups"),
+        r4(col("n_near_dups").cast("double") / col("n_docs").cast("double"))
+          .as("near_dup_rate"))
+      .orderBy("source")
+  }
 }

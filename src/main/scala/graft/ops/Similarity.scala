@@ -288,4 +288,34 @@ object Similarity {
         r4(col("sim6")).as("cos_sim"))
       .orderBy("query_id", "rk")
   }
+
+  /** PER-LABEL EMBEDDING CENTROIDS — the mean-pooling reduction every
+    * embedding pipeline runs (class prototypes, cluster summaries,
+    * per-source corpus embeddings). Long format (label, dim, centroid):
+    * posexplode flattens each vector once, ONE shuffle keyed by
+    * (label, dim) carries only partial sums — map-side combine reduces
+    * each partition to at most |labels|×|dims| rows regardless of
+    * corpus size, so at 100 TB the exchange moves kilobytes. The output
+    * cardinality (|labels|×|dims|) is driver-safe by construction.
+    *
+    * Exactness across engines: each float is cast to double (exact),
+    * scaled to integer MICRO-UNITS with the [[graft.functions.Round]]
+    * floor idiom, and summed as longs — integer addition is invariant
+    * to partitioning and summation order, where a double sum's last
+    * ulp depends on the shuffle layout. The final divide is one double
+    * op on identical integers in both engines. Same discipline as the
+    * money queries' cents arithmetic.
+    */
+  def q88LabelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("micro"))
+      .groupBy("label", "dim")
+      .agg(sum("micro").as("sum_micro"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        r4(col("sum_micro").cast("double") / (lit(1e6) * col("n_vecs").cast("double")))
+          .as("centroid"))
+      .orderBy("label", "dim")
 }

@@ -568,6 +568,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BLOOM-pre-filtered decontamination with exact verification — the
+    * 100 TB shape of q74. The benchmark shingle set is eval-suite-sized
+    * (bounded), so it compresses into a Bloom filter broadcast to every
+    * executor; the corpus-side explode stream is pre-filtered by
+    * `mightContain` BEFORE anything shuffles, cutting the join input
+    * from every-shingle-in-the-corpus to (true hits + fpp·corpus). The
+    * surviving sliver then exact-joins the real benchmark hash set, so
+    * Bloom false positives are REMOVED and the result is exactly the
+    * contaminated set — the filter changes the plan, never the answer.
+    * This is the same move Spark's own runtime row-level filtering
+    * makes (InjectRuntimeFilter's bloom on join keys), applied where
+    * the optimizer can't see it: across the explode.
+    *
+    * Output is per-doc contamination intensity (n distinct overlapping
+    * shingles), a strict superset of q74's flagged-id info: q74 answers
+    * "which docs", q86 answers "how badly". The pre-filter UDF is
+    * off-codegen by nature (sketch probe); it sits on the already-
+    * codegen'd explode output and removes work downstream of itself.
+    * Exactness is oracle-gated: the DuckDB SQL knows nothing about the
+    * Bloom filter, so any false-positive leak or false-negative drop
+    * breaks the hash match.
+    */
+  def q86BloomDecontaminate(s: SparkSession, d: String, fpp: Double = 0.03)
+      : DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .withColumn("h", md5(col("sh")))
+    // the eval-suite side: scanned eagerly twice here (count + sketch
+    // build) and once more lazily by the verify join — all three are
+    // jobs over the BOUNDED side, and recompute-over-cache is this
+    // repo's measured default (NOTES.md r1)
+    val bench = sh.filter(col("doc_id") % 100 === 0).select("h").distinct()
+    // size the sketch from the true distinct count (one tiny job over
+    // the eval-suite side — bounded by construction, never the corpus)
+    val nBench = math.max(1L, bench.count())
+    val bloom = bench.stat.bloomFilter("h", nBench, fpp)
+    contaminationScreen(Tables.documents(s, d).filter(col("doc_id") % 100 =!= 0),
+      bench, bloom)
+      .orderBy("doc_id")
+  }
+
+  /** Core of the Bloom-pre-filtered contamination screen, shared by
+    * [[q86BloomDecontaminate]] (whole-corpus batch) and
+    * [[graft.streaming.StreamingOps]]' ingest-time screen (per
+    * micro-batch): explode `docs` (doc_id, text) to hashed 3-shingles,
+    * pre-filter through the broadcast sketch, exact-verify against the
+    * real benchmark hash set (false positives drop here), count distinct
+    * contaminated shingles per doc. Exact regardless of the sketch's
+    * error rate; the sketch only sizes the join input.
+    */
+  def contaminationScreen(docs: DataFrame, benchHashes: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
+    docs
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .withColumn("h", md5(col("sh")))
+      .filter(mightContain(col("h")))              // broadcast sketch probe
+      .join(benchHashes.select("h"), Seq("h"), "left_semi") // exact: drops FPs
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_contaminated_shingles"))
+  }
+
   /** Intra-document REPETITION statistics — the Gopher-style repetition
     * filter: a document whose 3-gram shingles repeat heavily is
     * boilerplate/spam-shaped. Per doc: shingle count, distinct shingle

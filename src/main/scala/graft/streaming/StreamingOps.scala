@@ -325,6 +325,58 @@ object StreamingOps {
     * per trigger; `coalesce` to a bounded writer count per batch keeps
     * file counts sane without a global shuffle.
     */
+  /** Static side of the ingest-time contamination screen: the benchmark
+    * suite's distinct shingle hashes (persisted — a stream-static join
+    * re-executes the static subplan every micro-batch) plus the Bloom
+    * sketch over them. Eval suites are bounded, so both fit comfortably;
+    * callers own the lifecycle (`unpersist()` when the stream stops).
+    */
+  final case class ContaminationIndex(benchHashes: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter) {
+    def unpersist(): Unit =
+      try { benchHashes.unpersist(); () } catch { case _: Throwable => () }
+  }
+
+  def buildContaminationIndex(bench: DataFrame, fpp: Double = 0.03)
+      : ContaminationIndex = {
+    val hashes = bench
+      .select(explode(graft.functions.TextFunctions.shingles3(
+        graft.functions.TextFunctions.tokens(col("text")))).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = math.max(1L, hashes.count())
+    ContaminationIndex(hashes, hashes.stat.bloomFilter("h", n, fpp))
+  }
+
+  /** DECONTAMINATION AT INGEST — q86's production shape: screen every
+    * arriving micro-batch of documents against the benchmark index
+    * before it lands, instead of sweeping the corpus after the fact.
+    * Runs [[graft.ops.TextOps.contaminationScreen]] per batch via
+    * foreachBatch (the per-doc distinct-shingle count is a batch
+    * aggregation; a document arrives whole in one micro-batch, so
+    * per-batch reports never split a doc and their union is EXACTLY the
+    * whole-corpus q86 on the same docs — no cross-batch state at all).
+    * State story at 100 TB/day: zero streaming state; the only
+    * resident pieces are the bounded benchmark hash table and its
+    * broadcast sketch, and the sketch drops ~all clean shingles before
+    * the per-batch shuffle.
+    */
+  def decontaminateAtIngest(docs: DataFrame, index: ContaminationIndex,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.TextOps
+          .contaminationScreen(batch, index.benchHashes, index.bloom)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
+
   def foreachBatchPartitionedSink(events: DataFrame, outDir: String,
       checkpointDir: String, writersPerBatch: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =

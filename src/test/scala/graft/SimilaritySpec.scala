@@ -120,4 +120,53 @@ class SimilaritySpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ivf_idx_centroids")
     }
   }
+
+  test("q87 semantic clusters: full coverage, labels equal driver-side union-find over q34 pairs") {
+    import graft.ops.Dedup
+    val clusters = Dedup.q87SemanticClusters(spark, sf).cache()
+    try {
+      val n = graft.core.Tables.embeddings(spark, sf).count()
+      assert(clusters.count() == n)
+      assert(clusters.select("vec_id").distinct().count() == n)
+      val label = clusters.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val pairs = Dedup.q34EmbeddingNearDup(spark, sf)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // ground truth: union-find with union-by-min, so every root is the
+      // min id of its class — exactly q87's claimed label semantics
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      assert(label.forall { case (v, c) => c == find(v) })
+    } finally clusters.unpersist()
+  }
+
+  test("q88 label centroids: exact micro-unit means vs driver-side recomputation") {
+    import graft.ops.Similarity
+    val got = Similarity.q88LabelCentroids(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val rows = graft.core.Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
+    val want = rows.groupBy(_._1).flatMap { case (label, vs) =>
+      val dims = vs.head._2.length
+      (0 until dims).map { dim =>
+        // same floor-idiom arithmetic as the operator and the oracle
+        val micro = vs.map(v => math.floor(v._2(dim).toDouble * 1e6 + 0.5).toLong).sum
+        val c = math.floor(micro.toDouble / (1e6 * vs.length) * 1e4 + 0.5) / 1e4
+        (label, dim.toLong) -> (vs.length.toLong, c)
+      }
+    }
+    assert(got.keySet == want.keySet)
+    assert(want.forall { case (k, v) => got(k) == v })
+  }
 }

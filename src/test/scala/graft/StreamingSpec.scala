@@ -320,4 +320,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expect, s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
     } finally { q.stop(); index.unpersist() }
   }
+
+  test("streaming decontamination at ingest: per-batch reports union to batch q86 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.core.Tables.documents(spark, TestSpark.sf)
+    val index = StreamingOps.buildContaminationIndex(
+      all.filter(col("doc_id") % 100 === 0))
+    val trainDocs = all.filter(col("doc_id") % 100 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val outDir = java.nio.file.Files
+      .createTempDirectory("decontam_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("decontam_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.decontaminateAtIngest(
+      mem.toDF().toDF("doc_id", "text"), index, outDir, ckpt)
+    try {
+      // two micro-batches: a doc arrives whole in one batch, so the
+      // appended per-batch reports must union to the corpus-wide answer
+      val (first, second) = trainDocs.splitAt(trainDocs.length / 2)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "n_contaminated_shingles").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = graft.ops.TextOps.q86BloomDecontaminate(spark, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+    } finally { q.stop(); index.unpersist() }
+  }
 }

@@ -446,4 +446,38 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(rows.length == Tables.documents(spark, sf).count())
     assert(rows.forall(r => r.width >= 64 && r.height >= 64 && r.n_frames >= 1))
   }
+
+  test("q86 bloom decontamination: flagged set equals q74, counts positive, fpp-invariant") {
+    val q86 = TextOps.q86BloomDecontaminate(spark, sf).cache()
+    try {
+      // same flagged docs as the un-sketched exact pass
+      val flagged = q86.select("doc_id")
+      val exact = TextOps.q74Decontaminate(spark, sf)
+      assert(flagged.except(exact).count() == 0L &&
+        exact.except(flagged).count() == 0L)
+      assert(q86.filter(col("n_contaminated_shingles") <= 0L).count() == 0L)
+      // the sketch's error rate must never reach the answer: a sloppy
+      // bloom (every other probe a false positive) yields identical rows
+      val sloppy = TextOps.q86BloomDecontaminate(spark, sf, fpp = 0.5)
+      assert(q86.except(sloppy).count() == 0L &&
+        sloppy.except(q86).count() == 0L)
+    } finally q86.unpersist()
+  }
+
+  test("q89 curation report: doc totals conserve, near-dups include exact dups, rate consistent") {
+    val rep = Dedup.q89CurationReport(spark, sf).cache()
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      assert(rep.agg(sum("n_docs")).head().getLong(0) == docs.count())
+      assert(rep.filter(col("n_near_dups") < col("n_exact_dups")).count() == 0L)
+      // n_near_dups per source must agree with q69's labels re-aggregated
+      val viaLabels = Dedup.q69DedupComponents(spark, sf)
+        .join(docs, Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum(when(col("component") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_from_labels"))
+      assert(rep.join(viaLabels, Seq("source"))
+        .filter(col("n_near_dups") =!= col("n_from_labels")).count() == 0L)
+    } finally rep.unpersist()
+  }
 }
