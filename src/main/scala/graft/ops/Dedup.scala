@@ -135,23 +135,27 @@ object Dedup {
     * a session (e.g. after a streaming ingest lands new files) or when
     * embedding the engine in a long-lived JVM that cycles sessions — the
     * memos are per-(session, dir) SNAPSHOTS and hold session references
-    * until cleared. Lock order is compCache, then candCache, then
-    * sigCache — the same total order the builds take (components build
-    * candidates, candidates build signatures, each while holding its own
-    * lock), so invalidation cannot deadlock against a build.
+    * until cleared. Lock order is epairCache, then compCache, then
+    * candCache, then sigCache — the same total order the builds take
+    * (components build candidates, candidates build signatures, each
+    * while holding its own lock; the embedding-pair build touches no
+    * other memo), so invalidation cannot deadlock against a build.
     */
-  def invalidateSignatureCache(): Unit = compCache.synchronized {
-    candCache.synchronized {
-      sigCache.synchronized {
-        hashCache.synchronized {
-          (compCache.values ++ candCache.values ++ sigCache.values ++
-            hashCache.values).foreach { df =>
-            try df.unpersist() catch { case _: Throwable => () }
+  def invalidateSignatureCache(): Unit = epairCache.synchronized {
+    compCache.synchronized {
+      candCache.synchronized {
+        sigCache.synchronized {
+          hashCache.synchronized {
+            (epairCache.values ++ compCache.values ++ candCache.values ++
+              sigCache.values ++ hashCache.values).foreach { df =>
+              try df.unpersist() catch { case _: Throwable => () }
+            }
+            epairCache.clear()
+            compCache.clear()
+            candCache.clear()
+            sigCache.clear()
+            hashCache.clear()
           }
-          compCache.clear()
-          candCache.clear()
-          sigCache.clear()
-          hashCache.clear()
         }
       }
     }
@@ -780,7 +784,38 @@ object Dedup {
     * retained conceptually by q40 (exact top-k baseline), not here.
     */
   def q34EmbeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.4,
-      bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+      bands: Int = 8, bitsPerBand: Int = 8): DataFrame =
+    (if (threshold == 0.4 && bands == 8 && bitsPerBand == 8)
+       embeddingPairs(s, d)
+     else embeddingNearDupRaw(s, d, threshold, bands, bitsPerBand))
+      .orderBy("vec_a", "vec_b")
+
+  // memoized, persisted verified-pair frame at the DEFAULT parameters —
+  // q34 orders it, q87 closes over it, so the banded candidate join +
+  // exact cosine verify runs once per (session, dir, corpus version)
+  // rather than once per consumer. Fingerprint-keyed like the doc-side
+  // memos; independent lock (builds touch no other memo, so it slots
+  // outermost in invalidate's total order without deadlock risk).
+  private val epairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame =
+    epairCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "embeddings")
+      epairCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+        .foreach { stale =>
+          epairCache.remove(stale).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+        }
+      epairCache.getOrElseUpdate((s, d, fp),
+        embeddingNearDupRaw(s, d, 0.4, 8, 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  private def embeddingNearDupRaw(s: SparkSession, d: String, threshold: Double,
+      bands: Int, bitsPerBand: Int): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = Tables.embeddings(s, d)
     val banded = e.select(col("vec_id"), posexplode(array(
@@ -804,7 +839,6 @@ object Dedup {
         r4(cosinePrenormed(dot(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .orderBy("vec_a", "vec_b")
   }
 
   /** SEMANTIC CLUSTERS — SemDeDup-style resolution over the EMBEDDING
@@ -827,7 +861,10 @@ object Dedup {
     */
   def q87SemanticClusters(s: SparkSession, d: String, threshold: Double = 0.4)
       : DataFrame = {
-    val pairs = q34EmbeddingNearDup(s, d, threshold)
+    // default threshold reads the shared memoized pair frame (no re-pay
+    // of the candidate join + verify q34 already ran this session)
+    val pairs = (if (threshold == 0.4) embeddingPairs(s, d)
+                 else embeddingNearDupRaw(s, d, threshold, 8, 8))
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val labels = connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("component"))

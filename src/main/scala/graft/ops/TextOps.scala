@@ -619,8 +619,18 @@ object TextOps {
     * error rate; the sketch only sizes the join input.
     */
   def contaminationScreen(docs: DataFrame, benchHashes: DataFrame,
-      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
-    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    contaminationScreen(docs, benchHashes,
+      docs.sparkSession.sparkContext.broadcast(bloom))
+
+  /** Overload taking an ALREADY-broadcast sketch: a long-lived stream
+    * screens thousands of micro-batches against one benchmark index,
+    * and re-shipping the sketch per trigger would be pure overhead —
+    * the caller broadcasts once per stream, every batch reuses it.
+    */
+  def contaminationScreen(docs: DataFrame, benchHashes: DataFrame,
+      bloomBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
     val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
     docs
       .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))

@@ -363,19 +363,23 @@ object StreamingOps {
     */
   def decontaminateAtIngest(docs: DataFrame, index: ContaminationIndex,
       outDir: String, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one sketch broadcast for the stream's whole lifetime — every
+    // micro-batch reuses it (re-shipping per trigger would be waste)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(index.bloom)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.TextOps
-          .contaminationScreen(batch, index.benchHashes, index.bloom)
+          .contaminationScreen(batch, index.benchHashes, bloomBc)
           .withColumn("batch_id", lit(batchId))
           .coalesce(1)
           .write.mode("append").parquet(outDir)
         (): Unit
       }
       .start()
+  }
 
   def foreachBatchPartitionedSink(events: DataFrame, outDir: String,
       checkpointDir: String, writersPerBatch: Int = 4)
