@@ -108,6 +108,7 @@ object SparkEntry {
     "q48_ivf_ann" -> (Similarity.q48IvfAnn(_, _)),
     "q70_ivf_probe_indexed" -> ((s, d) => Similarity.q70IvfProbeIndexed(s, d)),
     "q88_label_centroids" -> (Similarity.q88LabelCentroids(_, _)),
+    "q90_quantize_embeddings" -> (Similarity.q90QuantizeEmbeddings(_, _)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -824,6 +825,25 @@ object SparkEntry {
          |FROM (SELECT label, unnest(embedding) AS e,
          |        generate_subscripts(embedding, 1) AS i FROM embeddings) u
          |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    // mirrors Similarity.q90QuantizeEmbeddings — per-dim min/max grid,
+    // nearest-code floor, nano-unit error sums (keep in lockstep)
+    "q90_quantize_embeddings" ->
+      s"""WITH u AS (SELECT vec_id, CAST(e AS DOUBLE) AS v,
+         |  CAST(i - 1 AS BIGINT) AS dim
+         | FROM (SELECT vec_id, unnest(embedding) AS e,
+         |         generate_subscripts(embedding, 1) AS i FROM embeddings)),
+         |stats AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM u GROUP BY dim),
+         |q AS (SELECT vec_id, v, lo, hi,
+         |  CASE WHEN hi = lo THEN 0.0
+         |       ELSE floor((v - lo) / (hi - lo) * 255.0 + 0.5) END AS code
+         | FROM u JOIN stats USING (dim)),
+         |r AS (SELECT vec_id, code,
+         |  abs(v - (lo + code * (hi - lo) / 255.0)) AS err FROM q)
+         |SELECT vec_id, count(*) AS n_dims,
+         | count(CASE WHEN code = 0.0 OR code = 255.0 THEN 1 END) AS n_saturated,
+         | ${sqlRn("max(err)", 6)} AS max_abs_err,
+         | ${sqlRn("CAST(sum(CAST(floor(err * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (1000000000.0 * count(*))", 6)} AS mean_abs_err
+         |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // mirrors Dedup.q87SemanticClusters — reachability over q34's
     // verified pair graph, min-reachable vec_id per vector, singletons
     // label themselves (same recursive shape as q69's oracle)

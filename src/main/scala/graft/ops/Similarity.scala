@@ -318,4 +318,50 @@ object Similarity {
         r4(col("sum_micro").cast("double") / (lit(1e6) * col("n_vecs").cast("double")))
           .as("centroid"))
       .orderBy("label", "dim")
+
+  /** INT8 SCALAR QUANTIZATION of the embedding corpus — the compression
+    * pass vector stores run before ANN serving (4× smaller vectors,
+    * distance error bounded by the per-dim step size). Per-dim min/max
+    * over the corpus define a 256-level uniform grid; each element maps
+    * to its nearest code; the output reports per-vector reconstruction
+    * error (max + mean absolute) and how many dims sit on the grid
+    * edges (code 0/255 — the saturation diagnostic that says whether a
+    * per-dim grid is tight enough or outliers need clipping).
+    *
+    * Scale shape: the stats side is |dims| rows — broadcast — so
+    * quantization is a map-side pass over the exploded corpus; the only
+    * corpus-sized exchange is the (vec_id)-keyed partial-agg shuffle.
+    * Cross-engine exactness: min/max/compare/floor/abs on doubles are
+    * bit-deterministic (no summation), and the mean goes through the
+    * nano-unit integer-sum idiom, so partitioning cannot move a bit.
+    */
+  def q90QuantizeEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        col("col").cast("double").as("v"))
+    val stats = u.groupBy("dim")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+    val q = u.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0.0))
+          .otherwise(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
+            * lit(255.0) + lit(0.5))))
+      .withColumn("err",
+        abs(col("v") - (col("lo") + col("code") * (col("hi") - col("lo"))
+          / lit(255.0))))
+    q.groupBy("vec_id")
+      .agg(
+        count(lit(1)).as("n_dims"),
+        max("err").as("max_err_raw"),
+        sum(floor(col("err") * lit(1e9) + lit(0.5)).cast("long"))
+          .as("sum_err_nano"),
+        count(when(col("code") === 0.0 || col("code") === 255.0, lit(1)))
+          .as("n_saturated"))
+      .select(col("vec_id"), col("n_dims"), col("n_saturated"),
+        r6(col("max_err_raw")).as("max_abs_err"),
+        r6(col("sum_err_nano").cast("double")
+          / (lit(1e9) * col("n_dims").cast("double"))).as("mean_abs_err"))
+      .orderBy("vec_id")
+  }
 }

@@ -169,4 +169,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.keySet == want.keySet)
     assert(want.forall { case (k, v) => got(k) == v })
   }
+
+  test("q90 quantization: exact driver-side recompute of codes, saturation and error stats") {
+    import graft.ops.Similarity
+    val got = Similarity.q90QuantizeEmbeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val rows = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = rows.head._2.length
+    val lo = Array.tabulate(dims)(j => rows.map(_._2(j)).min)
+    val hi = Array.tabulate(dims)(j => rows.map(_._2(j)).max)
+    val want = rows.map { case (id, v) =>
+      val codes = Array.tabulate(dims) { j =>
+        if (hi(j) == lo(j)) 0.0
+        else math.floor((v(j) - lo(j)) / (hi(j) - lo(j)) * 255.0 + 0.5)
+      }
+      val errs = Array.tabulate(dims)(j =>
+        math.abs(v(j) - (lo(j) + codes(j) * (hi(j) - lo(j)) / 255.0)))
+      val nSat = codes.count(c => c == 0.0 || c == 255.0).toLong
+      val maxE = math.floor(errs.max * 1e6 + 0.5) / 1e6
+      val meanE = math.floor(
+        errs.map(e => math.floor(e * 1e9 + 0.5).toLong).sum.toDouble
+          / (1e9 * dims) * 1e6 + 0.5) / 1e6
+      id -> (dims.toLong, nSat, maxE, meanE)
+    }.toMap
+    assert(got == want)
+  }
 }
