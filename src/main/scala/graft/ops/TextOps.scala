@@ -592,22 +592,34 @@ object TextOps {
     */
   def q86BloomDecontaminate(s: SparkSession, d: String, fpp: Double = 0.03)
       : DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
-      .withColumn("h", md5(col("sh")))
-    // the eval-suite side: scanned eagerly twice here (count + sketch
-    // build) and once more lazily by the verify join — all three are
-    // jobs over the BOUNDED side, and recompute-over-cache is this
-    // repo's measured default (NOTES.md r1)
-    val bench = sh.filter(col("doc_id") % 100 === 0).select("h").distinct()
-    // size the sketch from the true distinct count (one tiny job over
-    // the eval-suite side — bounded by construction, never the corpus)
-    val nBench = math.max(1L, bench.count())
-    val bloom = bench.stat.bloomFilter("h", nBench, fpp)
+    // the eval-suite side: scanned eagerly twice (count + sketch build)
+    // and once more lazily by the verify join — all three are jobs over
+    // the BOUNDED side, and recompute-over-cache is this repo's
+    // measured default (NOTES.md r1)
+    val bench = benchShingleHashes(
+      Tables.documents(s, d).filter(col("doc_id") % 100 === 0))
     contaminationScreen(Tables.documents(s, d).filter(col("doc_id") % 100 =!= 0),
-      bench, bloom)
+      bench, benchBloom(bench, fpp))
       .orderBy("doc_id")
   }
+
+  /** Distinct hashed 3-shingles of a benchmark/eval doc set — ONE
+    * definition of what "a benchmark shingle" is, consumed by the batch
+    * screen ([[q86BloomDecontaminate]]) and the streaming index
+    * ([[graft.streaming.StreamingOps.buildContaminationIndex]]); the
+    * shingling matches q74's corpus side by construction.
+    */
+  def benchShingleHashes(bench: DataFrame): DataFrame =
+    bench
+      .select(explode(shingles3(tokens(col("text")))).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+
+  /** Bloom sketch over a hash frame, sized from the TRUE distinct count
+    * (one tiny job over the eval-suite-sized side, never the corpus).
+    */
+  def benchBloom(hashes: DataFrame, fpp: Double)
+      : org.apache.spark.util.sketch.BloomFilter =
+    hashes.stat.bloomFilter("h", math.max(1L, hashes.count()), fpp)
 
   /** Core of the Bloom-pre-filtered contamination screen, shared by
     * [[q86BloomDecontaminate]] (whole-corpus batch) and

@@ -314,17 +314,6 @@ object StreamingOps {
       bands: Int = 8): DataFrame =
     incrementalDedupStream(docs, buildCorpusDedupIndex(corpus, bands))
 
-  /** foreachBatch sink: land each micro-batch as partitioned parquet
-    * (partitioned by event_type — the layout downstream batch queries
-    * prune on). foreachBatch is the production bridge from a stream to
-    * arbitrary batch sinks; the batch_id column makes re-delivered
-    * batches identifiable, which is how exactly-once lands on
-    * at-least-once sinks (readers dedup on (batch_id, event_id), or a
-    * compaction job drops the older batch_id — both standard).
-    * Partition discipline: a 100 TB/day stream writes many small files
-    * per trigger; `coalesce` to a bounded writer count per batch keeps
-    * file counts sane without a global shuffle.
-    */
   /** Static side of the ingest-time contamination screen: the benchmark
     * suite's distinct shingle hashes (persisted — a stream-static join
     * re-executes the static subplan every micro-batch) plus the Bloom
@@ -339,13 +328,10 @@ object StreamingOps {
 
   def buildContaminationIndex(bench: DataFrame, fpp: Double = 0.03)
       : ContaminationIndex = {
-    val hashes = bench
-      .select(explode(graft.functions.TextFunctions.shingles3(
-        graft.functions.TextFunctions.tokens(col("text")))).as("sh"))
-      .select(md5(col("sh")).as("h")).distinct()
+    val hashes = graft.ops.TextOps.benchShingleHashes(bench)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = math.max(1L, hashes.count())
-    ContaminationIndex(hashes, hashes.stat.bloomFilter("h", n, fpp))
+    // benchBloom's sizing count doubles as the persist materializer
+    ContaminationIndex(hashes, graft.ops.TextOps.benchBloom(hashes, fpp))
   }
 
   /** DECONTAMINATION AT INGEST — q86's production shape: screen every
@@ -381,6 +367,17 @@ object StreamingOps {
       .start()
   }
 
+  /** foreachBatch sink: land each micro-batch as partitioned parquet
+    * (partitioned by event_type — the layout downstream batch queries
+    * prune on). foreachBatch is the production bridge from a stream to
+    * arbitrary batch sinks; the batch_id column makes re-delivered
+    * batches identifiable, which is how exactly-once lands on
+    * at-least-once sinks (readers dedup on (batch_id, event_id), or a
+    * compaction job drops the older batch_id — both standard).
+    * Partition discipline: a 100 TB/day stream writes many small files
+    * per trigger; `coalesce` to a bounded writer count per batch keeps
+    * file counts sane without a global shuffle.
+    */
   def foreachBatchPartitionedSink(events: DataFrame, outDir: String,
       checkpointDir: String, writersPerBatch: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
