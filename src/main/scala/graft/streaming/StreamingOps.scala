@@ -314,6 +314,50 @@ object StreamingOps {
       bands: Int = 8): DataFrame =
     incrementalDedupStream(docs, buildCorpusDedupIndex(corpus, bands))
 
+  case class DimUpdate(label: Long, dim: Long, micro: Long)
+  case class CentroidState(label: Long, dim: Long, n_vecs: Long,
+      sum_micro: Long, centroid: Double)
+
+  /** INCREMENTAL CENTROID MAINTENANCE — the streaming twin of batch
+    * q88LabelCentroids: per-(label, dim) running mean over an unbounded
+    * embedding stream, kept exact by the same micro-unit integer sums
+    * (state = (count, sum of longs); the divide happens only at
+    * emission, so arrival order and batching cannot move a bit — the
+    * spec pins the converged stream equal to batch q88).
+    *
+    * Contrast with the module's other stateful ops: here state is
+    * bounded NOT by a watermark but by the KEY SPACE — |labels|×|dims|
+    * entries total, each two longs, regardless of how many vectors ever
+    * arrive. That is the second bounded-state story a 100 TB/day stream
+    * can have (bounded keys; the first is event-time eviction), and why
+    * NoTimeout is correct rather than lazy here. Map-side: posexplode +
+    * micro conversion run before the stateful exchange, so each
+    * micro-batch shuffles at most |labels|×|dims| partial rows after
+    * Spark's partial aggregation — the streaming mirror of q88's
+    * partial-agg-below-one-exchange plan.
+    */
+  def centroidStream(embeddings: DataFrame): Dataset[CentroidState] = {
+    import embeddings.sparkSession.implicits._
+    embeddings
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("micro"))
+      .as[DimUpdate]
+      .groupByKey(u => (u.label, u.dim))
+      .mapGroupsWithState[(Long, Long), CentroidState](GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), batch: Iterator[DimUpdate], state: GroupState[(Long, Long)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+          val (n, s) = batch.foldLeft((n0, s0)) {
+            case ((cn, cs), u) => (cn + 1L, cs + u.micro)
+          }
+          state.update((n, s))
+          // same floor idiom as Round.r4 / batch q88 (keep in lockstep)
+          val c = math.floor(s.toDouble / (1e6 * n) * 1e4 + 0.5) / 1e4
+          CentroidState(key._1, key._2, n, s, c)
+      }
+  }
+
   /** Static side of the ingest-time contamination screen: the benchmark
     * suite's distinct shingle hashes (persisted — a stream-static join
     * re-executes the static subplan every micro-batch) plus the Bloom

@@ -353,4 +353,36 @@ class StreamingSpec extends AnyFunSuite {
         s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
     } finally { q.stop(); index.unpersist() }
   }
+
+  test("streaming centroid maintenance converges to batch q88 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Int, Seq[Float])]
+    val q = StreamingOps.centroidStream(
+      mem.toDF().toDF("label", "embedding"))
+      .writeStream.format("memory").queryName("centroid_out")
+      .outputMode("update").start()
+    try {
+      // two micro-batches: the running mean must not care how arrivals
+      // were batched — integer state makes that exact, not approximate
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      // converged value per key = the emission with the max n_vecs
+      val got = spark.table("centroid_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(4)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      val expect = graft.ops.Similarity.q88LabelCentroids(spark, TestSpark.sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got == expect)
+    } finally q.stop()
+  }
 }
