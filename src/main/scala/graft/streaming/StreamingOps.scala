@@ -330,11 +330,15 @@ object StreamingOps {
     * entries total, each two longs, regardless of how many vectors ever
     * arrive. That is the second bounded-state story a 100 TB/day stream
     * can have (bounded keys; the first is event-time eviction), and why
-    * NoTimeout is correct rather than lazy here. Map-side: posexplode +
-    * micro conversion run before the stateful exchange, so each
-    * micro-batch shuffles at most |labels|×|dims| partial rows after
-    * Spark's partial aggregation — the streaming mirror of q88's
-    * partial-agg-below-one-exchange plan.
+    * NoTimeout is correct rather than lazy here. Shuffle honesty:
+    * unlike batch q88 (partial agg below the exchange), a
+    * mapGroupsWithState exchange has NO map-side combine — it carries
+    * one (label, dim, micro) row per arriving vector element, i.e. the
+    * exchange is MICRO-BATCH-sized per trigger (never corpus-sized);
+    * only the state is |labels|×|dims|. Chaining a pre-aggregation in
+    * front is not an option (Structured Streaming forbids
+    * mapGroupsWithState after an aggregation), so the batch-sized
+    * exchange is the price of the exact running state.
     */
   def centroidStream(embeddings: DataFrame): Dataset[CentroidState] = {
     import embeddings.sparkSession.implicits._
