@@ -821,7 +821,7 @@ object SparkEntry {
     "q88_label_centroids" ->
       s"""SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
          | count(*) AS n_vecs,
-         | ${sqlRn("CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (1000000.0 * count(*))", 4)} AS centroid
+         | ${sqlRn(s"CAST(sum(CAST(floor(CAST(e AS DOUBLE) * ${graft.functions.Round.MicroScale} + 0.5) AS BIGINT)) AS DOUBLE) / (${graft.functions.Round.MicroScale} * count(*))", 4)} AS centroid
          |FROM (SELECT label, unnest(embedding) AS e,
          |        generate_subscripts(embedding, 1) AS i FROM embeddings) u
          |GROUP BY label, i ORDER BY label, dim""".stripMargin,

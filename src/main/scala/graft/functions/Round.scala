@@ -34,6 +34,23 @@ object Round {
   /** Cents back to a (exact) 2-decimal double. */
   def fromCents(c: Column): Column = c.cast("double") / lit(100.0)
 
+  /** Micro-unit scale shared by the exact-integer mean family (batch
+    * q88, centroidStream, and their oracle SQL): elements scale to
+    * integer micro-units before summation so sums are order-invariant.
+    * One constant so the batch/stream/oracle lockstep is structural,
+    * not comment-enforced.
+    */
+  val MicroScale: Double = 1e6
+
+  /** JVM-scalar twin of [[rn]] — the same floor idiom on plain doubles,
+    * for code that rounds outside Column space (stateful streaming
+    * emissions). Identical bits to rn/sqlRn on identical input.
+    */
+  def jvmRn(d: Double, n: Int): Double = {
+    val p = math.pow(10.0, n.toDouble)
+    math.floor(d * p + 0.5) / p
+  }
+
   /** DuckDB SQL for the same operations (keep in lockstep with above). */
   def sqlRn(expr: String, n: Int): String = {
     val p = math.pow(10.0, n.toDouble)

@@ -310,12 +310,13 @@ object Similarity {
     Tables.embeddings(s, d)
       .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos").cast("long").as("dim"),
-        floor(col("col").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+        floor(col("col").cast("double") * lit(MicroScale) + lit(0.5)).cast("long")
           .as("micro"))
       .groupBy("label", "dim")
       .agg(sum("micro").as("sum_micro"), count(lit(1)).as("n_vecs"))
       .select(col("label"), col("dim"), col("n_vecs"),
-        r4(col("sum_micro").cast("double") / (lit(1e6) * col("n_vecs").cast("double")))
+        r4(col("sum_micro").cast("double")
+          / (lit(MicroScale) * col("n_vecs").cast("double")))
           .as("centroid"))
       .orderBy("label", "dim")
 

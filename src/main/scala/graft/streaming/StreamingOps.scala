@@ -323,7 +323,10 @@ object StreamingOps {
     * embedding stream, kept exact by the same micro-unit integer sums
     * (state = (count, sum of longs); the divide happens only at
     * emission, so arrival order and batching cannot move a bit — the
-    * spec pins the converged stream equal to batch q88).
+    * spec pins the converged stream equal to batch q88). The exactness
+    * has an explicit horizon: a never-evicted key's sum overflows Long
+    * after ~9.2e12 unit-scale arrivals, and the fold uses addExact so
+    * that horizon is a loud failure, never a silently wrong centroid.
     *
     * Contrast with the module's other stateful ops: here state is
     * bounded NOT by a watermark but by the KEY SPACE — |labels|×|dims|
@@ -345,19 +348,26 @@ object StreamingOps {
     embeddings
       .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos").cast("long").as("dim"),
-        floor(col("col").cast("double") * lit(1e6) + lit(0.5)).cast("long")
-          .as("micro"))
+        floor(col("col").cast("double") * lit(graft.functions.Round.MicroScale)
+          + lit(0.5)).cast("long").as("micro"))
       .as[DimUpdate]
       .groupByKey(u => (u.label, u.dim))
       .mapGroupsWithState[(Long, Long), CentroidState](GroupStateTimeout.NoTimeout) {
         (key: (Long, Long), batch: Iterator[DimUpdate], state: GroupState[(Long, Long)]) =>
           val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+          // addExact: the running sum of a NEVER-evicted key is the one
+          // quantity here that genuinely grows forever — at unit-scale
+          // embeddings (|micro| ≲ 1e6) Long overflows after ~9.2e12
+          // arrivals per (label, dim). Wraparound would emit garbage
+          // centroids with no signal; failing the query loudly is the
+          // module's eviction-or-explicit-bound discipline applied to
+          // the bounded-key-space case.
           val (n, s) = batch.foldLeft((n0, s0)) {
-            case ((cn, cs), u) => (cn + 1L, cs + u.micro)
+            case ((cn, cs), u) => (cn + 1L, Math.addExact(cs, u.micro))
           }
           state.update((n, s))
-          // same floor idiom as Round.r4 / batch q88 (keep in lockstep)
-          val c = math.floor(s.toDouble / (1e6 * n) * 1e4 + 0.5) / 1e4
+          val c = graft.functions.Round.jvmRn(
+            s.toDouble / (graft.functions.Round.MicroScale * n), 4)
           CentroidState(key._1, key._2, n, s, c)
       }
   }
