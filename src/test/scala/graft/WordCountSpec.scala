@@ -44,6 +44,21 @@ class WordCountSpec extends AnyFunSuite {
     assert(got == Seq("zz\t1", "�\t1", "😀\t1"))
   }
 
+  test("gzipped input decompresses transparently (TextInputFormat codec parity)") {
+    // Hadoop's TextInputFormat decompresses .gz inputs by extension, and
+    // the reference inherits that for free — so must spark.read.text
+    val in = Files.createTempDirectory("wc_gz_in")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(in.resolve("input.txt.gz")))
+    gz.write("hello world\nhello\n".getBytes("UTF-8")); gz.close()
+    val out = Files.createTempDirectory("wc_gz_out_parent").resolve("out")
+    WordCountJob.run(spark, in.toString, out.toString)
+    val part = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(Files.readAllLines(part.head).asScala.toSeq ==
+      Seq("hello\t2", "world\t1"))
+  }
+
   test("scale path: multi-part output concatenates to the same global order") {
     val in = Files.createTempDirectory("wc_in_mp")
     val out = Files.createTempDirectory("wc_out_mp_parent").resolve("out")
