@@ -132,7 +132,9 @@ object SparkEntry {
     "q68_frame_sample" -> (Multimodal.q68FrameSample(_, _)),
     // data layout / table maintenance
     "q79_zorder_layout" -> (Layout.q79ZOrderLayout(_, _)),
-    "q80_compact_roundtrip" -> ((s, d) => Layout.q80CompactRoundtrip(s, d))
+    "q80_compact_roundtrip" -> ((s, d) => Layout.q80CompactRoundtrip(s, d)),
+    "q91_table_stats" -> (Layout.q91TableStats(_, _)),
+    "q92_upsert_apply" -> (Layout.q92UpsertApply(_, _))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -825,6 +827,35 @@ object SparkEntry {
          |FROM (SELECT label, unnest(embedding) AS e,
          |        generate_subscripts(embedding, 1) AS i FROM embeddings) u
          |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    // mirrors Layout.q91TableStats — generated from the SAME column list
+    // (Layout.StatsColumns), one SELECT per column
+    "q91_table_stats" ->
+      graft.ops.Layout.StatsColumns.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | count(*) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_v,
+           | CAST(max($c) AS DOUBLE) AS max_v FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // mirrors Layout.q92UpsertApply — same CDC batch, same exact-cents
+    // summary (keep in lockstep)
+    "q92_upsert_apply" ->
+      s"""WITH changes AS (
+         | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         |  CAST(${sqlCents("o_totalprice")} + 5000 AS DOUBLE) / 100.0 AS o_totalprice,
+         |  o_orderdate, o_orderpriority
+         | FROM orders WHERE o_orderkey % 7 = 0
+         | UNION ALL
+         | SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+         |  o_orderdate, o_orderpriority
+         | FROM orders WHERE o_orderkey % 13 = 0),
+         |merged AS (SELECT * FROM changes
+         | UNION ALL
+         | SELECT * FROM orders
+         | WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes))
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         | CAST(sum(${sqlCents("o_totalprice")}) AS DOUBLE) / 100.0 AS total_price
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // mirrors Similarity.q90QuantizeEmbeddings — per-dim min/max grid,
     // nearest-code floor, nano-unit error sums (keep in lockstep)
     "q90_quantize_embeddings" ->

@@ -151,4 +151,83 @@ object Layout {
       .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
+
+  /** The numeric lineitem columns q91 profiles — one list shared with
+    * the generated oracle SQL (SparkEntry) so the two stay in lockstep
+    * structurally.
+    */
+  val StatsColumns: Seq[String] = Seq(
+    "l_orderkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax")
+
+  /** ANALYZE-style TABLE STATISTICS — per-column row/null/distinct
+    * counts and min/max, the stats a cost-based optimizer and a layout
+    * planner (file skipping, bucketing decisions) feed on. ONE scan
+    * pass: all per-column aggregates run in a single agg (the multi-
+    * countDistinct plans as one Expand — 6 aliased streams of the same
+    * scan, partial-aggregated map-side before the single exchange), and
+    * the 1-row result is unpivoted driver-free to long format.
+    *
+    * 100 TB note: EXACT ndv is deliberate here because the oracle needs
+    * bit-equality; a production ANALYZE at corpus scale swaps
+    * countDistinct for approx_count_distinct (the q38 HLL family) and
+    * keeps everything else — same plan, sketch-sized agg state instead
+    * of distinct-sized.
+    */
+  def q91TableStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val aggs = count(lit(1)).as("n_rows") +: StatsColumns.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(StatsColumns.map(c => struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"ndv_$c").as("n_distinct"),
+        col(s"min_$c").as("min_v"),
+        col(s"max_$c").as("max_v"))): _*)).as("st"))
+      .select("st.*")
+      .orderBy("col_name")
+  }
+
+  /** Key-based UPSERT (MERGE apply): changed rows win, unchanged base
+    * rows survive via one anti-join on the key. This is the logical
+    * core of copy-on-write MERGE INTO — at 100 TB the same plan runs
+    * per affected partition (changes are partition-pruned first, only
+    * touched partitions rewrite), which is exactly how lakehouse-format
+    * merge works under the hood; the anti-join broadcasts whenever the
+    * change batch is CDC-sized.
+    */
+  def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame =
+    changes.unionByName(
+      base.join(changes.select(key), Seq(key), "left_anti"))
+
+  /** Driver-visible MERGE scenario over `orders`: a deterministic CDC
+    * batch (updates: keys %7==0 get status 'U' and +50.00 — exact cents
+    * arithmetic; inserts: keys %13==0 cloned to key+1e8 with status
+    * 'N') applied via [[upsert]], summarized per status with exact
+    * integer money sums. The summary is the checksum: a lost base row,
+    * a duplicated key, or a mis-applied update each move a count or a
+    * cent total.
+    */
+  def q92UpsertApply(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Round._
+    val base = Tables.orders(s, d)
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", fromCents(cents(col("o_totalprice")) + lit(5000L)))
+    val inserts = base.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderstatus", lit("N"))
+    upsert(base, updates.unionByName(inserts), "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(col("o_orderstatus"), col("n_rows"),
+        (col("total_cents").cast("double") / lit(100.0)).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
 }

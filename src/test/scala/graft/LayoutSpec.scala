@@ -116,4 +116,39 @@ class LayoutSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sx_max") - r.getAs[Long]("sx_min") < 1024 / 8)
     }
   }
+
+  test("q91 table stats: one row per profiled column, counts and bounds consistent") {
+    val rows = Layout.q91TableStats(spark, TestSpark.sf).collect()
+    val total = graft.core.Tables.lineitem(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[String]("col_name")).toSeq ==
+      Layout.StatsColumns.sorted)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == total)
+      assert(r.getAs[Long]("n_nulls") == 0L) // fixtures carry no nulls
+      assert(r.getAs[Long]("n_distinct") <= total)
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+    }
+  }
+
+  test("upsert: changed rows win, unchanged rows survive, inserts land — keys stay unique") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val got = Layout.upsert(base, changes, "k")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+  }
+
+  test("q92 merge summary: row conservation and exact cents movement vs direct recompute") {
+    val base = graft.core.Tables.orders(spark, TestSpark.sf)
+    val rows = Layout.q92UpsertApply(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nBase = base.count()
+    val nInserts = base.filter(col("o_orderkey") % 13 === 0).count()
+    // merged row count = base + inserts (updates replace, never add)
+    assert(rows.values.map(_._1).sum == nBase + nInserts)
+    // every updated key carries status 'U': their count matches %7 rows
+    assert(rows("U")._1 == base.filter(col("o_orderkey") % 7 === 0).count())
+    assert(rows("N")._1 == nInserts)
+  }
 }
