@@ -45,6 +45,7 @@ object SparkEntry {
     "q14_running_value" -> (Events.q14RunningValue(_, _)),
     "q15_sessionize" -> (Events.q15Sessionize(_, _)),
     "q42_asof_purchase_click" -> (Events.q42AsofPurchaseClick(_, _)),
+    "q93_retention_cohorts" -> (Events.q93RetentionCohorts(_, _)),
     // sketch (no SQL oracle: HLL impls differ across engines → rows-only
     // check; q63 is the oracle-gated exact twin that pins its accuracy)
     "q38_approx_distinct" -> (Events.q38ApproxDistinct(_, _)),
@@ -392,6 +393,18 @@ object SparkEntry {
          | CAST(sum(${sqlCents("value")}) AS DOUBLE) / 100.0 AS session_value,
          | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
          |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // mirrors Events.q93RetentionCohorts — one distinct (day, user) pass,
+    // next-day semi-join, left join keeps zero-retention days
+    "q93_retention_cohorts" ->
+      s"""WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         |act AS (SELECT day, count(*) AS n_active FROM daily GROUP BY day),
+         |ret AS (SELECT a.day, count(*) AS n_retained FROM daily a
+         | JOIN daily b ON b.user_id = a.user_id AND b.day = a.day + 1
+         | GROUP BY a.day)
+         |SELECT strftime(act.day, '%Y-%m-%d') AS day, act.n_active,
+         | coalesce(ret.n_retained, CAST(0 AS BIGINT)) AS n_retained,
+         | ${sqlRn("CAST(coalesce(ret.n_retained, 0) AS DOUBLE) / act.n_active", 4)} AS retention_rate
+         |FROM act LEFT JOIN ret ON act.day = ret.day ORDER BY day""".stripMargin,
     "q18_above_avg_orders" ->
       s"""WITH w AS (SELECT o_orderkey, o_custkey, o_totalprice,
          |  CAST(sum(${sqlCents("o_totalprice")}) OVER (PARTITION BY o_custkey) AS DOUBLE)

@@ -120,4 +120,33 @@ object Events {
         date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
       .orderBy("user_id", "session_id")
   }
+
+  /** DAILY RETENTION COHORTS — the product-analytics staple: per day,
+    * distinct active users, how many of them return the next day, and
+    * the day-1 retention rate. Shape: ONE distinct pass reduces the
+    * event stream to (day, user) — at 100 TB the only corpus-sized
+    * shuffle, and partial aggregation shrinks it map-side first — then
+    * the self-semi-join on (user, day+1) and the per-day counts run
+    * over the reduced frame (days × daily-active rows, orders of
+    * magnitude smaller than events). The last day retains 0 by
+    * construction (no next day in the data), which the rate reflects
+    * honestly rather than dropping the row.
+    */
+  def q93RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val active = daily.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val retained = daily
+      .join(daily.select(date_sub(col("day"), 1).as("day"), col("user_id")),
+        Seq("day", "user_id"), "left_semi")
+      .groupBy("day").agg(count(lit(1)).as("n_retained"))
+    active.join(retained, Seq("day"), "left")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        r4(coalesce(col("n_retained"), lit(0L)).cast("double")
+          / col("n_active").cast("double")).as("retention_rate"))
+      .orderBy("day")
+  }
 }

@@ -73,4 +73,24 @@ class EventsSpec extends AnyFunSuite {
     assert(sketch.exceptAll(twin).count() == 0 &&
       twin.exceptAll(sketch).count() == 0)
   }
+
+  test("q93 retention: actives conserve, retained bounded by both cohort days, rate in [0,1]") {
+    val rows = Events.q93RetentionCohorts(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // sum of daily actives = the distinct (day, user) universe
+    val dailyDistinct = graft.core.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"), col("user_id"))
+      .distinct().count()
+    assert(rows.values.map(_._1).sum == dailyDistinct)
+    rows.foreach { case (day, (active, retained, rate)) =>
+      assert(retained <= active, s"$day retains more than its cohort")
+      // retained users are also active the NEXT day
+      val next = java.time.LocalDate.parse(day).plusDays(1).toString
+      assert(retained <= rows.get(next).map(_._1).getOrElse(0L),
+        s"$day retains more users than are active on $next")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
 }
