@@ -46,6 +46,8 @@ object SparkEntry {
     "q15_sessionize" -> (Events.q15Sessionize(_, _)),
     "q42_asof_purchase_click" -> (Events.q42AsofPurchaseClick(_, _)),
     "q93_retention_cohorts" -> (Events.q93RetentionCohorts(_, _)),
+    "q96_event_funnel" -> (Events.q96EventFunnel(_, _)),
+    "q97_click_attribution" -> (Events.q97ClickAttribution(_, _)),
     // sketch (no SQL oracle: HLL impls differ across engines → rows-only
     // check; q63 is the oracle-gated exact twin that pins its accuracy)
     "q38_approx_distinct" -> (Events.q38ApproxDistinct(_, _)),
@@ -83,6 +85,8 @@ object SparkEntry {
     "q83_lm_score" -> (TextOps.q83LmScore(_, _)),
     "q84_heavy_hitters" -> ((s, d) => TextOps.q84HeavyHitters(s, d)),
     "q85_source_drift" -> (TextOps.q85SourceDrift(_, _)),
+    "q94_chunk_overlap" -> ((s, d) => TextOps.q94ChunkOverlap(s, d)),
+    "q95_inverted_index" -> ((s, d) => TextOps.q95InvertedIndex(s, d)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -405,6 +409,36 @@ object SparkEntry {
          | coalesce(ret.n_retained, CAST(0 AS BIGINT)) AS n_retained,
          | ${sqlRn("CAST(coalesce(ret.n_retained, 0) AS DOUBLE) / act.n_active", 4)} AS retention_rate
          |FROM act LEFT JOIN ret ON act.day = ret.day ORDER BY day""".stripMargin,
+    // mirrors Events.q96EventFunnel — stacked per-user window minima,
+    // strict stage ordering via ts >= previous stage, null-guarded rates
+    "q96_event_funnel" ->
+      s"""WITH w1 AS (SELECT user_id, event_type, ts,
+         |  min(CASE WHEN event_type = 'view' THEN ts END)
+         |    OVER (PARTITION BY user_id) AS v FROM events),
+         |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v THEN ts END)
+         |    OVER (PARTITION BY user_id) AS c FROM w1),
+         |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END)
+         |    OVER (PARTITION BY user_id) AS p FROM w2),
+         |u AS (SELECT DISTINCT user_id, v, c, p FROM w3)
+         |SELECT count(*) AS n_users, count(v) AS n_view,
+         | count(c) AS n_click_after_view, count(p) AS n_purchase_after_click,
+         | ${sqlRn("CASE WHEN count(v) = 0 THEN NULL ELSE CAST(count(c) AS DOUBLE) / count(v) END", 4)} AS view_to_click,
+         | ${sqlRn("CASE WHEN count(c) = 0 THEN NULL ELSE CAST(count(p) AS DOUBLE) / count(c) END", 4)} AS click_to_purchase
+         |FROM u""".stripMargin,
+    // mirrors Events.q97ClickAttribution — interval join (user equality
+    // key + 1h look-back band), LEFT keeps zero-click purchases
+    "q97_click_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, user_id, count(click_id) AS n_clicks_1h,
+        | min((epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000) AS min_gap_s,
+        | max((epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000) AS max_gap_s
+        |FROM p LEFT JOIN c ON user_id = c_user_id
+        |  AND click_ts <= purchase_ts
+        |  AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+        |GROUP BY purchase_id, user_id ORDER BY purchase_id""".stripMargin,
     "q18_above_avg_orders" ->
       s"""WITH w AS (SELECT o_orderkey, o_custkey, o_totalprice,
          |  CAST(sum(${sqlCents("o_totalprice")}) OVER (PARTITION BY o_custkey) AS DOUBLE)
@@ -692,6 +726,36 @@ object SparkEntry {
          |SELECT source, n_s AS n_tokens,
          | ${sqlRn("CAST(obs_sum + n_s * n_total AS DOUBLE) / (2.0 * n_s * n_total)", 4)} AS tvd
          |FROM agg ORDER BY source""".stripMargin,
+    // mirrors TextOps.q94ChunkOverlap — W=32/S=24 sliding chunks; a
+    // start is emitted while start <= n-W+S-1 = n-9, so the final short
+    // chunk survives and a fully-covered tail never appears
+    "q94_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks, n_tokens,
+         |  unnest(generate_series(0, greatest(n_tokens - 9, 0), 24)) AS cs
+         | FROM n)
+         |SELECT doc_id, cs // 24 AS chunk_id, cs AS chunk_start,
+         | least(32, n_tokens - cs) AS chunk_len,
+         | toks[cs + 1] AS first_token,
+         | toks[cs + least(32, n_tokens - cs)] AS last_token
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // mirrors TextOps.q95InvertedIndex — blockSize=32, minDf=5; per-doc
+    // list_distinct makes (doc, term) pairs globally distinct without a
+    // DISTINCT pass, matching the Spark array_distinct-before-explode
+    "q95_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  unnest(list_distinct(${toksSql("text")})) AS term FROM documents),
+         |r AS (SELECT term, doc_id,
+         |  row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS rn FROM t),
+         |b AS (SELECT term, rn // 32 AS block, count(*) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+         | FROM r GROUP BY term, rn // 32),
+         |f AS (SELECT *, CAST(sum(n_docs) OVER (PARTITION BY term) AS BIGINT) AS df FROM b)
+         |SELECT term, df, block, n_docs, min_doc, max_doc, postings
+         |FROM f WHERE df >= 5 ORDER BY term, block""".stripMargin,
     // the ORACLE for q84 is the naive full group-by (what the bounded-
     // memory two-phase Misra-Gries path must reproduce bit-for-bit);
     // threshold cnt*256 > N is the same exact-integer compare

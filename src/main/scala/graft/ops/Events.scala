@@ -149,4 +149,92 @@ object Events {
           / col("n_active").cast("double")).as("retention_rate"))
       .orderBy("day")
   }
+
+  /** Strict-order conversion FUNNEL view → click → purchase: a user
+    * converts a stage only with an event at-or-after their previous
+    * stage's first timestamp (a click before the first view does not
+    * count). One exchange on user_id serves all three stacked window
+    * minima — each stage's `min(when(...))` references the previous
+    * stage's column, and Catalyst plans the three Window operators
+    * over the same partitioning with no re-shuffle. The per-user
+    * triple then reduces to one row of stage counts + conversion
+    * rates. At 100 TB: one keyed shuffle of the events table, then a
+    * partial-aggregated global fold — no per-user driver logic.
+    */
+  def q96EventFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .withColumn("v",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c",
+        min(when(col("event_type") === "click" && col("ts") >= col("v"),
+          col("ts"))).over(w))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("c"),
+          col("ts"))).over(w))
+      .select(col("user_id"), col("v"), col("c"), col("p")).distinct()
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("v")).as("n_view"),
+        count(col("c")).as("n_click_after_view"),
+        count(col("p")).as("n_purchase_after_click"),
+        r4(when(count(col("v")) === 0L, lit(null))
+          .otherwise(count(col("c")).cast("double") / count(col("v"))))
+          .as("view_to_click"),
+        r4(when(count(col("c")) === 0L, lit(null))
+          .otherwise(count(col("p")).cast("double") / count(col("c"))))
+          .as("click_to_purchase"))
+  }
+
+  /** The click→purchase candidate pairs behind [[q97ClickAttribution]]
+    * and the stream-stream interval join
+    * ([[graft.streaming.StreamingOps.attributionPairsStream]]): every
+    * (purchase, click) of the same user with the click inside the
+    * look-back horizon ending at the purchase. Equality key user_id →
+    * hash join; the time band is a join-condition filter, never a
+    * nested loop. Both inputs must carry (user_id, event_id, ts).
+    */
+  def attributionPairs(purchases: DataFrame, clicks: DataFrame,
+      horizonMinutes: Int = 60): DataFrame = {
+    val p = purchases.select(col("user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val c = clicks.select(col("user_id").as("c_user_id"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    p.join(c,
+      expr(s"""user_id = c_user_id AND click_ts <= purchase_ts
+              | AND click_ts >= purchase_ts - INTERVAL $horizonMinutes MINUTES
+              |""".stripMargin.replace('\n', ' ')))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Multi-touch click ATTRIBUTION per purchase: how many clicks by
+    * the same user landed in the hour before each purchase, with the
+    * gap band (min/max seconds). LEFT join keeps zero-click purchases
+    * (n_clicks_1h = 0, null gaps) — the report row a marketer asks
+    * about first. Same-plan shape as the stream-stream interval join
+    * twin in StreamingOps; q42 is the LAST-click (as-of) variant.
+    */
+  def q97ClickAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    p.select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .join(c,
+        expr("""user_id = c_user_id AND click_ts <= purchase_ts
+                | AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+                |""".stripMargin.replace('\n', ' ')),
+        "left")
+      .withColumn("gap_s",
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"))
+      .groupBy("purchase_id", "user_id")
+      .agg(
+        count(col("click_id")).as("n_clicks_1h"),
+        min("gap_s").as("min_gap_s"),
+        max("gap_s").as("max_gap_s"))
+      .orderBy("purchase_id")
+  }
 }

@@ -680,6 +680,92 @@ object TextOps {
           .as("is_repetitive"))
       .orderBy("doc_id")
 
+  /** Sliding-window token CHUNKING with overlap — the training-data
+    * chunker that splits long documents into model-context-sized
+    * pieces (window `W` tokens, stride `S` < W, so consecutive chunks
+    * overlap by W−S tokens and no token is lost at a boundary). A
+    * chunk starts at every multiple of S up to the last start that
+    * still contributes tokens (start ≤ n−W+S−1); the final chunk is
+    * short rather than padded, and a degenerate tail that would sit
+    * entirely inside the previous chunk is never emitted. Per chunk:
+    * (doc_id, chunk_id, start, chunk_len, first/last token — the
+    * content witnesses the oracle hash-checks).
+    *
+    * Scale shape: ZERO shuffles — the chunk starts are generated
+    * per-row (`sequence` + explode), everything else is array
+    * indexing on the already-tokenized row. At 100 TB this is a pure
+    * map over parquet row groups; the orderBy is presentation-only.
+    */
+  def q94ChunkOverlap(s: SparkSession, d: String, window: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(stride > 0 && window >= stride, "need 0 < stride <= window")
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .where(col("n_tokens") > 0L)
+      .withColumn("start",
+        explode(sequence(lit(0L),
+          greatest(col("n_tokens") - lit((window - stride + 1).toLong),
+            lit(0L)),
+          lit(stride.toLong))))
+      .withColumn("chunk_len",
+        least(lit(window.toLong), col("n_tokens") - col("start")))
+      .select(
+        col("doc_id"),
+        expr(s"start div $stride").as("chunk_id"),
+        col("start").as("chunk_start"), col("chunk_len"),
+        element_at(col("toks"), (col("start") + 1L).cast("int"))
+          .as("first_token"),
+        element_at(col("toks"), (col("start") + col("chunk_len")).cast("int"))
+          .as("last_token"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** INVERTED INDEX with skew-safe posting blocks — the search-side
+    * artifact a corpus engine feeds from the same tokenization as the
+    * word count. Postings for a term are emitted in fixed-size BLOCKS
+    * of `blockSize` doc ids (sorted within and across blocks by the
+    * per-term row_number), never as one unbounded list: a stopword
+    * with a billion postings at 100 TB becomes many bounded rows
+    * instead of a single collect_list that OOMs its reducer — the
+    * block is the unit a posting-list reader would range-scan anyway
+    * (min_doc/max_doc per block are the skip pointers). `df` is the
+    * term's total document frequency, computed on the block-level
+    * frame (one window over rows that are already ~blockSize× smaller
+    * than the postings).
+    *
+    * Plan shape: one exchange on `term` serves the row_number window,
+    * the (term, block) aggregation (hash(term) co-locates every block
+    * of a term) AND the df window — Catalyst reuses the partitioning
+    * all the way down. Postings are emitted as a comma-joined string,
+    * the portable wire shape for the oracle gate.
+    */
+  def q95InvertedIndex(s: SparkSession, d: String, blockSize: Int = 32,
+      minDf: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posts = Tables.documents(s, d)
+      // per-doc distinct at tokenize time: (doc_id × distinct terms) is
+      // globally distinct already — no DISTINCT shuffle needed
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val wOrd = Window.partitionBy("term").orderBy("doc_id")
+    posts
+      .withColumn("rn", row_number().over(wOrd).cast("long") - 1L)
+      .withColumn("block", expr(s"rn div $blockSize"))
+      .groupBy("term", "block")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+      .withColumn("df", sum("n_docs").over(Window.partitionBy("term")))
+      .where(col("df") >= minDf.toLong)
+      .select("term", "df", "block", "n_docs", "min_doc", "max_doc",
+        "postings")
+      .orderBy("term", "block")
+  }
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */

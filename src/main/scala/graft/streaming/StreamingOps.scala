@@ -314,6 +314,36 @@ object StreamingOps {
       bands: Int = 8): DataFrame =
     incrementalDedupStream(docs, buildCorpusDedupIndex(corpus, bands))
 
+  /** STREAM-STREAM interval join — the last join family the module was
+    * missing: click→purchase attribution where BOTH sides arrive as
+    * unbounded streams (the stream-static ops above assume one side is
+    * a table). Reuses the batch join body ([[graft.ops.Events
+    * .attributionPairs]] — q97's candidate pairs) verbatim: equality
+    * key `user_id` + the look-back band `purchase_ts − horizon ≤
+    * click_ts ≤ purchase_ts`; only the watermarks are streaming-
+    * specific. The time band is exactly what lets Spark BOUND the join
+    * state: a buffered click can never match a purchase older than
+    * `click_ts` nor newer than `click_ts + horizon`, so once the
+    * watermark passes `click_ts + horizon + delay` the click's state
+    * row is evicted — each side's state is (arrival rate × (horizon +
+    * delay)), never stream-lifetime-sized. Rows later than `delay` are
+    * dropped on ingest (the documented trade of every watermark op in
+    * this module). Inner join: a zero-click purchase surfaces in the
+    * batch report q97, not here — stream-stream outer joins emit nulls
+    * only at watermark expiry, which turns "no clicks yet" into
+    * trigger-timing-dependent output; the spec pins the inner pair set
+    * equal to batch instead.
+    *
+    * Inputs must carry (user_id, event_id, ts) with `ts` the
+    * event-time column.
+    */
+  def attributionPairsStream(purchases: DataFrame, clicks: DataFrame,
+      horizonMinutes: Int = 60, delay: String = "2 hours"): DataFrame =
+    graft.ops.Events.attributionPairs(
+      purchases.withWatermark("ts", delay),
+      clicks.withWatermark("ts", delay),
+      horizonMinutes)
+
   case class DimUpdate(label: Long, dim: Long, micro: Long)
   case class CentroidState(label: Long, dim: Long, n_vecs: Long,
       sum_micro: Long, centroid: Double)

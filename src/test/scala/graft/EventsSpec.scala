@@ -74,6 +74,62 @@ class EventsSpec extends AnyFunSuite {
       twin.exceptAll(sketch).count() == 0)
   }
 
+  test("q96 funnel: stage counts monotone, n_view independently recomputed") {
+    val row = Events.q96EventFunnel(spark, sf).head()
+    val (users, view, click, purchase) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(users >= view && view >= click && click >= purchase)
+    assert(purchase >= 0L)
+    val ev = graft.core.Tables.events(spark, sf)
+    assert(users == ev.select("user_id").distinct().count())
+    assert(view == ev.filter(col("event_type") === "view")
+      .select("user_id").distinct().count())
+    // independent recomputation of the click stage: v is the per-user
+    // first view, so "click stage" = users with some click at-or-after
+    // v — a join formulation instead of the stacked windows
+    val loose = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v"))
+      .join(ev.filter(col("event_type") === "click"), Seq("user_id"))
+      .filter(col("ts") >= col("v"))
+      .select("user_id").distinct().count()
+    assert(click == loose) // min-view IS the stacked rule's v
+  }
+
+  test("q97 attribution: one row per purchase, gaps within the hour band, zero-click rows null") {
+    val attr = Events.q97ClickAttribution(spark, sf).cache()
+    try {
+      val ev = graft.core.Tables.events(spark, sf)
+      assert(attr.count() ==
+        ev.filter(col("event_type") === "purchase").count())
+      assert(attr.filter(col("n_clicks_1h") < 0L).count() == 0L)
+      assert(attr.filter(col("min_gap_s") < 0L ||
+        col("max_gap_s") > 3600L ||
+        col("min_gap_s") > col("max_gap_s")).count() == 0L)
+      assert(attr.filter(col("n_clicks_1h") === 0L &&
+        (col("min_gap_s").isNotNull || col("max_gap_s").isNotNull))
+        .count() == 0L)
+      assert(attr.filter(col("n_clicks_1h") > 0L &&
+        (col("min_gap_s").isNull || col("max_gap_s").isNull))
+        .count() == 0L)
+      // independent recount of one user's attributable clicks
+      val u = attr.filter(col("n_clicks_1h") > 0L)
+        .select("user_id").head().getLong(0)
+      val clicks = ev.filter(col("event_type") === "click" &&
+        col("user_id") === u).select(col("ts").as("cts"))
+      val recount = ev.filter(col("event_type") === "purchase" &&
+        col("user_id") === u)
+        .select(col("event_id").as("purchase_id"), col("ts").as("pts"))
+        .crossJoin(clicks)
+        .filter(col("cts") <= col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+        .groupBy("purchase_id").agg(count(lit(1)).as("n2"))
+      assert(attr.filter(col("user_id") === u)
+        .join(recount, Seq("purchase_id"), "left")
+        .filter(col("n_clicks_1h") =!= coalesce(col("n2"), lit(0L)))
+        .count() == 0L)
+    } finally attr.unpersist()
+  }
+
   test("q93 retention: actives conserve, retained bounded by both cohort days, rate in [0,1]") {
     val rows = Events.q93RetentionCohorts(spark, sf).collect()
       .map(r => r.getString(0) ->

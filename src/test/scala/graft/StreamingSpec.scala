@@ -385,4 +385,83 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expect)
     } finally q.stop()
   }
+
+  test("stream-stream attribution pairs match the batch interval join across interleaved batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.events(spark, TestSpark.sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val pRows = purchases.as[(Long, Long, Timestamp)].collect().toSeq
+    val cRows = clicks.as[(Long, Long, Timestamp)].collect().toSeq
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    // delay larger than the fixture's span: nothing is ever late, so
+    // the streamed pair set must be COMPLETE (cross-batch included)
+    val out = StreamingOps.attributionPairsStream(
+      pMem.toDF().toDF("user_id", "event_id", "ts"),
+      cMem.toDF().toDF("user_id", "event_id", "ts"),
+      delay = "3650 days")
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // interleave the two sides out of phase: clicks land a batch
+      // before their purchases on one side of the split, after on the
+      // other — pairs must not depend on arrival order
+      val pChunks = pRows.grouped((pRows.size + 1) / 2).toSeq
+      val cChunks = cRows.grouped((cRows.size + 1) / 2).toSeq
+      cMem.addData(cChunks(0)); q.processAllAvailable()
+      pMem.addData(pChunks(0)); q.processAllAvailable()
+      pMem.addData(pChunks(1)); q.processAllAvailable()
+      cMem.addData(cChunks(1)); q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.ops.Events.attributionPairs(purchases, clicks)
+        .select("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pairs, batch ${batch.size}; " +
+          s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
+  test("stream-stream attribution: watermark evicts click state and drops late purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamingOps.attributionPairsStream(
+      pMem.toDF().toDF("user_id", "event_id", "ts"),
+      cMem.toDF().toDF("user_id", "event_id", "ts"),
+      delay = "2 hours")
+    val q = out.writeStream.format("memory").queryName("attr_late_out")
+      .outputMode("append").start()
+    def tsH(hours: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-03 ${hours % 24}%02d:00:00")
+    try {
+      // user 1 clicks at t0
+      cMem.addData((1L, 100L, ts(0))); q.processAllAvailable()
+      // unrelated traffic on BOTH sides advances the global watermark
+      // (policy=min) two days past t0 + horizon + delay
+      cMem.addData((2L, 101L, tsH(0)))
+      pMem.addData((3L, 200L, tsH(0)))
+      q.processAllAvailable()
+      // user 1's purchase 30 min after the click arrives only now —
+      // inside the batch horizon, but behind the stream's watermark:
+      // dropped on ingest, and the click's state row is already gone
+      pMem.addData((1L, 201L, ts(30))); q.processAllAvailable()
+      assert(spark.table("attr_late_out").isEmpty,
+        "late purchase must not attribute once the watermark passed it")
+      // the BATCH twin on the same four events does pair them — the
+      // difference is watermark semantics, not join logic
+      val pB = Seq((3L, 200L, tsH(0)), (1L, 201L, ts(30)))
+        .toDF("user_id", "event_id", "ts")
+      val cB = Seq((1L, 100L, ts(0)), (2L, 101L, tsH(0)))
+        .toDF("user_id", "event_id", "ts")
+      assert(graft.ops.Events.attributionPairs(pB, cB).count() == 1L)
+    } finally q.stop()
+  }
 }

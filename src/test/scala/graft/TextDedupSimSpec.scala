@@ -464,6 +464,83 @@ class TextDedupSimSpec extends AnyFunSuite {
     } finally q86.unpersist()
   }
 
+  test("q94 chunking: starts stride-aligned, full coverage, last chunk ends at n_tokens, content matches") {
+    val w = 32; val s = 24
+    val chunks = TextOps.q94ChunkOverlap(spark, sf, w, s).cache()
+    try {
+      // stride alignment + id consistency
+      assert(chunks.filter(col("chunk_start") =!= col("chunk_id") * s).count() == 0L)
+      assert(chunks.filter(col("chunk_len") < 1L || col("chunk_len") > w).count() == 0L)
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .filter(col("n_tokens") > 0L).cache()
+      try {
+        // every non-empty doc chunked; chunk 0 starts at 0; the LAST
+        // chunk ends exactly at n_tokens (no token lost, no padding)
+        val perDoc = chunks.groupBy("doc_id").agg(
+          min("chunk_start").as("first_start"),
+          max(col("chunk_start") + col("chunk_len")).as("cover_end"),
+          count(lit(1)).as("n_chunks"))
+        val joined = perDoc.join(docs, Seq("doc_id"), "full")
+        assert(joined.filter(col("n_chunks").isNull || col("n_tokens").isNull).count() == 0L)
+        assert(joined.filter(col("first_start") =!= 0L).count() == 0L)
+        assert(joined.filter(col("cover_end") =!= col("n_tokens")).count() == 0L)
+        // consecutive chunks overlap by exactly w-s tokens of coverage:
+        // starts are consecutive multiples of s (chunk_id dense from 0)
+        val dense = chunks.groupBy("doc_id")
+          .agg(max("chunk_id").as("max_id"), count(lit(1)).as("n_chunks"))
+          .filter(col("max_id") =!= col("n_chunks") - 1L)
+        assert(dense.count() == 0L)
+        // content witness recomputed independently
+        val bad = chunks.join(docs, Seq("doc_id"))
+          .filter(
+            element_at(col("toks"), (col("chunk_start") + 1L).cast("int"))
+              =!= col("first_token") ||
+            element_at(col("toks"),
+              (col("chunk_start") + col("chunk_len")).cast("int"))
+              =!= col("last_token"))
+        assert(bad.count() == 0L)
+      } finally docs.unpersist()
+    } finally chunks.unpersist()
+  }
+
+  test("q95 inverted index: blocks bounded and disjoint, df consistent, postings sorted") {
+    val b = 32
+    val idx = TextOps.q95InvertedIndex(spark, sf, b, minDf = 5).cache()
+    try {
+      assert(idx.filter(col("n_docs") < 1L || col("n_docs") > b).count() == 0L)
+      // df = sum of block sizes per term
+      val byTerm = idx.groupBy("term")
+        .agg(sum("n_docs").as("total"), first("df").as("df0"),
+          countDistinct("df").as("ndf"))
+      assert(byTerm.filter(col("ndf") =!= 1L || col("total") =!= col("df0")).count() == 0L)
+      // blocks of a term are disjoint, increasing doc ranges
+      import org.apache.spark.sql.expressions.Window
+      val lagMax = lag("max_doc", 1).over(
+        Window.partitionBy("term").orderBy("block"))
+      assert(idx.withColumn("prev_max", lagMax)
+        .filter(col("prev_max").isNotNull && col("min_doc") <= col("prev_max"))
+        .count() == 0L)
+      // postings string: sorted, n_docs entries, bounded by min/max
+      val parsed = idx.withColumn("ids",
+        transform(split(col("postings"), ","), _.cast("long")))
+      assert(parsed.filter(size(col("ids")) =!= col("n_docs")).count() == 0L)
+      assert(parsed.filter(
+        element_at(col("ids"), 1) =!= col("min_doc") ||
+        element_at(col("ids"), -1) =!= col("max_doc")).count() == 0L)
+      // total postings = distinct (term, doc) pairs among df>=5 terms
+      val pairs = Tables.documents(spark, sf)
+        .select(explode(array_distinct(
+          graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5L)
+      val expected = pairs.agg(sum("cnt")).head().getLong(0)
+      assert(idx.agg(sum("n_docs")).head().getLong(0) == expected)
+    } finally idx.unpersist()
+  }
+
   test("q89 curation report: doc totals conserve, near-dups include exact dups, rate consistent") {
     val rep = Dedup.q89CurationReport(spark, sf).cache()
     try {
