@@ -87,6 +87,9 @@ object SparkEntry {
     "q85_source_drift" -> (TextOps.q85SourceDrift(_, _)),
     "q94_chunk_overlap" -> ((s, d) => TextOps.q94ChunkOverlap(s, d)),
     "q95_inverted_index" -> ((s, d) => TextOps.q95InvertedIndex(s, d)),
+    "q99_eval_holdout" -> ((s, d) => TextOps.q99EvalHoldout(s, d)),
+    // the SQL-API surface: one portable SQL text for engine AND oracle
+    "q98_sql_revenue" -> (Relational.q98SqlRevenue(_, _)),
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
@@ -756,6 +759,20 @@ object SparkEntry {
          |f AS (SELECT *, CAST(sum(n_docs) OVER (PARTITION BY term) AS BIGINT) AS df FROM b)
          |SELECT term, df, block, n_docs, min_doc, max_doc, postings
          |FROM f WHERE df >= 5 ORDER BY term, block""".stripMargin,
+    // q98's oracle IS the engine's own SQL text (braces resolved): the
+    // whole point of the SQL-surface query is one portable string
+    "q98_sql_revenue" -> graft.ops.Relational.q98Oracle,
+    // mirrors TextOps.q99EvalHoldout — salted-md5 rank, exactly k=20
+    // docs per language
+    "q99_eval_holdout" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |  md5(concat_ws('|', CAST(doc_id AS VARCHAR), 'q99-holdout')) AS hk
+        | FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rank
+        | FROM h)
+        |SELECT lang, rank, doc_id FROM r WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
     // the ORACLE for q84 is the naive full group-by (what the bounded-
     // memory two-phase Misra-Gries path must reproduce bit-for-bit);
     // threshold cnt*256 > N is the same exact-integer compare

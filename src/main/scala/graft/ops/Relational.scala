@@ -291,6 +291,62 @@ object Relational {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy("l_returnflag")
 
+  /** The SQL-API surface, exercised end-to-end: ONE engine-portable SQL
+    * string (TPC-H Q5's shape — region-gated nation revenue where
+    * supplier and customer share a nation, a 6-table join) evaluated by
+    * `spark.sql` on this engine AND verbatim by the DuckDB oracle. The
+    * braces are Spark 4 parameterized-table references (`args` binds
+    * them to DataFrames — no temp-view registration, so concurrent
+    * Verify threads can't race on view names); [[q98Oracle]] strips
+    * them to plain table names for DuckDB. Everything inside is the
+    * project's portable dialect: exact cents, floor-rounding, TIMESTAMP
+    * literals. Catalyst treats the parsed plan identically to the
+    * DataFrame API — the small dimensions broadcast size-based, the
+    * orders⨝lineitem fact join shuffles once on the key.
+    *
+    * Binding: each brace resolves to a dir-scoped TEMP VIEW (name
+    * carries the fixture dir's hash, so concurrent Verify threads on
+    * the same dir re-register an identical definition — benign — and
+    * different dirs never collide). Spark 4's parameterized `sql(text,
+    * args)` was measured to lit-convert Map values, so DataFrames
+    * can't bind as table args on the Scala API; the catalog route is
+    * the supported one.
+    */
+  val q98SqlTemplate: String =
+    s"""WITH lc AS (SELECT l_orderkey, l_suppkey,
+       |  ${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")}) AS net_c
+       | FROM {lineitem})
+       |SELECT n_name,
+       | ${sqlRn("CAST(sum(net_c) AS DOUBLE) / 10000.0", 2)} AS revenue,
+       | count(*) AS n_items
+       |FROM {region}
+       | JOIN {nation} ON n_regionkey = r_regionkey
+       | JOIN {customer} ON c_nationkey = n_nationkey
+       | JOIN {orders} ON o_custkey = c_custkey
+       | JOIN lc ON l_orderkey = o_orderkey
+       | JOIN {supplier} ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** The same text with table references resolved for the oracle. */
+  val q98Oracle: String =
+    q98SqlTemplate.replaceAll("""\{(\w+)\}""", "$1")
+
+  def q98SqlRevenue(s: SparkSession, d: String): DataFrame = {
+    val suffix = java.lang.Integer.toHexString(d.hashCode)
+    val tables = Seq("lineitem", "region", "nation", "customer",
+      "orders", "supplier")
+    val sql = tables.foldLeft(q98SqlTemplate) { (q, t) =>
+      val view = s"q98_${t}_$suffix"
+      Tables.load(s, d, t).createOrReplaceTempView(view)
+      q.replace(s"{$t}", view)
+    }
+    s.sql(sql)
+  }
+
   /** Semi join: customers having at least one large order (EXISTS). */
   def q16CustomersWithBigOrders(s: SparkSession, d: String): DataFrame = {
     val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)

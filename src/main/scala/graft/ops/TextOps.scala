@@ -680,6 +680,32 @@ object TextOps {
           .as("is_repetitive"))
       .orderBy("doc_id")
 
+  /** Deterministic EXACT-K holdout per group — the eval-set builder:
+    * exactly `k` documents per language (fewer only if the group is
+    * smaller), chosen by ranking a salted md5 of the doc id. Unlike the
+    * rate-based samplers (q52 fraction-of-stream, q72 per-stratum
+    * rates), the output SIZE is fixed per group — what a held-out eval
+    * set needs — while staying reproducible and partition-layout-
+    * independent (the hash orders documents, not their physical
+    * placement; `df.sample` would change membership under repartition).
+    * The per-group rank is a window top-k: WindowGroupLimit pushes the
+    * k-cutoff below the sort, so each group carries k rows out of the
+    * exchange, not the group.
+    */
+  def q99EvalHoldout(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(concat_ws("|", col("doc_id").cast("string"), lit("q99-holdout")))
+          .as("hk"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k.toLong)
+      .select("lang", "rank", "doc_id")
+      .orderBy("lang", "rank")
+  }
+
   /** Sliding-window token CHUNKING with overlap — the training-data
     * chunker that splits long documents into model-context-sized
     * pieces (window `W` tokens, stride `S` < W, so consecutive chunks

@@ -113,4 +113,31 @@ class OpsSpec extends AnyFunSuite {
     val anti = Relational.q17CustomersNoOrders(spark, sf).count()
     assert(semiAll + anti == Tables.customer(spark, sf).count())
   }
+
+  test("q98 SQL surface: spark.sql text agrees with an independent DataFrame formulation") {
+    import graft.functions.Round._
+    val viaSql = Relational.q98SqlRevenue(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (cents(col("l_extendedprice"))
+          * (lit(100L) - cents(col("l_discount")))).as("net_c"))
+    val viaDf = Tables.region(spark, sf).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(spark, sf),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf),
+        col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(r2(sum("net_c").cast("double") / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_items"))
+    assert(viaSql.exceptAll(viaDf).count() == 0 &&
+      viaDf.exceptAll(viaSql).count() == 0)
+  }
 }

@@ -541,6 +541,36 @@ class TextDedupSimSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("q99 holdout: exactly min(k, group size) per lang, membership invariant to partitioning") {
+    val k = 7
+    val hold = TextOps.q99EvalHoldout(spark, sf, k).cache()
+    try {
+      val sizes = Tables.documents(spark, sf)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+      val got = hold.groupBy("lang").agg(count(lit(1)).as("taken"),
+        max("rank").as("max_rank"))
+      assert(got.join(sizes, Seq("lang"))
+        .filter(col("taken") =!= least(col("n"), lit(k.toLong)) ||
+          col("max_rank") =!= col("taken")).count() == 0L)
+      // independent JVM-side oracle: membership is a pure function of
+      // (lang, md5(doc_id|salt)) — no dependence on physical layout
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expected = Tables.documents(spark, sf)
+        .select("lang", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).toSeq.flatMap { case (lang, docs) =>
+          docs.toSeq.map { case (_, id) => (hex(s"$id|q99-holdout"), id) }
+            .sorted.take(k)
+            .map { case (_, id) => (lang, id) }
+        }.toSet
+      val gotSet = hold.select("lang", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(gotSet == expected)
+    } finally hold.unpersist()
+  }
+
   test("q89 curation report: doc totals conserve, near-dups include exact dups, rate consistent") {
     val rep = Dedup.q89CurationReport(spark, sf).cache()
     try {
