@@ -23,7 +23,10 @@ object Explain {
     "q76_incremental_dedup", "q77_component_keeper", "q79_zorder_layout",
     "q81_minhash_estimate", "q83_lm_score", "q84_heavy_hitters",
     "q85_source_drift", "q86_bloom_decontaminate", "q87_semantic_clusters",
-    "q88_label_centroids", "q89_curation_report", "q90_quantize_embeddings")
+    "q88_label_centroids", "q89_curation_report", "q90_quantize_embeddings",
+    "q91_table_stats", "q92_upsert_apply", "q93_retention_cohorts",
+    "q94_chunk_overlap", "q95_inverted_index", "q96_event_funnel",
+    "q97_click_attribution", "q98_sql_revenue", "q99_eval_holdout")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from
