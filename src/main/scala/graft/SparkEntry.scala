@@ -48,6 +48,7 @@ object SparkEntry {
     "q93_retention_cohorts" -> (Events.q93RetentionCohorts(_, _)),
     "q96_event_funnel" -> (Events.q96EventFunnel(_, _)),
     "q97_click_attribution" -> (Events.q97ClickAttribution(_, _)),
+    "q100_trailing_window" -> (Events.q100TrailingWindow(_, _)),
     // sketch (no SQL oracle: HLL impls differ across engines → rows-only
     // check; q63 is the oracle-gated exact twin that pins its accuracy)
     "q38_approx_distinct" -> (Events.q38ApproxDistinct(_, _)),
@@ -428,6 +429,18 @@ object SparkEntry {
          | ${sqlRn("CASE WHEN count(v) = 0 THEN NULL ELSE CAST(count(c) AS DOUBLE) / count(v) END", 4)} AS view_to_click,
          | ${sqlRn("CASE WHEN count(c) = 0 THEN NULL ELSE CAST(count(p) AS DOUBLE) / count(c) END", 4)} AS click_to_purchase
          |FROM u""".stripMargin,
+    // mirrors Events.q100TrailingWindow — RANGE frame over integer
+    // microseconds, integer-cents sum: bit-exact, tie-order-independent
+    "q100_trailing_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(floor((value) * 100.0 + 0.5) AS BIGINT) AS value_c FROM events)
+        |SELECT event_id, user_id,
+        | count(*) OVER w AS n_1h,
+        | CAST(sum(value_c) OVER w AS DOUBLE) / 100.0 AS sum_value_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // mirrors Events.q97ClickAttribution — interval join (user equality
     // key + 1h look-back band), LEFT keeps zero-click purchases
     "q97_click_attribution" ->

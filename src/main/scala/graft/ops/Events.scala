@@ -208,6 +208,33 @@ object Events {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Trailing event-time window per user — the RANGE frame (every
+    * other window in the engine uses ROWS frames or whole-partition
+    * frames; this is the value-based one): for each event, the count
+    * and exact value-sum of the same user's events in the preceding
+    * hour INCLUDING peers at the same timestamp (RANGE semantics make
+    * tie order irrelevant — the frame is defined by the ORDER BY
+    * value, so the result is deterministic even with duplicate
+    * timestamps, where a ROWS frame would depend on tie-break). The
+    * frame bound is integer microseconds and the sum runs on integer
+    * cents: bit-exact across engines, no double accumulation anywhere.
+    * One exchange on user_id; at 100 TB the frame state per partition
+    * is bounded by events-per-hour×user, not history.
+    */
+  def q100TrailingWindow(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-hourUs, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        cents(col("value")).as("value_c"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        fromCents(sum("value_c").over(w)).as("sum_value_1h"))
+      .orderBy("event_id")
+  }
+
   /** Multi-touch click ATTRIBUTION per purchase: how many clicks by
     * the same user landed in the hour before each purchase, with the
     * gap band (min/max seconds). LEFT join keeps zero-click purchases

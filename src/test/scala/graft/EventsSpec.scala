@@ -130,6 +130,29 @@ class EventsSpec extends AnyFunSuite {
     } finally attr.unpersist()
   }
 
+  test("q100 trailing window: RANGE frame equals a self-join recount (peers included)") {
+    val got = Events.q100TrailingWindow(spark, sf)
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        graft.functions.Round.cents(col("value")).as("value_c"))
+    // RANGE semantics: for event e, ALL events of the user with
+    // us in [e.us - 1h, e.us] — including same-timestamp peers that
+    // sort after e. The join formulation has no tie-break at all, so
+    // agreement proves the frame is value-based, not row-based.
+    val other = ev.select(col("user_id").as("u2"), col("us").as("us2"),
+      col("value_c").as("vc2"))
+    val expect = ev.join(other,
+        col("user_id") === col("u2") &&
+          col("us2") <= col("us") &&
+          col("us2") >= col("us") - lit(3600L * 1000000L))
+      .groupBy("event_id", "user_id")
+      .agg(count(lit(1)).as("n_1h"),
+        graft.functions.Round.fromCents(sum("vc2")).as("sum_value_1h"))
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0)
+  }
+
   test("q93 retention: actives conserve, retained bounded by both cohort days, rate in [0,1]") {
     val rows = Events.q93RetentionCohorts(spark, sf).collect()
       .map(r => r.getString(0) ->
