@@ -193,9 +193,12 @@ object Events {
     * look-back horizon ending at the purchase. Equality key user_id →
     * hash join; the time band is a join-condition filter, never a
     * nested loop. Both inputs must carry (user_id, event_id, ts).
+    * ONE source for the join condition — q97's LEFT report, the
+    * stream-stream twin and any future consumer can't drift on the
+    * band's inclusivity.
     */
   def attributionPairs(purchases: DataFrame, clicks: DataFrame,
-      horizonMinutes: Int = 60): DataFrame = {
+      horizonMinutes: Int = 60, joinType: String = "inner"): DataFrame = {
     val p = purchases.select(col("user_id"),
       col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
     val c = clicks.select(col("user_id").as("c_user_id"),
@@ -203,7 +206,7 @@ object Events {
     p.join(c,
       expr(s"""user_id = c_user_id AND click_ts <= purchase_ts
               | AND click_ts >= purchase_ts - INTERVAL $horizonMinutes MINUTES
-              |""".stripMargin.replace('\n', ' ')))
+              |""".stripMargin.replace('\n', ' ')), joinType)
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         col("click_ts"), col("purchase_ts"))
   }
@@ -244,17 +247,10 @@ object Events {
     */
   def q97ClickAttribution(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val p = ev.where(col("event_type") === "purchase")
-    val c = ev.where(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"),
-        col("event_id").as("click_id"), col("ts").as("click_ts"))
-    p.select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
-      .join(c,
-        expr("""user_id = c_user_id AND click_ts <= purchase_ts
-                | AND click_ts >= purchase_ts - INTERVAL 1 HOUR
-                |""".stripMargin.replace('\n', ' ')),
-        "left")
+    attributionPairs(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "click"),
+      joinType = "left")
       .withColumn("gap_s",
         expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"))
       .groupBy("purchase_id", "user_id")
