@@ -106,6 +106,7 @@ object SparkEntry {
     "q82_component_split" -> (Dedup.q82ComponentSplit(_, _)),
     "q87_semantic_clusters" -> ((s, d) => Dedup.q87SemanticClusters(s, d)),
     "q89_curation_report" -> ((s, d) => Dedup.q89CurationReport(s, d)),
+    "q101_fuzzy_names" -> (Dedup.q101FuzzyNames(_, _)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -775,6 +776,16 @@ object SparkEntry {
     // q98's oracle IS the engine's own SQL text (braces resolved): the
     // whole point of the SQL-surface query is one portable string
     "q98_sql_revenue" -> graft.ops.Relational.q98Oracle,
+    // the ORACLE for q101 is the brute-force quadratic join the engine
+    // side must never plan — deletion-neighborhood blocking must
+    // reproduce it exactly
+    "q101_fuzzy_names" ->
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        | a.c_name AS name_a, b.c_name AS name_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY key_a, key_b""".stripMargin,
     // mirrors TextOps.q99EvalHoldout — salted-md5 rank, exactly k=20
     // docs per language
     "q99_eval_holdout" ->

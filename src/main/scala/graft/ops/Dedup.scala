@@ -908,4 +908,51 @@ object Dedup {
           .as("near_dup_rate"))
       .orderBy("source")
   }
+
+  /** FUZZY entity matching at edit distance ≤ 1 — record linkage by
+    * SymSpell-style DELETION-NEIGHBORHOOD blocking: each name emits
+    * itself plus every single-character deletion as candidate keys;
+    * any two strings within one edit (substitution, insertion,
+    * deletion) provably share a key (substitution: delete the differing
+    * position from both; ins/del: the shorter string IS a deletion of
+    * the longer), so an EQUALITY join on the key finds every true pair
+    * — the same never-O(n²) shape as the LSH families, with the key
+    * fan-out bounded by string length, not corpus size. Exact
+    * `levenshtein` verification then drops the false candidates
+    * (distance-2 pairs that happen to share a deletion). The oracle is
+    * the brute-force quadratic join — affordable for DuckDB at oracle
+    * scale, which is exactly why the engine side must NOT use it.
+    */
+  def q101FuzzyNames(s: SparkSession, d: String): DataFrame =
+    fuzzyNamePairs(Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_name").as("name")))
+      .orderBy("key_a", "key_b")
+
+  /** Core of [[q101FuzzyNames]] over any (key, name) frame — separated
+    * so the spec can drive it with synthetic insertion/deletion/
+    * transposition cases (customer names are all the same length, so
+    * the fixture alone only exercises the substitution path of the
+    * deletion-neighborhood proof).
+    */
+  def fuzzyNamePairs(named: DataFrame): DataFrame = {
+    val keys = named
+      .select(col("key"), col("name"),
+        explode(array_union(
+          array(col("name")),
+          expr("""transform(sequence(1, length(name)),
+                 | i -> concat(substring(name, 1, i - 1),
+                 |             substring(name, i + 1, length(name))))
+                 |""".stripMargin.replace('\n', ' ')))).as("k"))
+    val a = keys.select(col("key").as("key_a"),
+      col("name").as("name_a"), col("k"))
+    val b = keys.select(col("key").as("key_b"),
+      col("name").as("name_b"), col("k"))
+    a.join(b, Seq("k"))
+      .where(col("key_a") < col("key_b"))
+      .select("key_a", "key_b", "name_a", "name_b")
+      .distinct() // pairs share several keys — verify each pair once
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("lev") <= 1L)
+  }
 }

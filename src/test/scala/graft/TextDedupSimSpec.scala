@@ -571,6 +571,46 @@ class TextDedupSimSpec extends AnyFunSuite {
     } finally hold.unpersist()
   }
 
+  test("q101 fuzzy names: deletion-neighborhood blocking reproduces the brute-force pair set") {
+    import spark.implicits._
+    // covers every edit kind the distance-1 proof claims: substitution,
+    // insertion, deletion, identical twins (lev 0), a transposition
+    // (lev 2 — shares deletion keys, must be VERIFIED away), and a far
+    // word (no shared key at all)
+    val names = Seq(
+      (1L, "spark"), (2L, "spork"),   // substitution
+      (3L, "sparks"),                 // insertion vs 1
+      (4L, "spar"),                   // deletion vs 1
+      (5L, "spark"),                  // identical to 1 (lev 0)
+      (6L, "sprak"),                  // transposition of 1 (lev 2)
+      (7L, "window")                  // unrelated
+    ).toDF("key", "name")
+    val got = Dedup.fuzzyNamePairs(names)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    val brute = names.as[(Long, String)].collect()
+    val expect = (for {
+      (ka, na) <- brute; (kb, nb) <- brute if ka < kb
+      if levDist(na, nb) <= 1
+    } yield (ka, kb)).toSet
+    assert(got == expect)
+    assert(expect.contains((1L, 2L)) && expect.contains((1L, 3L)) &&
+      expect.contains((1L, 4L)) && expect.contains((1L, 5L)) &&
+      !expect.contains((1L, 6L)) && !expect.contains((1L, 7L)))
+    // fixture path: every reported pair is genuinely within distance 1
+    val fixture = Dedup.q101FuzzyNames(spark, sf)
+    assert(fixture.filter(col("lev") > 1L).count() == 0L)
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
   test("q89 curation report: doc totals conserve, near-dups include exact dups, rate consistent") {
     val rep = Dedup.q89CurationReport(spark, sf).cache()
     try {
