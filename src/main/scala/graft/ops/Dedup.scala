@@ -949,10 +949,21 @@ object Dedup {
       col("name").as("name_b"), col("k"))
     a.join(b, Seq("k"))
       .where(col("key_a") < col("key_b"))
-      .select("key_a", "key_b", "name_a", "name_b")
-      .distinct() // pairs share several keys — verify each pair once
+      // verify BEFORE distinct: levenshtein is cheap map-side codegen
+      // and candidate occurrences outnumber true pairs ~5× here
+      // (measured 1.46M occurrences → 262k pairs at sf0.1), so
+      // filtering first shrinks the dedup shuffle by that factor; a
+      // true pair reaches distinct once per shared key (≤2 for
+      // distance-1, all L+1 keys only for identical strings)
+      // bounded edit distance: the 3-arg form abandons a row's DP as
+      // soon as distance 1 is exceeded (returns -1), so the verify does
+      // O(threshold·len) work per candidate, not O(len²); surviving
+      // rows carry the same 0/1 value the oracle's plain levenshtein
+      // reports
       .withColumn("lev",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .where(col("lev") <= 1L)
+        levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+      .where(col("lev") >= 0L && col("lev") <= 1L)
+      .select("key_a", "key_b", "name_a", "name_b", "lev")
+      .distinct()
   }
 }
