@@ -114,6 +114,20 @@ class OpsSpec extends AnyFunSuite {
     assert(semiAll + anti == Tables.customer(spark, sf).count())
   }
 
+  test("observe() metrics match a recount without a second scan of the frame") {
+    val base = Tables.orders(spark, sf).filter(col("o_totalprice") > 100000.0)
+    val (observed, obs) = Observed.withTableMetrics(base, Seq("o_totalprice"))
+    // downstream work proceeds as usual; the action populates metrics
+    val passedRows = observed.count()
+    val m = obs.get
+    assert(m("n_rows") == passedRows)
+    assert(m("o_totalprice_nulls") == 0L)
+    val recount = base.agg(
+      min("o_totalprice").as("mn"), max("o_totalprice").as("mx")).head()
+    assert(m("o_totalprice_min") == recount.getDouble(0))
+    assert(m("o_totalprice_max") == recount.getDouble(1))
+  }
+
   test("q98 SQL surface: spark.sql text agrees with an independent DataFrame formulation") {
     import graft.functions.Round._
     val viaSql = Relational.q98SqlRevenue(spark, sf)
