@@ -47,6 +47,40 @@ object StreamingOps {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming TOP-K per tumbling window — the canonical answer to
+    * "Structured Streaming forbids window (ranking) functions": rank in
+    * `foreachBatch`, where the micro-batch is a plain batch frame.
+    * Correct BECAUSE of append-mode finalization semantics: a window's
+    * aggregate rows emit exactly once, all in the trigger whose
+    * watermark passed the window end — so every group of a finalized
+    * window is present in the same micro-batch and the per-window
+    * row_number ranks over the complete set, never a partial one. The
+    * stateful half (windowed token counts) carries partial-aggregated,
+    * watermark-evicted state; the rank half is stateless per batch.
+    * `sink` receives (window_start, word, cnt, rank ≤ k) rows once per
+    * finalized window.
+    */
+  def topTokensPerWindowStream(docs: DataFrame, k: Int = 3,
+      windowLen: String = "10 minutes", delay: String = "30 minutes")(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .withWatermark("ts", delay)
+      .select(col("ts"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(window(col("ts"), windowLen), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("word"), col("cnt"))
+    counts.writeStream
+      .outputMode("append") // finalized windows only — the rank is total
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy("window_start")
+          .orderBy(col("cnt").desc, col("word"))
+        sink(batch
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k.toLong))
+      }
+  }
+
   /** Session-window aggregation (gap-based, 30 minutes) — the streaming
     * twin of batch q15Sessionize, via the built-in session_window (state
     * merged incrementally, evicted past the watermark).

@@ -386,6 +386,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k ranks complete finalized windows, matches the batch rank") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Timestamp, String, Long, Long)]
+    val q = StreamingOps.topTokensPerWindowStream(docs, k = 2) { b =>
+      val rows = b.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      out.synchronized { out ++= rows }
+    }.start()
+    try {
+      // two 10-minute windows, their tokens deliberately SPLIT across
+      // micro-batches — the rank must still see each window whole
+      mem.addData((1L, ts(1), "spark spark hash"), (2L, ts(12), "join"))
+      q.processAllAvailable()
+      mem.addData((3L, ts(3), "hash hash scan"), (4L, ts(14), "join scan"))
+      q.processAllAvailable()
+      // watermark advance: minute 60 − 30m delay = minute 30 > both
+      // window ends → both windows finalize; the marker's own window
+      // stays open and must NOT be emitted
+      mem.addData((5L, ts(60), "marker"))
+      q.processAllAvailable()
+      // batch twin over the real (non-marker) rows
+      val batchRows = Seq(
+        (ts(1), "spark spark hash"), (ts(12), "join"),
+        (ts(3), "hash hash scan"), (ts(14), "join scan"))
+        .toDF("ts", "text")
+        .select(col("ts"), explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy(window(col("ts"), "10 minutes"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("window_start"), col("word"), col("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start").orderBy(col("cnt").desc, col("word"))
+      val twin = batchRows
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2L)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(out.synchronized(out.toSet) == twin,
+        s"streamed=${out.toList.sorted} twin=${twin.toList.sorted}")
+      // the marker's unfinalized window emitted nothing
+      assert(!out.exists(_._2 == "marker"))
+    } finally q.stop()
+  }
+
   test("stream-stream attribution pairs match the batch interval join across interleaved batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
