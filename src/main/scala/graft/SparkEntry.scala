@@ -107,6 +107,7 @@ object SparkEntry {
     "q87_semantic_clusters" -> ((s, d) => Dedup.q87SemanticClusters(s, d)),
     "q89_curation_report" -> ((s, d) => Dedup.q89CurationReport(s, d)),
     "q101_fuzzy_names" -> (Dedup.q101FuzzyNames(_, _)),
+    "q102_triangle_counts" -> (Dedup.q102TriangleCounts(_, _)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -169,6 +170,21 @@ object SparkEntry {
     * lockstep with Dedup.q32MinHashLsh — shingle width 3, 8 bands of
     * 16-hex-char md5 windows).
     */
+  /** q31's full oracle text — also the `pairs` CTE of q102's oracle, so
+    * the near-dup edge set has one SQL definition.
+    */
+  private lazy val q31Sql: String =
+    s"""WITH $lshSigCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+       | WHERE a.doc_id < b.doc_id),
+       |dt AS (SELECT doc_id, list_distinct(${toksSql("text")}) AS dtoks FROM documents)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       | SELECT doc_a, doc_b,
+       |  ${sqlRn("CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE) / CAST(len(ta.dtoks) + len(tb.dtoks) - len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE)", 4)} AS jaccard
+       | FROM cand JOIN dt ta ON cand.doc_a = ta.doc_id JOIN dt tb ON cand.doc_b = tb.doc_id)
+       |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
   private val lshSigCtes: String =
     s"""toks AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
        |sh AS (SELECT doc_id,
@@ -835,17 +851,19 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_doc_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q31_jaccard_pairs" ->
-      s"""WITH $lshSigCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
-         | WHERE a.doc_id < b.doc_id),
-         |dt AS (SELECT doc_id, list_distinct(${toksSql("text")}) AS dtoks FROM documents)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         | SELECT doc_a, doc_b,
-         |  ${sqlRn("CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE) / CAST(len(ta.dtoks) + len(tb.dtoks) - len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE)", 4)} AS jaccard
-         | FROM cand JOIN dt ta ON cand.doc_a = ta.doc_id JOIN dt tb ON cand.doc_b = tb.doc_id)
-         |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    "q31_jaccard_pairs" -> q31Sql,
+    // triangles over q31's verified near-dup edges — the q31 oracle text
+    // is the CTE, so the two gates can never disagree on the edge set
+    "q102_triangle_counts" ->
+      s"""WITH pairs AS ($q31Sql),
+         |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         | FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
+         | WHERE EXISTS (SELECT 1 FROM pairs e3
+         |   WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)),
+         |corners AS (SELECT a AS doc_id FROM tri
+         | UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT doc_id, count(*) AS n_triangles FROM corners
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q39_dedup_keep" ->
       s"""WITH $lshSigCtes,
          |dropped AS (SELECT DISTINCT b.doc_id AS doc_id

@@ -909,6 +909,105 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** TRIANGLE participation counts over the verified near-dup graph —
+    * the cluster-density diagnostic (a doc in many triangles sits in a
+    * tight duplication clique; a component with no triangles is a
+    * chain, which q71's star kernels handle better than q69's
+    * propagation — this measurement tells you which).
+    *
+    * NEVER enumerated on the raw graph: exact-duplicate groups are
+    * cliques by construction (identical shingles ⇒ LSH candidates,
+    * identical token sets ⇒ jaccard 1), and a clique of m docs holds
+    * C(m,3) triangles — the naive wedge join on a dup-heavy corpus is
+    * cubic in group size (MEASURED: the 20× stress corpus did not
+    * finish in 20 minutes). Instead: contract exact-dup groups (the
+    * same docReps pre-pass q69/q71 run), enumerate triangles on the
+    * CONTRACTED graph only (wedge join + closing-edge semi join over
+    * a<b-canonical edges — each contracted triangle counted once), and
+    * expand per-doc counts in closed form ([[expandTriangles]]). The
+    * expansion is exact because edge structure is group-uniform: both
+    * LSH candidacy (shingle sets) and the verified jaccard (distinct
+    * token sets) are functions of content alone, so doc x∈A connects
+    * to y∈B iff the representatives connect, and every group with ≥1
+    * shingle is internally complete. Groups whose docs have no
+    * 3-shingle (under 3 tokens) never enter q31's graph and are
+    * excluded up front.
+    */
+  def q102TriangleCounts(s: SparkSession, d: String,
+      threshold: Double = 0.6): DataFrame = {
+    val eligible = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(shingles3(tokens(col("text")))).as("nsh"))
+      .filter(col("nsh") > 0).select("doc_id")
+    val groups = docReps(s, d).join(eligible, Seq("doc_id"))
+    // verified rep-graph edges: contracted candidates + the EXACT
+    // verify expression q31 runs (r4-rounded jaccard vs threshold),
+    // evaluated once per group pair instead of once per doc pair
+    val dt = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val ra = dt.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+      size(col("toks")).as("na"))
+    val rb = dt.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+      size(col("toks")).as("nb"))
+    val repEdges = contractedCandidatePairs(s, d)
+      .join(ra, Seq("doc_a")).join(rb, Seq("doc_b"))
+      .withColumn("common",
+        graft.functions.expressions.TextExpressions
+          .arrayIntersectCount(col("ta"), col("tb")))
+      .filter(r4(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double")) >= threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    expandTriangles(repEdges, groups).orderBy("doc_id")
+  }
+
+  /** Exact per-doc triangle counts of the BLOWN-UP graph from its
+    * contracted form: `repEdges` (a<b representative edges) plus
+    * `groups` (doc_id, rep). For a doc in group A with multiplicity
+    * m_A, the triangles through it partition by where the other two
+    * corners live — both in A: C(m_A−1, 2); one other A member + one
+    * member of a neighbor: (m_A−1)·Σ_{B∈N(A)} m_B; two members of one
+    * neighbor B: Σ_B C(m_B, 2); members of two DISTINCT neighbors that
+    * are themselves adjacent: Σ_{contracted triangles (A,B,C)} m_B·m_C.
+    * All integer arithmetic; every aggregate runs on the contracted
+    * graph (group-count-sized), and only the final join fans back out
+    * to docs.
+    */
+  def expandTriangles(repEdges: DataFrame, groups: DataFrame): DataFrame = {
+    val m = groups.groupBy("rep").agg(count(lit(1)).as("m"))
+    val sym = repEdges.select(explode(array(
+        struct(col("a").as("r"), col("b").as("n")),
+        struct(col("b").as("r"), col("a").as("n")))).as("e"))
+      .select(col("e.r").as("rep"), col("e.n").as("nbr"))
+    val sp = sym
+      .join(m.select(col("rep").as("nbr"), col("m").as("m_n")), Seq("nbr"))
+      .groupBy("rep").agg(
+        sum("m_n").as("s_a"),
+        sum(expr("m_n * (m_n - 1) div 2")).as("p_a"))
+    val wedges = repEdges
+      .join(repEdges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tris = wedges.join(repEdges.select(col("a"), col("b").as("c")),
+      Seq("a", "c"), "left_semi")
+    val t = tris
+      .join(m.select(col("rep").as("a"), col("m").as("m_a")), Seq("a"))
+      .join(m.select(col("rep").as("b"), col("m").as("m_b")), Seq("b"))
+      .join(m.select(col("rep").as("c"), col("m").as("m_c")), Seq("c"))
+      .select(explode(array(
+        struct(col("a").as("rep"), (col("m_b") * col("m_c")).as("t")),
+        struct(col("b").as("rep"), (col("m_a") * col("m_c")).as("t")),
+        struct(col("c").as("rep"), (col("m_a") * col("m_b")).as("t")))).as("e"))
+      .select(col("e.rep").as("rep"), col("e.t").as("t"))
+      .groupBy("rep").agg(sum("t").as("t_a"))
+    groups.join(m, Seq("rep"))
+      .join(sp, Seq("rep"), "left")
+      .join(t, Seq("rep"), "left")
+      .select(col("doc_id"),
+        (expr("(m - 1) * (m - 2) div 2")
+          + (col("m") - 1L) * coalesce(col("s_a"), lit(0L))
+          + coalesce(col("p_a"), lit(0L))
+          + coalesce(col("t_a"), lit(0L))).as("n_triangles"))
+      .filter(col("n_triangles") > 0L)
+  }
+
   /** FUZZY entity matching at edit distance ≤ 1 — record linkage by
     * SymSpell-style DELETION-NEIGHBORHOOD blocking: each name emits
     * itself plus every single-character deletion as candidate keys;

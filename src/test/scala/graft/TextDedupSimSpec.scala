@@ -611,6 +611,61 @@ class TextDedupSimSpec extends AnyFunSuite {
     dp(a.length)(b.length)
   }
 
+  test("q102 triangles: corner counts sum to 3x an independent brute-force triangle count") {
+    import spark.implicits._
+    val edges = Dedup.q31JaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val adj = edges ++ edges.map { case (a, b) => (b, a) }
+    var brute = 0L
+    val perDoc = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      (a, b) <- edges
+      c <- nodes if b < c
+      if adj((b, c)) && adj((a, c))
+    } {
+      brute += 1
+      Seq(a, b, c).foreach(x => perDoc(x) = perDoc.getOrElse(x, 0L) + 1L)
+    }
+    val got = Dedup.q102TriangleCounts(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.sum == 3L * brute)
+    assert(got == perDoc.toMap)
+  }
+
+  test("q102 expansion: closed-form counts equal brute force on the blown-up graph") {
+    import spark.implicits._
+    // groups: A={1,2,3} B={10,11} C={20} D={30,31} (D isolated);
+    // contracted edges form the triangle A-B-C plus nothing at D
+    val groups = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L),
+      (30L, 30L), (31L, 30L)).toDF("doc_id", "rep")
+    val repEdges = Seq((1L, 10L), (10L, 20L), (1L, 20L)).toDF("a", "b")
+    // blow up: intra-group cliques + complete bipartite between
+    // adjacent groups — the structure the expansion assumes
+    val members = Map(1L -> Seq(1L, 2L, 3L), 10L -> Seq(10L, 11L),
+      20L -> Seq(20L), 30L -> Seq(30L, 31L))
+    val adjReps = Set((1L, 10L), (10L, 20L), (1L, 20L))
+    val docs = members.values.flatten.toSeq
+    def connected(x: Long, y: Long): Boolean = {
+      val (gx, gy) = (members.find(_._2.contains(x)).get._1,
+        members.find(_._2.contains(y)).get._1)
+      if (gx == gy) x != y
+      else adjReps((math.min(gx, gy), math.max(gx, gy)))
+    }
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- docs; j <- docs if i < j; l <- docs if j < l
+      if connected(i, j) && connected(j, l) && connected(i, l)
+    } Seq(i, j, l).foreach(x => brute(x) = brute.getOrElse(x, 0L) + 1L)
+    val got = Dedup.expandTriangles(repEdges, groups)
+      .as[(Long, Long)].collect().toMap
+    assert(got == brute.toMap,
+      s"got=${got.toSeq.sorted} brute=${brute.toSeq.sorted}")
+  }
+
   test("q89 curation report: doc totals conserve, near-dups include exact dups, rate consistent") {
     val rep = Dedup.q89CurationReport(spark, sf).cache()
     try {
