@@ -108,6 +108,7 @@ object SparkEntry {
     "q89_curation_report" -> ((s, d) => Dedup.q89CurationReport(s, d)),
     "q101_fuzzy_names" -> (Dedup.q101FuzzyNames(_, _)),
     "q102_triangle_counts" -> (Dedup.q102TriangleCounts(_, _)),
+    "q103_clustering_coeff" -> (Dedup.q103ClusteringCoefficient(_, _)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -813,6 +814,28 @@ object SparkEntry {
         | FROM h)
         |SELECT lang, rank, doc_id FROM r WHERE rank <= 20
         |ORDER BY lang, rank""".stripMargin,
+    // brute-force degree + triangles over the same q31 edge CTE; the
+    // engine side must reproduce it through contraction + expansion
+    "q103_clustering_coeff" ->
+      s"""WITH pairs AS ($q31Sql),
+         |deg AS (SELECT doc_id, count(*) AS degree FROM (
+         |  SELECT doc_a AS doc_id FROM pairs
+         |  UNION ALL SELECT doc_b FROM pairs) GROUP BY doc_id),
+         |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         | FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
+         | WHERE EXISTS (SELECT 1 FROM pairs e3
+         |   WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)),
+         |tc AS (SELECT doc_id, count(*) AS n_triangles FROM (
+         |  SELECT a AS doc_id FROM tri
+         |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         | GROUP BY doc_id)
+         |SELECT deg.doc_id AS doc_id, degree,
+         | coalesce(n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+         | CASE WHEN degree >= 2 THEN
+         |  ${sqlRn("2.0 * coalesce(n_triangles, 0) / (degree * (degree - 1))", 4)}
+         | END AS clustering
+         |FROM deg LEFT JOIN tc ON deg.doc_id = tc.doc_id
+         |ORDER BY deg.doc_id""".stripMargin,
     // the ORACLE for q84 is the naive full group-by (what the bounded-
     // memory two-phase Misra-Gries path must reproduce bit-for-bit);
     // threshold cnt*256 > N is the same exact-integer compare

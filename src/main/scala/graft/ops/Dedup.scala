@@ -957,7 +957,51 @@ object Dedup {
       .filter(r4(col("common").cast("double") /
         (col("na") + col("nb") - col("common")).cast("double")) >= threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    expandTriangles(repEdges, groups).orderBy("doc_id")
+    expandTriangles(repEdges, groups)
+      .filter(col("n_triangles") > 0L)
+      .select("doc_id", "n_triangles")
+      .orderBy("doc_id")
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT per doc over the same graph —
+    * 2·triangles / (degree·(degree−1)), the density companion of q102
+    * (coefficient 1 = the doc's neighborhood is a clique = classic
+    * boilerplate duplication; near 0 = hub-and-spoke near-dups, the
+    * template-with-variations shape). Both inputs come from the SAME
+    * contracted expansion — the blown-up degree is m_A−1+Σm_B, a
+    * byproduct of the q102 aggregates — so the marginal cost over q102
+    * is one projection. Coefficient is null when degree < 2 (undefined,
+    * mirrored by the oracle's CASE).
+    */
+  def q103ClusteringCoefficient(s: SparkSession, d: String,
+      threshold: Double = 0.6): DataFrame = {
+    val eligible = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(shingles3(tokens(col("text")))).as("nsh"))
+      .filter(col("nsh") > 0).select("doc_id")
+    val groups = docReps(s, d).join(eligible, Seq("doc_id"))
+    val dt = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val ra = dt.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+      size(col("toks")).as("na"))
+    val rb = dt.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+      size(col("toks")).as("nb"))
+    val repEdges = contractedCandidatePairs(s, d)
+      .join(ra, Seq("doc_a")).join(rb, Seq("doc_b"))
+      .withColumn("common",
+        graft.functions.expressions.TextExpressions
+          .arrayIntersectCount(col("ta"), col("tb")))
+      .filter(r4(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double")) >= threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    expandTriangles(repEdges, groups)
+      .filter(col("degree") > 0L)
+      .select(col("doc_id"), col("degree"), col("n_triangles"),
+        r4(when(col("degree") >= 2L,
+          lit(2.0) * col("n_triangles").cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double"))
+          .otherwise(lit(null))).as("clustering"))
+      .orderBy("doc_id")
   }
 
   /** Exact per-doc triangle counts of the BLOWN-UP graph from its
@@ -1001,11 +1045,14 @@ object Dedup {
       .join(sp, Seq("rep"), "left")
       .join(t, Seq("rep"), "left")
       .select(col("doc_id"),
+        // blown-up degree: the rest of the doc's own clique plus every
+        // member of every adjacent group — a byproduct of the same
+        // aggregates, consumed by the clustering coefficient (q103)
+        (col("m") - 1L + coalesce(col("s_a"), lit(0L))).as("degree"),
         (expr("(m - 1) * (m - 2) div 2")
           + (col("m") - 1L) * coalesce(col("s_a"), lit(0L))
           + coalesce(col("p_a"), lit(0L))
           + coalesce(col("t_a"), lit(0L))).as("n_triangles"))
-      .filter(col("n_triangles") > 0L)
   }
 
   /** FUZZY entity matching at edit distance ≤ 1 — record linkage by

@@ -660,10 +660,20 @@ class TextDedupSimSpec extends AnyFunSuite {
       i <- docs; j <- docs if i < j; l <- docs if j < l
       if connected(i, j) && connected(j, l) && connected(i, l)
     } Seq(i, j, l).foreach(x => brute(x) = brute.getOrElse(x, 0L) + 1L)
-    val got = Dedup.expandTriangles(repEdges, groups)
-      .as[(Long, Long)].collect().toMap
-    assert(got == brute.toMap,
-      s"got=${got.toSeq.sorted} brute=${brute.toSeq.sorted}")
+    val expanded = Dedup.expandTriangles(repEdges, groups).cache()
+    try {
+      val got = expanded.filter(col("n_triangles") > 0L)
+        .select("doc_id", "n_triangles").as[(Long, Long)].collect().toMap
+      assert(got == brute.toMap,
+        s"got=${got.toSeq.sorted} brute=${brute.toSeq.sorted}")
+      // blown-up degree recomputed independently
+      val degBrute = docs.map(x =>
+        x -> docs.count(y => connected(x, y)).toLong).toMap
+      val degGot = expanded.select("doc_id", "degree")
+        .as[(Long, Long)].collect().toMap
+      assert(degGot == degBrute,
+        s"deg got=${degGot.toSeq.sorted} brute=${degBrute.toSeq.sorted}")
+    } finally expanded.unpersist()
   }
 
   test("q89 curation report: doc totals conserve, near-dups include exact dups, rate consistent") {
