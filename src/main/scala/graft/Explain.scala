@@ -27,7 +27,8 @@ object Explain {
     "q91_table_stats", "q92_upsert_apply", "q93_retention_cohorts",
     "q94_chunk_overlap", "q95_inverted_index", "q96_event_funnel",
     "q97_click_attribution", "q98_sql_revenue", "q99_eval_holdout",
-    "q100_trailing_window", "q101_fuzzy_names", "q102_triangle_counts")
+    "q100_trailing_window", "q101_fuzzy_names", "q102_triangle_counts",
+    "q103_clustering_coeff")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from
