@@ -934,34 +934,11 @@ object Dedup {
     * excluded up front.
     */
   def q102TriangleCounts(s: SparkSession, d: String,
-      threshold: Double = 0.6): DataFrame = {
-    val eligible = Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(shingles3(tokens(col("text")))).as("nsh"))
-      .filter(col("nsh") > 0).select("doc_id")
-    val groups = docReps(s, d).join(eligible, Seq("doc_id"))
-    // verified rep-graph edges: contracted candidates + the EXACT
-    // verify expression q31 runs (r4-rounded jaccard vs threshold),
-    // evaluated once per group pair instead of once per doc pair
-    val dt = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-    val ra = dt.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
-      size(col("toks")).as("na"))
-    val rb = dt.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
-      size(col("toks")).as("nb"))
-    val repEdges = contractedCandidatePairs(s, d)
-      .join(ra, Seq("doc_a")).join(rb, Seq("doc_b"))
-      .withColumn("common",
-        graft.functions.expressions.TextExpressions
-          .arrayIntersectCount(col("ta"), col("tb")))
-      .filter(r4(col("common").cast("double") /
-        (col("na") + col("nb") - col("common")).cast("double")) >= threshold)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    expandTriangles(repEdges, groups)
+      threshold: Double = 0.6): DataFrame =
+    expandedTriangleStats(s, d, threshold)
       .filter(col("n_triangles") > 0L)
       .select("doc_id", "n_triangles")
       .orderBy("doc_id")
-  }
 
   /** LOCAL CLUSTERING COEFFICIENT per doc over the same graph —
     * 2·triangles / (degree·(degree−1)), the density companion of q102
@@ -974,7 +951,23 @@ object Dedup {
     * mirrored by the oracle's CASE).
     */
   def q103ClusteringCoefficient(s: SparkSession, d: String,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6): DataFrame =
+    expandedTriangleStats(s, d, threshold)
+      .filter(col("degree") > 0L)
+      .select(col("doc_id"), col("degree"), col("n_triangles"),
+        r4(when(col("degree") >= 2L,
+          lit(2.0) * col("n_triangles").cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double"))
+          .otherwise(lit(null))).as("clustering"))
+      .orderBy("doc_id")
+
+  /** The contracted verified near-dup graph + group map both graph
+    * metrics run on: shingle-eligible docs grouped by content hash,
+    * contracted candidate edges verified with q31's exact jaccard
+    * expression once per GROUP pair, expanded via [[expandTriangles]].
+    */
+  private def expandedTriangleStats(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
     val eligible = Tables.documents(s, d)
       .select(col("doc_id"),
         size(shingles3(tokens(col("text")))).as("nsh"))
@@ -995,13 +988,6 @@ object Dedup {
         (col("na") + col("nb") - col("common")).cast("double")) >= threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     expandTriangles(repEdges, groups)
-      .filter(col("degree") > 0L)
-      .select(col("doc_id"), col("degree"), col("n_triangles"),
-        r4(when(col("degree") >= 2L,
-          lit(2.0) * col("n_triangles").cast("double") /
-            (col("degree") * (col("degree") - 1L)).cast("double"))
-          .otherwise(lit(null))).as("clustering"))
-      .orderBy("doc_id")
   }
 
   /** Exact per-doc triangle counts of the BLOWN-UP graph from its
