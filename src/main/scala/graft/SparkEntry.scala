@@ -124,6 +124,7 @@ object SparkEntry {
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
+    "q104_equidepth_hist" -> ((s, d) => ScalarSuites.q104EquiDepthHistogram(s, d)),
     // sketch quantiles (no SQL oracle: t-digest internals are
     // engine-specific → rows-only; accuracy bounded vs exact q44 in-spec)
     "q66_approx_percentiles" -> (ScalarSuites.q66ApproxPercentiles(_, _)),
@@ -1119,6 +1120,20 @@ object SparkEntry {
          | ${sqlRn("quantile_cont(o_totalprice, 0.9)", 4)} AS p90
          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // mirrors ScalarSuites.q104EquiDepthHistogram — quantile_cont
+    // boundaries (bit-parity with Spark's percentile proven by q44),
+    // strict-> bucket fold, buckets=8
+    "q104_equidepth_hist" ->
+      s"""WITH b AS (SELECT quantile_cont(o_totalprice,
+         |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs FROM orders),
+         |assigned AS (SELECT o_totalprice,
+         |  CAST(list_aggregate(list_transform(bs,
+         |    x -> CASE WHEN o_totalprice > x THEN 1 ELSE 0 END), 'sum')
+         |   + 1 AS BIGINT) AS bucket
+         | FROM orders, b)
+         |SELECT bucket, count(*) AS n_orders,
+         | min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q45_string_suite" ->
       """SELECT c_custkey,
         | CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,

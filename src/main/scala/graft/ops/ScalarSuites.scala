@@ -338,4 +338,39 @@ object ScalarSuites {
         weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
         quarter(col("o_orderdate")).cast("long").as("qtr"))
       .orderBy("o_orderkey")
+
+  /** EQUI-DEPTH histogram of order totals — the CBO/file-skipping feed
+    * that q91's ANALYZE stats don't carry (min/max alone can't see a
+    * skewed interior; equal-POPULATION buckets can). Scale shape: one
+    * exact-percentile aggregate produces the `buckets−1` interior
+    * boundaries as a SINGLE broadcast row (the nested-loop join this
+    * plans is one row × the table — PlanSpec-allowlisted like q26/q49's
+    * totals frames), then bucket assignment is a map-side fold over the
+    * boundary array and the counts are one partial-aggregated groupBy on
+    * an integer key. No global sort, no global window — the ntile
+    * formulation would serialize the table through one partition.
+    * Boundary arithmetic is the interpolated exact percentile whose
+    * cross-engine bit-parity q44 already hash-proves; assignment uses
+    * strict `>` so a value equal to a boundary lands in the lower
+    * bucket deterministically in both engines.
+    */
+  def q104EquiDepthHistogram(s: SparkSession, d: String,
+      buckets: Int = 8): DataFrame = {
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = Tables.orders(s, d)
+      .agg(expr(s"percentile(o_totalprice, array(${probs.mkString(", ")}))")
+        .as("bs"))
+    Tables.orders(s, d)
+      .crossJoin(broadcast(bounds))
+      .select(col("o_totalprice"),
+        expr("""aggregate(bs, 1L,
+               | (acc, x) -> acc + CASE WHEN o_totalprice > x THEN 1L ELSE 0L END)
+               |""".stripMargin.replace('\n', ' ')).as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+  }
 }

@@ -128,6 +128,22 @@ class OpsSpec extends AnyFunSuite {
     assert(m("o_totalprice_max") == recount.getDouble(1))
   }
 
+  test("q104 equi-depth: buckets partition the table evenly with disjoint increasing ranges") {
+    val h = ScalarSuites.q104EquiDepthHistogram(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(h.map(_.getLong(0)).toSeq == (1L to 8L))
+    assert(h.map(_.getLong(1)).sum == total)
+    // equal-population within interpolation slack
+    val sizes = h.map(_.getLong(1))
+    assert(sizes.max.toDouble / sizes.min <= 1.5,
+      s"unbalanced buckets: ${sizes.mkString(",")}")
+    // ranges are ordered and non-overlapping (strict-> assignment)
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2),
+        s"bucket ${a.getLong(0)} hi ${a.getDouble(3)} overlaps ${b.getDouble(2)}")
+    }
+  }
+
   test("q98 SQL surface: spark.sql text agrees with an independent DataFrame formulation") {
     import graft.functions.Round._
     val viaSql = Relational.q98SqlRevenue(spark, sf)
