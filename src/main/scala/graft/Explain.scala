@@ -28,7 +28,7 @@ object Explain {
     "q94_chunk_overlap", "q95_inverted_index", "q96_event_funnel",
     "q97_click_attribution", "q98_sql_revenue", "q99_eval_holdout",
     "q100_trailing_window", "q101_fuzzy_names", "q102_triangle_counts",
-    "q103_clustering_coeff")
+    "q103_clustering_coeff", "q104_equidepth_hist")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from
