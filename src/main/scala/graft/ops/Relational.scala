@@ -336,7 +336,11 @@ object Relational {
     q98SqlTemplate.replaceAll("""\{(\w+)\}""", "$1")
 
   def q98SqlRevenue(s: SparkSession, d: String): DataFrame = {
-    val suffix = java.lang.Integer.toHexString(d.hashCode)
+    // md5 of the dir, not String.hashCode: view names must not collide
+    // across dirs even adversarially (two concurrent q98 calls on
+    // colliding dirs would race on the shared catalog entry)
+    val suffix = java.util.UUID
+      .nameUUIDFromBytes(d.getBytes("UTF-8")).toString.take(8)
     val tables = Seq("lineitem", "region", "nation", "customer",
       "orders", "supplier")
     val sql = tables.foldLeft(q98SqlTemplate) { (q, t) =>
