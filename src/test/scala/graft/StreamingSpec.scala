@@ -435,6 +435,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed stream resumes state across a query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the fault-tolerance wiring every long-lived 100 TB/day stream
+    // rests on: windowed-aggregation state written to the checkpoint
+    // by query #1 must be REBUILT by query #2 from the same checkpoint
+    // dir — a window whose events straddle the restart still counts
+    // them all, exactly once
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-").toString
+    val (ckpt, outDir) = (s"$base/ckpt", s"$base/out")
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    // parquet file sink: the memory sink is NOT recoverable by design
+    // (its "state" is the driver's heap); the file sink commits batch
+    // ids to the checkpoint and is the recovery-capable shape
+    def start() = StreamingOps.windowedEventCounts(events)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      mem.addData((1L, ts(1), "click", 1.0), (2L, ts(5), "click", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: the (ts0-window, click) state
+    // with count 2 lives only in the checkpoint now
+    val q2 = start()
+    try {
+      mem.addData((3L, ts(7), "click", 3.0))  // same window, post-restart
+      mem.addData((4L, ts(120), "view", 4.0)) // advances watermark, closes it
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("window_start", "event_type", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      // 3 clicks total in the ts(0) window: 2 from before the restart
+      // (recovered from checkpoint state), 1 after
+      assert(got.contains((ts(0), "click", 3L)),
+        s"restarted query lost pre-restart state: $got")
+    } finally {
+      q2.stop()
+      scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    }
+  }
+
   test("stream-stream attribution pairs match the batch interval join across interleaved batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
