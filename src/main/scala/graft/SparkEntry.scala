@@ -89,6 +89,9 @@ object SparkEntry {
     "q94_chunk_overlap" -> ((s, d) => TextOps.q94ChunkOverlap(s, d)),
     "q95_inverted_index" -> ((s, d) => TextOps.q95InvertedIndex(s, d)),
     "q99_eval_holdout" -> ((s, d) => TextOps.q99EvalHoldout(s, d)),
+    "q105_weighted_sample" -> ((s, d) => TextOps.q105WeightedSample(s, d)),
+    "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
+    "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     // the SQL-API surface: one portable SQL text for engine AND oracle
     "q98_sql_revenue" -> (Relational.q98SqlRevenue(_, _)),
     // deduplication
@@ -155,6 +158,16 @@ object SparkEntry {
   /** StringTokenizer-faithful tokens of a text column, as DuckDB SQL. */
   private def toksSql(c: String): String =
     s"list_filter(string_split($c, ' '), x -> x <> '')"
+
+  /** q105's hash-uniform: the first 6 hex digits of md5 column `h`
+    * accumulated digit-by-digit into a 24-bit integer — the identical
+    * expression TEXT runs on both engines (mirrors
+    * TextOps.q105WeightedSample's uExpr; keep in lockstep).
+    */
+  private val uDigitsSql: String =
+    (0 until 6).map { i =>
+      s"(instr('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1) * ${1L << (4 * (5 - i))}"
+    }.mkString(" + ")
 
   /** lineitem cents CTE shared by the money queries (mirrors
     * Relational.lineitemCents — keep in lockstep).
@@ -815,6 +828,48 @@ object SparkEntry {
         | FROM h)
         |SELECT lang, rank, doc_id FROM r WHERE rank <= 20
         |ORDER BY lang, rank""".stripMargin,
+    // mirrors TextOps.q105WeightedSample — sequential Poisson sampling:
+    // priority = u/w (one IEEE division of exact ints, engine-portable),
+    // k=1000 smallest, doc_id tie-break; u via uDigitsSql (lockstep)
+    "q105_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  md5(CAST(doc_id AS VARCHAR)) AS h,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS w
+         | FROM documents),
+         |p AS (SELECT doc_id, w,
+         |  CAST($uDigitsSql AS DOUBLE) / w AS priority
+         | FROM t WHERE w > 0),
+         |s AS (SELECT doc_id, w, priority FROM p
+         | ORDER BY priority, doc_id LIMIT 1000)
+         |SELECT doc_id, w, ${sqlRn("priority", 4)} AS priority
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q106BpePairs — adjacent char-pair counts over the
+    // DISTINCT vocabulary weighted by word frequency (BPE's first merge
+    // statistic); DuckDB range(1,n) ≡ Spark sequence(1,n-1)
+    "q106_bpe_pairs" ->
+      s"""WITH v AS (SELECT t AS word, count(*) AS freq FROM (
+         |  SELECT unnest(${toksSql("text")}) AS t FROM documents)
+         | GROUP BY t),
+         |p AS (SELECT freq,
+         |  unnest(list_transform(range(1, length(word)), i -> substring(word, i, 2))) AS pair
+         | FROM v WHERE length(word) >= 2)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+    // mirrors TextOps.q107ShingleNovelty — same hashed-3-shingle CTE as
+    // q74/q86 (keep in lockstep), per-doc-distinct, first-sighting share
+    "q107_shingle_novelty" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |raw AS (SELECT doc_id,
+         |  md5(unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' ')))) AS h
+         | FROM t WHERE len(ts) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, h FROM raw),
+         |f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+         |SELECT sh.doc_id,
+         | CAST(count(*) AS BIGINT) AS n_shingles,
+         | CAST(sum(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         | ${sqlRn("CAST(sum(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS novelty
+         |FROM sh JOIN f USING (h) GROUP BY sh.doc_id
+         |ORDER BY doc_id""".stripMargin,
     // brute-force degree + triangles over the same q31 edge CTE; the
     // engine side must reproduce it through contraction + expansion
     "q103_clustering_coeff" ->

@@ -792,6 +792,96 @@ object TextOps {
       .orderBy("term", "block")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement — sequential
+    * Poisson / priority sampling (Ohlsson 1998; Duffield et al. 2007):
+    * each doc gets priority u/w where u is a hash-derived uniform and
+    * w its weight (token count), and the k smallest priorities are the
+    * sample. Inclusion probability is approximately proportional to w,
+    * so long docs are token-budget-representative — the corpus-mixing
+    * cousin of q52's unweighted hash sample.
+    *
+    * Engine-portable determinism: u is built DIGIT BY DIGIT from the
+    * first 6 hex chars of md5(doc_id) (`instr` into the hex alphabet —
+    * no engine-specific hex-to-int cast), and priority = u/w is ONE
+    * IEEE division of exact integers, which every engine rounds
+    * identically — no ln/pow (multi-ulp, libm-dependent) anywhere.
+    * Plan shape: pure map-side pass → TakeOrderedAndProject (per-
+    * partition k-heaps, k rows per partition to the driver — no global
+    * sort, no full shuffle; at 1000 executors that is k·partitions
+    * driver rows, fine for sample-sized k).
+    */
+  def q105WeightedSample(s: SparkSession, d: String, k: Int = 1000): DataFrame = {
+    // instr with a COLUMN needle only exists on the SQL surface, so the
+    // digit extraction is an expr; the same text is the oracle's
+    val uExpr = (0 until 6).map { i =>
+      (expr(s"instr('0123456789abcdef', substring(h, ${i + 1}, 1))").cast("long") - 1L) *
+        (1L << (4 * (5 - i)))
+    }.reduce(_ + _)
+    Tables.documents(s, d)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("w", tokenCount(col("text")).cast("long"))
+      .filter(col("w") > 0)
+      .withColumn("priority", uExpr.cast("double") / col("w"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("w"), r4(col("priority")).as("priority"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE merge-pair mining — the inner statistic of byte-pair-encoding
+    * tokenizer training: frequency of each ADJACENT CHARACTER PAIR,
+    * weighted by word frequency, computed over the DISTINCT word list
+    * (the classic Sennrich et al. 2016 formulation: counts live on the
+    * vocabulary, occurrences weight them). The top pair is the first
+    * BPE merge; iterating = training. One vocabulary-sized groupBy then
+    * a pair-sized groupBy — both orders of magnitude smaller than the
+    * corpus, so the expensive explode happens exactly once (q20's).
+    */
+  def q106BpePairs(s: SparkSession, d: String, k: Int = 30): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Per-document shingle NOVELTY — what fraction of a doc's distinct
+    * 3-gram shingles appear in NO doc with a smaller id (its "first
+    * sighting" share). The dataset-curation signal behind dedup-aware
+    * corpus growth curves: bulk-duplicated content scores ~0, fresh
+    * content ~1. Shares the hashed-3-shingle definition with the
+    * q74/q86 decontamination family (one lockstep oracle CTE).
+    *
+    * Plan: per-doc-distinct shingles (distinct at generation — one
+    * (doc_id,h) DISTINCT shuffle), unordered window min over h for the
+    * first-sighting doc (no sort — min needs no ORDER BY), then a
+    * doc_id re-aggregation. Three keyed shuffles, all linear in the
+    * shingle count; no self-join, no quadratic pair space.
+    */
+  def q107ShingleNovelty(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .distinct()
+    dist
+      .withColumn("first_doc", min("doc_id").over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        r4(col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */

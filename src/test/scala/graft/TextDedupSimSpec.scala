@@ -692,4 +692,70 @@ class TextDedupSimSpec extends AnyFunSuite {
         .filter(col("n_near_dups") =!= col("n_from_labels")).count() == 0L)
     } finally rep.unpersist()
   }
+
+  test("q105 weighted sample: exactly the k smallest u/w priorities (JVM oracle), size = min(k, eligible)") {
+    val k = 25
+    val got = TextOps.q105WeightedSample(spark, sf, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent JVM oracle: same md5-digit uniform, same one-division
+    // priority, sorted with the same (priority, doc_id) tie-break
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val eligible = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = eligible.map { case (id, w) =>
+      val u = hex(id.toString).take(6)
+        .map("0123456789abcdef".indexOf(_).toLong)
+        .reduce(_ * 16 + _)
+      (u.toDouble / w, id)
+    }.sorted.take(k).map(_._2).toSet
+    assert(got == expected)
+    assert(got.size == math.min(k, eligible.length))
+  }
+
+  test("q106 BPE pairs: total pair mass conserves and matches a JVM oracle on the vocabulary") {
+    // run unlimited so conservation is over ALL pairs, not the top slice
+    val all = TextOps.q106BpePairs(spark, sf, Int.MaxValue).cache()
+    try {
+      // every occurrence of an n-char word contributes n-1 pairs
+      val expectedMass = Tables.documents(spark, sf)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .collect().map(_.getString(0))
+        .map(w => math.max(w.codePointCount(0, w.length) - 1, 0).toLong).sum
+      assert(all.agg(sum("cnt")).head().getLong(0) == expectedMass)
+      // JVM oracle (code-point-aware, mirroring substring semantics)
+      val counts = collection.mutable.Map.empty[String, Long]
+      Tables.documents(spark, sf)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .collect().map(_.getString(0)).foreach { w =>
+          val cps = w.codePoints().toArray
+          (0 until cps.length - 1).foreach { i =>
+            val pair = new String(cps, i, 2)
+            counts(pair) = counts.getOrElse(pair, 0L) + 1L
+          }
+        }
+      val gotMap = all.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotMap == counts.toMap)
+    } finally all.unpersist()
+  }
+
+  test("q107 shingle novelty: first doc scores 1.0, novel counts sum to the distinct shingle count") {
+    val nov = TextOps.q107ShingleNovelty(spark, sf).cache()
+    try {
+      val firstDoc = nov.agg(min("doc_id")).head().getLong(0)
+      val firstRow = nov.filter(col("doc_id") === firstDoc).head()
+      assert(firstRow.getAs[Double]("novelty") == 1.0)
+      assert(nov.filter(col("n_novel") > col("n_shingles")).count() == 0L)
+      // each distinct shingle hash is novel in exactly one doc
+      val distinctShingles = Tables.documents(spark, sf)
+        .select(explode(graft.functions.TextFunctions.shingles3(
+          graft.functions.TextFunctions.tokens(col("text")))).as("sh"))
+        .select(md5(col("sh"))).distinct().count()
+      assert(nov.agg(sum("n_novel")).head().getLong(0) == distinctShingles)
+    } finally nov.unpersist()
+  }
 }
