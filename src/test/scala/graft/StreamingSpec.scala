@@ -559,4 +559,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(graft.ops.Events.attributionPairs(pB, cB).count() == 1L)
     } finally q.stop()
   }
+
+  test("streaming CDC upsert maintains the keyed table: state equals the batch MERGE fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
+    val mem = MemoryStream[(Long, String, Long)] // (key, value, seq)
+    val q = StreamingOps.cdcUpsertStream(
+      mem.toDF().toDF("k", "v", "seq"),
+      s"$dir/table", s"$dir/ckpt", key = "k", seqCol = "seq")
+    def state(): Map[Long, String] =
+      StreamingOps.readCdcTable(spark, s"$dir/table")
+        .select("k", "v").as[(Long, String)].collect().toMap
+    try {
+      // batch 0: inserts
+      mem.addData((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+      // batch 1: update k2, insert k4, and TWO in-batch versions of k1
+      // — the higher seq must win within the batch
+      mem.addData((2L, "b2", 4L), (4L, "d", 5L), (1L, "a1", 6L), (1L, "a2", 7L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a2", 2L -> "b2", 3L -> "c", 4L -> "d"))
+      // batch 2: update only — unchanged keys must survive untouched
+      mem.addData((3L, "c1", 8L))
+      q.processAllAvailable()
+      val streamed = state()
+      assert(streamed == Map(1L -> "a2", 2L -> "b2", 3L -> "c1", 4L -> "d"))
+      // batch-twin equivalence: the same change log folded through the
+      // SAME Layout.upsert in one batch per micro-batch
+      val batches = Seq(
+        Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)),
+        Seq((2L, "b2", 4L), (4L, "d", 5L), (1L, "a1", 6L), (1L, "a2", 7L)),
+        Seq((3L, "c1", 8L)))
+      val folded = batches.foldLeft(Seq.empty[(Long, String, Long)].toDF("k", "v", "seq")) {
+        (base, b) =>
+          val resolved = b.groupBy(_._1).map { case (_, rows) => rows.maxBy(_._3) }
+            .toSeq.toDF("k", "v", "seq")
+          graft.ops.Layout.upsert(base, resolved, "k")
+      }
+      assert(folded.select("k", "v").as[(Long, String)].collect().toMap == streamed)
+      // the version manifest points at the last batch's commit
+      assert(StreamingOps.currentCdcVersion(spark, s"$dir/table").contains(2L))
+    } finally q.stop()
+  }
 }
