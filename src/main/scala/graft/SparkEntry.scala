@@ -92,6 +92,8 @@ object SparkEntry {
     "q105_weighted_sample" -> ((s, d) => TextOps.q105WeightedSample(s, d)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
+    "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
+    "q109_boilerplate_chunks" -> ((s, d) => TextOps.q109BoilerplateChunks(s, d)),
     // the SQL-API surface: one portable SQL text for engine AND oracle
     "q98_sql_revenue" -> (Relational.q98SqlRevenue(_, _)),
     // deduplication
@@ -870,6 +872,46 @@ object SparkEntry {
          | ${sqlRn("CAST(sum(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS novelty
          |FROM sh JOIN f USING (h) GROUP BY sh.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.contentChunksOf/q108 — content-defined chunking:
+    // boundary iff md5(token) first hex digit ≡ 0 mod 8 (q52's digit
+    // idiom), chunk id = prefix-count of boundaries STRICTLY before the
+    // token; chunk hash over the space-joined tokens (keep in lockstep)
+    "q108_content_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |p AS (SELECT doc_id, ts, CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos FROM t),
+         |b AS (SELECT doc_id, pos, ts[pos + 1] AS tok,
+         |  CASE WHEN ascii(substring(md5(ts[pos + 1]), 1, 1)) % 8 = 0 THEN 1 ELSE 0 END AS f
+         | FROM p),
+         |c AS (SELECT doc_id, pos, tok,
+         |  CAST(coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+         | FROM b),
+         |g AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+         | FROM c GROUP BY doc_id, chunk_id)
+         |SELECT doc_id, chunk_id, n_tokens, chunk_hash FROM g
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // mirrors TextOps.q109BoilerplateChunks — cross-doc recurring chunks
+    // (same chunk CTEs as q108; keep in lockstep)
+    "q109_boilerplate_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |p AS (SELECT doc_id, ts, CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos FROM t),
+         |b AS (SELECT doc_id, pos, ts[pos + 1] AS tok,
+         |  CASE WHEN ascii(substring(md5(ts[pos + 1]), 1, 1)) % 8 = 0 THEN 1 ELSE 0 END AS f
+         | FROM p),
+         |c AS (SELECT doc_id, pos, tok,
+         |  CAST(coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+         | FROM b),
+         |g AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+         | FROM c GROUP BY doc_id, chunk_id)
+         |SELECT chunk_hash, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         | CAST(count(*) AS BIGINT) AS n_occ
+         |FROM g WHERE n_tokens >= 3
+         |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, chunk_hash LIMIT 20""".stripMargin,
     // brute-force degree + triangles over the same q31 edge CTE; the
     // engine side must reproduce it through contraction + expansion
     "q103_clustering_coeff" ->

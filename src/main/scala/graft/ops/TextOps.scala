@@ -882,6 +882,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CONTENT-DEFINED chunking of every document (the storage-dedup
+    * counterpart of q94's fixed-stride chunking): a token ENDS a chunk
+    * whenever its own hash lands in the boundary class (md5 first hex
+    * digit ≡ 0 mod 8 → mean chunk ≈ 8 tokens, geometric). Because the
+    * boundary decision depends ONLY on the token, chunk boundaries are
+    * INSERTION-STABLE: edits re-chunk just the spliced region, and
+    * every chunk after the next boundary hashes identically — which is
+    * what makes chunk-level dedup survive boilerplate drift (q94's
+    * fixed strides shift wholesale on a one-token insert; spec-proven
+    * in TextDedupSimSpec).
+    *
+    * Plan: posexplode → map-side boundary flag → ONE per-doc window
+    * prefix-sum (chunk ids) → (doc, chunk) aggregation whose state is
+    * bounded by the geometric chunk length. All linear; shuffles key on
+    * doc_id, so a 100 TB corpus spreads by document.
+    */
+  def contentChunksOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("f",
+        when(ascii(substring(md5(col("tok")), 1, 1)) % 8 === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum("f").over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("chunk_hash"))
+  }
+
+  def q108ContentChunks(s: SparkSession, d: String): DataFrame =
+    contentChunksOf(Tables.documents(s, d))
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_hash")
+      .orderBy("doc_id", "chunk_id")
+
+  /** Boilerplate detection over [[contentChunksOf]]: chunks (≥ 3
+    * tokens) that recur across documents — shared headers, footers,
+    * license blocks, templated spans. The aggregation runs on chunk
+    * HASHES (bounded rows, no text re-shuffle); the top slice is the
+    * remove-list a curation pass subtracts before training.
+    */
+  def q109BoilerplateChunks(s: SparkSession, d: String, minDocs: Int = 2,
+      k: Int = 20): DataFrame =
+    contentChunksOf(Tables.documents(s, d))
+      .filter(col("n_tokens") >= 3L)
+      .groupBy("chunk_hash")
+      .agg(
+        max("n_tokens").as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs.toLong)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_hash").asc)
+      .limit(k)
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */

@@ -743,6 +743,48 @@ class TextDedupSimSpec extends AnyFunSuite {
     } finally all.unpersist()
   }
 
+  test("q108 content chunks: tokens conserve per doc, chunks are insertion-stable (q94's are not)") {
+    import spark.implicits._
+    val chunks = TextOps.q108ContentChunks(spark, sf).cache()
+    try {
+      // conservation: per-doc chunk token counts sum back to the doc's
+      // token count — nothing dropped or double-chunked
+      val perDoc = chunks.groupBy("doc_id").agg(sum("n_tokens").as("n"))
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_doc"))
+        .filter(col("n_doc") > 0)
+      assert(perDoc.join(docs, Seq("doc_id"), "full_outer")
+        .filter(col("n") =!= col("n_doc") || col("n").isNull || col("n_doc").isNull)
+        .count() == 0L)
+      // INSERTION STABILITY — the reason content-defined beats fixed
+      // stride: prepend a splice to a doc; every original chunk after
+      // the first boundary must reappear hash-identical
+      val text = Tables.documents(spark, sf)
+        .filter(col("doc_id") === 0L).select("text").head().getString(0)
+      val pair = Seq((0L, text), (1L, "spliced prefix tokens " + text))
+        .toDF("doc_id", "text")
+      val both = TextOps.contentChunksOf(pair)
+        .select("doc_id", "chunk_id", "chunk_hash")
+        .as[(Long, Long, String)].collect()
+      val orig = both.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+      val spliced = both.filter(_._1 == 1L).map(_._3).toSet
+      val stable = orig.drop(1) // chunk 0 contains the splice point
+      assert(stable.nonEmpty && stable.forall(spliced.contains),
+        "chunks after the first boundary must survive a prefix splice")
+    } finally chunks.unpersist()
+  }
+
+  test("q109 boilerplate chunks: every reported chunk recurs across docs, exact dups share all chunks") {
+    val bp = TextOps.q109BoilerplateChunks(spark, sf, minDocs = 2, k = Int.MaxValue)
+    val rows = bp.collect()
+    assert(rows.forall(r => r.getAs[Long]("n_docs") >= 2L &&
+      r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs")))
+    // the fixture has exact duplicate docs (q30's subject): each dup
+    // group's chunks all recur, so the report must be non-empty
+    assert(rows.nonEmpty)
+  }
+
   test("q107 shingle novelty: first doc scores 1.0, novel counts sum to the distinct shingle count") {
     val nov = TextOps.q107ShingleNovelty(spark, sf).cache()
     try {
