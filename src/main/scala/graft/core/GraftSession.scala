@@ -48,6 +48,8 @@ object GraftSession {
       .builder()
       .appName(appName)
       .master(master)
+      // custom Catalyst expressions on the SQL surface (FunctionRegistry)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

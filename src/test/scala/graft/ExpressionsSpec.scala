@@ -190,4 +190,32 @@ class ExpressionsSpec extends AnyFunSuite {
     val got = df.select(stripAccents(col("t"))).as[String].collect().toSeq
     assert(got == Seq("cafe", "cafe"))
   }
+
+  test("SQL surface: every registered custom function resolves in spark.sql and equals its Column twin") {
+    import graft.functions.expressions.TextExpressions._
+    def one(sql: String) = spark.sql(sql).collect().head
+    assert(one("SELECT string_tokens('  a  b ') AS r").getSeq[String](0) == Seq("a", "b"))
+    assert(one("SELECT token_shingles(array('a','b','c'), 2) AS r")
+      .getSeq[String](0) == Seq("a b", "b c"))
+    assert(one("SELECT array_intersect_count(array('a','b'), array('b','c')) AS r")
+      .getInt(0) == 1)
+    assert(one("SELECT float_dot(CAST(array(1.0, 2.0) AS array<float>), CAST(array(3.0, 4.0) AS array<float>)) AS r")
+      .getDouble(0) == 11.0)
+    assert(one("SELECT strip_accents('çafé') AS r").getString(0) == "cafe")
+    // token_counts: equality with its Column twin
+    val viaSql = spark.sql("SELECT token_counts('x y x') AS r")
+      .selectExpr("explode(r) AS e").selectExpr("e.*").collect().toSet
+    val viaCol = spark.range(1)
+      .select(tokenCounts(org.apache.spark.sql.functions.lit("x y x")).as("r"))
+      .selectExpr("explode(r) AS e").selectExpr("e.*").collect().toSet
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    // misuse fails at analysis/resolution, not execution: wrong input
+    // type (ExpectsInputTypes) and a non-literal shingle width
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT string_tokens(42)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT token_shingles(array('a'), 'two')").collect()
+    }
+  }
 }
