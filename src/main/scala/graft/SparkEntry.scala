@@ -48,6 +48,7 @@ object SparkEntry {
     "q93_retention_cohorts" -> (Events.q93RetentionCohorts(_, _)),
     "q96_event_funnel" -> (Events.q96EventFunnel(_, _)),
     "q97_click_attribution" -> (Events.q97ClickAttribution(_, _)),
+    "q111_unattributed_purchases" -> (Events.q111UnattributedPurchases(_, _)),
     "q100_trailing_window" -> (Events.q100TrailingWindow(_, _)),
     // sketch (no SQL oracle: HLL impls differ across engines → rows-only
     // check; q63 is the oracle-gated exact twin that pins its accuracy)
@@ -94,6 +95,7 @@ object SparkEntry {
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
     "q109_boilerplate_chunks" -> ((s, d) => TextOps.q109BoilerplateChunks(s, d)),
+    "q110_skipgram_cooccur" -> ((s, d) => TextOps.q110SkipgramCooccur(s, d)),
     // the SQL-API surface: one portable SQL text for engine AND oracle
     "q98_sql_revenue" -> (Relational.q98SqlRevenue(_, _)),
     // deduplication
@@ -489,6 +491,17 @@ object SparkEntry {
         |  AND click_ts <= purchase_ts
         |  AND click_ts >= purchase_ts - INTERVAL 1 HOUR
         |GROUP BY purchase_id, user_id ORDER BY purchase_id""".stripMargin,
+    // mirrors Events.q111UnattributedPurchases — NOT EXISTS over the
+    // same interval condition as q97 (keep the band in lockstep)
+    "q111_unattributed_purchases" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        | strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND NOT EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+        |ORDER BY purchase_id""".stripMargin,
     "q18_above_avg_orders" ->
       s"""WITH w AS (SELECT o_orderkey, o_custkey, o_totalprice,
          |  CAST(sum(${sqlCents("o_totalprice")}) OVER (PARTITION BY o_custkey) AS DOUBLE)
@@ -912,6 +925,24 @@ object SparkEntry {
          |FROM g WHERE n_tokens >= 3
          |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_docs DESC, n_occ DESC, chunk_hash LIMIT 20""".stripMargin,
+    // mirrors TextOps.q110SkipgramCooccur — ±2 skip-gram pairs via
+    // direct array offsets (ts[pos+2]/ts[pos+3] past the end are NULL,
+    // exactly the window-lead null at partition end; keep in lockstep)
+    "q110_skipgram_cooccur" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |p AS (SELECT doc_id, ts, CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos FROM t),
+         |e AS (
+         | SELECT least(ts[pos + 1], ts[pos + 2]) AS w_a,
+         |  greatest(ts[pos + 1], ts[pos + 2]) AS w_b, 1 AS off
+         | FROM p WHERE pos + 2 <= len(ts)
+         | UNION ALL
+         | SELECT least(ts[pos + 1], ts[pos + 3]),
+         |  greatest(ts[pos + 1], ts[pos + 3]), 2
+         | FROM p WHERE pos + 3 <= len(ts))
+         |SELECT w_a, w_b, CAST(count(*) AS BIGINT) AS cnt,
+         | CAST(sum(CASE WHEN off = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_adj
+         |FROM e GROUP BY w_a, w_b
+         |ORDER BY cnt DESC, w_a, w_b LIMIT 30""".stripMargin,
     // brute-force degree + triangles over the same q31 edge CTE; the
     // engine side must reproduce it through contraction + expansion
     "q103_clustering_coeff" ->

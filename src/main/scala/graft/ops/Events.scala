@@ -203,12 +203,19 @@ object Events {
       col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
     val c = clicks.select(col("user_id").as("c_user_id"),
       col("event_id").as("click_id"), col("ts").as("click_ts"))
-    p.join(c,
+    val joined = p.join(c,
       expr(s"""user_id = c_user_id AND click_ts <= purchase_ts
               | AND click_ts >= purchase_ts - INTERVAL $horizonMinutes MINUTES
               |""".stripMargin.replace('\n', ' ')), joinType)
-      .select(col("purchase_id"), col("click_id"), col("user_id"),
-        col("click_ts"), col("purchase_ts"))
+    joinType match {
+      // existence forms keep only the purchase side (no click columns
+      // survive an anti/semi join) — same condition, negated/tested
+      case "left_anti" | "left_semi" | "anti" | "semi" =>
+        joined.select(col("purchase_id"), col("user_id"), col("purchase_ts"))
+      case _ =>
+        joined.select(col("purchase_id"), col("click_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"))
+    }
   }
 
   /** Trailing event-time window per user — the RANGE frame (every
@@ -258,6 +265,28 @@ object Events {
         count(col("click_id")).as("n_clicks_1h"),
         min("gap_s").as("min_gap_s"),
         max("gap_s").as("max_gap_s"))
+      .orderBy("purchase_id")
+  }
+
+  /** UNATTRIBUTED purchases — the NEGATION pattern (NOT EXISTS over an
+    * interval): purchases with no same-user click in the look-back
+    * hour, as a LEFT ANTI interval join through the SAME
+    * [[attributionPairs]] condition q97 and the stream-stream twin
+    * use. Plan: equality key user_id → shuffled anti hash join with
+    * the time band as the join-condition residual — the anti twin of
+    * q17's equality-only NOT EXISTS, and informationally the
+    * n_clicks_1h = 0 slice of q97 produced WITHOUT aggregating the
+    * pair space (the anti join short-circuits on the first witness,
+    * never counts).
+    */
+  def q111UnattributedPurchases(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    attributionPairs(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "click"),
+      joinType = "left_anti")
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
       .orderBy("purchase_id")
   }
 }

@@ -939,6 +939,38 @@ object TextOps {
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_hash").asc)
       .limit(k)
 
+  /** SKIP-GRAM co-occurrence (window ±2) — the word2vec training-pair
+    * statistic, where q27/q49 are the adjacent-only (±1) case. Pairs
+    * are generated with window `lead`s over one doc-keyed exchange —
+    * never a positions self-join: each token pairs with at most two
+    * successors, so the pair stream is ≤ 2× the token stream by
+    * construction, and the backward directions are mirrors (the
+    * unordered least/greatest pair counts both). cnt_adj splits out
+    * the adjacent share, so lift-style scoring can separate bigram
+    * collocation from loose co-occurrence downstream.
+    */
+  def q110SkipgramCooccur(s: SparkSession, d: String, k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("n1", lead("w", 1).over(wd))
+      .withColumn("n2", lead("w", 2).over(wd))
+      .select(col("w"), explode(array(
+        struct(col("n1").as("c"), lit(1L).as("off")),
+        struct(col("n2").as("c"), lit(2L).as("off")))).as("e"))
+      .select(col("w"), col("e.c").as("c"), col("e.off").as("off"))
+      .filter(col("c").isNotNull)
+      .select(least(col("w"), col("c")).as("w_a"),
+        greatest(col("w"), col("c")).as("w_b"), col("off"))
+      .groupBy("w_a", "w_b")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("off") === 1L, 1L).otherwise(0L)).as("cnt_adj"))
+      .orderBy(col("cnt").desc, col("w_a").asc, col("w_b").asc)
+      .limit(k)
+  }
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */

@@ -172,4 +172,16 @@ class EventsSpec extends AnyFunSuite {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+
+  test("q111 unattributed purchases = q97's zero-click slice, partitioned exactly") {
+    val anti = Events.q111UnattributedPurchases(spark, sf)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    val byCount = Events.q97ClickAttribution(spark, sf)
+      .select("purchase_id", "n_clicks_1h").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the anti join and the aggregate agree row-for-row: NOT EXISTS is
+    // exactly count == 0 (and the attributed rest is count > 0)
+    assert(anti == byCount.filter(_._2 == 0L).keySet)
+    assert(byCount.keySet.size == anti.size + byCount.count(_._2 > 0L))
+  }
 }

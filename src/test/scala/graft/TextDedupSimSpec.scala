@@ -785,6 +785,30 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("q110 skip-gram pairs: full map matches a JVM oracle, mass = sum of (n-1)+(n-2) per doc") {
+    val all = TextOps.q110SkipgramCooccur(spark, sf, Int.MaxValue).cache()
+    try {
+      val docsToks = Tables.documents(spark, sf)
+        .select(graft.functions.TextFunctions.tokens(col("text")))
+        .collect().map(_.getSeq[String](0))
+      val expectedMass = docsToks.map(t =>
+        math.max(t.length - 1, 0).toLong + math.max(t.length - 2, 0).toLong).sum
+      assert(all.agg(sum("cnt")).head().getLong(0) == expectedMass)
+      val counts = collection.mutable.Map.empty[(String, String), (Long, Long)]
+      docsToks.foreach { t =>
+        for (i <- t.indices; off <- 1 to 2 if i + off < t.length) {
+          val (a, b) = (t(i), t(i + off))
+          val key = if (a <= b) (a, b) else (b, a)
+          val (c, ca) = counts.getOrElse(key, (0L, 0L))
+          counts(key) = (c + 1L, ca + (if (off == 1) 1L else 0L))
+        }
+      }
+      val got = all.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(got == counts.toMap)
+    } finally all.unpersist()
+  }
+
   test("q107 shingle novelty: first doc scores 1.0, novel counts sum to the distinct shingle count") {
     val nov = TextOps.q107ShingleNovelty(spark, sf).cache()
     try {
