@@ -49,6 +49,7 @@ object SparkEntry {
     "q96_event_funnel" -> (Events.q96EventFunnel(_, _)),
     "q97_click_attribution" -> (Events.q97ClickAttribution(_, _)),
     "q111_unattributed_purchases" -> (Events.q111UnattributedPurchases(_, _)),
+    "q112_resample_ffill" -> (Events.q112ResampleFfill(_, _)),
     "q100_trailing_window" -> (Events.q100TrailingWindow(_, _)),
     // sketch (no SQL oracle: HLL impls differ across engines → rows-only
     // check; q63 is the oracle-gated exact twin that pins its accuracy)
@@ -502,6 +503,30 @@ object SparkEntry {
         |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
         |ORDER BY purchase_id""".stripMargin,
+    // mirrors Events.q112ResampleFfill — daily grid + fill-group
+    // forward fill (running non-null count → max per island); the
+    // carried value is copied, never recomputed (keep in lockstep)
+    "q112_resample_ffill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |  epoch_us(ts) AS us, event_id, value FROM events),
+        |obs AS (SELECT user_id, day, value AS obs_value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY us DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        | FROM obs GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM span),
+        |j AS (SELECT g.user_id, g.day, o.obs_value
+        | FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day),
+        |f AS (SELECT user_id, day, obs_value,
+        |  count(obs_value) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_group
+        | FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        | obs_value IS NOT NULL AS observed,
+        | max(obs_value) OVER (PARTITION BY user_id, fill_group) AS value_ffill
+        |FROM f ORDER BY user_id, day""".stripMargin,
     "q18_above_avg_orders" ->
       s"""WITH w AS (SELECT o_orderkey, o_custkey, o_totalprice,
          |  CAST(sum(${sqlCents("o_totalprice")}) OVER (PARTITION BY o_custkey) AS DOUBLE)

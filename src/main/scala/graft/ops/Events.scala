@@ -279,6 +279,49 @@ object Events {
     * pair space (the anti join short-circuits on the first witness,
     * never counts).
     */
+  /** Daily RESAMPLE + forward fill per user — the time-series
+    * regularization pass (gaps-and-islands): take each user's LAST
+    * event value per day (deterministic by (µs, event_id)), expand the
+    * user's observed day span to a dense daily grid
+    * (`sequence(min_day, max_day)` — generation is per-ROW, no
+    * cross-row shuffle), and carry the last observation across gap
+    * days with the FILL-GROUP trick: a running count of non-null
+    * observations partitions each user's timeline into islands led by
+    * exactly one observed row, so `max` over (user, island) IS the
+    * forward fill — order-free, engine-portable, no
+    * last_value(IGNORE NULLS) semantics to disagree on. The carried
+    * value is copied, never recomputed — no float arithmetic anywhere.
+    *
+    * Scale: everything keys on user_id (grid size = span-days × users,
+    * emitted map-side); both windows share one user-keyed exchange. A
+    * user's state is their day span, never the event count.
+    */
+  def q112ResampleFfill(s: SparkSession, d: String): DataFrame = {
+    val wLast = Window.partitionBy("user_id", "day")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val obs = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("obs_value"))
+    val grid = obs.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val wCum = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .withColumn("fill_group", count("obs_value").over(wCum))
+      .withColumn("value_ffill",
+        max("obs_value").over(Window.partitionBy("user_id", "fill_group")))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("obs_value").isNotNull.as("observed"),
+        col("value_ffill"))
+      .orderBy("user_id", "day")
+  }
+
   def q111UnattributedPurchases(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     attributionPairs(

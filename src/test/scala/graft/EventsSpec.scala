@@ -173,6 +173,42 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("q112 resample: dense daily grid per user, forward fill equals a JVM recount") {
+    val rows = Events.q112ResampleFfill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getDouble(3)))
+    val byUser = rows.groupBy(_._1)
+    // dense, duplicate-free grid spanning first..last observed day
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      assert(days.distinct.length == days.length, s"user $u has duplicate days")
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head), java.time.LocalDate.parse(days.last)) + 1
+      assert(days.length.toLong == span, s"user $u grid has gaps")
+      assert(rs.minBy(_._2)._3 && rs.maxBy(_._2)._3,
+        s"user $u span must start and end on observed days")
+    }
+    // JVM forward-fill recount from the raw events: last value per
+    // (user, day) by (us, event_id), carried across gap days
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val lastPerDay = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> es.maxBy(e => (e._3, e._4))._5
+    }
+    rows.foreach { case (u, day, observed, v) =>
+      assert(observed == lastPerDay.contains((u, day)))
+      val carriedFrom = lastPerDay.keys.filter(k => k._1 == u && k._2 <= day)
+        .maxBy(_._2)
+      assert(v == lastPerDay(carriedFrom),
+        s"user $u day $day: ffill $v != last observed ${lastPerDay(carriedFrom)}")
+    }
+  }
+
   test("q111 unattributed purchases = q97's zero-click slice, partitioned exactly") {
     val anti = Events.q111UnattributedPurchases(spark, sf)
       .select("purchase_id").collect().map(_.getLong(0)).toSet
