@@ -21,8 +21,12 @@ import graft.functions.expressions._
   * is a class, not only an object).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    // optimizer rules: rewrite rewritable builtin shapes onto the
+    // codegen'd custom expressions (see each rule's scaladoc)
+    ext.injectOptimizerRule(_ => IntersectCountRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -218,4 +218,31 @@ class ExpressionsSpec extends AnyFunSuite {
       spark.sql("SELECT token_shingles(array('a'), 'two')").collect()
     }
   }
+
+  test("optimizer rule: size(array_intersect) on string arrays rewrites to array_intersect_count") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("a", "a", null), Seq(null, "a")))
+      .toDF("x", "y")
+      // repartition keeps ConvertToLocalRelation from folding the whole
+      // projection before the plan string can be inspected
+      .repartition(1)
+      .select(org.apache.spark.sql.functions
+        .expr("size(array_intersect(x, y)) AS n"))
+    // the rewrite fired...
+    assert(df.queryExecution.optimizedPlan.toString.contains("array_intersect_count"),
+      df.queryExecution.optimizedPlan.toString)
+    // ...and the answers are the builtin's (null element in both → 1)
+    assert(df.as[Int].collect().toSeq == Seq(2, 0, 2))
+    // non-string arrays stay on the builtin (the expression is
+    // string-typed; silently rewriting ints would be an analysis break)
+    val ints = Seq((Seq(1, 2), Seq(2, 3))).toDF("x", "y")
+      .repartition(1)
+      .select(org.apache.spark.sql.functions
+        .expr("size(array_intersect(x, y)) AS n"))
+    assert(!ints.queryExecution.optimizedPlan.toString.contains("array_intersect_count"))
+    assert(ints.as[Int].collect().toSeq == Seq(1))
+  }
 }
