@@ -28,7 +28,11 @@ object Explain {
     "q94_chunk_overlap", "q95_inverted_index", "q96_event_funnel",
     "q97_click_attribution", "q98_sql_revenue", "q99_eval_holdout",
     "q100_trailing_window", "q101_fuzzy_names", "q102_triangle_counts",
-    "q103_clustering_coeff", "q104_equidepth_hist")
+    "q103_clustering_coeff", "q104_equidepth_hist",
+    "q105_weighted_sample", "q106_bpe_pairs", "q107_shingle_novelty",
+    "q108_content_chunks", "q109_boilerplate_chunks",
+    "q110_skipgram_cooccur", "q111_unattributed_purchases",
+    "q112_resample_ffill")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from
