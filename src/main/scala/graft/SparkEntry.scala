@@ -117,6 +117,7 @@ object SparkEntry {
     "q101_fuzzy_names" -> (Dedup.q101FuzzyNames(_, _)),
     "q102_triangle_counts" -> (Dedup.q102TriangleCounts(_, _)),
     "q103_clustering_coeff" -> (Dedup.q103ClusteringCoefficient(_, _)),
+    "q113_containment_pairs" -> ((s, d) => Dedup.q113ContainmentPairs(s, d)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -1029,6 +1030,32 @@ object SparkEntry {
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31_jaccard_pairs" -> q31Sql,
+    // mirrors Dedup.q113ContainmentPairs — same candidate + distinct-
+    // token CTEs as q31 (lockstep); containment = common/min(na,nb),
+    // contained side = smaller token set, ties to the smaller id
+    "q113_containment_pairs" ->
+      s"""WITH $lshSigCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         | WHERE a.doc_id < b.doc_id),
+         |dt AS (SELECT doc_id, list_distinct(${toksSql("text")}) AS dtoks FROM documents),
+         |v AS (SELECT doc_a, doc_b,
+         |  CAST(len(ta.dtoks) AS BIGINT) AS na,
+         |  CAST(len(tb.dtoks) AS BIGINT) AS nb,
+         |  CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS BIGINT) AS common
+         | FROM cand JOIN dt ta ON cand.doc_a = ta.doc_id
+         |  JOIN dt tb ON cand.doc_b = tb.doc_id),
+         |c AS (SELECT doc_a, doc_b, na, nb,
+         |  ${sqlRn("CAST(common AS DOUBLE) / CAST(least(na, nb) AS DOUBLE)", 4)} AS containment
+         | FROM v)
+         |SELECT
+         | CASE WHEN na < nb THEN doc_a WHEN nb < na THEN doc_b
+         |  ELSE least(doc_a, doc_b) END AS contained_doc,
+         | CASE WHEN na < nb THEN doc_b WHEN nb < na THEN doc_a
+         |  ELSE greatest(doc_a, doc_b) END AS container_doc,
+         | containment
+         |FROM c WHERE containment >= 0.8
+         |ORDER BY contained_doc, container_doc""".stripMargin,
     // triangles over q31's verified near-dup edges — the q31 oracle text
     // is the CTE, so the two gates can never disagree on the edge set
     "q102_triangle_counts" ->

@@ -76,6 +76,52 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** ASYMMETRIC containment pairs — quote/subset-duplication detection:
+    * containment = |A∩B| / min(|A|,|B|), the share of the SMALLER
+    * distinct-token set present in the larger. A short doc quoted
+    * wholesale inside a long one scores ~1.0 here while its Jaccard
+    * (q31) stays far below any dedup threshold — the case symmetric
+    * similarity structurally misses. Same verified-pair machinery as
+    * q31 (persisted LSH candidates → one codegen'd counting scalar per
+    * pair; join strategy left to AQE per q31's measured notes).
+    *
+    * Recall caveat, documented not hidden: MinHash-LSH candidates are
+    * tuned for JACCARD, and an extreme-ratio containment pair has low
+    * Jaccard by construction, so band collision probability drops with
+    * the size ratio. The oracle shares the candidate CTE (the gate
+    * checks verification exactness, not candidate recall); the 100 TB
+    * upgrade path is prefix filtering or an asymmetric LSH family on
+    * the same verify shape.
+    */
+  def q113ContainmentPairs(s: SparkSession, d: String,
+      threshold: Double = 0.8): DataFrame = {
+    val cand = lshCandidatePairs(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      size(col("toks")).as("na"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      size(col("toks")).as("nb"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("common",
+        graft.functions.expressions.TextExpressions
+          .arrayIntersectCount(col("toks_a"), col("toks_b")))
+      .withColumn("containment",
+        r4(col("common").cast("double") / least(col("na"), col("nb")).cast("double")))
+      .filter(col("containment") >= threshold)
+      // the contained side is the smaller token set; ties break to the
+      // smaller id (deterministic, engine-portable)
+      .select(
+        when(col("na") < col("nb"), col("doc_a"))
+          .when(col("nb") < col("na"), col("doc_b"))
+          .otherwise(least(col("doc_a"), col("doc_b"))).as("contained_doc"),
+        when(col("na") < col("nb"), col("doc_b"))
+          .when(col("nb") < col("na"), col("doc_a"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("container_doc"),
+        col("containment"))
+      .orderBy("contained_doc", "container_doc")
+  }
+
   /** MinHash + LSH candidate pairs over token 3-gram shingles.
     *
     * Signature: for each of 8 bands, min over shingles of

@@ -785,6 +785,34 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("q113 containment: bounds hold, every exact-dup pair appears at containment 1.0") {
+    val pairs = Dedup.q113ContainmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, c) =>
+      assert(a != b && c >= 0.8 && c <= 1.0, s"($a,$b,$c)")
+    }
+    // exact duplicates have identical token sets → identical signatures
+    // → guaranteed LSH candidates → containment exactly 1.0
+    val byText = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.split(" ").count(_.nonEmpty) >= 3) // shingle floor
+      .groupBy(_._2).values.filter(_.length >= 2)
+    val gotPairs = pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val fullScore = pairs.filter(_._3 == 1.0)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    byText.foreach { grp =>
+      val ids = grp.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) {
+        assert(gotPairs.contains((ids(i), ids(j))),
+          s"exact-dup pair ${ids(i)},${ids(j)} missing")
+        assert(fullScore.contains((ids(i), ids(j))),
+          s"exact-dup pair ${ids(i)},${ids(j)} not at containment 1.0")
+      }
+    }
+  }
+
   test("q110 skip-gram pairs: full map matches a JVM oracle, mass = sum of (n-1)+(n-2) per doc") {
     val all = TextOps.q110SkipgramCooccur(spark, sf, Int.MaxValue).cache()
     try {
