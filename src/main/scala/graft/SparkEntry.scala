@@ -152,6 +152,7 @@ object SparkEntry {
     // multimodal plumbing
     "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _)),
     "q68_frame_sample" -> (Multimodal.q68FrameSample(_, _)),
+    "q114_frame_features" -> ((s, d) => Multimodal.q114FrameFeatures(s, d)),
     // data layout / table maintenance
     "q79_zorder_layout" -> (Layout.q79ZOrderLayout(_, _)),
     "q80_compact_roundtrip" -> ((s, d) => Layout.q80CompactRoundtrip(s, d)),
@@ -1439,6 +1440,25 @@ object SparkEntry {
         | CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx,
         | CAST(unnest(range(0, n_frames, 4)) AS BIGINT) // 4 AS sample_ord
         |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
+    // mirrors Multimodal.q114FrameFeatures — q68's frame arithmetic
+    // (1 + n_bytes % 16, stride 4) + per-frame stub brightness + pooling
+    // with the mean as an exact integer ratio (keep in lockstep)
+    "q114_frame_features" ->
+      s"""WITH m AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
+        | FROM documents),
+        |fr AS (SELECT doc_id, n_bytes,
+        |  CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx
+        | FROM m),
+        |b AS (SELECT doc_id,
+        |  (doc_id * 31 + frame_idx * 17 + n_bytes) % 256 AS brightness
+        | FROM fr)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames_sampled,
+        | CAST(min(brightness) AS BIGINT) AS min_brightness,
+        | CAST(max(brightness) AS BIGINT) AS max_brightness,
+        | ${sqlRn("CAST(sum(brightness) AS DOUBLE) / count(*)", 4)} AS mean_brightness
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q50_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

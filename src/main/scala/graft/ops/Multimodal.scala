@@ -51,6 +51,36 @@ object Multimodal {
       .withColumn("sample_ord", expr(s"frame_idx div $step"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Per-FRAME feature extraction + per-media pooling — the shape of
+    * every video/audio feature pipeline (decode → per-frame features →
+    * clip-level pooling): sampled frame indices from the q68 arithmetic
+    * (same stub frame count, same stride — keep in lockstep), a
+    * deterministic per-frame stub "brightness" (integer arithmetic on
+    * (doc_id, frame_idx, n_bytes) standing in for the decoded pixel
+    * statistic), then per-media min/max/mean pooling with the mean as
+    * an exact integer ratio. The frame fan-out collapses map-side
+    * (partial agg) before the doc-keyed shuffle, so the exchanged rows
+    * are media-sized, not frame-sized — at 100 TB of video that is the
+    * difference between shuffling clips and shuffling frames.
+    */
+  def q114FrameFeatures(s: SparkSession, d: String, step: Int = 4): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .withColumn("n_frames", lit(1L) + col("n_bytes") % 16)
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(step.toLong))).as("frame_idx"))
+      .withColumn("brightness",
+        (col("doc_id") * 31L + col("frame_idx") * 17L + col("n_bytes")) % 256L)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames_sampled"),
+        min("brightness").as("min_brightness"),
+        max("brightness").as("max_brightness"),
+        graft.functions.Round.r4(
+          sum("brightness").cast("double") / count(lit(1))).as("mean_brightness"))
+      .orderBy("doc_id")
+
   /** Decoded-media record produced by the per-partition decode pass. */
   case class DecodedMedia(doc_id: Long, n_bytes: Int, format: String,
       width: Int, height: Int, n_frames: Int)

@@ -447,6 +447,21 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(rows.forall(r => r.width >= 64 && r.height >= 64 && r.n_frames >= 1))
   }
 
+  test("q114 frame features: pooled over exactly q68's sampled frame set, bounds hold") {
+    val feat = Multimodal.q114FrameFeatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // frame-set equality: n_frames_sampled per doc == q68's row count
+    val sampled = Multimodal.q68FrameSample(spark, sf).groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feat.view.mapValues(_._1).toMap == sampled)
+    feat.values.foreach { case (n, mn, mx, mean) =>
+      assert(n >= 1 && mn >= 0 && mx <= 255 && mn <= mx)
+      assert(mean >= mn - 1e-9 && mean <= mx + 1e-9)
+    }
+  }
+
   test("q86 bloom decontamination: flagged set equals q74, counts positive, fpp-invariant") {
     val q86 = TextOps.q86BloomDecontaminate(spark, sf).cache()
     try {
