@@ -166,6 +166,27 @@ object SparkEntry {
   private def toksSql(c: String): String =
     s"list_filter(string_split($c, ' '), x -> x <> '')"
 
+  /** q108/q109's shared chunk CTEs (mirrors TextOps.contentChunksOf —
+    * keep in lockstep): content-defined chunking, boundary iff
+    * md5(token) first hex digit ≡ 0 mod 8 (q52's digit idiom), chunk
+    * id = prefix-count of boundaries STRICTLY before the token, chunk
+    * hash over the space-joined tokens. ONE definition so the two
+    * gates can never diverge on what a chunk is.
+    */
+  private lazy val chunkCtes: String =
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+       |p AS (SELECT doc_id, ts, CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos FROM t),
+       |b AS (SELECT doc_id, pos, ts[pos + 1] AS tok,
+       |  CASE WHEN ascii(substring(md5(ts[pos + 1]), 1, 1)) % 8 = 0 THEN 1 ELSE 0 END AS f
+       | FROM p),
+       |c AS (SELECT doc_id, pos, tok,
+       |  CAST(coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+       | FROM b),
+       |g AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+       | FROM c GROUP BY doc_id, chunk_id)""".stripMargin
+
   /** q105's hash-uniform: the first 6 hex digits of md5 column `h`
     * accumulated digit-by-digit into a 24-bit integer — the identical
     * expression TEXT runs on both engines (mirrors
@@ -912,40 +933,15 @@ object SparkEntry {
          | ${sqlRn("CAST(sum(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS novelty
          |FROM sh JOIN f USING (h) GROUP BY sh.doc_id
          |ORDER BY doc_id""".stripMargin,
-    // mirrors TextOps.contentChunksOf/q108 — content-defined chunking:
-    // boundary iff md5(token) first hex digit ≡ 0 mod 8 (q52's digit
-    // idiom), chunk id = prefix-count of boundaries STRICTLY before the
-    // token; chunk hash over the space-joined tokens (keep in lockstep)
+    // mirrors TextOps.contentChunksOf/q108 via the shared chunkCtes
     "q108_content_chunks" ->
-      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
-         |p AS (SELECT doc_id, ts, CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos FROM t),
-         |b AS (SELECT doc_id, pos, ts[pos + 1] AS tok,
-         |  CASE WHEN ascii(substring(md5(ts[pos + 1]), 1, 1)) % 8 = 0 THEN 1 ELSE 0 END AS f
-         | FROM p),
-         |c AS (SELECT doc_id, pos, tok,
-         |  CAST(coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
-         | FROM b),
-         |g AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
-         | FROM c GROUP BY doc_id, chunk_id)
+      s"""WITH $chunkCtes
          |SELECT doc_id, chunk_id, n_tokens, chunk_hash FROM g
          |ORDER BY doc_id, chunk_id""".stripMargin,
     // mirrors TextOps.q109BoilerplateChunks — cross-doc recurring chunks
-    // (same chunk CTEs as q108; keep in lockstep)
+    // over the same shared chunkCtes
     "q109_boilerplate_chunks" ->
-      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
-         |p AS (SELECT doc_id, ts, CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos FROM t),
-         |b AS (SELECT doc_id, pos, ts[pos + 1] AS tok,
-         |  CASE WHEN ascii(substring(md5(ts[pos + 1]), 1, 1)) % 8 = 0 THEN 1 ELSE 0 END AS f
-         | FROM p),
-         |c AS (SELECT doc_id, pos, tok,
-         |  CAST(coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
-         | FROM b),
-         |g AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
-         | FROM c GROUP BY doc_id, chunk_id)
+      s"""WITH $chunkCtes
          |SELECT chunk_hash, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
          | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          | CAST(count(*) AS BIGINT) AS n_occ

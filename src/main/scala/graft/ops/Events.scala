@@ -207,10 +207,12 @@ object Events {
       expr(s"""user_id = c_user_id AND click_ts <= purchase_ts
               | AND click_ts >= purchase_ts - INTERVAL $horizonMinutes MINUTES
               |""".stripMargin.replace('\n', ' ')), joinType)
-    joinType match {
+    // normalized the way Spark's own JoinType.apply does, so every
+    // alias it accepts ("leftanti", "LEFT ANTI", …) routes correctly
+    joinType.toLowerCase.replace("_", "").replace(" ", "") match {
       // existence forms keep only the purchase side (no click columns
       // survive an anti/semi join) — same condition, negated/tested
-      case "left_anti" | "left_semi" | "anti" | "semi" =>
+      case "leftanti" | "leftsemi" | "anti" | "semi" =>
         joined.select(col("purchase_id"), col("user_id"), col("purchase_ts"))
       case _ =>
         joined.select(col("purchase_id"), col("click_id"), col("user_id"),
@@ -268,17 +270,6 @@ object Events {
       .orderBy("purchase_id")
   }
 
-  /** UNATTRIBUTED purchases — the NEGATION pattern (NOT EXISTS over an
-    * interval): purchases with no same-user click in the look-back
-    * hour, as a LEFT ANTI interval join through the SAME
-    * [[attributionPairs]] condition q97 and the stream-stream twin
-    * use. Plan: equality key user_id → shuffled anti hash join with
-    * the time band as the join-condition residual — the anti twin of
-    * q17's equality-only NOT EXISTS, and informationally the
-    * n_clicks_1h = 0 slice of q97 produced WITHOUT aggregating the
-    * pair space (the anti join short-circuits on the first witness,
-    * never counts).
-    */
   /** Daily RESAMPLE + forward fill per user — the time-series
     * regularization pass (gaps-and-islands): take each user's LAST
     * event value per day (deterministic by (µs, event_id)), expand the
@@ -322,6 +313,17 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  /** UNATTRIBUTED purchases — the NEGATION pattern (NOT EXISTS over an
+    * interval): purchases with no same-user click in the look-back
+    * hour, as a LEFT ANTI interval join through the SAME
+    * [[attributionPairs]] condition q97 and the stream-stream twin
+    * use. Plan: equality key user_id → shuffled anti hash join with
+    * the time band as the join-condition residual — the anti twin of
+    * q17's equality-only NOT EXISTS, and informationally the
+    * n_clicks_1h = 0 slice of q97 produced WITHOUT aggregating the
+    * pair space (the anti join short-circuits on the first witness,
+    * never counts).
+    */
   def q111UnattributedPurchases(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     attributionPairs(

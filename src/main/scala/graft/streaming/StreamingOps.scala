@@ -530,12 +530,20 @@ object StreamingOps {
     * rewrite: each batch writes a NEW versioned directory
     * (`v<batchId>/`), then atomically re-points a one-line `_CURRENT`
     * manifest (temp file + rename — atomic on HDFS and POSIX). A crash
-    * between the two leaves the previous version live and intact, and
-    * a redelivered batch (at-least-once foreachBatch) rewrites the
-    * same version dir and re-points to the same place — idempotent.
-    * At 100 TB the identical plan runs per affected partition after
-    * partition-pruning the change batch (see the q92 scaladoc); the
-    * version-and-pointer move is exactly how Delta/Iceberg commit.
+    * between the two leaves the previous version live and intact. A
+    * REDELIVERED batch (at-least-once foreachBatch — crash after the
+    * manifest commit but before the streaming checkpoint commit) is
+    * detected by `currentVersion >= batchId` and skipped outright: its
+    * effect is already committed, and re-running it would make the job
+    * read `v<batchId>` while overwriting it (the read-overwrite
+    * self-deadlock). After each commit, version dirs below the
+    * PREVIOUS committed version are deleted — the VACUUM analog: the
+    * immediately superseded version is kept one commit as the crash
+    * fallback window, everything older is unreferenced. The
+    * version-and-pointer move is exactly how Delta/Iceberg commit; at
+    * 100 TB their refinement is writing only changed files per commit
+    * (file-level copy-on-write after partition-pruning the change
+    * batch, q92's scaladoc) rather than this full-table rewrite.
     */
   def cdcUpsertStream(changes: DataFrame, tableDir: String,
       checkpointDir: String, key: String, seqCol: String)
@@ -546,23 +554,56 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         import org.apache.spark.sql.expressions.Window
-        // latest row per key within the batch: row_number over seq desc
-        // (ties broken by key — seqCol is unique per key in a CDC feed)
-        val resolved = batch
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(key).orderBy(col(seqCol).desc)))
-          .where(col("__rn") === 1).drop("__rn")
-        val base = currentCdcVersion(s, tableDir) match {
-          case Some(v) => s.read.parquet(s"$tableDir/v$v")
-          case None    => s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val current = currentCdcVersion(s, tableDir)
+        if (current.exists(_ >= batchId)) {
+          // redelivery of an already-committed batch: no-op (see above)
+          (): Unit
+        } else {
+          // latest row per key within the batch: seqCol is the CDC
+          // log-sequence-number and REQUIRED unique per key; the hash
+          // tie-break makes an out-of-contract duplicate seq pick the
+          // same row on every replay instead of a nondeterministic one
+          val resolved = batch
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(key).orderBy(col(seqCol).desc,
+                hash(struct(batch.columns.map(col): _*)).asc)))
+            .where(col("__rn") === 1).drop("__rn")
+          val base = current match {
+            case Some(v) => s.read.parquet(s"$tableDir/v$v")
+            case None    => s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+          }
+          graft.ops.Layout.upsert(base, resolved, key)
+            .write.mode("overwrite").parquet(s"$tableDir/v$batchId")
+          commitCdcVersion(s, tableDir, batchId)
+          // VACUUM analog: everything below the just-superseded version
+          // is unreferenced by any reader that started after the commit
+          current.foreach(prev => vacuumCdcVersions(s, tableDir, prev))
         }
-        graft.ops.Layout.upsert(base, resolved, key)
-          .write.mode("overwrite").parquet(s"$tableDir/v$batchId")
-        commitCdcVersion(s, tableDir, batchId)
         (): Unit
       }
       .start()
+
+  /** Delete version directories strictly below `keepFrom` (the VACUUM
+    * analog — `keepFrom` itself stays as the one-commit crash-fallback
+    * grace version).
+    */
+  private def vacuumCdcVersions(s: SparkSession, tableDir: String,
+      keepFrom: Long): Unit = {
+    val hfs = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(tableDir), s.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    if (hfs.exists(dir)) {
+      hfs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("v") &&
+            name.drop(1).forall(_.isDigit) && name.drop(1).toLong < keepFrom) {
+          hfs.delete(st.getPath, true)
+          (): Unit
+        }
+      }
+    }
+  }
 
   /** The committed version in `_CURRENT`, if any. */
   def currentCdcVersion(s: SparkSession, tableDir: String): Option[Long] = {

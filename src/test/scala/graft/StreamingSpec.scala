@@ -599,8 +599,14 @@ class StreamingSpec extends AnyFunSuite {
           graft.ops.Layout.upsert(base, resolved, "k")
       }
       assert(folded.select("k", "v").as[(Long, String)].collect().toMap == streamed)
-      // the version manifest points at the last batch's commit
+      // the version manifest points at the last batch's commit, and the
+      // VACUUM analog kept only the current + one grace version
       assert(StreamingOps.currentCdcVersion(spark, s"$dir/table").contains(2L))
+      val versions = new java.io.File(s"$dir/table").listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName).sorted.toSeq
+      assert(versions == Seq("v1", "v2"),
+        s"expected current + grace version only, got $versions")
     } finally q.stop()
   }
 }
