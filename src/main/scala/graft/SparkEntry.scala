@@ -92,6 +92,7 @@ object SparkEntry {
     "q95_inverted_index" -> ((s, d) => TextOps.q95InvertedIndex(s, d)),
     "q99_eval_holdout" -> ((s, d) => TextOps.q99EvalHoldout(s, d)),
     "q105_weighted_sample" -> ((s, d) => TextOps.q105WeightedSample(s, d)),
+    "q115_weighted_group_sample" -> ((s, d) => TextOps.q115WeightedGroupSample(s, d)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -906,6 +907,22 @@ object SparkEntry {
          | ORDER BY priority, doc_id LIMIT 1000)
          |SELECT doc_id, w, ${sqlRn("priority", 4)} AS priority
          |FROM s ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q115WeightedGroupSample — q105's priorities with
+    // q99's exact-k-per-group rank (keep uDigitsSql in lockstep)
+    "q115_weighted_group_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  md5(CAST(doc_id AS VARCHAR)) AS h,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS w
+         | FROM documents),
+         |p AS (SELECT doc_id, lang, w,
+         |  CAST($uDigitsSql AS DOUBLE) / w AS priority
+         | FROM t WHERE w > 0),
+         |r AS (SELECT lang, doc_id, w, priority,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY priority, doc_id) AS BIGINT) AS rank
+         | FROM p)
+         |SELECT lang, rank, doc_id, w, ${sqlRn("priority", 4)} AS priority
+         |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
     // mirrors TextOps.q106BpePairs — adjacent char-pair counts over the
     // DISTINCT vocabulary weighted by word frequency (BPE's first merge
     // statistic); DuckDB range(1,n) ≡ Spark sequence(1,n-1)

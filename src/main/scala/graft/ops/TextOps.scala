@@ -810,22 +810,52 @@ object TextOps {
     * sort, no full shuffle; at 1000 executors that is k·partitions
     * driver rows, fine for sample-sized k).
     */
-  def q105WeightedSample(s: SparkSession, d: String, k: Int = 1000): DataFrame = {
-    // instr with a COLUMN needle only exists on the SQL surface, so the
-    // digit extraction is an expr; the same text is the oracle's
-    val uExpr = (0 until 6).map { i =>
+  /** The 24-bit hash-uniform of md5-hex column `h` (q105/q115's
+    * shared digit extraction; SparkEntry.uDigitsSql is the oracle's
+    * verbatim mirror — keep in lockstep). `instr` with a COLUMN needle
+    * only exists on the SQL surface, so this is an expr.
+    */
+  private def hashUniform: org.apache.spark.sql.Column =
+    (0 until 6).map { i =>
       (expr(s"instr('0123456789abcdef', substring(h, ${i + 1}, 1))").cast("long") - 1L) *
         (1L << (4 * (5 - i)))
     }.reduce(_ + _)
+
+  def q105WeightedSample(s: SparkSession, d: String, k: Int = 1000): DataFrame =
     Tables.documents(s, d)
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("w", tokenCount(col("text")).cast("long"))
       .filter(col("w") > 0)
-      .withColumn("priority", uExpr.cast("double") / col("w"))
+      .withColumn("priority", hashUniform.cast("double") / col("w"))
       .orderBy(col("priority").asc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("w"), r4(col("priority")).as("priority"))
       .orderBy("doc_id")
+
+  /** PER-GROUP weighted sampling — q99's exact-k-per-group holdout
+    * discipline with q105's sequential-Poisson priorities: the k
+    * token-weighted-representative docs of EACH language, rank = the
+    * per-group priority order. Same WindowGroupLimit shape as q99 (the
+    * exchange carries ≤ k rows per group per map partition, never the
+    * group), same layout-independent membership (priority is a pure
+    * function of (doc_id, w)) — the auditable way to build balanced
+    * per-language eval or mixing sets where long docs deserve
+    * proportionally more selection mass.
+    */
+  def q115WeightedGroupSample(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy("lang")
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("w", tokenCount(col("text")).cast("long"))
+      .filter(col("w") > 0)
+      .withColumn("priority", hashUniform.cast("double") / col("w"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k.toLong)
+      .select(col("lang"), col("rank"), col("doc_id"), col("w"),
+        r4(col("priority")).as("priority"))
+      .orderBy("lang", "rank")
   }
 
   /** BPE merge-pair mining — the inner statistic of byte-pair-encoding

@@ -107,6 +107,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog, self-terminates, and equals the batch answer") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ev_drain").toString
+    // two pre-existing files = the backlog a scheduled catch-up run sees
+    val all = graft.core.Tables.events(spark, TestSpark.sf)
+    all.filter(col("event_id") % 2 === 0).write.mode("append").parquet(dir)
+    all.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(dir)
+    val q = StreamingOps.readEventStream(spark, dir)
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("drain_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow = process everything present at start, then STOP on
+    // its own — the scheduled-batch-over-streaming-code pattern; a
+    // timed-out await would mean it never self-terminated
+    assert(q.awaitTermination(120000), "query must self-terminate")
+    val streamed = spark.table("drain_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = all.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops cross-batch duplicate content") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

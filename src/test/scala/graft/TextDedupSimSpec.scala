@@ -732,6 +732,33 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got.size == math.min(k, eligible.length))
   }
 
+  test("q115 weighted group sample: per-lang k smallest priorities, ranks dense from 1") {
+    val k = 5
+    val got = TextOps.q115WeightedGroupSample(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (lang, docs) =>
+        docs.toSeq.map { case (id, _, w) =>
+          val u = hex(id.toString).take(6)
+            .map("0123456789abcdef".indexOf(_).toLong).reduce(_ * 16 + _)
+          (u.toDouble / w, id)
+        }.sorted.take(k).zipWithIndex
+          .map { case ((_, id), i) => (lang, i + 1L, id) }
+      }.toSet
+    assert(got.toSet == expected)
+    // dense ranks 1..min(k, group size) per lang
+    got.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, lang)
+    }
+  }
+
   test("q106 BPE pairs: total pair mass conserves and matches a JVM oracle on the vocabulary") {
     // run unlimited so conservation is over ALL pairs, not the top slice
     val all = TextOps.q106BpePairs(spark, sf, Int.MaxValue).cache()
