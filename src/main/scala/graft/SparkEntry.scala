@@ -93,6 +93,7 @@ object SparkEntry {
     "q99_eval_holdout" -> ((s, d) => TextOps.q99EvalHoldout(s, d)),
     "q105_weighted_sample" -> ((s, d) => TextOps.q105WeightedSample(s, d)),
     "q115_weighted_group_sample" -> ((s, d) => TextOps.q115WeightedGroupSample(s, d)),
+    "q116_url_extract" -> (TextOps.q116UrlExtract(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -923,6 +924,21 @@ object SparkEntry {
          | FROM p)
          |SELECT lang, rank, doc_id, w, ${sqlRn("priority", 4)} AS priority
          |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+    // mirrors TextOps.q116UrlExtract — the oracle PARSES INDEPENDENTLY
+    // with anchored regexes (RE2) against Spark's native parse_url; the
+    // constructed URL text must stay in lockstep
+    "q116_url_extract" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.Example.com/p/' ||
+        |  CAST(doc_id AS VARCHAR) || '/view?q=' || CAST(doc_id % 13 AS VARCHAR) ||
+        |  '&lang=' || lang AS url
+        | FROM documents)
+        |SELECT doc_id,
+        | lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+        | regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+        | regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_param,
+        | regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+        |FROM u ORDER BY doc_id""".stripMargin,
     // mirrors TextOps.q106BpePairs — adjacent char-pair counts over the
     // DISTINCT vocabulary weighted by word frequency (BPE's first merge
     // statistic); DuckDB range(1,n) ≡ Spark sequence(1,n-1)

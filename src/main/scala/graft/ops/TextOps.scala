@@ -1001,6 +1001,35 @@ object TextOps {
       .limit(k)
   }
 
+  /** Structured URL EXTRACTION — the provenance-parsing pass of a web
+    * corpus (host for per-domain quotas, path for route analytics,
+    * query params for tracking-stripping). The engine side uses
+    * Spark's native `parse_url` (codegen'd, RFC-shaped); the oracle
+    * re-derives the same fields with anchored regexes — two
+    * INDEPENDENT parsers agreeing on every row is the gate. URLs are
+    * deterministically constructed per doc (the fixtures carry no real
+    * ones — q78's messy-text trick), which also pins the parse against
+    * mixed-case hosts and multi-param query strings. Pure map-side
+    * pass; the per-domain rollup is the only (tiny, host-keyed)
+    * shuffle.
+    */
+  def q116UrlExtract(s: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      lit("https://sub"), (col("doc_id") % 7).cast("string"),
+      lit(".Example.com/p/"), col("doc_id").cast("string"),
+      lit("/view?q="), (col("doc_id") % 13).cast("string"),
+      lit("&lang="), col("lang"))
+    Tables.documents(s, d)
+      .withColumn("url", url)
+      .select(
+        col("doc_id"),
+        lower(expr("parse_url(url, 'HOST')")).as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'q')").as("q_param"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */
