@@ -94,6 +94,7 @@ object SparkEntry {
     "q105_weighted_sample" -> ((s, d) => TextOps.q105WeightedSample(s, d)),
     "q115_weighted_group_sample" -> ((s, d) => TextOps.q115WeightedGroupSample(s, d)),
     "q116_url_extract" -> (TextOps.q116UrlExtract(_, _)),
+    "q117_sql_wordcount" -> (TextOps.q117SqlWordCount(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -624,6 +625,13 @@ object SparkEntry {
         |FROM rich FULL OUTER JOIN sup ON nk_c = nk_s
         |ORDER BY nationkey""".stripMargin,
     "q20_wordcount" ->
+      s"""SELECT t AS word, count(*) AS cnt FROM (
+         | SELECT unnest(${toksSql("text")}) AS t FROM documents)
+         |GROUP BY t ORDER BY t""".stripMargin,
+    // q117 runs the reference query as SQL TEXT through the extension-
+    // registered string_tokens; the oracle is q20's own text — q20,
+    // q117 and the oracle triangulate the same semantics
+    "q117_sql_wordcount" ->
       s"""SELECT t AS word, count(*) AS cnt FROM (
          | SELECT unnest(${toksSql("text")}) AS t FROM documents)
          |GROUP BY t ORDER BY t""".stripMargin,

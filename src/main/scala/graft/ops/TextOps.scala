@@ -1030,6 +1030,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The reference query in PURE SQL through the extension surface:
+    * word count written as SQL text over the SQL-registered
+    * `string_tokens` (GraftExtensions) — proof the custom-expression
+    * SQL surface produces oracle-exact results end-to-end, not just
+    * spec-level equality. Same dir-scoped view-name discipline as q98
+    * (md5-derived suffix, concurrent Verify threads can't collide);
+    * the oracle is q20's own text, so q20, this query, and the oracle
+    * form a three-way agreement on the reference semantics.
+    */
+  def q117SqlWordCount(s: SparkSession, d: String): DataFrame = {
+    val suffix = java.util.UUID
+      .nameUUIDFromBytes(d.getBytes("UTF-8")).toString.take(8)
+    val view = s"q117_documents_$suffix"
+    Tables.documents(s, d).createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT explode(string_tokens(text)) AS word FROM $view)
+         |GROUP BY word ORDER BY word""".stripMargin)
+  }
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */
