@@ -60,6 +60,50 @@ class FormatsSpec extends AnyFunSuite {
     assert(scanStr.contains("PartitionFilters"))
   }
 
+  test("malformed records: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("dirty_json").toString
+    // three clean rows, one type-broken, one truncated JSON
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      """{"id": 1, "v": 10.0}
+        |{"id": 2, "v": 20.0}
+        |{"id": "not-a-number", "v": 30.0}
+        |{"id": 4, "v":
+        |{"id": 5, "v": 50.0}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (the 100 TB default): dirty rows land in the corrupt
+    // column instead of killing the job; clean rows parse fully
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    try {
+      assert(permissive.count() == 5)
+      assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 2)
+      assert(permissive.filter(col("_corrupt_record").isNull)
+        .agg(sum("v")).head().getDouble(0) == 80.0)
+    } finally permissive.unpersist()
+    // DROPMALFORMED's "malformed" is judged against the REQUIRED schema
+    // after column pruning — a production trap worth pinning: count()
+    // requires no columns, so only the syntactically-broken row drops
+    // (4 survive); materializing the typed columns also makes the
+    // type-mismatched row malformed (3 survive). Row counts under
+    // DROPMALFORMED are not a fixed property of the file.
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() == 4)
+    assert(dropped.select("id", "v").collect().length == 3)
+    // FAILFAST: ingestion is the error barrier
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").json(dir).collect()
+    }
+  }
+
   test("sink honors ErrorIfExists (reference fail-if-output-exists contract)") {
     val path = tmp("csv_exists")
     Formats.writeCsv(Tables.region(spark, sf), path)
