@@ -85,6 +85,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // targeted runs (comma-separated query names) for before/after
+    // measurement of one optimization without a full sweep
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val spark = graft.core.GraftSession
       .builder("graft-bench", s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
@@ -95,7 +100,8 @@ object Bench {
     // round-over-round comparison. The min is the stable noise-floor
     // estimate; protocol field records the change.
     val passes = 2
-    println(jsonLine(timeAll(spark, sfDir, passes = passes), sfDir, passes))
+    println(jsonLine(timeAll(spark, sfDir, only = only, passes = passes),
+      sfDir, passes))
     spark.stop()
   }
 }

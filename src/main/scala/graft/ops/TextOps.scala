@@ -945,8 +945,45 @@ object TextOps {
             x => x.getField("tok")), " ")).as("chunk_hash"))
   }
 
+  // memoized, persisted chunk frame — q108 and q109 both start from the
+  // same chunks, so the explode + window + agg subtree runs once per
+  // (session, dir, fingerprint), same staleness discipline as
+  // Dedup.lshSignatures. Scale honesty: unlike the signature frame
+  // (#docs × bands rows), chunks are ~corpus/8 ROWS carrying md5 hashes
+  // (~1/3 of corpus bytes) — at 100 TB this persists as a LANDED TABLE
+  // (the production shape: chunk once, every dedup pass reads it), and
+  // MEMORY_AND_DISK spills the in-session equivalent to local disk.
+  private val chunkCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def contentChunks(s: SparkSession, d: String): DataFrame =
+    chunkCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "documents")
+      chunkCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+        .foreach { stale =>
+          chunkCache.remove(stale).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+        }
+      chunkCache.getOrElseUpdate((s, d, fp),
+        contentChunksOf(Tables.documents(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Drop the memoized chunk frames (the chunk-side analog of
+    * [[graft.ops.Dedup.invalidateSignatureCache]]; single lock, takes
+    * no other).
+    */
+  def invalidateChunkCache(): Unit = chunkCache.synchronized {
+    chunkCache.values.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    chunkCache.clear()
+  }
+
   def q108ContentChunks(s: SparkSession, d: String): DataFrame =
-    contentChunksOf(Tables.documents(s, d))
+    contentChunks(s, d)
       .select("doc_id", "chunk_id", "n_tokens", "chunk_hash")
       .orderBy("doc_id", "chunk_id")
 
@@ -958,7 +995,7 @@ object TextOps {
     */
   def q109BoilerplateChunks(s: SparkSession, d: String, minDocs: Int = 2,
       k: Int = 20): DataFrame =
-    contentChunksOf(Tables.documents(s, d))
+    contentChunks(s, d)
       .filter(col("n_tokens") >= 3L)
       .groupBy("chunk_hash")
       .agg(
