@@ -181,26 +181,31 @@ object Dedup {
     * a session (e.g. after a streaming ingest lands new files) or when
     * embedding the engine in a long-lived JVM that cycles sessions — the
     * memos are per-(session, dir) SNAPSHOTS and hold session references
-    * until cleared. Lock order is epairCache, then compCache, then
+    * until cleared. Lock order is triCache (outermost), then
+    * epairCache, then compCache, then
     * candCache, then sigCache — the same total order the builds take
     * (components build candidates, candidates build signatures, each
     * while holding its own lock; the embedding-pair build touches no
     * other memo), so invalidation cannot deadlock against a build.
     */
-  def invalidateSignatureCache(): Unit = epairCache.synchronized {
-    compCache.synchronized {
-      candCache.synchronized {
-        sigCache.synchronized {
-          hashCache.synchronized {
-            (epairCache.values ++ compCache.values ++ candCache.values ++
-              sigCache.values ++ hashCache.values).foreach { df =>
-              try df.unpersist() catch { case _: Throwable => () }
+  def invalidateSignatureCache(): Unit = triCache.synchronized {
+    epairCache.synchronized {
+      compCache.synchronized {
+        candCache.synchronized {
+          sigCache.synchronized {
+            hashCache.synchronized {
+              (triCache.values ++ epairCache.values ++ compCache.values ++
+                candCache.values ++ sigCache.values ++ hashCache.values)
+                .foreach { df =>
+                  try df.unpersist() catch { case _: Throwable => () }
+                }
+              triCache.clear()
+              epairCache.clear()
+              compCache.clear()
+              candCache.clear()
+              sigCache.clear()
+              hashCache.clear()
             }
-            epairCache.clear()
-            compCache.clear()
-            candCache.clear()
-            sigCache.clear()
-            hashCache.clear()
           }
         }
       }
@@ -1007,12 +1012,37 @@ object Dedup {
           .otherwise(lit(null))).as("clustering"))
       .orderBy("doc_id")
 
+  // memoized, persisted expansion frame — q102 and q103 are two
+  // projections of the SAME contracted-graph computation, so the
+  // verify-join + triangle enumeration runs once per (session, dir,
+  // threshold, fingerprint). OUTERMOST lock in the memo order (its
+  // build calls contractedCandidatePairs → candCache/sigCache and
+  // docReps → compCache/hashCache while held; nothing takes it back).
+  // The frame is doc-sized (one stats row per doc) — safe to persist.
+  private val triCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double, String), DataFrame]
+
   /** The contracted verified near-dup graph + group map both graph
     * metrics run on: shingle-eligible docs grouped by content hash,
     * contracted candidate edges verified with q31's exact jaccard
     * expression once per GROUP pair, expanded via [[expandTriangles]].
     */
   private def expandedTriangleStats(s: SparkSession, d: String,
+      threshold: Double): DataFrame = triCache.synchronized {
+    val fp = graft.core.Fingerprint.of(s, d, "documents")
+    triCache.keys
+      .filter(k => k._1 == s && k._2 == d && k._3 == threshold && k._4 != fp)
+      .foreach { stale =>
+        triCache.remove(stale).foreach { df =>
+          try df.unpersist() catch { case _: Throwable => () }
+        }
+      }
+    triCache.getOrElseUpdate((s, d, threshold, fp),
+      expandedTriangleStatsRaw(s, d, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private def expandedTriangleStatsRaw(s: SparkSession, d: String,
       threshold: Double): DataFrame = {
     val eligible = Tables.documents(s, d)
       .select(col("doc_id"),
