@@ -855,6 +855,42 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("content chunking: 200 seeded random docs chunk exactly like a JVM reference chunker") {
+    import spark.implicits._
+    // seeded random corpora (the TokenizeSpec discipline — scalatestplus
+    // isn't in the offline cache, so generation is hand-rolled)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "Wort", "词", "x1", "émc", "zz9")
+    val docs = (0L until 200L).map { id =>
+      val n = rnd.nextInt(40) // includes empty docs
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = TextOps.contentChunksOf(docs.toDF("doc_id", "text"))
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_hash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // JVM reference chunker: same boundary class (md5 first hex digit
+    // % 8 == 0 ends a chunk), same chunk id (boundaries strictly before)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = collection.mutable.Map.empty[(Long, Long), (Long, String)]
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      var chunk = 0L
+      val buf = collection.mutable.ArrayBuffer.empty[String]
+      def flush(): Unit = if (buf.nonEmpty) {
+        expected((id, chunk)) = (buf.length.toLong, hex(buf.mkString(" ")))
+        buf.clear()
+      }
+      toks.foreach { t =>
+        buf += t
+        if (hex(t).head.toInt % 8 == 0) { flush(); chunk += 1 }
+      }
+      flush()
+    }
+    assert(got == expected.toMap)
+  }
+
   test("q110 skip-gram pairs: full map matches a JVM oracle, mass = sum of (n-1)+(n-2) per doc") {
     val all = TextOps.q110SkipgramCooccur(spark, sf, Int.MaxValue).cache()
     try {
