@@ -95,6 +95,7 @@ object SparkEntry {
     "q115_weighted_group_sample" -> ((s, d) => TextOps.q115WeightedGroupSample(s, d)),
     "q116_url_extract" -> (TextOps.q116UrlExtract(_, _)),
     "q117_sql_wordcount" -> (TextOps.q117SqlWordCount(_, _)),
+    "q118_winnow_fingerprints" -> ((s, d) => TextOps.q118WinnowFingerprints(s, d)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -932,6 +933,27 @@ object SparkEntry {
          | FROM p)
          |SELECT lang, rank, doc_id, w, ${sqlRn("priority", 4)} AS priority
          |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+    // mirrors TextOps.q118WinnowFingerprints — same composite-key
+    // rightmost-min construction over the trailing 4-window of hashed
+    // 3-shingles (keep in lockstep)
+    "q118_winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |shl AS (SELECT doc_id,
+         |  list_transform(range(0, greatest(len(ts) - 2, 0)), i -> array_to_string(ts[i + 1:i + 3], ' ')) AS shs
+         | FROM t),
+         |sh AS (SELECT doc_id, CAST(unnest(range(0, len(shs))) AS BIGINT) AS pos, shs FROM shl),
+         |h AS (SELECT doc_id, pos, md5(shs[pos + 1]) AS h FROM sh),
+         |k AS (SELECT doc_id, pos,
+         |  h || '|' || lpad(CAST(999999999999 - pos AS VARCHAR), 12, '0') AS k
+         | FROM h),
+         |m AS (SELECT doc_id,
+         |  min(k) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+         | FROM k)
+         |SELECT DISTINCT doc_id,
+         | 999999999999 - CAST(split_part(mk, '|', 2) AS BIGINT) AS sel_pos,
+         | split_part(mk, '|', 1) AS sel_h
+         |FROM m ORDER BY doc_id, sel_pos""".stripMargin,
     // mirrors TextOps.q116UrlExtract — the oracle PARSES INDEPENDENTLY
     // with anchored regexes (RE2) against Spark's native parse_url; the
     // constructed URL text must stay in lockstep

@@ -1087,6 +1087,42 @@ object TextOps {
          |GROUP BY word ORDER BY word""".stripMargin)
   }
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken 2003
+    * — the MOSS algorithm): slide a window of `w` consecutive shingle
+    * hashes over each document and select each window's minimum
+    * (rightmost on hash ties), giving a position-aware fingerprint set
+    * with the guarantee that any shared run of ≥ w+k−1 tokens between
+    * two docs shares at least one selected fingerprint — the
+    * local-similarity detector that whole-doc MinHash (q32) is blind
+    * to (MinHash sees global resemblance; winnowing catches a single
+    * plagiarized paragraph).
+    *
+    * The rightmost-min selection is ONE windowed `min` over an
+    * engine-portable composite key: `h || '|' || lpad(BIG − pos)` —
+    * lexicographic min = smallest hash, ties to the LARGEST position
+    * (inverted zero-padded offset). No argmin window-over-window, no
+    * struct-ordering semantics to disagree on. One doc-keyed exchange;
+    * the DISTINCT collapses the ~w duplicate selections per window
+    * run. Fingerprint density ≈ 2/(w+1) of the shingle stream.
+    */
+  def q118WinnowFingerprints(s: SparkSession, d: String, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(shingles3(tokens(col("text")))).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
+      .withColumn("k",
+        concat(col("h"), lit("|"),
+          lpad((lit(999999999999L) - col("pos")).cast("string"), 12, "0")))
+      .withColumn("mk", min("k").over(win))
+      .select(col("doc_id"),
+        (lit(999999999999L) - expr("split_part(mk, '|', 2)").cast("long")).as("sel_pos"),
+        expr("split_part(mk, '|', 1)").as("sel_h"))
+      .distinct()
+      .orderBy("doc_id", "sel_pos")
+  }
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */

@@ -891,6 +891,45 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got == expected.toMap)
   }
 
+  test("q118 winnowing: matches a JVM reference winnower; shared runs share a fingerprint") {
+    val got = TextOps.q118WinnowFingerprints(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // JVM reference: rightmost min of each trailing 4-window of hashed
+    // 3-shingles (partial windows at the head included, as in the op)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        val hs = toks.sliding(3).filter(_.length == 3)
+          .map(g => hex(g.mkString(" "))).toArray
+        hs.indices.flatMap { e =>
+          val lo = math.max(0, e - 3)
+          // rightmost minimum of hs(lo..e)
+          val sel = (lo to e).minBy(p => (hs(p), -p))
+          Some((id, sel.toLong, hs(sel)))
+        }.distinct
+      }.toSet
+    assert(got.toSet == expected && got.nonEmpty)
+    // the winnowing guarantee on exact-dup docs (identical shingle
+    // streams): identical fingerprint SETS (pos + hash)
+    val byDoc = got.groupBy(_._1)
+    val dupGroups = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.split(" ").count(_.nonEmpty) >= 3)
+      .groupBy(_._2).values.filter(_.length >= 2)
+    dupGroups.foreach { grp =>
+      val sets = grp.map(_._1).map(id =>
+        byDoc.getOrElse(id, Array.empty).map(f => (f._2, f._3)).toSet)
+      assert(sets.forall(_ == sets.head),
+        s"exact dups ${grp.map(_._1).toSeq} have different fingerprint sets")
+    }
+  }
+
   test("q110 skip-gram pairs: full map matches a JVM oracle, mass = sum of (n-1)+(n-2) per doc") {
     val all = TextOps.q110SkipgramCooccur(spark, sf, Int.MaxValue).cache()
     try {
