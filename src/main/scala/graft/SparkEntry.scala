@@ -96,6 +96,7 @@ object SparkEntry {
     "q116_url_extract" -> (TextOps.q116UrlExtract(_, _)),
     "q117_sql_wordcount" -> (TextOps.q117SqlWordCount(_, _)),
     "q118_winnow_fingerprints" -> ((s, d) => TextOps.q118WinnowFingerprints(s, d)),
+    "q119_winnow_pairs" -> ((s, d) => TextOps.q119WinnowPairs(s, d)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -954,6 +955,28 @@ object SparkEntry {
          | 999999999999 - CAST(split_part(mk, '|', 2) AS BIGINT) AS sel_pos,
          | split_part(mk, '|', 1) AS sel_h
          |FROM m ORDER BY doc_id, sel_pos""".stripMargin,
+    // mirrors TextOps.q119WinnowPairs — distinct-fingerprint equality
+    // join over the q118 selection (same CTEs; keep in lockstep)
+    "q119_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |shl AS (SELECT doc_id,
+         |  list_transform(range(0, greatest(len(ts) - 2, 0)), i -> array_to_string(ts[i + 1:i + 3], ' ')) AS shs
+         | FROM t),
+         |sh AS (SELECT doc_id, CAST(unnest(range(0, len(shs))) AS BIGINT) AS pos, shs FROM shl),
+         |h AS (SELECT doc_id, pos, md5(shs[pos + 1]) AS h FROM sh),
+         |k AS (SELECT doc_id, pos,
+         |  h || '|' || lpad(CAST(999999999999 - pos AS VARCHAR), 12, '0') AS k
+         | FROM h),
+         |m AS (SELECT doc_id,
+         |  min(k) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+         | FROM k),
+         |fp AS (SELECT DISTINCT doc_id, split_part(mk, '|', 1) AS sel_h FROM m)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fp a JOIN fp b ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // mirrors TextOps.q116UrlExtract — the oracle PARSES INDEPENDENTLY
     // with anchored regexes (RE2) against Spark's native parse_url; the
     // constructed URL text must stay in lockstep

@@ -1123,6 +1123,30 @@ object TextOps {
       .orderBy("doc_id", "sel_pos")
   }
 
+  /** Winnow-fingerprint SHARING pairs — MOSS's actual report: doc
+    * pairs ranked by how many distinct winnowed fingerprints they
+    * share (local overlap evidence; `minShared` prunes singleton-hash
+    * coincidences). Candidate generation is an equality join on the
+    * fingerprint hash — the winnowed stream is ~2/(w+1) of the shingle
+    * stream, so this joins a DENSITY-REDUCED key space (the same
+    * bucket-join shape as LSH, never all-pairs; a boilerplate hash
+    * shared by m docs contributes C(m,2) pairs, the same blow-up
+    * consideration the LSH family documents).
+    */
+  def q119WinnowPairs(s: SparkSession, d: String, w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val fp = q118WinnowFingerprints(s, d, w)
+      .select(col("doc_id"), col("sel_h")).distinct()
+    val a = fp.select(col("doc_id").as("doc_a"), col("sel_h"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("sel_h"))
+    a.join(b, Seq("sel_h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared.toLong)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */

@@ -930,6 +930,26 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 winnow pairs: n_shared equals the distinct-fingerprint intersection, dups pair fully") {
+    val fp = TextOps.q118WinnowFingerprints(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pairs = TextOps.q119WinnowPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    // every reported count is exactly the fingerprint-set intersection
+    pairs.foreach { case ((a, b), n) =>
+      assert(n == fp(a).intersect(fp(b)).size.toLong, s"($a,$b)")
+    }
+    // completeness: any doc pair with >= 2 shared fingerprints appears
+    val ids = fp.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      n = fp(ids(i)).intersect(fp(ids(j))).size if n >= 2
+    } yield (ids(i), ids(j))).toSet
+    assert(pairs.map(_._1).toSet == expected)
+  }
+
   test("q110 skip-gram pairs: full map matches a JVM oracle, mass = sum of (n-1)+(n-2) per doc") {
     val all = TextOps.q110SkipgramCooccur(spark, sf, Int.MaxValue).cache()
     try {
