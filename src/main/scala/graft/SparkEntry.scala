@@ -192,6 +192,15 @@ object SparkEntry {
        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
        | FROM c GROUP BY doc_id, chunk_id)""".stripMargin
 
+  /** The word-count oracle text, bound ONCE for q20 and q117 — the
+    * "q20/q117/oracle triangulate one semantics" contract is
+    * structural, not comment-enforced.
+    */
+  private lazy val wordCountOracleSql: String =
+    s"""SELECT t AS word, count(*) AS cnt FROM (
+       | SELECT unnest(${toksSql("text")}) AS t FROM documents)
+       |GROUP BY t ORDER BY t""".stripMargin
+
   /** q105's hash-uniform: the first 6 hex digits of md5 column `h`
     * accumulated digit-by-digit into a 24-bit integer — the identical
     * expression TEXT runs on both engines (mirrors
@@ -626,17 +635,11 @@ object SparkEntry {
         | coalesce(n_suppliers, 0) AS n_suppliers
         |FROM rich FULL OUTER JOIN sup ON nk_c = nk_s
         |ORDER BY nationkey""".stripMargin,
-    "q20_wordcount" ->
-      s"""SELECT t AS word, count(*) AS cnt FROM (
-         | SELECT unnest(${toksSql("text")}) AS t FROM documents)
-         |GROUP BY t ORDER BY t""".stripMargin,
+    "q20_wordcount" -> wordCountOracleSql,
     // q117 runs the reference query as SQL TEXT through the extension-
     // registered string_tokens; the oracle is q20's own text — q20,
     // q117 and the oracle triangulate the same semantics
-    "q117_sql_wordcount" ->
-      s"""SELECT t AS word, count(*) AS cnt FROM (
-         | SELECT unnest(${toksSql("text")}) AS t FROM documents)
-         |GROUP BY t ORDER BY t""".stripMargin,
+    "q117_sql_wordcount" -> wordCountOracleSql,
     "q21_wordcount_per_lang" ->
       s"""SELECT lang, t AS word, count(*) AS cnt FROM (
          | SELECT lang, unnest(${toksSql("text")}) AS t FROM documents)

@@ -792,24 +792,6 @@ object TextOps {
       .orderBy("term", "block")
   }
 
-  /** Deterministic WEIGHTED sampling without replacement — sequential
-    * Poisson / priority sampling (Ohlsson 1998; Duffield et al. 2007):
-    * each doc gets priority u/w where u is a hash-derived uniform and
-    * w its weight (token count), and the k smallest priorities are the
-    * sample. Inclusion probability is approximately proportional to w,
-    * so long docs are token-budget-representative — the corpus-mixing
-    * cousin of q52's unweighted hash sample.
-    *
-    * Engine-portable determinism: u is built DIGIT BY DIGIT from the
-    * first 6 hex chars of md5(doc_id) (`instr` into the hex alphabet —
-    * no engine-specific hex-to-int cast), and priority = u/w is ONE
-    * IEEE division of exact integers, which every engine rounds
-    * identically — no ln/pow (multi-ulp, libm-dependent) anywhere.
-    * Plan shape: pure map-side pass → TakeOrderedAndProject (per-
-    * partition k-heaps, k rows per partition to the driver — no global
-    * sort, no full shuffle; at 1000 executors that is k·partitions
-    * driver rows, fine for sample-sized k).
-    */
   /** The 24-bit hash-uniform of md5-hex column `h` (q105/q115's
     * shared digit extraction; SparkEntry.uDigitsSql is the oracle's
     * verbatim mirror — keep in lockstep). `instr` with a COLUMN needle
@@ -821,6 +803,24 @@ object TextOps {
         (1L << (4 * (5 - i)))
     }.reduce(_ + _)
 
+  /** Deterministic WEIGHTED sampling without replacement — sequential
+    * Poisson / priority sampling (Ohlsson 1998; Duffield et al. 2007):
+    * each doc gets priority u/w where u is a hash-derived uniform and
+    * w its weight (token count), and the k smallest priorities are the
+    * sample. Inclusion probability is approximately proportional to w,
+    * so long docs are token-budget-representative — the corpus-mixing
+    * cousin of q52's unweighted hash sample.
+    *
+    * Engine-portable determinism: u is built DIGIT BY DIGIT from the
+    * first 6 hex chars of md5(doc_id) ([[hashUniform]] — no
+    * engine-specific hex-to-int cast), and priority = u/w is ONE
+    * IEEE division of exact integers, which every engine rounds
+    * identically — no ln/pow (multi-ulp, libm-dependent) anywhere.
+    * Plan shape: pure map-side pass → TakeOrderedAndProject (per-
+    * partition k-heaps, k rows per partition to the driver — no global
+    * sort, no full shuffle; at 1000 executors that is k·partitions
+    * driver rows, fine for sample-sized k).
+    */
   def q105WeightedSample(s: SparkSession, d: String, k: Int = 1000): DataFrame =
     Tables.documents(s, d)
       .withColumn("h", md5(col("doc_id").cast("string")))
@@ -1105,23 +1105,31 @@ object TextOps {
     * the DISTINCT collapses the ~w duplicate selections per window
     * run. Fingerprint density ≈ 2/(w+1) of the shingle stream.
     */
-  def q118WinnowFingerprints(s: SparkSession, d: String, w: Int = 4): DataFrame = {
+  /** The winnow selection core: distinct per-window composite-key
+    * minima `(doc_id, mk)` — `mk` encodes (hash, inverted position),
+    * so this distinct IS the fingerprint set. q118 decorates it for
+    * presentation; q119 projects just the hash.
+    */
+  private def winnowSelections(docs: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(w - 1), Window.currentRow)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), posexplode(shingles3(tokens(col("text")))).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
       .withColumn("k",
         concat(col("h"), lit("|"),
           lpad((lit(999999999999L) - col("pos")).cast("string"), 12, "0")))
-      .withColumn("mk", min("k").over(win))
+      .select(col("doc_id"), min("k").over(win).as("mk"))
+      .distinct()
+  }
+
+  def q118WinnowFingerprints(s: SparkSession, d: String, w: Int = 4): DataFrame =
+    winnowSelections(Tables.documents(s, d), w)
       .select(col("doc_id"),
         (lit(999999999999L) - expr("split_part(mk, '|', 2)").cast("long")).as("sel_pos"),
         expr("split_part(mk, '|', 1)").as("sel_h"))
-      .distinct()
       .orderBy("doc_id", "sel_pos")
-  }
 
   /** Winnow-fingerprint SHARING pairs — MOSS's actual report: doc
     * pairs ranked by how many distinct winnowed fingerprints they
@@ -1135,8 +1143,11 @@ object TextOps {
     */
   def q119WinnowPairs(s: SparkSession, d: String, w: Int = 4,
       minShared: Int = 2): DataFrame = {
-    val fp = q118WinnowFingerprints(s, d, w)
-      .select(col("doc_id"), col("sel_h")).distinct()
+    // straight off the selection core: no sel_pos arithmetic, no
+    // presentation sort — just the distinct (doc, hash) set
+    val fp = winnowSelections(Tables.documents(s, d), w)
+      .select(col("doc_id"), expr("split_part(mk, '|', 1)").as("sel_h"))
+      .distinct()
     val a = fp.select(col("doc_id").as("doc_a"), col("sel_h"))
     val b = fp.select(col("doc_id").as("doc_b"), col("sel_h"))
     a.join(b, Seq("sel_h"))

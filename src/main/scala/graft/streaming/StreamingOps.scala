@@ -527,66 +527,92 @@ object StreamingOps {
     * across batch and streaming.
     *
     * Crash-safety is the lakehouse-manifest pattern, not in-place
-    * rewrite: each batch writes a NEW versioned directory
-    * (`v<batchId>/`), then atomically re-points a one-line `_CURRENT`
-    * manifest (temp file + rename — atomic on HDFS and POSIX). A crash
-    * between the two leaves the previous version live and intact. A
-    * REDELIVERED batch (at-least-once foreachBatch — crash after the
-    * manifest commit but before the streaming checkpoint commit) is
-    * detected by `currentVersion >= batchId` and skipped outright: its
-    * effect is already committed, and re-running it would make the job
-    * read `v<batchId>` while overwriting it (the read-overwrite
-    * self-deadlock). After each commit, version dirs below the
-    * PREVIOUS committed version are deleted — the VACUUM analog: the
-    * immediately superseded version is kept one commit as the crash
-    * fallback window, everything older is unreferenced. The
-    * version-and-pointer move is exactly how Delta/Iceberg commit; at
-    * 100 TB their refinement is writing only changed files per commit
-    * (file-level copy-on-write after partition-pruning the change
-    * batch, q92's scaladoc) rather than this full-table rewrite.
+    * rewrite: each batch writes a NEW table-version directory
+    * (`v<version>/` — a monotonic counter, decoupled from batch ids),
+    * then atomically re-points a `_CURRENT` manifest (temp file +
+    * rename — atomic on HDFS and POSIX) recording (version, streamId,
+    * lastBatchId). A crash between the two leaves the previous version
+    * live and intact. A REDELIVERED batch (at-least-once foreachBatch
+    * — crash after the manifest commit but before the streaming
+    * checkpoint commit) is detected by the manifest carrying THE SAME
+    * STREAM IDENTITY with `lastBatchId >= batchId`, and skipped — the
+    * Delta txn (appId, batchVersion) idempotence key. Keying the guard
+    * on stream identity (default: the checkpoint location, which IS
+    * the batch-id namespace) is what makes a checkpoint reset safe: a
+    * fresh checkpoint restarts batch ids at 0 under a NEW identity, so
+    * its batches apply on top of the current table instead of being
+    * silently swallowed by a stale high-water mark. One writer at a
+    * time per table (the manifest tracks a single stream identity —
+    * the standard single-writer table contract).
+    *
+    * After each commit, all but the newest `keepVersions` table
+    * versions are deleted — the VACUUM analog. A reader that resolved
+    * `_CURRENT` more than keepVersions-1 commits ago can lose its
+    * directory mid-scan; production systems make this window
+    * time-based (Delta's retention-hours) — here it is commit-based
+    * and configurable, and the default keeps one superseded version as
+    * the crash-fallback/reader grace. The version-and-pointer move is
+    * exactly how Delta/Iceberg commit; at 100 TB their refinement is
+    * writing only changed files per commit (file-level copy-on-write
+    * after partition-pruning the change batch, q92's scaladoc) rather
+    * than this full-table rewrite.
     */
   def cdcUpsertStream(changes: DataFrame, tableDir: String,
-      checkpointDir: String, key: String, seqCol: String)
+      checkpointDir: String, key: String, seqCol: String,
+      keepVersions: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val s = batch.sparkSession
-        import org.apache.spark.sql.expressions.Window
-        val current = currentCdcVersion(s, tableDir)
-        if (current.exists(_ >= batchId)) {
-          // redelivery of an already-committed batch: no-op (see above)
-          (): Unit
-        } else {
-          // latest row per key within the batch: seqCol is the CDC
-          // log-sequence-number and REQUIRED unique per key; the hash
-          // tie-break makes an out-of-contract duplicate seq pick the
-          // same row on every replay instead of a nondeterministic one
-          val resolved = batch
-            .withColumn("__rn", row_number().over(
-              Window.partitionBy(key).orderBy(col(seqCol).desc,
-                hash(struct(batch.columns.map(col): _*)).asc)))
-            .where(col("__rn") === 1).drop("__rn")
-          val base = current match {
-            case Some(v) => s.read.parquet(s"$tableDir/v$v")
-            case None    => s.createDataFrame(
-              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-          }
-          graft.ops.Layout.upsert(base, resolved, key)
-            .write.mode("overwrite").parquet(s"$tableDir/v$batchId")
-          commitCdcVersion(s, tableDir, batchId)
-          // VACUUM analog: everything below the just-superseded version
-          // is unreferenced by any reader that started after the commit
-          current.foreach(prev => vacuumCdcVersions(s, tableDir, prev))
-        }
+        applyCdcBatch(batch, tableDir, streamId = checkpointDir, batchId,
+          key, seqCol, keepVersions)
         (): Unit
       }
       .start()
 
+  /** One CDC commit: resolve the batch to its latest row per key,
+    * merge onto the current table version, land the next version, and
+    * re-point the manifest — or skip if (streamId, batchId) already
+    * committed. Returns whether the batch was applied (false =
+    * redelivery no-op). Public so the idempotence and epoch semantics
+    * are directly testable without staging a crash.
+    */
+  def applyCdcBatch(batch: Dataset[org.apache.spark.sql.Row],
+      tableDir: String, streamId: String, batchId: Long,
+      key: String, seqCol: String, keepVersions: Int = 2): Boolean = {
+    val s = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val m = readCdcManifest(s, tableDir)
+    if (m.exists(mm => mm.streamId == streamId && mm.lastBatch >= batchId)) {
+      false // this stream already committed this batch (see scaladoc)
+    } else {
+      // latest row per key within the batch: seqCol is the CDC
+      // log-sequence-number and REQUIRED unique per key; the hash
+      // tie-break makes an out-of-contract duplicate seq pick the
+      // same row on every replay instead of a nondeterministic one
+      val resolved = batch
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(key).orderBy(col(seqCol).desc,
+            hash(struct(batch.columns.map(col): _*)).asc)))
+        .where(col("__rn") === 1).drop("__rn")
+      val base = m match {
+        case Some(mm) => s.read.parquet(s"$tableDir/v${mm.version}")
+        case None     => s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+      }
+      val newVersion = m.map(_.version + 1).getOrElse(0L)
+      graft.ops.Layout.upsert(base, resolved, key)
+        .write.mode("overwrite").parquet(s"$tableDir/v$newVersion")
+      commitCdcManifest(s, tableDir,
+        CdcManifest(newVersion, streamId, batchId))
+      vacuumCdcVersions(s, tableDir, newVersion - (keepVersions - 1))
+      true
+    }
+  }
+
   /** Delete version directories strictly below `keepFrom` (the VACUUM
-    * analog — `keepFrom` itself stays as the one-commit crash-fallback
-    * grace version).
+    * analog; see [[cdcUpsertStream]]'s retention note).
     */
   private def vacuumCdcVersions(s: SparkSession, tableDir: String,
       keepFrom: Long): Unit = {
@@ -605,30 +631,43 @@ object StreamingOps {
     }
   }
 
-  /** The committed version in `_CURRENT`, if any. */
-  def currentCdcVersion(s: SparkSession, tableDir: String): Option[Long] = {
+  /** The `_CURRENT` manifest: committed table version, the identity of
+    * the stream that committed it, and that stream's last batch id
+    * (the idempotence high-water mark — per stream, NOT global).
+    */
+  case class CdcManifest(version: Long, streamId: String, lastBatch: Long)
+
+  /** Parse `_CURRENT`, if present. */
+  def readCdcManifest(s: SparkSession, tableDir: String): Option[CdcManifest] = {
     val hfs = org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(tableDir), s.sparkContext.hadoopConfiguration)
     val cur = new org.apache.hadoop.fs.Path(tableDir, "_CURRENT")
     if (!hfs.exists(cur)) None
     else {
       val in = hfs.open(cur)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = txt.split("\n", -1).map(_.trim)
+      Some(CdcManifest(lines(0).toLong, lines.lift(1).getOrElse(""),
+        lines.lift(2).map(_.toLong).getOrElse(-1L)))
     }
   }
 
-  /** Atomically re-point `_CURRENT` at a version: write a temp manifest
-    * then rename over the old one (rename is the atomic primitive).
+  /** The committed table version in `_CURRENT`, if any. */
+  def currentCdcVersion(s: SparkSession, tableDir: String): Option[Long] =
+    readCdcManifest(s, tableDir).map(_.version)
+
+  /** Atomically re-point `_CURRENT`: write a temp manifest then rename
+    * over the old one (rename is the atomic primitive).
     */
-  private def commitCdcVersion(s: SparkSession, tableDir: String,
-      version: Long): Unit = {
+  private def commitCdcManifest(s: SparkSession, tableDir: String,
+      m: CdcManifest): Unit = {
     val hfs = org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(tableDir), s.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(tableDir, s"_CURRENT.tmp$version")
+    val tmp = new org.apache.hadoop.fs.Path(tableDir, s"_CURRENT.tmp${m.version}")
     val cur = new org.apache.hadoop.fs.Path(tableDir, "_CURRENT")
     val out = hfs.create(tmp, true)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"${m.version}\n${m.streamId}\n${m.lastBatch}"
+      .getBytes("UTF-8")) finally out.close()
     // FileContext rename + OVERWRITE is the atomic-replace primitive on
     // both HDFS and the local FS (FileSystem.rename won't overwrite)
     org.apache.hadoop.fs.FileContext

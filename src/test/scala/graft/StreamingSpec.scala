@@ -623,14 +623,32 @@ class StreamingSpec extends AnyFunSuite {
           graft.ops.Layout.upsert(base, resolved, "k")
       }
       assert(folded.select("k", "v").as[(Long, String)].collect().toMap == streamed)
-      // the version manifest points at the last batch's commit, and the
-      // VACUUM analog kept only the current + one grace version
+      // the version manifest points at the last commit, and the VACUUM
+      // analog kept only the current + one grace version
       assert(StreamingOps.currentCdcVersion(spark, s"$dir/table").contains(2L))
       val versions = new java.io.File(s"$dir/table").listFiles()
         .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
         .map(_.getName).sorted.toSeq
       assert(versions == Seq("v1", "v2"),
         s"expected current + grace version only, got $versions")
+      // REDELIVERY idempotence: the same (streamId, batchId) again is a
+      // no-op — state and version unchanged
+      val redelivered = Seq((9L, "NOT-APPLIED", 99L)).toDF("k", "v", "seq")
+      assert(!StreamingOps.applyCdcBatch(redelivered, s"$dir/table",
+        streamId = s"$dir/ckpt", batchId = 2L, key = "k", seqCol = "seq"))
+      assert(state() == Map(1L -> "a2", 2L -> "b2", 3L -> "c1", 4L -> "d"))
+      assert(StreamingOps.currentCdcVersion(spark, s"$dir/table").contains(2L))
+      // EPOCH safety: a NEW stream identity restarting at batchId 0
+      // (checkpoint reset / replacement pipeline) must APPLY, not be
+      // swallowed by the old stream's high-water mark
+      val epoch = Seq((5L, "e", 100L)).toDF("k", "v", "seq")
+      assert(StreamingOps.applyCdcBatch(epoch, s"$dir/table",
+        streamId = "fresh-ckpt", batchId = 0L, key = "k", seqCol = "seq"))
+      assert(state() == Map(1L -> "a2", 2L -> "b2", 3L -> "c1", 4L -> "d", 5L -> "e"))
+      assert(StreamingOps.currentCdcVersion(spark, s"$dir/table").contains(3L))
+      // ...and ITS redelivery is then skipped too
+      assert(!StreamingOps.applyCdcBatch(epoch, s"$dir/table",
+        streamId = "fresh-ckpt", batchId = 0L, key = "k", seqCol = "seq"))
     } finally q.stop()
   }
 }

@@ -13,6 +13,14 @@ class TextDedupSimSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  /** The JVM md5-hex oracle shared by every hash-pinning spec below —
+    * ONE definition so a hashing-idiom change cannot silently diverge
+    * one oracle from the engine semantics it pins.
+    */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("q20 wordcount: counts sum to total token count") {
     val sumCnt = TextOps.q20WordCount(spark, sf).agg(sum("cnt")).head().getLong(0)
     val tokens = Tables.documents(spark, sf)
@@ -569,14 +577,11 @@ class TextDedupSimSpec extends AnyFunSuite {
           col("max_rank") =!= col("taken")).count() == 0L)
       // independent JVM-side oracle: membership is a pure function of
       // (lang, md5(doc_id|salt)) — no dependence on physical layout
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(s: String) = md.digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
       val expected = Tables.documents(spark, sf)
         .select("lang", "doc_id").collect()
         .map(r => (r.getString(0), r.getLong(1)))
         .groupBy(_._1).toSeq.flatMap { case (lang, docs) =>
-          docs.toSeq.map { case (_, id) => (hex(s"$id|q99-holdout"), id) }
+          docs.toSeq.map { case (_, id) => (md5hex(s"$id|q99-holdout"), id) }
             .sorted.take(k)
             .map { case (_, id) => (lang, id) }
         }.toSet
@@ -714,16 +719,13 @@ class TextDedupSimSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // independent JVM oracle: same md5-digit uniform, same one-division
     // priority, sorted with the same (priority, doc_id) tie-break
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
     val eligible = Tables.documents(spark, sf)
       .select(col("doc_id"),
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("w"))
       .filter(col("w") > 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val expected = eligible.map { case (id, w) =>
-      val u = hex(id.toString).take(6)
+      val u = md5hex(id.toString).take(6)
         .map("0123456789abcdef".indexOf(_).toLong)
         .reduce(_ * 16 + _)
       (u.toDouble / w, id)
@@ -736,9 +738,6 @@ class TextDedupSimSpec extends AnyFunSuite {
     val k = 5
     val got = TextOps.q115WeightedGroupSample(spark, sf, k).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
     val expected = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"),
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("w"))
@@ -746,7 +745,7 @@ class TextDedupSimSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .groupBy(_._2).toSeq.flatMap { case (lang, docs) =>
         docs.toSeq.map { case (id, _, w) =>
-          val u = hex(id.toString).take(6)
+          val u = md5hex(id.toString).take(6)
             .map("0123456789abcdef".indexOf(_).toLong).reduce(_ * 16 + _)
           (u.toDouble / w, id)
         }.sorted.take(k).zipWithIndex
@@ -870,21 +869,18 @@ class TextDedupSimSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
     // JVM reference chunker: same boundary class (md5 first hex digit
     // % 8 == 0 ends a chunk), same chunk id (boundaries strictly before)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
     val expected = collection.mutable.Map.empty[(Long, Long), (Long, String)]
     docs.foreach { case (id, text) =>
       val toks = text.split(" ").filter(_.nonEmpty)
       var chunk = 0L
       val buf = collection.mutable.ArrayBuffer.empty[String]
       def flush(): Unit = if (buf.nonEmpty) {
-        expected((id, chunk)) = (buf.length.toLong, hex(buf.mkString(" ")))
+        expected((id, chunk)) = (buf.length.toLong, md5hex(buf.mkString(" ")))
         buf.clear()
       }
       toks.foreach { t =>
         buf += t
-        if (hex(t).head.toInt % 8 == 0) { flush(); chunk += 1 }
+        if (md5hex(t).head.toInt % 8 == 0) { flush(); chunk += 1 }
       }
       flush()
     }
@@ -896,16 +892,13 @@ class TextDedupSimSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     // JVM reference: rightmost min of each trailing 4-window of hashed
     // 3-shingles (partial windows at the head included, as in the op)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
     val expected = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .flatMap { r =>
         val id = r.getLong(0)
         val toks = r.getString(1).split(" ").filter(_.nonEmpty)
         val hs = toks.sliding(3).filter(_.length == 3)
-          .map(g => hex(g.mkString(" "))).toArray
+          .map(g => md5hex(g.mkString(" "))).toArray
         hs.indices.flatMap { e =>
           val lo = math.max(0, e - 3)
           // rightmost minimum of hs(lo..e)
