@@ -97,6 +97,7 @@ object SparkEntry {
     "q117_sql_wordcount" -> (TextOps.q117SqlWordCount(_, _)),
     "q118_winnow_fingerprints" -> ((s, d) => TextOps.q118WinnowFingerprints(s, d)),
     "q119_winnow_pairs" -> ((s, d) => TextOps.q119WinnowPairs(s, d)),
+    "q120_vocab_growth" -> (TextOps.q120VocabGrowth(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -980,6 +981,24 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id
          |GROUP BY doc_a, doc_b HAVING count(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // mirrors TextOps.q120VocabGrowth — first-sighting deciles of the
+    // id range, ten-row cumsum (keep the decile arithmetic in lockstep)
+    "q120_vocab_growth" ->
+      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |f AS (SELECT t AS tok, min(doc_id) AS doc_id FROM (
+         |  SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents)
+         | GROUP BY t),
+         |dcl AS (SELECT least(10, (f.doc_id - b.lo) * 10 // (b.hi - b.lo + 1) + 1) AS decile
+         | FROM f CROSS JOIN b),
+         |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_new_tokens
+         | FROM dcl GROUP BY decile),
+         |filled AS (SELECT CAST(d AS BIGINT) AS decile,
+         |  coalesce(g.n_new_tokens, 0) AS n_new_tokens
+         | FROM (SELECT unnest(range(1, 11)) AS d) ds LEFT JOIN g ON g.decile = ds.d)
+         |SELECT decile, n_new_tokens,
+         | CAST(sum(n_new_tokens) OVER (ORDER BY decile
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+         |FROM filled ORDER BY decile""".stripMargin,
     // mirrors TextOps.q116UrlExtract — the oracle PARSES INDEPENDENTLY
     // with anchored regexes (RE2) against Spark's native parse_url; the
     // constructed URL text must stay in lockstep

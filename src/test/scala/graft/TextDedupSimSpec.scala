@@ -943,6 +943,19 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(pairs.map(_._1).toSet == expected)
   }
 
+  test("q120 vocab growth: ten total rows, monotone cumsum ending at the distinct vocabulary") {
+    val rows = TextOps.q120VocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .distinct().count()
+    assert(rows.map(_._2).sum == vocab)
+    assert(rows.last._3 == vocab)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + b._2, "cumsum must chain") }
+  }
+
   test("q110 skip-gram pairs: full map matches a JVM oracle, mass = sum of (n-1)+(n-2) per doc") {
     val all = TextOps.q110SkipgramCooccur(spark, sf, Int.MaxValue).cache()
     try {
