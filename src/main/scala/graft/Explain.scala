@@ -34,7 +34,7 @@ object Explain {
     "q110_skipgram_cooccur", "q111_unattributed_purchases",
     "q112_resample_ffill", "q113_containment_pairs", "q114_frame_features",
     "q115_weighted_group_sample", "q116_url_extract", "q117_sql_wordcount",
-    "q118_winnow_fingerprints", "q119_winnow_pairs")
+    "q118_winnow_fingerprints", "q119_winnow_pairs", "q120_vocab_growth")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from
