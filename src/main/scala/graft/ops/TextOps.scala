@@ -1124,12 +1124,27 @@ object TextOps {
       .distinct()
   }
 
-  def q118WinnowFingerprints(s: SparkSession, d: String, w: Int = 4): DataFrame =
-    winnowSelections(Tables.documents(s, d), w)
-      .select(col("doc_id"),
+  def q118WinnowFingerprints(s: SparkSession, d: String, w: Int = 4): DataFrame = {
+    // same exact-dup contraction as q119: winnow the distinct-text
+    // reps once, replicate to members by the content-hash membership
+    // join (selection is a function of content alone, so a member's
+    // set IS its rep's — positions included, since identical text has
+    // identical shingle positions)
+    val hashes = graft.ops.Dedup.contentHashes(s, d)
+    val reps = hashes.groupBy("h").agg(min("doc_id").as("rep"))
+    val membership = hashes.join(reps, Seq("h"))
+      .select(col("doc_id"), col("rep"))
+    val repDocs = Tables.documents(s, d)
+      .join(membership.filter(col("doc_id") === col("rep"))
+        .select("doc_id"), Seq("doc_id"))
+    winnowSelections(repDocs, w)
+      .select(col("doc_id").as("rep"),
         (lit(999999999999L) - expr("split_part(mk, '|', 2)").cast("long")).as("sel_pos"),
         expr("split_part(mk, '|', 1)").as("sel_h"))
+      .join(membership, Seq("rep"))
+      .select(col("doc_id"), col("sel_pos"), col("sel_h"))
       .orderBy("doc_id", "sel_pos")
+  }
 
   /** Winnow-fingerprint SHARING pairs — MOSS's actual report: doc
     * pairs ranked by how many distinct winnowed fingerprints they
@@ -1143,18 +1158,45 @@ object TextOps {
     */
   def q119WinnowPairs(s: SparkSession, d: String, w: Int = 4,
       minShared: Int = 2): DataFrame = {
-    // straight off the selection core: no sel_pos arithmetic, no
-    // presentation sort — just the distinct (doc, hash) set
-    val fp = winnowSelections(Tables.documents(s, d), w)
-      .select(col("doc_id"), expr("split_part(mk, '|', 1)").as("sel_h"))
+    // EXACT-DUP CONTRACTION first — the q102 move, valid for the same
+    // reason: fingerprints are a function of content alone, so every
+    // member of a content-hash group carries the rep's exact set. On a
+    // dup-heavy corpus the naive fingerprint self-join pays m² joins
+    // per m-member group against an m-times-replicated hash space
+    // (MEASURED: 22.5 s at the 20× stress corpus; contracted: the
+    // rep-level join runs on the distinct-text corpus). The doc-pair
+    // OUTPUT is still quadratic per group — that is the answer's own
+    // size — but it is produced by closed-form membership expansion,
+    // never by joining replicated fingerprints.
+    val hashes = graft.ops.Dedup.contentHashes(s, d)
+    val reps = hashes.groupBy("h").agg(min("doc_id").as("rep"))
+    val membership = hashes.join(reps, Seq("h"))
+      .select(col("doc_id"), col("rep"))
+    val repDocs = Tables.documents(s, d)
+      .join(membership.filter(col("doc_id") === col("rep"))
+        .select("doc_id"), Seq("doc_id"))
+    val fp = winnowSelections(repDocs, w)
+      .select(col("doc_id").as("rep"), expr("split_part(mk, '|', 1)").as("sel_h"))
       .distinct()
-    val a = fp.select(col("doc_id").as("doc_a"), col("sel_h"))
-    val b = fp.select(col("doc_id").as("doc_b"), col("sel_h"))
-    a.join(b, Seq("sel_h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    val a = fp.select(col("rep").as("rep_a"), col("sel_h"))
+    val b = fp.select(col("rep").as("rep_b"), col("sel_h"))
+    // rep_a == rep_b rows carry |fp(group)| — the within-group count
+    val repShared = a.join(b, Seq("sel_h"))
+      .filter(col("rep_a") <= col("rep_b"))
+      .groupBy("rep_a", "rep_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared.toLong)
+    // expand to doc pairs: a cross-group member pair appears exactly
+    // once (each member binds only its group's side); within-group
+    // cross products need the doc_a < doc_b half
+    repShared
+      .join(membership.select(col("rep").as("rep_a"), col("doc_id").as("doc_a")),
+        Seq("rep_a"))
+      .join(membership.select(col("rep").as("rep_b"), col("doc_id").as("doc_b")),
+        Seq("rep_b"))
+      .filter(col("rep_a") =!= col("rep_b") || col("doc_a") < col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("n_shared"))
       .orderBy("doc_a", "doc_b")
   }
 
