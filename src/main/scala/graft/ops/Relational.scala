@@ -311,13 +311,28 @@ object Relational {
     * args)` was measured to lit-convert Map values, so DataFrames
     * can't bind as table args on the Scala API; the catalog route is
     * the supported one.
+    *
+    * SQL-TEXT TYPE TRAP (the r6 red row): Spark's SQL PARSER types
+    * `100.0` as DECIMAL(4,1) — unlike the DataFrame API, where
+    * `lit(100.0)` is DOUBLE — and SQL `floor(DOUBLE)` returns BIGINT,
+    * so the r6 revenue expression `floor(x*100.0+0.5)/100.0` was
+    * BIGINT/DECIMAL ⇒ DECIMAL(27,6) on the engine side while DuckDB
+    * produced DOUBLE. Pandas normalizes both to float64 (rows/schema
+    * "matched"), but the driver's hash sees the physical type.
+    * The expression below therefore (a) rounds to cents in EXACT
+    * BIGINT arithmetic — `s+50 - (s+50)%100` is 100·⌊(s+50)/100⌋, the
+    * half-up cent rounding of the 10^-4-dollar sum, no floating
+    * intermediate at all — and (b) divides with both operands CAST to
+    * DOUBLE explicitly, so both parsers type every node identically
+    * and the single IEEE division is bit-deterministic across engines.
     */
   val q98SqlTemplate: String =
     s"""WITH lc AS (SELECT l_orderkey, l_suppkey,
        |  ${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")}) AS net_c
        | FROM {lineitem})
        |SELECT n_name,
-       | ${sqlRn("CAST(sum(net_c) AS DOUBLE) / 10000.0", 2)} AS revenue,
+       | CAST(sum(net_c) + 50 - ((sum(net_c) + 50) % 100) AS DOUBLE)
+       |   / CAST(10000.0 AS DOUBLE) AS revenue,
        | count(*) AS n_items
        |FROM {region}
        | JOIN {nation} ON n_regionkey = r_regionkey

@@ -165,8 +165,18 @@ class OpsSpec extends AnyFunSuite {
         col("s_suppkey") === col("l_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
-      .agg(r2(sum("net_c").cast("double") / lit(10000.0)).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg({
+        // same exact-integer cent rounding as the SQL text: s+50-(s+50)%100
+        val s50 = sum("net_c") + lit(50L)
+        ((s50 - s50 % lit(100L)).cast("double") / lit(10000.0)).as("revenue")
+      }, count(lit(1)).as("n_items"))
+    // the r6 red row: the SQL parser types `100.0` as DECIMAL and floor()
+    // as BIGINT, so the old floor-based text produced DECIMAL(27,6) while
+    // the oracle produced DOUBLE — pandas hid it, the driver's hash did
+    // not. Pin the physical type so the regression is impossible.
+    assert(viaSql.schema("revenue").dataType ==
+      org.apache.spark.sql.types.DoubleType,
+      s"q98 revenue must be DOUBLE, got ${viaSql.schema("revenue").dataType}")
     assert(viaSql.exceptAll(viaDf).count() == 0 &&
       viaDf.exceptAll(viaSql).count() == 0)
   }
