@@ -951,14 +951,14 @@ object SparkEntry {
          |k AS (SELECT doc_id, pos,
          |  h || '|' || lpad(CAST(999999999999 - pos AS VARCHAR), 12, '0') AS k
          | FROM h),
-         |m AS (SELECT doc_id,
+         |m AS (SELECT doc_id, pos,
          |  min(k) OVER (PARTITION BY doc_id ORDER BY pos
          |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
          | FROM k)
          |SELECT DISTINCT doc_id,
          | 999999999999 - CAST(split_part(mk, '|', 2) AS BIGINT) AS sel_pos,
          | split_part(mk, '|', 1) AS sel_h
-         |FROM m ORDER BY doc_id, sel_pos""".stripMargin,
+         |FROM m WHERE pos >= 3 ORDER BY doc_id, sel_pos""".stripMargin,
     // mirrors TextOps.q119WinnowPairs — distinct-fingerprint equality
     // join over the q118 selection (same CTEs; keep in lockstep)
     "q119_winnow_pairs" ->
@@ -971,11 +971,12 @@ object SparkEntry {
          |k AS (SELECT doc_id, pos,
          |  h || '|' || lpad(CAST(999999999999 - pos AS VARCHAR), 12, '0') AS k
          | FROM h),
-         |m AS (SELECT doc_id,
+         |m AS (SELECT doc_id, pos,
          |  min(k) OVER (PARTITION BY doc_id ORDER BY pos
          |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
          | FROM k),
-         |fp AS (SELECT DISTINCT doc_id, split_part(mk, '|', 1) AS sel_h FROM m)
+         |fp AS (SELECT DISTINCT doc_id, split_part(mk, '|', 1) AS sel_h
+         | FROM m WHERE pos >= 3)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | CAST(count(*) AS BIGINT) AS n_shared
          |FROM fp a JOIN fp b ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id

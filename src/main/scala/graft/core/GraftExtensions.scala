@@ -56,6 +56,16 @@ object GraftExtensions {
     reg("token_shingles",
       "token_shingles(tokens, n) - n-gram shingles of a token array (n a literal int)") {
       case Seq(t, Literal(n: Int, IntegerType)) => TokenShingles(t, n)
+      // fold a constant expression (e.g. 1+1) down to the int literal;
+      // a non-int or non-constant n gets a targeted message instead of
+      // the misleading arity error
+      case Seq(t, n) if n.resolved && n.foldable &&
+          n.dataType == IntegerType && n.eval() != null =>
+        TokenShingles(t, n.eval().asInstanceOf[Int])
+      case Seq(_, n) =>
+        throw new IllegalArgumentException(
+          "token_shingles: n must be a constant non-null INT, got " +
+            (if (n.resolved) n.dataType.simpleString else n.sql))
       case other => badArgs("token_shingles", other)
     },
     reg("token_counts",

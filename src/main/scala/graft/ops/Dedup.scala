@@ -1030,8 +1030,12 @@ object Dedup {
   private def expandedTriangleStats(s: SparkSession, d: String,
       threshold: Double): DataFrame = triCache.synchronized {
     val fp = graft.core.Fingerprint.of(s, d, "documents")
+    // stale-fp eviction must ignore the threshold: an entry cached
+    // under ANY threshold for this (session, dir) is stale once the
+    // fingerprint moves, and would otherwise stay persisted until an
+    // explicit invalidate
     triCache.keys
-      .filter(k => k._1 == s && k._2 == d && k._3 == threshold && k._4 != fp)
+      .filter(k => k._1 == s && k._2 == d && k._4 != fp)
       .foreach { stale =>
         triCache.remove(stale).foreach { df =>
           try df.unpersist() catch { case _: Throwable => () }

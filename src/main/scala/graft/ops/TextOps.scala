@@ -1120,7 +1120,14 @@ object TextOps {
       .withColumn("k",
         concat(col("h"), lit("|"),
           lpad((lit(999999999999L) - col("pos")).cast("string"), 12, "0")))
-      .select(col("doc_id"), min("k").over(win).as("mk"))
+      .select(col("doc_id"), col("pos"), min("k").over(win).as("mk"))
+      // STRICT winnowing (Schleimer et al. §4): select only from FULL
+      // w-windows — positions 0..w-2 see a truncated leading window and
+      // would emit extra fingerprints the algorithm doesn't define. A
+      // doc with fewer than w shingles selects nothing, which is the
+      // spec: the detection guarantee only covers runs ≥ w+k−1 tokens.
+      .where(col("pos") >= lit((w - 1).toLong))
+      .select(col("doc_id"), col("mk"))
       .distinct()
   }
 

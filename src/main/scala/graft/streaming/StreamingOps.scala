@@ -543,7 +543,17 @@ object StreamingOps {
     * its batches apply on top of the current table instead of being
     * silently swallowed by a stale high-water mark. One writer at a
     * time per table (the manifest tracks a single stream identity —
-    * the standard single-writer table contract).
+    * the standard single-writer table contract). SECOND-WRITER
+    * SEMANTICS, precisely: writers that alternate SEQUENTIALLY are
+    * well-defined — each commit applies last-writer-wins on the
+    * current state, and batch-id dedup follows whichever identity
+    * holds the manifest (spec-pinned in StreamingSpec). TRULY
+    * CONCURRENT writers are out of contract: two commits that read
+    * the same manifest race on the same v(n+1) directory and the
+    * _CURRENT rename, and the loser's update is silently lost —
+    * serialize writers externally (what Delta's optimistic commit
+    * protocol exists to solve; a log-based CAS commit is the upgrade
+    * path if multi-writer ever becomes a requirement here).
     *
     * After each commit, all but the newest `keepVersions` table
     * versions are deleted — the VACUUM analog. A reader that resolved
@@ -560,7 +570,9 @@ object StreamingOps {
   def cdcUpsertStream(changes: DataFrame, tableDir: String,
       checkpointDir: String, key: String, seqCol: String,
       keepVersions: Int = 2)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keepVersions >= 1,
+      s"keepVersions must be >= 1 (got $keepVersions)")
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -570,6 +582,7 @@ object StreamingOps {
         (): Unit
       }
       .start()
+  }
 
   /** One CDC commit: resolve the batch to its latest row per key,
     * merge onto the current table version, land the next version, and
@@ -581,6 +594,10 @@ object StreamingOps {
   def applyCdcBatch(batch: Dataset[org.apache.spark.sql.Row],
       tableDir: String, streamId: String, batchId: Long,
       key: String, seqCol: String, keepVersions: Int = 2): Boolean = {
+    // keepVersions < 1 would make vacuum's keepFrom exceed the version
+    // just committed and delete it out from under _CURRENT
+    require(keepVersions >= 1,
+      s"keepVersions must be >= 1 (got $keepVersions)")
     val s = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
     val m = readCdcManifest(s, tableDir)
@@ -625,6 +642,13 @@ object StreamingOps {
         if (st.isDirectory && name.startsWith("v") &&
             name.drop(1).forall(_.isDigit) && name.drop(1).toLong < keepFrom) {
           hfs.delete(st.getPath, true)
+          (): Unit
+        }
+        // a writer that crashed between manifest create and rename
+        // leaves _CURRENT.tmp<v> behind; nothing else ever deletes it
+        // (rename consumed the live one), so sweep orphans here
+        if (st.isFile && name.startsWith("_CURRENT.tmp")) {
+          hfs.delete(st.getPath, false)
           (): Unit
         }
       }

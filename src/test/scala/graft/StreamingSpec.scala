@@ -651,4 +651,41 @@ class StreamingSpec extends AnyFunSuite {
         streamId = "fresh-ckpt", batchId = 0L, key = "k", seqCol = "seq"))
     } finally q.stop()
   }
+
+  test("CDC writer contract: keepVersions guard, orphan tmp sweep, sequential second writer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_contract").toString
+    val tbl = s"$dir/table"
+    val b0 = Seq((1L, "a", 1L)).toDF("k", "v", "seq")
+    // keepVersions < 1 would vacuum the version just committed out
+    // from under _CURRENT — rejected loudly up front
+    intercept[IllegalArgumentException] {
+      StreamingOps.applyCdcBatch(b0, tbl, "w1", 0L, "k", "seq",
+        keepVersions = 0)
+    }
+    assert(StreamingOps.applyCdcBatch(b0, tbl, "w1", 0L, "k", "seq"))
+    // a writer that crashed between manifest create and rename leaves
+    // _CURRENT.tmp<v> behind; the next commit's vacuum sweeps it
+    val orphan = java.nio.file.Paths.get(tbl, "_CURRENT.tmp999")
+    java.nio.file.Files.writeString(orphan, "999\ncrashed-writer\n0")
+    val b1 = Seq((2L, "b", 2L)).toDF("k", "v", "seq")
+    assert(StreamingOps.applyCdcBatch(b1, tbl, "w1", 1L, "k", "seq"))
+    assert(!java.nio.file.Files.exists(orphan),
+      "orphaned _CURRENT.tmp manifest must be swept by vacuum")
+    // SEQUENTIAL second writer (the documented contract: one writer AT
+    // A TIME; true concurrency is out of contract): a different
+    // identity applies last-writer-wins on top of the current state,
+    // and each identity's batch-id dedup tracks the manifest identity
+    val w2 = Seq((1L, "A2", 10L)).toDF("k", "v", "seq")
+    assert(StreamingOps.applyCdcBatch(w2, tbl, "w2", 0L, "k", "seq"))
+    val state = StreamingOps.readCdcTable(spark, tbl)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "A2", 2L -> "b"))
+    // w1 resuming after w2 took the manifest: its identity no longer
+    // matches, so its next batch APPLIES (last-writer-wins, not an
+    // error) — this is why true concurrent interleaving must be
+    // externally serialized
+    assert(StreamingOps.applyCdcBatch(
+      Seq((3L, "c", 3L)).toDF("k", "v", "seq"), tbl, "w1", 1L, "k", "seq"))
+  }
 }

@@ -890,8 +890,9 @@ class TextDedupSimSpec extends AnyFunSuite {
   test("q118 winnowing: matches a JVM reference winnower; shared runs share a fingerprint") {
     val got = TextOps.q118WinnowFingerprints(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    // JVM reference: rightmost min of each trailing 4-window of hashed
-    // 3-shingles (partial windows at the head included, as in the op)
+    // JVM reference: rightmost min of each FULL trailing 4-window of
+    // hashed 3-shingles (strict winnowing — no partial leading windows;
+    // a doc with < 4 shingles selects nothing)
     val expected = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .flatMap { r =>
@@ -899,8 +900,8 @@ class TextDedupSimSpec extends AnyFunSuite {
         val toks = r.getString(1).split(" ").filter(_.nonEmpty)
         val hs = toks.sliding(3).filter(_.length == 3)
           .map(g => md5hex(g.mkString(" "))).toArray
-        hs.indices.flatMap { e =>
-          val lo = math.max(0, e - 3)
+        (3 until hs.length).flatMap { e =>
+          val lo = e - 3
           // rightmost minimum of hs(lo..e)
           val sel = (lo to e).minBy(p => (hs(p), -p))
           Some((id, sel.toLong, hs(sel)))
