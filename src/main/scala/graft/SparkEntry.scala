@@ -53,7 +53,7 @@ object SparkEntry {
     "q100_trailing_window" -> (Events.q100TrailingWindow(_, _)),
     // sketch (no SQL oracle: HLL impls differ across engines → rows-only
     // check; q63 is the oracle-gated exact twin that pins its accuracy)
-    "q38_approx_distinct" -> (Events.q38ApproxDistinct(_, _)),
+    "q38_approx_distinct" -> (Events.q38ApproxDistinctGated(_, _)),
     "q63_exact_distinct" -> (Events.q63ExactDistinct(_, _)),
     // semi / anti joins
     "q16_customers_with_big_orders" -> (Relational.q16CustomersWithBigOrders(_, _)),
@@ -140,9 +140,9 @@ object SparkEntry {
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
     "q104_equidepth_hist" -> ((s, d) => ScalarSuites.q104EquiDepthHistogram(s, d)),
-    // sketch quantiles (no SQL oracle: t-digest internals are
-    // engine-specific → rows-only; accuracy bounded vs exact q44 in-spec)
-    "q66_approx_percentiles" -> (ScalarSuites.q66ApproxPercentiles(_, _)),
+    // sketch quantiles, oracle-gated via in-query error-bound booleans
+    // (raw t-digest values stay spec-bounded vs exact q44)
+    "q66_approx_percentiles" -> ((s, d) => ScalarSuites.q66ApproxPercentilesGated(s, d)),
     "q45_string_suite" -> (ScalarSuites.q45StringSuite(_, _)),
     "q46_array_suite" -> (ScalarSuites.q46ArraySuite(_, _)),
     "q47_date_suite" -> (ScalarSuites.q47DateSuite(_, _)),
@@ -453,6 +453,14 @@ object SparkEntry {
     "q63_exact_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // mirrors Events.q38ApproxDistinctGated — the exact columns are
+    // computed; the sketch's error-bound boolean is the oracle's
+    // ASSERTION (literal TRUE): the row goes red iff the engine-side
+    // HLL estimate leaves its 10% band
+    "q38_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | count(*) AS n_events, TRUE AS hll_within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q14_running_value" ->
       s"""SELECT user_id,
@@ -1404,6 +1412,18 @@ object SparkEntry {
       s"""SELECT c_mktsegment, count(*) AS n_orders,
          | ${sqlRn("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
          | ${sqlRn("quantile_cont(o_totalprice, 0.9)", 4)} AS p90
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // mirrors ScalarSuites.q66ApproxPercentilesGated — exact
+    // percentiles via quantile_cont (bit-parity with Spark's
+    // percentile, proven by q44); the t-digest error-bound booleans
+    // are the oracle's ASSERTION (literal TRUE): a red row means the
+    // sketch left its 2% band
+    "q66_approx_percentiles" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         | ${sqlRn("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
+         | ${sqlRn("quantile_cont(o_totalprice, 0.9)", 4)} AS p90,
+         | TRUE AS p50_within_2pct, TRUE AS p90_within_2pct
          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // mirrors ScalarSuites.q104EquiDepthHistogram — quantile_cont

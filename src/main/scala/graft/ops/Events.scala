@@ -85,6 +85,25 @@ object Events {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** The ORACLE-GATED shape of [[q38ApproxDistinct]] (registered as
+    * q38): the raw HLL estimate is not DuckDB-expressible (different
+    * sketch), but its ERROR BOUND is — the gated output carries the
+    * exact columns plus `hll_within_10pct`, the in-query assertion
+    * |approx − exact| ≤ 0.10·exact, which the oracle states as literal
+    * TRUE. HLL++ hashes values deterministically (order- and
+    * partition-invariant), so the boolean is deterministic: the
+    * CORRECTNESS row goes red iff the sketch ever leaves its bound.
+    * The raw estimate stays observable via [[q38ApproxDistinct]],
+    * which EventsSpec bounds against the oracle-gated exact twin.
+    */
+  def q38ApproxDistinctGated(s: SparkSession, d: String): DataFrame =
+    q38ApproxDistinct(s, d)
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users").cast("double") * lit(0.10))
+          .as("hll_within_10pct"))
+      .orderBy("event_type")
+
   /** Exact-distinct twin of [[q38ApproxDistinct]] — same grouping, exact
     * aggregates only, so DuckDB can oracle-gate it. Together with the
     * EventsSpec error-bound test this pins q38's accuracy: the exact

@@ -65,6 +65,38 @@ object ScalarSuites {
       .orderBy("c_mktsegment")
   }
 
+  /** The ORACLE-GATED shape of [[q66ApproxPercentiles]] (registered as
+    * q66): the sketch validation report. The exact percentiles (q44's
+    * own expression, oracle-proven bit-parity with `quantile_cont`)
+    * ride along, and the t-digest estimates are gated by the in-query
+    * bound columns |approx − exact| ≤ 0.02·exact, which the oracle
+    * states as literal TRUE. `approx_percentile` is deterministic for
+    * a given input set (mergeable digest, order-invariant), so the
+    * CORRECTNESS row goes red iff the sketch ever leaves its bound.
+    * The raw estimates stay observable via [[q66ApproxPercentiles]],
+    * which OpsSpec bounds against the exact q44 twin.
+    */
+  def q66ApproxPercentilesGated(s: SparkSession, d: String,
+      accuracy: Int = 10000): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("percentile(o_totalprice, 0.5)").as("p50_raw"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_raw"),
+        expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)").as("p50a"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $accuracy)").as("p90a"))
+      .select(col("c_mktsegment"), col("n_orders"),
+        r4(col("p50_raw")).as("p50"), r4(col("p90_raw")).as("p90"),
+        (abs(col("p50a") - col("p50_raw")) <= col("p50_raw") * lit(0.02))
+          .as("p50_within_2pct"),
+        (abs(col("p90a") - col("p90_raw")) <= col("p90_raw") * lit(0.02))
+          .as("p90_within_2pct"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Statistical aggregates — stddev, variance, Pearson correlation —
     * computed from EXACT integer power sums (Σx, Σx², Σxy over cents)
     * with the textbook closed forms, instead of Spark's built-in
