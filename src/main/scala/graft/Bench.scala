@@ -100,8 +100,20 @@ object Bench {
     // round-over-round comparison. The min is the stable noise-floor
     // estimate; protocol field records the change.
     val passes = 2
-    println(jsonLine(timeAll(spark, sfDir, only = only, passes = passes),
-      sfDir, passes))
+    val line = jsonLine(timeAll(spark, sfDir, only = only, passes = passes),
+      sfDir, passes)
+    println(line)
+    // the stdout line is harvested through a fixed-size tail window and
+    // with 118 queries the per-query map loses its head (BENCH_r06 kept
+    // only the last 69 queries) — also land the COMPLETE artifact as a
+    // file, the way the stress runner does, so round-over-round
+    // comparison always has every query
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -124,6 +124,9 @@ object SparkEntry {
     "q102_triangle_counts" -> (Dedup.q102TriangleCounts(_, _)),
     "q103_clustering_coeff" -> (Dedup.q103ClusteringCoefficient(_, _)),
     "q113_containment_pairs" -> ((s, d) => Dedup.q113ContainmentPairs(s, d)),
+    // exact-recall containment: prefix-filtered candidates, so the
+    // independent all-pairs oracle hash-checks candidate RECALL itself
+    "q121_containment_exact" -> ((s, d) => Dedup.q121ContainmentExact(s, d)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -1170,6 +1173,29 @@ object SparkEntry {
          | containment
          |FROM c WHERE containment >= 0.8
          |ORDER BY contained_doc, container_doc""".stripMargin,
+    // mirrors Dedup.q121ContainmentExact — deliberately INDEPENDENT
+    // brute-force all-pairs containment (no shared candidate CTE):
+    // the engine's prefix-filtered candidate generation is the thing
+    // under test, so a recall miss is a hash mismatch here
+    "q121_containment_exact" ->
+      s"""WITH dt AS (SELECT doc_id, list_distinct(${toksSql("text")}) AS dtoks
+         |  FROM documents),
+         |dtn AS (SELECT doc_id, dtoks FROM dt WHERE len(dtoks) > 0),
+         |v AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(a.dtoks) AS BIGINT) AS na,
+         |  CAST(len(b.dtoks) AS BIGINT) AS nb,
+         |  CAST(len(list_intersect(a.dtoks, b.dtoks)) AS BIGINT) AS common
+         | FROM dtn a JOIN dtn b ON a.doc_id < b.doc_id),
+         |c AS (SELECT doc_a, doc_b, na, nb,
+         |  ${sqlRn("CAST(common AS DOUBLE) / CAST(least(na, nb) AS DOUBLE)", 4)} AS containment
+         | FROM v WHERE common * 10000 >= 8000 * least(na, nb))
+         |SELECT
+         | CASE WHEN na < nb THEN doc_a WHEN nb < na THEN doc_b
+         |  ELSE least(doc_a, doc_b) END AS contained_doc,
+         | CASE WHEN na < nb THEN doc_b WHEN nb < na THEN doc_a
+         |  ELSE greatest(doc_a, doc_b) END AS container_doc,
+         | containment
+         |FROM c ORDER BY contained_doc, container_doc""".stripMargin,
     // triangles over q31's verified near-dup edges — the q31 oracle text
     // is the CTE, so the two gates can never disagree on the edge set
     "q102_triangle_counts" ->

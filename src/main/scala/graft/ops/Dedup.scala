@@ -88,10 +88,12 @@ object Dedup {
     * Recall caveat, documented not hidden: MinHash-LSH candidates are
     * tuned for JACCARD, and an extreme-ratio containment pair has low
     * Jaccard by construction, so band collision probability drops with
-    * the size ratio. The oracle shares the candidate CTE (the gate
-    * checks verification exactness, not candidate recall); the 100 TB
-    * upgrade path is prefix filtering or an asymmetric LSH family on
-    * the same verify shape.
+    * the size ratio — MEASURED at 0.70 / 0.46 / 0.24 recall for ratios
+    * 8/16/32 (ContainmentRecallProbe, NOTES r7). The oracle shares the
+    * candidate CTE (the gate checks verification exactness, not
+    * candidate recall); [[q121ContainmentExact]] is the implemented
+    * exact-recall path — prefix-filtered candidates on this same
+    * verify shape, gated against an independent all-pairs oracle.
     */
   def q113ContainmentPairs(s: SparkSession, d: String,
       threshold: Double = 0.8): DataFrame = {
@@ -111,6 +113,112 @@ object Dedup {
       .filter(col("containment") >= threshold)
       // the contained side is the smaller token set; ties break to the
       // smaller id (deterministic, engine-portable)
+      .select(
+        when(col("na") < col("nb"), col("doc_a"))
+          .when(col("nb") < col("na"), col("doc_b"))
+          .otherwise(least(col("doc_a"), col("doc_b"))).as("contained_doc"),
+        when(col("na") < col("nb"), col("doc_b"))
+          .when(col("nb") < col("na"), col("doc_a"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("container_doc"),
+        col("containment"))
+      .orderBy("contained_doc", "container_doc")
+  }
+
+  /** PREFIX-FILTERED containment pairs — the EXACT-recall upgrade path
+    * the q113 scaladoc promised, implemented because the measurement
+    * demanded it (ContainmentRecallProbe, NOTES r7: LSH candidate
+    * recall on planted containment pairs is 0.70 / 0.46 / 0.24 at
+    * length ratios 8/16/32 — the 1−(1−1/r)^8 banding curve — so
+    * extreme-ratio quotes DO slip past the Jaccard-tuned bands).
+    *
+    * Candidate generation is the prefix-filter theorem, not LSH: order
+    * the token universe by ascending document frequency (rarest
+    * first, ties by token — deterministic and oracle-expressible), and
+    * let every doc PROBE with its first ⌊(1−t)·|d|⌋+1 tokens in that
+    * order. If a pair (S, B) has containment |S∩B|/|S| ≥ t, then B
+    * must contain at least one of S's probe tokens — otherwise the
+    * intersection is confined to the non-prefix suffix, of size
+    * < t·|S|. Joining probes against the FULL token index (the q95
+    * inverted-index shape) therefore yields a PROVABLE SUPERSET of
+    * every qualifying pair; exact verification (the q113 counting
+    * scalar) then makes the result the complete truth — which is why
+    * q121 can be oracle-gated against DuckDB's brute-force all-pairs
+    * containment, turning candidate RECALL itself into a hash-checked
+    * property (the gate q113's shared-CTE oracle structurally cannot
+    * express).
+    *
+    * Scale shape: probes are the ~(1−t) rarest fraction of each doc's
+    * tokens, so the candidate join's fan-out is Σ_token probes(token) ·
+    * postings(token) — dominated by RARE tokens (short postings) by
+    * construction; the frequent-token postings are only ever probed by
+    * docs whose whole vocabulary is frequent. Everything is keyed
+    * equality joins + one per-doc rank window; no all-pairs anywhere.
+    * The LSH path (q113) stays the cheap approximate screen; this is
+    * the exhaustive auditor you run when recall is the contract.
+    */
+  /** Threshold as exact scaled integer (t = tScaled/10000): the prefix
+    * size and the qualify test must NOT go through floating point —
+    * `(1−0.8)·n` computes as `0.19999…·n`, which floors one short
+    * whenever (1−t)·n is a whole number, silently breaking the
+    * completeness proof for every doc size divisible by 5.
+    */
+  private def containmentScale(threshold: Double): Long =
+    math.round(threshold * 10000)
+
+  def containmentCandidatePairs(s: SparkSession, d: String,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tS = containmentScale(threshold)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val tok = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+      explode(col("toks")).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    // required overlap α = ⌈t·n⌉ and prefix size π = n − α + 1, both in
+    // exact integer arithmetic: α = (tS·n + 9999) div 10000
+    val probes = tok.join(dfreq, Seq("token"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)))
+      .filter(col("rk") <= col("n")
+        - expr(s"(${tS}L * n + 9999L) div 10000L") + lit(1L))
+      .select(col("token"), col("doc_id").as("pa"))
+    val index = tok.select(col("token"), col("doc_id").as("pb"))
+    probes.join(index, Seq("token"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("doc_a"),
+        greatest(col("pa"), col("pb")).as("doc_b"))
+      .distinct()
+  }
+
+  /** EXACT containment pairs (q121): [[q113ContainmentPairs]]'s verify
+    * shape over [[containmentCandidatePairs]]'s provably-complete
+    * candidates. Same output contract as q113 (contained/container by
+    * smaller token set, ties to smaller id, r4 containment); unlike
+    * q113 the oracle is INDEPENDENT brute-force all-pairs containment
+    * in DuckDB, so a candidate-generation miss is a hash mismatch, not
+    * a documented caveat.
+    */
+  def q121ContainmentExact(s: SparkSession, d: String,
+      threshold: Double = 0.8): DataFrame = {
+    val tS = containmentScale(threshold)
+    val cand = containmentCandidatePairs(s, d, threshold)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      size(col("toks")).cast("long").as("na"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      size(col("toks")).cast("long").as("nb"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("common",
+        graft.functions.expressions.TextExpressions
+          .arrayIntersectCount(col("toks_a"), col("toks_b")).cast("long"))
+      .withColumn("containment",
+        r4(col("common").cast("double") / least(col("na"), col("nb")).cast("double")))
+      // qualify in EXACT integer arithmetic (common·10000 ≥ tS·min) —
+      // the same inequality the prefix-completeness proof covers; the
+      // r4 column is presentation only
+      .filter(col("common") * lit(10000L) >= lit(tS) * least(col("na"), col("nb")))
       .select(
         when(col("na") < col("nb"), col("doc_a"))
           .when(col("nb") < col("na"), col("doc_b"))

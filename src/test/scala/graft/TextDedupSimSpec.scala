@@ -854,6 +854,40 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 exact containment equals JVM brute force; q113's verified pairs are a subset") {
+    val got = Dedup.q121ContainmentExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // independent brute force: all pairs, distinct-token containment,
+    // same r4 floor rounding and contained/container tie rules
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).distinct.toSet))
+      .filter(_._2.nonEmpty)
+    def r4d(v: Double): Double = math.floor(v * 1e4 + 0.5) / 1e4
+    val expected = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1 until docs.length).iterator
+      (ida, ta) = docs(i); (idb, tb) = docs(j)
+      common = ta.intersect(tb).size
+      // same exact-integer qualify as engine and oracle
+      if common.toLong * 10000L >= 8000L * math.min(ta.size, tb.size)
+      c = r4d(common.toDouble / math.min(ta.size, tb.size))
+    } yield {
+      val (sm, lg) =
+        if (ta.size < tb.size) (ida, idb)
+        else if (tb.size < ta.size) (idb, ida)
+        else (math.min(ida, idb), math.max(ida, idb))
+      (sm, lg, c)
+    }).toSet
+    assert(got == expected && got.nonEmpty)
+    // q113 (LSH candidates, same verify + threshold) can only be a subset
+    val lsh = Dedup.q113ContainmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(got),
+      s"q113 found pairs q121 missed: ${lsh.diff(got).take(3)}")
+  }
+
   test("content chunking: 200 seeded random docs chunk exactly like a JVM reference chunker") {
     import spark.implicits._
     // seeded random corpora (the TokenizeSpec discipline — scalatestplus
