@@ -166,12 +166,15 @@ object Dedup {
     math.round(threshold * 10000)
 
   def containmentCandidatePairs(s: SparkSession, d: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    containmentCandidatesOn(
+      Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+        .filter(size(col("toks")) > 0),
+      containmentScale(threshold))
+
+  private def containmentCandidatesOn(docs: DataFrame, tS: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tS = containmentScale(threshold)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-      .filter(size(col("toks")) > 0)
     val tok = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"),
       explode(col("toks")).as("token"))
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
@@ -199,35 +202,135 @@ object Dedup {
     * in DuckDB, so a candidate-generation miss is a hash mismatch, not
     * a documented caveat.
     */
+  /** Qualified set pairs at the contracted-rep level: (ra, rb, na, nb,
+    * common) for every rep pair with common·10000 ≥ tS·min(na, nb).
+    * One contract, two physical strategies, chosen from two
+    * metadata-scale measurements (vocabulary size V, rep count R — the
+    * ANALYZE-style driver scalars; same accepted pattern as q71's loop
+    * witnesses):
+    *
+    * - GENERAL corpus (real vocabulary): prefix-filter candidates
+    *   ([[containmentCandidatesOn]]) + the q31 counting-scalar verify.
+    *   Candidate volume is governed by rare-token postings — the right
+    *   shape whenever rare tokens exist, i.e. for any real text corpus
+    *   at any scale.
+    * - DEGENERATE vocabulary (V ≤ 2048 and R ≤ 20000): every doc is a
+    *   bag over a tiny dictionary, rare tokens do not exist, and the
+    *   probe×index join degenerates to ~all-pairs WITH a pre-distinct
+    *   blow-up (MEASURED at sf0.1, V = 31: 26k probes × ~3.9k postings
+    *   = 99M join rows, ~50 s in the distinct alone, for an answer
+    *   that is itself 10M pairs — 81% of candidates qualify, so
+    *   pruning has nothing left to prune). The right physical plan is
+    *   dictionary BITSET brute force: encode each rep's set as ⌈V/64⌉
+    *   longs, broadcast the R-row mask table, and evaluate
+    *   popcount(a AND b) MAP-SIDE over the R²/2 rep pairs — no
+    *   shuffle, no distinct, cost bounded by the guards at ~2·10⁸
+    *   pair-evals. This is the one crossJoin in the codebase that is
+    *   not against a single-row frame: it is against the broadcast
+    *   CONTRACTED-REP mask table, in a regime where the answer itself
+    *   is provably dense (R ≤ 2^V) and candidate generation cannot
+    *   help; the guards keep it opt-in by measurement, never by hope.
+    */
+  private def qualifiedSetPairs(repToks: DataFrame, tS: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = repToks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n"), explode(col("toks")).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val vocab = dfreq.count()
+    val nReps = repToks.count()
+    if (vocab <= 2048 && nReps <= 20000) {
+      val nw = math.max(((vocab + 63) / 64).toInt, 1)
+      val ids = dfreq.select(col("token"),
+        (row_number().over(Window.orderBy("token")) - 1).as("id"))
+      val masks = tok.join(broadcast(ids), Seq("token"))
+        .groupBy("doc_id").agg(collect_set(col("id")).as("ids"),
+          first("n").as("n"))
+        .withColumn("mask", expr(
+          s"transform(sequence(0, ${nw - 1}), w -> aggregate(" +
+            "filter(ids, i -> i div 64 = w), 0L, " +
+            "(acc, i) -> acc | shiftleft(1L, CAST(i % 64 AS INT))))"))
+        .select(col("doc_id"), col("n"), col("mask"))
+      val aS = masks.select(col("doc_id").as("ra"), col("n").as("na"),
+        col("mask").as("ma"))
+      val bS = masks.select(col("doc_id").as("rb"), col("n").as("nb"),
+        col("mask").as("mb"))
+      aS.crossJoin(broadcast(bS)).filter(col("ra") < col("rb"))
+        .withColumn("common", expr(
+          "CAST(aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), " +
+            "0, (acc, c) -> acc + c) AS BIGINT)"))
+        .filter(col("common") * lit(10000L) >= lit(tS) * least(col("na"), col("nb")))
+        .select(col("ra"), col("rb"), col("na"), col("nb"), col("common"))
+    } else {
+      val cand = containmentCandidatesOn(repToks, tS)
+      val a = repToks.select(col("doc_id").as("ra"), col("toks").as("toks_a"),
+        size(col("toks")).cast("long").as("na"))
+      val b = repToks.select(col("doc_id").as("rb"), col("toks").as("toks_b"),
+        size(col("toks")).cast("long").as("nb"))
+      cand.select(col("doc_a").as("ra"), col("doc_b").as("rb"))
+        .join(a, Seq("ra")).join(b, Seq("rb"))
+        .withColumn("common",
+          graft.functions.expressions.TextExpressions
+            .arrayIntersectCount(col("toks_a"), col("toks_b")).cast("long"))
+        // qualify in EXACT integer arithmetic — the same inequality the
+        // prefix-completeness proof covers
+        .filter(col("common") * lit(10000L) >= lit(tS) * least(col("na"), col("nb")))
+        .select(col("ra"), col("rb"), col("na"), col("nb"), col("common"))
+    }
+  }
+
   def q121ContainmentExact(s: SparkSession, d: String,
       threshold: Double = 0.8): DataFrame = {
     val tS = containmentScale(threshold)
-    val cand = containmentCandidatePairs(s, d, threshold)
-    val docs = Tables.documents(s, d)
+    // SET CONTRACTION first — stronger than the q102/q118 exact-text
+    // move, and exact for the same reason: containment is a function
+    // of the distinct-token SET alone, so contraction keys on the
+    // function's argument (docs differing only in order/multiplicity
+    // share one rep). Pairs are computed once per set-pair and the
+    // member-level OUTPUT — the answer's own size — is produced by
+    // closed-form membership expansion, never by joining replicated
+    // probes.
+    val docsToks = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-      size(col("toks")).cast("long").as("na"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-      size(col("toks")).cast("long").as("nb"))
-    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .withColumn("common",
-        graft.functions.expressions.TextExpressions
-          .arrayIntersectCount(col("toks_a"), col("toks_b")).cast("long"))
+      .filter(size(col("toks")) > 0)
+    // tokens are whitespace-split, so no token can contain U+0001
+    val keyed = docsToks.withColumn("setkey",
+      md5(array_join(array_sort(col("toks")), "\u0001")))
+    val reps = keyed.groupBy("setkey").agg(min("doc_id").as("rep"))
+    val membership = keyed.select("doc_id", "setkey")
+      .join(reps, Seq("setkey")).select(col("doc_id"), col("rep"))
+    val repToks = docsToks
+      .join(membership.filter(col("doc_id") === col("rep"))
+        .select("doc_id"), Seq("doc_id"))
+    val repPairs = qualifiedSetPairs(repToks, tS)
       .withColumn("containment",
         r4(col("common").cast("double") / least(col("na"), col("nb")).cast("double")))
-      // qualify in EXACT integer arithmetic (common·10000 ≥ tS·min) —
-      // the same inequality the prefix-completeness proof covers; the
-      // r4 column is presentation only
-      .filter(col("common") * lit(10000L) >= lit(tS) * least(col("na"), col("nb")))
+      .select(col("ra"), col("rb"), col("na"), col("nb"), col("containment"))
+    // cross-group pairs: every (member of ra) × (member of rb); sizes
+    // are group-constant, so the contained/container rule only needs
+    // the per-pair id tie-break
+    val cross = repPairs
+      .join(membership.select(col("rep").as("ra"), col("doc_id").as("ida")),
+        Seq("ra"))
+      .join(membership.select(col("rep").as("rb"), col("doc_id").as("idb")),
+        Seq("rb"))
       .select(
-        when(col("na") < col("nb"), col("doc_a"))
-          .when(col("nb") < col("na"), col("doc_b"))
-          .otherwise(least(col("doc_a"), col("doc_b"))).as("contained_doc"),
-        when(col("na") < col("nb"), col("doc_b"))
-          .when(col("nb") < col("na"), col("doc_a"))
-          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("container_doc"),
+        when(col("na") < col("nb"), col("ida"))
+          .when(col("nb") < col("na"), col("idb"))
+          .otherwise(least(col("ida"), col("idb"))).as("contained_doc"),
+        when(col("na") < col("nb"), col("idb"))
+          .when(col("nb") < col("na"), col("ida"))
+          .otherwise(greatest(col("ida"), col("idb"))).as("container_doc"),
         col("containment"))
-      .orderBy("contained_doc", "container_doc")
+    // within-group pairs: identical token sets ⇒ containment exactly
+    // 1.0 (qualifies at any t ≤ 1); r4(n/n) ≡ 1.0 so the literal is
+    // bit-identical to the verified path's rounding
+    val elig = membership.join(docsToks.select("doc_id"), Seq("doc_id"))
+    val within = elig.select(col("rep"), col("doc_id").as("ida"))
+      .join(elig.select(col("rep"), col("doc_id").as("idb")), Seq("rep"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("contained_doc"), col("idb").as("container_doc"),
+        lit(1.0).as("containment"))
+    cross.unionByName(within).orderBy("contained_doc", "container_doc")
   }
 
   /** MinHash + LSH candidate pairs over token 3-gram shingles.
