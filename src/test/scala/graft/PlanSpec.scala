@@ -29,7 +29,13 @@ class PlanSpec extends AnyFunSuite {
     "q84_heavy_hitters" -> "single-row token-total aggregate frame cross-joined in",
     "q85_source_drift" -> "single-row token-total aggregate frame cross-joined in",
     "q104_equidepth_hist" -> "single-row percentile-boundaries frame cross-joined in",
-    "q120_vocab_growth" -> "single-row id-bounds aggregate frame cross-joined in")
+    "q120_vocab_growth" -> "single-row id-bounds aggregate frame cross-joined in",
+    "q121_containment_exact" -> ("dictionary-bitset brute force against the " +
+      "broadcast contracted-rep mask table — taken only in the measured " +
+      "degenerate-vocabulary regime (V<=2048, R<=20000; the test corpus is " +
+      "V=31) where the answer is provably dense and prefix-filter candidates " +
+      "cannot prune; general corpora plan the keyed prefix-filter path " +
+      "(Dedup.qualifiedSetPairs)"))
 
   test("no nested-loop join outside the documented non-equi allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
