@@ -98,6 +98,10 @@ object SparkEntry {
     "q118_winnow_fingerprints" -> ((s, d) => TextOps.q118WinnowFingerprints(s, d)),
     "q119_winnow_pairs" -> ((s, d) => TextOps.q119WinnowPairs(s, d)),
     "q120_vocab_growth" -> (TextOps.q120VocabGrowth(_, _)),
+    "q122_dup_ngram_spans" -> ((s, d) => TextOps.q122DupNgramSpans(s, d)),
+    "q123_source_overlap" -> (TextOps.q123SourceOverlap(_, _)),
+    "q124_mix_temperature" -> ((s, d) => TextOps.q124MixTemperature(s, d)),
+    "q125_quality_rules" -> (TextOps.q125QualityRules(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -139,6 +143,7 @@ object SparkEntry {
     "q70_ivf_probe_indexed" -> ((s, d) => Similarity.q70IvfProbeIndexed(s, d)),
     "q88_label_centroids" -> (Similarity.q88LabelCentroids(_, _)),
     "q90_quantize_embeddings" -> (Similarity.q90QuantizeEmbeddings(_, _)),
+    "q126_trunc_energy" -> (Similarity.q126TruncEnergy(_, _)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -1630,6 +1635,90 @@ object SparkEntry {
     // rewrite Layout.q80CompactRoundtrip returns is lossless
     "q80_compact_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q122DupNgramSpans — 8-token grams hashed at every
+    // start position, duplicated iff seen in >= 2 distinct docs,
+    // gaps-and-islands streaks (keep in lockstep)
+    "q122_dup_ngram_spans" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |p AS (SELECT doc_id, ts,
+         |  CAST(unnest(range(0, len(ts) - 7)) AS BIGINT) AS pos
+         | FROM t WHERE len(ts) >= 8),
+         |g AS (SELECT doc_id, pos,
+         |  md5(array_to_string(ts[pos + 1:pos + 8], ' ')) AS h FROM p),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+         |r AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         | FROM f),
+         |runs AS (SELECT doc_id, grp, count(*) AS run FROM r GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup,
+         |  CAST(max(run) AS BIGINT) AS max_run FROM runs GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id)
+         |SELECT tot.doc_id, n_grams,
+         | CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+         | CAST(coalesce(max_run, 0) AS BIGINT) AS max_run,
+         | ${sqlRn("CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams", 4)} AS dup_frac
+         |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q123SourceOverlap — distinct hashed 3-shingles per
+    // source, pair counts from the h-equality self-join (keep in lockstep)
+    "q123_source_overlap" ->
+      s"""WITH t AS (SELECT source, ${toksSql("text")} AS ts FROM documents),
+         |raw AS (SELECT source,
+         |  md5(unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' ')))) AS h
+         | FROM t WHERE len(ts) >= 3),
+         |sh AS (SELECT DISTINCT source, h FROM raw),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY source),
+         |p AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS inter
+         | FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         | GROUP BY 1, 2)
+         |SELECT s1, s2, inter,
+         | ${sqlRn("CAST(inter AS DOUBLE) / CAST(z1.sz + z2.sz - inter AS DOUBLE)", 6)} AS jaccard
+         |FROM p JOIN sz z1 ON z1.source = p.s1 JOIN sz z2 ON z2.source = p.s2
+         |ORDER BY s1, s2""".stripMargin,
+    // mirrors TextOps.q124MixTemperature — micro-unit sqrt weights,
+    // integer quota division, md5-ranked draw (keep in lockstep)
+    "q124_mix_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, cnt,
+        |  CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+        | FROM c),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM w),
+        |q AS (SELECT source, cnt, (200 * w) // wtot AS quota FROM w, tot),
+        |r AS (SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '-mix'), doc_id) AS BIGINT) AS rk
+        | FROM documents)
+        |SELECT r.source, r.doc_id, r.rk, q.cnt, q.quota
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE r.rk <= q.quota
+        |ORDER BY r.source, r.rk""".stripMargin,
+    // mirrors TextOps.q125QualityRules over the q22 tokenStats CTE —
+    // exact-integer cross-multiplied rule thresholds (keep in lockstep)
+    "q125_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') AS BIGINT) AS sum_chars,
+         |  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+         | FROM t)
+         |SELECT doc_id, n_tokens,
+         | (n_tokens >= 10 AND n_tokens <= 1000) AS r_len,
+         | (sum_chars >= 2 * n_tokens AND sum_chars <= 8 * n_tokens) AS r_word_len,
+         | (n_stop >= 1) AS r_stop,
+         | (10 * n_distinct >= 3 * n_tokens) AS r_ttr,
+         | (n_tokens >= 10 AND n_tokens <= 1000
+         |   AND sum_chars >= 2 * n_tokens AND sum_chars <= 8 * n_tokens
+         |   AND n_stop >= 1 AND 10 * n_distinct >= 3 * n_tokens) AS pass
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // mirrors Similarity.q126TruncEnergy — prefix-slice dot products in
+    // double, one division, 6-dp rounding (keep in lockstep)
+    "q126_trunc_energy" ->
+      s"""SELECT vec_id, CAST(label AS BIGINT) AS label,
+         | ${sqlRn("list_dot_product(CAST(embedding[1:16] AS DOUBLE[]), CAST(embedding[1:16] AS DOUBLE[])) / list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))", 6)} AS energy16,
+         | ${sqlRn("list_dot_product(CAST(embedding[1:32] AS DOUBLE[]), CAST(embedding[1:32] AS DOUBLE[])) / list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))", 6)} AS energy32
+         |FROM embeddings ORDER BY vec_id""".stripMargin
   )
 }

@@ -365,4 +365,28 @@ object Similarity {
           / (lit(1e9) * col("n_dims").cast("double"))).as("mean_abs_err"))
       .orderBy("vec_id")
   }
+
+  /** Truncation ENERGY profile — the Matryoshka-representation
+    * diagnostic (Kusupati et al. 2022): for each vector, the fraction
+    * of its squared L2 norm retained by the first 16 and first 32 of
+    * 64 dimensions. energy_k is exactly cos²(v, truncate_k(v)), so this
+    * is the per-vector answer to "how much ANN recall do we keep if the
+    * index stores only a prefix of the embedding" — the sizing input
+    * for a truncated-index tier in front of q48/q70's IVF.
+    *
+    * Pure map-side pass (one codegen'd [[graft.functions
+    * .VectorFunctions.dot]] per prefix, no shuffle); each energy is one
+    * double division of two left-to-right double folds, same bits on
+    * any engine, rounded to 6 dp.
+    */
+  def q126TruncEnergy(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        dot(col("embedding"), col("embedding")).as("e64"),
+        dot(slice(col("embedding"), 1, 16), slice(col("embedding"), 1, 16)).as("e16"),
+        dot(slice(col("embedding"), 1, 32), slice(col("embedding"), 1, 32)).as("e32"))
+      .select(col("vec_id"), col("label"),
+        r6(col("e16") / col("e64")).as("energy16"),
+        r6(col("e32") / col("e64")).as("energy32"))
+      .orderBy("vec_id")
 }

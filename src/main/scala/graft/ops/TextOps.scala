@@ -1261,4 +1261,161 @@ object TextOps {
         r4(sum("n_tokens").cast("double") / count(lit(1))).as("avg_tokens"),
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("source")
+
+  /** Duplicate n-gram SPAN coverage — the per-position diagnostic behind
+    * EXACT SUBSTRING deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", at n-gram rather than
+    * suffix-array granularity): an 8-token gram is DUPLICATED when it
+    * occurs in ≥ 2 distinct documents; a document reports how many of
+    * its gram start positions are duplicated (`n_dup` / `dup_frac`) and
+    * its longest consecutive duplicated streak (`max_run` — a shared
+    * substring of max_run + 7 tokens, the thing substring dedup would
+    * cut). Documents shorter than 8 tokens carry no grams and are
+    * excluded, mirrored by the oracle.
+    *
+    * Plan shape at 100 TB: one posexplode of gram starts (corpus-linear,
+    * grams carried as md5 hashes — bounded width regardless of n), one
+    * keyed groupBy on the gram hash for the cross-doc test, one
+    * LEFT SEMI join back on the hash (never a pair space — a gram
+    * shared by k docs costs k join rows, not k²), and a per-doc window
+    * for the gaps-and-islands streak. Every shuffle is keyed on h or
+    * doc_id.
+    */
+  def q122DupNgramSpans(s: SparkSession, d: String, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ts")) - n),
+          i => md5(array_join(slice(col("ts"), i + 1, lit(n)), " "))))
+          .as(Seq("pos", "h")))
+    val dupGrams = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    // gaps-and-islands over the duplicated positions only: consecutive
+    // positions share (pos - row_number) within a doc
+    val runs = grams.join(dupGrams, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(sum("run").as("n_dup"), max("run").as("max_run"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        r4(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Pairwise SOURCE OVERLAP matrix — corpus-composition diagnostics:
+    * for every unordered source pair, the exact Jaccard similarity of
+    * their DISTINCT 3-shingle sets (the same hashed-shingle definition
+    * as the q74/q86/q107 decontamination family). The mixing-time
+    * question this answers — "which feeds are near-copies of each
+    * other?" — is what decides whether two sources should share a dedup
+    * pass before training.
+    *
+    * Plan shape at 100 TB: distinct (source, h) is one keyed shuffle
+    * bounded by corpus shingle volume; the pair counts come from a
+    * self-EQUALITY join on h whose per-key fan-out is bounded by
+    * #sources² (a constant ~190 at 20 sources — NOT corpus-sized), and
+    * the final agg has ≤ C(#sources, 2) groups. The size frame is
+    * #sources rows — broadcast.
+    */
+  def q123SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("source"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .select(col("source"), md5(col("sh")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("source").as("s1"), col("h"))
+      .join(sh.select(col("source").as("s2"), col("h")), Seq("h"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("sz").as("sz1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("sz").as("sz2"))), Seq("s2"))
+      .select(col("s1"), col("s2"), col("inter"),
+        r6(col("inter").cast("double")
+          / (col("sz1") + col("sz2") - col("inter")).cast("double")).as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  /** Temperature-weighted source MIXING — the training-mix assembly
+    * step (multinomial sampling with exponent α, Conneau & Lample 2019
+    * / GPT-3-style corpus weighting) at α = 1/2: per-source quota
+    * ∝ √count, then a deterministic hash-ranked draw of exactly that
+    * quota from each source. Up-weights small high-value sources
+    * relative to proportional sampling without letting any source
+    * dominate.
+    *
+    * Determinism: the ONLY floating-point steps are sqrt (correctly
+    * rounded by IEEE 754 on every engine) and one multiply by 1e6,
+    * floored to micro-unit BIGINT weights map-side; quota = N·w div Σw
+    * is exact integer arithmetic, and the draw ranks on md5 — no RNG,
+    * no platform drift. Quotas under-fill by < #sources rows (floor),
+    * which is the documented contract (exact-N would need largest-
+    * remainder allocation — a 20-row driver-side fixup at any scale).
+    *
+    * Plan shape at 100 TB: the weight/quota frame is #sources rows
+    * (broadcast); the draw is one per-source window rank. A corpus
+    * whose single largest source outgrows one executor's sort would
+    * replace row_number with a two-pass hash-threshold selection (count
+    * → per-source hash quantile → filter), the same evolution
+    * documented on q99's holdout.
+    */
+  def q124MixTemperature(s: SparkSession, d: String, target: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("w",
+        floor(sqrt(col("cnt").cast("double")) * lit(1e6)).cast("long"))
+    val tot = w.agg(sum("w").as("wtot"))
+    val quota = w.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"$target * w div wtot"))
+      .select("source", "cnt", "quota")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("hk", md5(concat(col("doc_id").cast("string"), lit("-mix"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))).cast("long"))
+      .join(broadcast(quota), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"), col("cnt"), col("quota"))
+      .orderBy("source", "rk")
+  }
+
+  /** C4/Gopher-style quality RULE battery (Raffel et al. 2020, Rae et
+    * al. 2021): each document gets a boolean verdict per rule plus the
+    * conjunction — the form a production filter pipeline consumes
+    * (filter on `pass`, audit the per-rule booleans). Rules, all
+    * exact-integer comparisons (cross-multiplied — no float thresholds,
+    * so the booleans are bit-stable on any engine):
+    *
+    *  - `r_len`:      10 ≤ n_tokens ≤ 1000 (document length band)
+    *  - `r_word_len`: 2·n ≤ sum_chars ≤ 8·n (mean token length in [2,8])
+    *  - `r_stop`:     ≥ 1 stopword occurrence (C4's "has English glue")
+    *  - `r_ttr`:      10·n_distinct ≥ 3·n (type-token ratio ≥ 0.3 —
+    *                  the Gopher repetition gate's set-level twin)
+    *
+    * Shares [[tokenStats]] with q22/q73/q77 — one stop list, one token
+    * definition, map-side only (no shuffle; at 100 TB this is a pure
+    * scan predicate that fuses into whole-stage codegen).
+    */
+  def q125QualityRules(s: SparkSession, d: String): DataFrame =
+    tokenStats(s, d)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= 10L && col("n_tokens") <= 1000L).as("r_len"),
+        (col("sum_chars") >= lit(2L) * col("n_tokens")
+          && col("sum_chars") <= lit(8L) * col("n_tokens")).as("r_word_len"),
+        (col("n_stop") >= 1L).as("r_stop"),
+        (lit(10L) * col("n_distinct") >= lit(3L) * col("n_tokens")).as("r_ttr"))
+      .withColumn("pass",
+        col("r_len") && col("r_word_len") && col("r_stop") && col("r_ttr"))
+      .orderBy("doc_id")
 }

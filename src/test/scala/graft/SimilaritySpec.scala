@@ -197,4 +197,28 @@ class SimilaritySpec extends AnyFunSuite {
     }.toMap
     assert(got == want)
   }
+
+  test("q126 truncation energy: matches a JVM left-to-right fold; prefix energies are monotone") {
+    val rows = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2).toLong))
+    def energy(v: Array[Float], k: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < k) { val x = v(i).toDouble; acc += x * x; i += 1 }
+      acc
+    }
+    val want = rows.map { case (id, v, label) =>
+      val e64 = energy(v, 64)
+      id -> (label,
+        math.floor(energy(v, 16) / e64 * 1e6 + 0.5) / 1e6,
+        math.floor(energy(v, 32) / e64 * 1e6 + 0.5) / 1e6)
+    }.toMap
+    val got = Similarity.q126TruncEnergy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == want)
+    got.values.foreach { case (_, e16, e32) =>
+      assert(e16 >= 0.0 && e16 <= e32 && e32 <= 1.0)
+    }
+  }
 }

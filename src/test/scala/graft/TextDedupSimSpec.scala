@@ -1030,4 +1030,89 @@ class TextDedupSimSpec extends AnyFunSuite {
       assert(nov.agg(sum("n_novel")).head().getLong(0) == distinctShingles)
     } finally nov.unpersist()
   }
+
+  /** The fixture docs joined to their whitespace tokens, collected once
+    * for the q122–q125 JVM reference recomputations below.
+    */
+  private def collectedDocs(): Seq[(Long, String, String)] =
+    Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def toks(text: String): Seq[String] =
+    text.split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  test("q122 dup n-gram spans: matches a JVM reference (grams, runs, fractions)") {
+    val docs = collectedDocs()
+    val grams = docs.map { case (id, _, text) => id -> toks(text).sliding(8).filter(_.length == 8).map(_.mkString(" ")).toVector }
+      .filter(_._2.nonEmpty)
+    val docsPerGram = grams.flatMap { case (id, gs) => gs.map(g => (g, id)) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val want = grams.map { case (id, gs) =>
+      val dup = gs.map(g => docsPerGram(g) >= 2)
+      val runs = {
+        var best = 0L; var cur = 0L
+        dup.foreach { f => if (f) { cur += 1; best = math.max(best, cur) } else cur = 0 }
+        best
+      }
+      val nDup = dup.count(identity).toLong
+      id -> (gs.length.toLong, nDup, runs,
+        math.floor(nDup.toDouble / gs.length * 1e4 + 0.5) / 1e4)
+    }.toMap
+    val got = TextOps.q122DupNgramSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == want)
+  }
+
+  test("q123 source overlap: matches a JVM reference Jaccard matrix") {
+    val docs = collectedDocs()
+    val sets = docs.groupBy(_._2).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, _, text) =>
+        toks(text).sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      }.toSet
+    }
+    val want = (for {
+      (s1, a) <- sets; (s2, b) <- sets if s1 < s2
+      inter = (a & b).size.toLong if inter > 0
+    } yield (s1, s2) -> (inter,
+      math.floor(inter.toDouble / (a.size + b.size - inter) * 1e6 + 0.5) / 1e6)).toMap
+    val got = TextOps.q123SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want)
+  }
+
+  test("q124 mix temperature: matches a JVM reference draw; quotas under-fill by < #sources") {
+    val docs = collectedDocs()
+    val cnt = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val w = cnt.view.mapValues(c => math.floor(math.sqrt(c.toDouble) * 1e6).toLong).toMap
+    val wtot = w.values.sum
+    val quota = w.map { case (s, x) => s -> (200L * x / wtot) }
+    val want = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      ds.map(_._1).sortBy(id => (md5hex(s"$id-mix"), id))
+        .take(quota(src).toInt).zipWithIndex
+        .map { case (id, i) => (src, id, i + 1L, cnt(src), quota(src)) }
+    }.toSet
+    val got = TextOps.q124MixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    val drawn = got.size.toLong
+    assert(drawn <= 200L && drawn > 200L - cnt.size)
+  }
+
+  test("q125 quality rules: matches a JVM reference rule battery") {
+    val stop = Set("the", "a")
+    val want = collectedDocs().map { case (id, _, text) =>
+      val ts = toks(text)
+      val n = ts.length.toLong
+      val sumChars = ts.map(_.length.toLong).sum
+      val rLen = n >= 10 && n <= 1000
+      val rWord = sumChars >= 2 * n && sumChars <= 8 * n
+      val rStop = ts.exists(stop)
+      val rTtr = 10L * ts.distinct.length >= 3 * n
+      id -> (n, rLen, rWord, rStop, rTtr, rLen && rWord && rStop && rTtr)
+    }.toMap
+    val got = TextOps.q125QualityRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(got == want)
+  }
 }
