@@ -102,6 +102,8 @@ object SparkEntry {
     "q123_source_overlap" -> (TextOps.q123SourceOverlap(_, _)),
     "q124_mix_temperature" -> ((s, d) => TextOps.q124MixTemperature(s, d)),
     "q125_quality_rules" -> (TextOps.q125QualityRules(_, _)),
+    "q127_phrase_topk" -> ((s, d) => TextOps.q127PhraseTopk(s, d)),
+    "q128_token_budget_mix" -> ((s, d) => TextOps.q128TokenBudgetMix(s, d)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -128,6 +130,8 @@ object SparkEntry {
     "q102_triangle_counts" -> (Dedup.q102TriangleCounts(_, _)),
     "q103_clustering_coeff" -> (Dedup.q103ClusteringCoefficient(_, _)),
     "q113_containment_pairs" -> ((s, d) => Dedup.q113ContainmentPairs(s, d)),
+    "q129_component_size_hist" -> ((s, d) => Dedup.q129ComponentSizeHist(s, d)),
+    "q130_semantic_decontaminate" -> ((s, d) => Dedup.q130SemanticDecontaminate(s, d)),
     // exact-recall containment: prefix-filtered candidates, so the
     // independent all-pairs oracle hash-checks candidate RECALL itself
     "q121_containment_exact" -> ((s, d) => Dedup.q121ContainmentExact(s, d)),
@@ -1719,6 +1723,66 @@ object SparkEntry {
       s"""SELECT vec_id, CAST(label AS BIGINT) AS label,
          | ${sqlRn("list_dot_product(CAST(embedding[1:16] AS DOUBLE[]), CAST(embedding[1:16] AS DOUBLE[])) / list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))", 6)} AS energy16,
          | ${sqlRn("list_dot_product(CAST(embedding[1:32] AS DOUBLE[]), CAST(embedding[1:32] AS DOUBLE[])) / list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))", 6)} AS energy32
-         |FROM embeddings ORDER BY vec_id""".stripMargin
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // mirrors TextOps.q127PhraseTopk — same phrase literals
+    // (TextOps.DefaultPhrases), bigram tf, top-10 per phrase by
+    // (tf DESC, doc_id) (keep in lockstep)
+    "q127_phrase_topk" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(ts) - 1),
+         |  i -> array_to_string(ts[i + 1:i + 2], ' '))) AS phrase
+         | FROM t WHERE len(ts) >= 2),
+         |f AS (SELECT doc_id, phrase FROM bg
+         | WHERE phrase IN (${graft.ops.TextOps.DefaultPhrases.map(p => s"'$p'").mkString(", ")})),
+         |tf AS (SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS tf
+         | FROM f GROUP BY 1, 2),
+         |r AS (SELECT phrase, doc_id, tf,
+         |  CAST(row_number() OVER (PARTITION BY phrase
+         |    ORDER BY tf DESC, doc_id) AS BIGINT) AS rk FROM tf)
+         |SELECT phrase, rk, doc_id, tf FROM r WHERE rk <= 10
+         |ORDER BY phrase, rk""".stripMargin,
+    // mirrors TextOps.q128TokenBudgetMix — md5-ranked order, explicit
+    // ROWS-frame running token sum, cum_before < 1000 membership (keep
+    // in lockstep)
+    "q128_token_budget_mix" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+         |  md5(CAST(doc_id AS VARCHAR) || '-budget') AS hk
+         | FROM documents),
+         |r AS (SELECT source, doc_id, n_tokens,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rk,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         | FROM t)
+         |SELECT source, rk, doc_id, n_tokens, cum_tokens
+         |FROM r WHERE cum_tokens - n_tokens < 1000
+         |ORDER BY source, rk""".stripMargin,
+    // mirrors Dedup.q129ComponentSizeHist — sizes over the same
+    // recursive-CTE component ground truth as q69/q71/q77/q89
+    "q129_component_size_hist" ->
+      s"""WITH RECURSIVE $componentsCtes,
+         |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+         | FROM comp GROUP BY component)
+         |SELECT csize, CAST(count(*) AS BIGINT) AS n_components,
+         | CAST(csize * count(*) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    // mirrors Dedup.q130SemanticDecontaminate — q34's epairs CTEs, the
+    // salted-md5 exact-k-per-label holdout, XOR membership (keep in
+    // lockstep)
+    "q130_semantic_decontaminate" ->
+      s"""WITH $embeddingPairCtes,
+         |hh AS (SELECT vec_id, label,
+         |  md5(concat_ws('|', CAST(vec_id AS VARCHAR), 'q130-holdout')) AS hk
+         | FROM embeddings),
+         |hr AS (SELECT vec_id,
+         |  row_number() OVER (PARTITION BY label ORDER BY hk, vec_id) AS rk
+         | FROM hh),
+         |hold AS (SELECT vec_id FROM hr WHERE rk <= 10),
+         |fl AS (SELECT vec_a, vec_b, cos_sim,
+         |  (vec_a IN (SELECT vec_id FROM hold)) AS ah,
+         |  (vec_b IN (SELECT vec_id FROM hold)) AS bh FROM epairs)
+         |SELECT CASE WHEN ah THEN vec_b ELSE vec_a END AS train_vec,
+         | CASE WHEN ah THEN vec_a ELSE vec_b END AS eval_vec, cos_sim
+         |FROM fl WHERE ah <> bh ORDER BY train_vec, eval_vec""".stripMargin
   )
 }

@@ -1389,4 +1389,70 @@ object Dedup {
       .select("key_a", "key_b", "name_a", "name_b", "lev")
       .distinct()
   }
+
+  /** COMPONENT SIZE HISTOGRAM — the one-look answer to "how duplicated
+    * is this corpus": for each near-dup cluster size, how many clusters
+    * have that size and how many documents they hold. size 1 rows are
+    * the unique mass; the tail is what dedup will collapse (a cluster
+    * of size s yields s − 1 removals under one-keeper resolution, so
+    * Σ (s−1)·n_components over this frame IS q89's total removal count
+    * — the histogram is the distributional view of the same labels).
+    *
+    * Cost shape: reads the PERSISTED component-label memo (the q69/q77/
+    * q89 frame — no new corpus pass), one agg keyed by component
+    * (label-table-sized), one agg keyed by size (output ≤ max cluster
+    * size rows). At 100 TB this is the cheap artifact read-back, same
+    * as q89.
+    */
+  def q129ComponentSizeHist(s: SparkSession, d: String): DataFrame =
+    propagationComponents(s, d)
+      .groupBy("component").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+      .select(col("csize"), col("n_components"),
+        (col("csize") * col("n_components")).as("n_docs"))
+      .orderBy("csize")
+
+  /** SEMANTIC DECONTAMINATION — the embedding-space twin of q74/q86's
+    * n-gram benchmark decontamination: hold out an eval set (exact-k
+    * per label, q99's salted-md5 rank discipline), then flag every
+    * TRAINING vector that is a verified semantic near-duplicate of an
+    * eval vector — the paraphrase-level leakage n-gram overlap misses.
+    * Output is the contamination edge list (train_vec, eval_vec,
+    * cos_sim): `train_vec` is the row to drop/quarantine, `eval_vec`
+    * the evidence. Pairs inside the holdout (eval-eval) are not
+    * contamination and are excluded; so are train-train pairs.
+    *
+    * Scale shape: reuses the MEMOIZED q34 verified-pair frame (banded
+    * sign-LSH candidates + exact cosine — never all-pairs, already paid
+    * for by q34/q87), and the holdout membership frame is eval-sized
+    * (k·|labels| rows) — broadcast into two left-semi-style flag joins.
+    * At 100 TB: one pass over the near-dup-density-sized pair table
+    * with a broadcast probe, the same shape as q86's Bloom verify.
+    */
+  def q130SemanticDecontaminate(s: SparkSession, d: String, k: Int = 10)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("label").orderBy(col("hk"), col("vec_id"))
+    val hold = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        md5(concat_ws("|", col("vec_id").cast("string"), lit("q130-holdout")))
+          .as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id").as("hold_id"))
+    val ha = hold.select(col("hold_id").as("vec_a"), lit(true).as("a_hold"))
+    val hb = hold.select(col("hold_id").as("vec_b"), lit(true).as("b_hold"))
+    q34EmbeddingNearDup(s, d)
+      .join(broadcast(ha), Seq("vec_a"), "left")
+      .join(broadcast(hb), Seq("vec_b"), "left")
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"),
+        coalesce(col("a_hold"), lit(false)).as("ah"),
+        coalesce(col("b_hold"), lit(false)).as("bh"))
+      .filter(col("ah") =!= col("bh"))
+      .select(
+        when(col("ah"), col("vec_b")).otherwise(col("vec_a")).as("train_vec"),
+        when(col("ah"), col("vec_a")).otherwise(col("vec_b")).as("eval_vec"),
+        col("cos_sim"))
+      .orderBy("train_vec", "eval_vec")
+  }
 }

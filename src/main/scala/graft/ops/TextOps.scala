@@ -1418,4 +1418,84 @@ object TextOps {
       .withColumn("pass",
         col("r_len") && col("r_word_len") && col("r_stop") && col("r_ttr"))
       .orderBy("doc_id")
+
+  /** The q127 query workload — a fixed phrase set, the bounded "query
+    * side" of the retrieval op (SparkEntry's oracle embeds the same
+    * literals; keep in lockstep).
+    */
+  val DefaultPhrases: Seq[String] = Seq(
+    "hash join", "table scan", "sort merge", "stream window", "the table")
+
+  /** PHRASE retrieval with tf ranking — the exact-match search op a
+    * corpus index serves: for each query phrase (a token bigram), the
+    * top-k documents ranked by PHRASE term frequency (occurrence count
+    * of the exact adjacent pair), ties broken by doc_id. This is the
+    * positional-index capability q95's posting blocks feed in a real
+    * engine — "docs where these tokens are ADJACENT", which bag-of-words
+    * retrieval (q26 TF-IDF top-k) structurally cannot ask.
+    *
+    * Entirely integer arithmetic (tf counts + rank) — nothing to round.
+    *
+    * Plan shape at 100 TB: adjacency is computed IN-ROW ([[graft
+    * .functions.expressions.TextExpressions.tokenShingles]] over the
+    * token array — no positions explode, no self-join on pos+1), and
+    * the `isin` filter on the query vocabulary cuts the exploded stream
+    * to query-matched occurrences BEFORE the one (phrase, doc) keyed
+    * shuffle — the shuffle is sized by matches, not by corpus tokens.
+    * The per-phrase top-k is a WindowGroupLimit (k rows per phrase per
+    * map partition reach the exchange, never the full posting list).
+    */
+  def q127PhraseTopk(s: SparkSession, d: String,
+      phrases: Seq[String] = DefaultPhrases, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.expressions.TextExpressions.tokenShingles
+    val w = Window.partitionBy("phrase")
+      .orderBy(col("tf").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(tokenShingles(tokens(col("text")), 2)).as("phrase"))
+      .filter(col("phrase").isin(phrases: _*))
+      .groupBy("phrase", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k.toLong)
+      .select("phrase", "rk", "doc_id", "tf")
+      .orderBy("phrase", "rk")
+  }
+
+  /** TOKEN-BUDGET mixing — the other half of the q124 training-mix
+    * assembly: where q124 draws a DOC quota per source, this fills a
+    * TOKEN budget per source (what the training run actually consumes),
+    * taking docs in the deterministic md5-ranked order until the
+    * running token total reaches the budget. A doc is taken iff the
+    * budget is not yet exhausted BEFORE it (`cum_before < budget`), so
+    * the crossing doc is included and every source covers ≥ budget
+    * tokens (unless the source itself is smaller) — the standard
+    * greedy budget fill.
+    *
+    * Exactness: token counts and running sums are BIGINT; membership is
+    * one integer comparison. The running sum uses an explicit
+    * ROWS-frame over the unique (hk, doc_id) order, so engine default-
+    * frame differences (RANGE vs ROWS) can never matter.
+    *
+    * Plan shape at 100 TB: one window pass partitioned by source (rank
+    * + running sum share the single sort), no joins at all — cheaper
+    * than q124 (no quota frame). Same documented evolution as
+    * q99/q124 if one source outgrows an executor's sort: two-pass
+    * hash-threshold selection.
+    */
+  def q128TokenBudgetMix(s: SparkSession, d: String,
+      budget: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit("-budget"))).as("hk"))
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(cum))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select("source", "rk", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("source", "rk")
+  }
 }

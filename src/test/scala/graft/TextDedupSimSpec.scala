@@ -1098,6 +1098,81 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(drawn <= 200L && drawn > 200L - cnt.size)
   }
 
+  test("q127 phrase top-k: matches a JVM reference retrieval run") {
+    val docs = collectedDocs()
+    val tf = docs.flatMap { case (id, _, text) =>
+      toks(text).sliding(2).filter(_.length == 2).map(_.mkString(" "))
+        .filter(TextOps.DefaultPhrases.contains).map(p => (p, id))
+    }.groupBy(identity).map { case ((p, id), xs) => (p, id, xs.size.toLong) }
+    val want = tf.groupBy(_._1).flatMap { case (p, rows) =>
+      rows.toSeq.sortBy { case (_, id, c) => (-c, id) }.take(10).zipWithIndex
+        .map { case ((_, id, c), i) => (p, i + 1L, id, c) }
+    }.toSet
+    val got = TextOps.q127PhraseTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("q128 token budget: matches a JVM greedy fill; every source covers the budget or is exhausted") {
+    val budget = 1000L
+    val docs = collectedDocs()
+    val want = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      val ordered = ds.map { case (id, _, text) => (id, toks(text).size.toLong) }
+        .sortBy { case (id, _) => (md5hex(s"$id-budget"), id) }
+      val cums = ordered.scanLeft(0L)(_ + _._2).tail
+      ordered.zip(cums).zipWithIndex
+        .takeWhile { case (((_, n), cum), _) => cum - n < budget }
+        .map { case (((id, n), cum), i) => (src, i + 1L, id, n, cum) }
+    }.toSet
+    val got = TextOps.q128TokenBudgetMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    // contract: each source's selected set reaches the budget, or the
+    // source had fewer tokens than the budget in total
+    val totals = docs.groupBy(_._2).view
+      .mapValues(_.map { case (_, _, t) => toks(t).size.toLong }.sum).toMap
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val covered = rows.map(_._5).max
+      assert(covered >= math.min(budget, totals(src)))
+    }
+  }
+
+  test("q129 component size histogram: consistent with the q69 labels; doc mass conserved") {
+    val labels = Dedup.q69DedupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val want = labels.groupBy(_._2).values.map(_.size.toLong)
+      .groupBy(identity).map { case (sz, xs) =>
+        (sz, xs.size.toLong, sz * xs.size) }.toSet
+    val got = Dedup.q129ComponentSizeHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.toSeq.map(_._3).sum == labels.length.toLong)
+  }
+
+  test("q130 semantic decontamination: XOR membership against a JVM holdout; evidence pairs are verified near-dups") {
+    val k = 10
+    val hold = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._2).values.flatMap { vs =>
+        vs.map(_._1).sortBy(id => (md5hex(s"$id|q130-holdout"), id)).take(k)
+      }.toSet
+    val pairs = Dedup.q34EmbeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = pairs.flatMap { case (a, b, c) =>
+      (hold(a), hold(b)) match {
+        case (true, false) => Some((b, a, c))
+        case (false, true) => Some((a, b, c))
+        case _             => None
+      }
+    }.toSet
+    val got = Dedup.q130SemanticDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    got.foreach { case (train, eval_, _) =>
+      assert(!hold(train) && hold(eval_))
+    }
+  }
+
   test("q125 quality rules: matches a JVM reference rule battery") {
     val stop = Set("the", "a")
     val want = collectedDocs().map { case (id, _, text) =>
