@@ -34,7 +34,11 @@ object Explain {
     "q110_skipgram_cooccur", "q111_unattributed_purchases",
     "q112_resample_ffill", "q113_containment_pairs", "q114_frame_features",
     "q115_weighted_group_sample", "q116_url_extract", "q117_sql_wordcount",
-    "q118_winnow_fingerprints", "q119_winnow_pairs", "q120_vocab_growth")
+    "q118_winnow_fingerprints", "q119_winnow_pairs", "q120_vocab_growth",
+    "q121_containment_exact", "q122_dup_ngram_spans", "q123_source_overlap",
+    "q124_mix_temperature", "q125_quality_rules", "q126_trunc_energy",
+    "q127_phrase_topk", "q128_token_budget_mix", "q129_component_size_hist",
+    "q130_semantic_decontaminate")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from
