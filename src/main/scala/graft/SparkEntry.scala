@@ -104,6 +104,8 @@ object SparkEntry {
     "q125_quality_rules" -> (TextOps.q125QualityRules(_, _)),
     "q127_phrase_topk" -> ((s, d) => TextOps.q127PhraseTopk(s, d)),
     "q128_token_budget_mix" -> ((s, d) => TextOps.q128TokenBudgetMix(s, d)),
+    "q131_bigram_lm" -> ((s, d) => TextOps.q131BigramLm(s, d)),
+    "q133_simpson_diversity" -> (TextOps.q133SimpsonDiversity(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -148,6 +150,7 @@ object SparkEntry {
     "q88_label_centroids" -> (Similarity.q88LabelCentroids(_, _)),
     "q90_quantize_embeddings" -> (Similarity.q90QuantizeEmbeddings(_, _)),
     "q126_trunc_energy" -> (Similarity.q126TruncEnergy(_, _)),
+    "q132_ann_recall" -> ((s, d) => Similarity.q132AnnRecall(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -1766,6 +1769,76 @@ object SparkEntry {
          |SELECT csize, CAST(count(*) AS BIGINT) AS n_components,
          | CAST(csize * count(*) AS BIGINT) AS n_docs
          |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    // mirrors TextOps.q131BigramLm — bigram counts, prefix totals over
+    // the bigram table, integer-division micro-probs, top-3 per prefix
+    // at support >= 50 (keep in lockstep)
+    "q131_bigram_lm" ->
+      s"""WITH toks AS (SELECT ${toksSql("text")} AS ts FROM documents),
+         |bg AS (SELECT b AS bigram, CAST(count(*) AS BIGINT) AS c_bg FROM (
+         |  SELECT unnest(list_transform(range(0, len(ts) - 1),
+         |    i -> array_to_string(ts[i + 1:i + 2], ' '))) AS b
+         |  FROM toks WHERE len(ts) >= 2) GROUP BY b),
+         |sp AS (SELECT bigram, c_bg,
+         |  string_split(bigram, ' ')[1] AS w1,
+         |  string_split(bigram, ' ')[2] AS w2 FROM bg),
+         |pre AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_prefix
+         | FROM sp GROUP BY w1),
+         |r AS (SELECT sp.w1, sp.w2, sp.c_bg, pre.c_prefix,
+         |  CAST(row_number() OVER (PARTITION BY sp.w1
+         |    ORDER BY sp.c_bg DESC, sp.w2) AS BIGINT) AS rk
+         | FROM sp JOIN pre ON sp.w1 = pre.w1
+         | WHERE pre.c_prefix >= 50)
+         |SELECT w1, rk, w2, c_bg, c_prefix,
+         | c_bg * 1000000 // c_prefix AS micro_prob
+         |FROM r WHERE rk <= 3 ORDER BY w1, rk""".stripMargin,
+    // mirrors Similarity.q132AnnRecall — exact top-3 (brute force) and
+    // LSH-bucket top-3 recomputed independently, hit counts, one
+    // division (keep in lockstep)
+    "q132_ann_recall" ->
+      s"""WITH es AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS cand_id, ${sqlRn(cosSql, 6)} AS sim6
+         | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         | WHERE a.vec_id % 50 = 0),
+         |er AS (SELECT query_id, cand_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS rk
+         | FROM es),
+         |exact3 AS (SELECT query_id, cand_id FROM er WHERE rk <= 3),
+         |bucketed AS (
+         | SELECT vec_id, embedding,
+         |  ${(0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")} AS bucket
+         | FROM embeddings),
+         |as_ AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS cand_id, ${sqlRn(cosSql, 6)} AS sim6
+         | FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         | WHERE a.vec_id % 50 = 0),
+         |ar AS (SELECT query_id, cand_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS rk
+         | FROM as_),
+         |ann3 AS (SELECT query_id, cand_id FROM ar WHERE rk <= 3),
+         |ex_n AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         | FROM exact3 GROUP BY query_id),
+         |hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         | FROM exact3 e JOIN ann3 a
+         |   ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+         | GROUP BY e.query_id)
+         |SELECT ex_n.query_id,
+         | CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit, n_exact,
+         | ${sqlRn("CAST(coalesce(n_hit, 0) AS DOUBLE) / n_exact", 4)} AS recall
+         |FROM ex_n LEFT JOIN hits ON hits.query_id = ex_n.query_id
+         |ORDER BY ex_n.query_id""".stripMargin,
+    // mirrors TextOps.q133SimpsonDiversity — per-doc token counts,
+    // exact integer n/V/sum-sq, one division, 6 dp (keep in lockstep)
+    "q133_simpson_diversity" ->
+      s"""WITH u AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),
+         |c AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+         | FROM u GROUP BY doc_id, t),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(c * c) AS BIGINT) AS sum_sq
+         | FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         | ${sqlRn("CAST(n_tokens * n_tokens - sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)", 6)} AS simpson
+         |FROM a WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
     // mirrors Dedup.q130SemanticDecontaminate — q34's epairs CTEs, the
     // salted-md5 exact-k-per-label holdout, XOR membership (keep in
     // lockstep)

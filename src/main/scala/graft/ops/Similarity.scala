@@ -389,4 +389,36 @@ object Similarity {
         r6(col("e16") / col("e64")).as("energy16"),
         r6(col("e32") / col("e64")).as("energy32"))
       .orderBy("vec_id")
+
+  /** ANN RECALL@3 evaluation — the measurement an ANN index ships with:
+    * per query, |LSH top-3 ∩ exact top-3| / |exact top-3|, on the
+    * query set both baselines cover (vec_id % 50 — q40's set, a subset
+    * of q41's % 25). SimilaritySpec bounds this recall in aggregate;
+    * this query makes the per-query numbers a FIRST-CLASS, oracle-gated
+    * output (the oracle recomputes both rankings independently from
+    * brute force + the bucket join), so index-quality regressions land
+    * in the driver gate, not only in a spec threshold.
+    *
+    * Integer arithmetic end to end (hit/total counts), one final
+    * division. Cost: both inputs are the existing q40/q41 passes; the
+    * eval itself is two joins + aggs on top-3-sized frames (3 rows per
+    * query), negligible at any scale — the expensive side is the exact
+    * baseline, which is exactly the documented q40 scale caveat.
+    */
+  def q132AnnRecall(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val exact = q40CosineTopK(s, d, k = k)
+      .select(col("query_id"), col("cand_id"))
+    val ann = q41AnnLshTopK(s, d, k = k)
+      .filter(col("query_id") % 50 === 0)
+      .select(col("query_id"), col("cand_id"))
+    val hits = exact.join(ann, Seq("query_id", "cand_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+        r4(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_exact").cast("double")).as("recall"))
+      .orderBy("query_id")
+  }
 }

@@ -1498,4 +1498,70 @@ object TextOps {
       .select("source", "rk", "doc_id", "n_tokens", "cum_tokens")
       .orderBy("source", "rk")
   }
+
+  /** BIGRAM LM TABLE — the count-based language-model ARTIFACT whose
+    * per-document consumption is q83's perplexity-proxy score: for each
+    * prefix token with corpus support ≥ `minPrefix` bigram occurrences,
+    * the top-`k` continuations by conditional probability
+    * P(w2|w1) = c_bg / c_prefix, emitted as q83's exact integral
+    * micro-prob (`c_bg·10⁶ div c_prefix` — true integer division, the
+    * idiom DuckDB's `//` mirrors bit-for-bit). This is the first
+    * Kneser-Ney-free n-gram table a filtering pipeline ships: q83
+    * scores documents against exactly these statistics.
+    *
+    * Plan shape at 100 TB: one bigram-keyed agg (corpus-linear in, at
+    * most vocabulary² rows out), the prefix totals via a second agg
+    * OVER THE BIGRAM TABLE (vocabulary-sized input, not corpus), one
+    * hash join on w1, and a per-prefix WindowGroupLimit top-k — every
+    * post-scan operator is bounded by vocabulary, not corpus.
+    */
+  def q131BigramLm(s: SparkSession, d: String,
+      minPrefix: Long = 50L, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.expressions.TextExpressions.tokenShingles
+    val bg = Tables.documents(s, d)
+      .select(explode(tokenShingles(tokens(col("text")), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("bigram"), lit(" "), lit(2)))
+    val prefix = bg.groupBy("w1").agg(sum("c_bg").as("c_prefix"))
+    val w = Window.partitionBy("w1").orderBy(col("c_bg").desc, col("w2"))
+    bg.join(prefix, Seq("w1"))
+      .filter(col("c_prefix") >= minPrefix)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k.toLong)
+      .select(col("w1"), col("rk"), col("w2"), col("c_bg"), col("c_prefix"),
+        expr("c_bg * 1000000L div c_prefix").as("micro_prob"))
+      .orderBy("w1", "rk")
+  }
+
+  /** SIMPSON lexical diversity — the repetition-complementary quality
+    * signal: per document, the probability two token draws (without
+    * replacement intuition, computed with-replacement) differ,
+    * 1 − Σ(cᵢ/n)² = (n² − Σcᵢ²)/n². Token salad scores near 1 − 1/V;
+    * a one-word loop scores near 0. Unlike entropy (log — multi-ulp
+    * libm, not engine-portable) this is EXACT integer arithmetic up to
+    * one final division: n and Σcᵢ² are BIGINTs from the in-row
+    * [[graft.functions.expressions.TextExpressions.tokenCounts]]
+    * fold, so both engines divide identical integers.
+    *
+    * Plan shape: ZERO shuffles — tokenCounts yields per-distinct-token
+    * (token, cnt) structs in-row; n, V and Σc² are array folds. At
+    * 100 TB this is a pure scan, like q75/q125.
+    */
+  def q133SimpsonDiversity(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.expressions.TextExpressions.tokenCounts
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokenCounts(col("text")).as("tc"))
+      .select(col("doc_id"),
+        expr("aggregate(tc, 0L, (acc, x) -> acc + x.cnt)").as("n_tokens"),
+        size(col("tc")).cast("long").as("n_distinct"),
+        expr("aggregate(tc, 0L, (acc, x) -> acc + CAST(x.cnt AS BIGINT) * x.cnt)")
+          .as("sum_sq"))
+      .filter(col("n_tokens") > 0L)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        r6((col("n_tokens") * col("n_tokens") - col("sum_sq")).cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
+      .orderBy("doc_id")
+  }
 }

@@ -21,6 +21,7 @@ class PlanSpec extends AnyFunSuite {
   private val nestedLoopAllowed: Map[String, String] = Map(
     "q40_cosine_topk" -> "exact all-pairs baseline: =!= join, broadcast query subset",
     "q35_knn_classify" -> "built on q40's exact baseline",
+    "q132_ann_recall" -> "recall eval built on q40's exact baseline",
     "q48_ivf_ann" -> "nProbe probe: cross join against the nCentroids-row centroid table",
     "q70_ivf_probe_indexed" -> "same probe core as q48, reading the persisted index table",
     "q58_band_join" -> "theta join against the fixed 5-row band table",

@@ -198,6 +198,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q132 ANN recall: aggregation matches a JVM recount over the q40/q41 frames; recall in [0,1]") {
+    val exact = Similarity.q40CosineTopK(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.q41AnnLshTopK(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).filter(_._1 % 50 == 0).toSet
+    val want = exact.groupBy(_._1).map { case (q, rows) =>
+      val nExact = rows.size.toLong
+      val nHit = rows.count(ann.contains).toLong
+      q -> (nHit, nExact,
+        math.floor(nHit.toDouble / nExact * 1e4 + 0.5) / 1e4)
+    }
+    val got = Similarity.q132AnnRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want)
+    got.values.foreach { case (h, n, rec) =>
+      assert(h <= n && rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("q126 truncation energy: matches a JVM left-to-right fold; prefix energies are monotone") {
     val rows = graft.core.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()

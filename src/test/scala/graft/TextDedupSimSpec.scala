@@ -1173,6 +1173,49 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("q131 bigram LM: matches a JVM reference table; micro-probs sum to ~1e6 per covered prefix") {
+    val docs = collectedDocs()
+    val bg = docs.flatMap { case (_, _, text) =>
+      toks(text).sliding(2).filter(_.length == 2).map(w => (w(0), w(1)))
+    }.groupBy(identity).map { case ((a, b), xs) => (a, b, xs.size.toLong) }
+    val prefix = bg.groupBy(_._1).map { case (w1, xs) => w1 -> xs.map(_._3).sum }
+    val want = bg.groupBy(_._1).filter { case (w1, _) => prefix(w1) >= 50L }
+      .flatMap { case (w1, rows) =>
+        rows.toSeq.sortBy { case (_, w2, c) => (-c, w2) }.take(3).zipWithIndex
+          .map { case ((_, w2, c), i) =>
+            (w1, i + 1L, w2, c, prefix(w1), c * 1000000L / prefix(w1)) }
+      }.toSet
+    val got = TextOps.q131BigramLm(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    // full-table sanity: summed over ALL continuations (not just top-3),
+    // integer-division micro-probs land within one vocabulary of 1e6
+    prefix.filter(_._2 >= 50L).foreach { case (w1, cp) =>
+      val total = bg.filter(_._1 == w1).map { case (_, _, c) => c * 1000000L / cp }.sum
+      assert(total <= 1000000L && total > 1000000L - bg.count(_._1 == w1))
+    }
+  }
+
+  test("q133 Simpson diversity: matches a JVM reference; bounded by 1 - 1/V") {
+    val want = collectedDocs().flatMap { case (id, _, text) =>
+      val ts = toks(text)
+      val n = ts.length.toLong
+      if (n == 0) None else {
+        val sumSq = ts.groupBy(identity).values
+          .map(g => g.size.toLong * g.size).sum
+        Some(id -> (n, ts.distinct.length.toLong,
+          math.floor((n * n - sumSq).toDouble / (n * n) * 1e6 + 0.5) / 1e6))
+      }
+    }.toMap
+    val got = TextOps.q133SimpsonDiversity(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want)
+    got.values.foreach { case (_, v, s) =>
+      assert(s >= 0.0 && s <= 1.0 - 1.0 / v + 1e-6)
+    }
+  }
+
   test("q125 quality rules: matches a JVM reference rule battery") {
     val stop = Set("the", "a")
     val want = collectedDocs().map { case (id, _, text) =>
