@@ -39,7 +39,8 @@ object Explain {
     "q124_mix_temperature", "q125_quality_rules", "q126_trunc_energy",
     "q127_phrase_topk", "q128_token_budget_mix", "q129_component_size_hist",
     "q130_semantic_decontaminate",
-    "q131_bigram_lm", "q132_ann_recall", "q133_simpson_diversity")
+    "q131_bigram_lm", "q132_ann_recall", "q133_simpson_diversity",
+    "q134_dedup_adjusted_mix")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from

@@ -134,6 +134,7 @@ object SparkEntry {
     "q113_containment_pairs" -> ((s, d) => Dedup.q113ContainmentPairs(s, d)),
     "q129_component_size_hist" -> ((s, d) => Dedup.q129ComponentSizeHist(s, d)),
     "q130_semantic_decontaminate" -> ((s, d) => Dedup.q130SemanticDecontaminate(s, d)),
+    "q134_dedup_adjusted_mix" -> ((s, d) => Dedup.q134DedupAdjustedMix(s, d)),
     // exact-recall containment: prefix-filtered candidates, so the
     // independent all-pairs oracle hash-checks candidate RECALL itself
     "q121_containment_exact" -> ((s, d) => Dedup.q121ContainmentExact(s, d)),
@@ -1839,6 +1840,28 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, n_distinct,
          | ${sqlRn("CAST(n_tokens * n_tokens - sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)", 6)} AS simpson
          |FROM a WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    // mirrors Dedup.q134DedupAdjustedMix — keepers from the same
+    // recursive-CTE component ground truth, then q124's quota/draw
+    // shape over keepers with the '-dmix' salt (keep in lockstep)
+    "q134_dedup_adjusted_mix" ->
+      s"""WITH RECURSIVE $componentsCtes,
+         |elig AS (SELECT d.doc_id, d.source FROM documents d
+         | JOIN comp c ON d.doc_id = c.doc_id WHERE c.component = d.doc_id),
+         |ec AS (SELECT source, CAST(count(*) AS BIGINT) AS effective
+         | FROM elig GROUP BY source),
+         |w AS (SELECT source, effective,
+         |  CAST(floor(sqrt(CAST(effective AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+         | FROM ec),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM w),
+         |q AS (SELECT source, effective, (200 * w) // wtot AS quota FROM w, tot),
+         |r AS (SELECT source, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '-dmix'), doc_id) AS BIGINT) AS rk
+         | FROM elig)
+         |SELECT r.source, r.doc_id, r.rk, q.effective, q.quota
+         |FROM r JOIN q ON r.source = q.source
+         |WHERE r.rk <= q.quota
+         |ORDER BY r.source, r.rk""".stripMargin,
     // mirrors Dedup.q130SemanticDecontaminate — q34's epairs CTEs, the
     // salted-md5 exact-k-per-label holdout, XOR membership (keep in
     // lockstep)

@@ -1418,6 +1418,46 @@ object Dedup {
         (col("csize") * col("n_components")).as("n_docs"))
       .orderBy("csize")
 
+  /** DEDUP-ADJUSTED MIXING — q124's temperature draw run the way a
+    * production pipeline actually sequences it: AFTER dedup. Eligible
+    * documents are the component KEEPERS (docs whose q69 component
+    * label is their own id — one representative per transitive
+    * near-dup cluster, singletons included), per-source weights are
+    * √(effective unique mass) rather than √(raw count), and the
+    * deterministic md5-ranked draw selects only keepers. A source
+    * whose volume is mostly duplicates stops buying mixing share with
+    * its copies — the failure mode of mixing BEFORE dedup.
+    *
+    * Same exactness contract as q124 (IEEE sqrt → micro-unit BIGINT
+    * floor, integer quota division, no RNG); same cost shape plus one
+    * doc_id-keyed join against the PERSISTED component memo (the
+    * q69/q77/q89/q129 frame — already paid for).
+    */
+  def q134DedupAdjustedMix(s: SparkSession, d: String, target: Int = 200)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val elig = Tables.documents(s, d).select("doc_id", "source")
+      .join(propagationComponents(s, d), Seq("doc_id"))
+      .filter(col("component") === col("doc_id"))
+      .select("doc_id", "source")
+    val w = elig.groupBy("source").agg(count(lit(1)).as("effective"))
+      .withColumn("w",
+        floor(sqrt(col("effective").cast("double")) * lit(1e6)).cast("long"))
+    val tot = w.agg(sum("w").as("wtot"))
+    val quota = w.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"$target * w div wtot"))
+      .select("source", "effective", "quota")
+    elig
+      .withColumn("hk", md5(concat(col("doc_id").cast("string"), lit("-dmix"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))).cast("long"))
+      .join(broadcast(quota), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"), col("effective"),
+        col("quota"))
+      .orderBy("source", "rk")
+  }
+
   /** SEMANTIC DECONTAMINATION — the embedding-space twin of q74/q86's
     * n-gram benchmark decontamination: hold out an eval set (exact-k
     * per label, q99's salted-md5 rank discipline), then flag every

@@ -1149,6 +1149,26 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum == labels.length.toLong)
   }
 
+  test("q134 dedup-adjusted mix: matches a JVM draw over the q69 keepers; no non-keeper selected") {
+    val docs = collectedDocs()
+    val comp = Dedup.q69DedupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keepers = docs.filter { case (id, _, _) => comp(id) == id }
+    val eff = keepers.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val w = eff.view.mapValues(c => math.floor(math.sqrt(c.toDouble) * 1e6).toLong).toMap
+    val wtot = w.values.sum
+    val quota = w.map { case (s, x) => s -> (200L * x / wtot) }
+    val want = keepers.groupBy(_._2).flatMap { case (src, ds) =>
+      ds.map(_._1).sortBy(id => (md5hex(s"$id-dmix"), id))
+        .take(quota(src).toInt).zipWithIndex
+        .map { case (id, i) => (src, id, i + 1L, eff(src), quota(src)) }
+    }.toSet
+    val got = Dedup.q134DedupAdjustedMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    got.foreach { case (_, id, _, _, _) => assert(comp(id) == id) }
+  }
+
   test("q130 semantic decontamination: XOR membership against a JVM holdout; evidence pairs are verified near-dups") {
     val k = 10
     val hold = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
