@@ -106,6 +106,8 @@ object SparkEntry {
     "q128_token_budget_mix" -> ((s, d) => TextOps.q128TokenBudgetMix(s, d)),
     "q131_bigram_lm" -> ((s, d) => TextOps.q131BigramLm(s, d)),
     "q133_simpson_diversity" -> (TextOps.q133SimpsonDiversity(_, _)),
+    "q135_pii_redact" -> (TextOps.q135PiiRedact(_, _)),
+    "q138_token_fertility" -> (TextOps.q138TokenFertility(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -135,6 +137,7 @@ object SparkEntry {
     "q129_component_size_hist" -> ((s, d) => Dedup.q129ComponentSizeHist(s, d)),
     "q130_semantic_decontaminate" -> ((s, d) => Dedup.q130SemanticDecontaminate(s, d)),
     "q134_dedup_adjusted_mix" -> ((s, d) => Dedup.q134DedupAdjustedMix(s, d)),
+    "q137_pagerank" -> ((s, d) => Dedup.q137Pagerank(s, d)),
     // exact-recall containment: prefix-filtered candidates, so the
     // independent all-pairs oracle hash-checks candidate RECALL itself
     "q121_containment_exact" -> ((s, d) => Dedup.q121ContainmentExact(s, d)),
@@ -179,7 +182,8 @@ object SparkEntry {
     "q79_zorder_layout" -> (Layout.q79ZOrderLayout(_, _)),
     "q80_compact_roundtrip" -> ((s, d) => Layout.q80CompactRoundtrip(s, d)),
     "q91_table_stats" -> (Layout.q91TableStats(_, _)),
-    "q92_upsert_apply" -> (Layout.q92UpsertApply(_, _))
+    "q92_upsert_apply" -> (Layout.q92UpsertApply(_, _)),
+    "q136_corpus_diff" -> (Layout.q136CorpusDiff(_, _))
   )
 
   // ---- oracle SQL (DuckDB) ----------------------------------------------
@@ -1879,6 +1883,101 @@ object SparkEntry {
          |  (vec_b IN (SELECT vec_id FROM hold)) AS bh FROM epairs)
          |SELECT CASE WHEN ah THEN vec_b ELSE vec_a END AS train_vec,
          | CASE WHEN ah THEN vec_a ELSE vec_b END AS eval_vec, cos_sim
-         |FROM fl WHERE ah <> bh ORDER BY train_vec, eval_vec""".stripMargin
+         |FROM fl WHERE ah <> bh ORDER BY train_vec, eval_vec""".stripMargin,
+    // mirrors TextOps.q135PiiRedact — the oracle matches with RE2
+    // against Spark's java.util.regex, on the identical pattern TEXT
+    // (TextOps.EmailRe/Ipv4Re/PhoneRe) and the identical constructed
+    // contact block (keep in lockstep); DuckDB regexp_replace needs the
+    // explicit 'g' flag to match Spark's replace-all semantics
+    "q135_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+         |   CAST(doc_id % 5 AS VARCHAR) || '.com' ||
+         |   CASE WHEN doc_id % 3 = 0 THEN ' cc admin' ||
+         |     CAST(doc_id % 7 AS VARCHAR) || '@ex.org' ELSE '' END ||
+         |   ' ip 10.' || CAST(doc_id % 254 AS VARCHAR) || '.' ||
+         |   CAST(doc_id % 97 AS VARCHAR) || '.7' ||
+         |   CASE WHEN doc_id % 4 <> 1 THEN ' call 555-' ||
+         |     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS pii
+         | FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii, '${TextOps.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(pii, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(pii, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(pii,
+         |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS red
+         | FROM p)
+         |SELECT doc_id, n_email, n_ipv4, n_phone,
+         | CAST(length(red) AS BIGINT) AS n_chars_redacted,
+         | md5(red) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // mirrors Layout.q136CorpusDiff — same v1/v2 slices and revision
+    // rule (keep in lockstep)
+    "q136_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+        |  WHERE doc_id % 5 <> 4),
+        |v2 AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END) AS new_md5
+        | FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, old_md5, new_md5,
+        | CASE WHEN old_md5 IS NULL THEN 'added'
+        |      WHEN new_md5 IS NULL THEN 'removed'
+        |      WHEN old_md5 <> new_md5 THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // mirrors Dedup.q137Pagerank — q31's verified edges (the q31 oracle
+    // text IS the pairs CTE, one edge-set definition), 3 unrolled
+    // integer power iterations in lockstep with the Spark loop: share =
+    // pr // deg, damping = (·85) // 100, base = (10^12·15 // 100) // N
+    "q137_pagerank" ->
+      s"""WITH pairs AS ($q31Sql),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         | UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         | FROM edges GROUP BY s),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |bb AS (SELECT CAST(((1000000000000 * 15) // 100) // n AS BIGINT) AS b,
+         |  CAST(1000000000000 // n AS BIGINT) AS p0 FROM nn),
+         |pr0 AS (SELECT d.doc_id, bb.p0 AS pr FROM documents d, bb),
+         |sh1 AS (SELECT e.t AS doc_id, CAST(sum(p.pr // g.deg) AS BIGINT) AS c
+         | FROM edges e JOIN pr0 p ON e.s = p.doc_id JOIN deg g ON g.doc_id = e.s
+         | GROUP BY e.t),
+         |pr1 AS (SELECT d.doc_id,
+         |  CAST(bb.b + (coalesce(sh1.c, 0) * 85) // 100 AS BIGINT) AS pr
+         | FROM documents d CROSS JOIN bb LEFT JOIN sh1 ON sh1.doc_id = d.doc_id),
+         |sh2 AS (SELECT e.t AS doc_id, CAST(sum(p.pr // g.deg) AS BIGINT) AS c
+         | FROM edges e JOIN pr1 p ON e.s = p.doc_id JOIN deg g ON g.doc_id = e.s
+         | GROUP BY e.t),
+         |pr2 AS (SELECT d.doc_id,
+         |  CAST(bb.b + (coalesce(sh2.c, 0) * 85) // 100 AS BIGINT) AS pr
+         | FROM documents d CROSS JOIN bb LEFT JOIN sh2 ON sh2.doc_id = d.doc_id),
+         |sh3 AS (SELECT e.t AS doc_id, CAST(sum(p.pr // g.deg) AS BIGINT) AS c
+         | FROM edges e JOIN pr2 p ON e.s = p.doc_id JOIN deg g ON g.doc_id = e.s
+         | GROUP BY e.t),
+         |pr3 AS (SELECT d.doc_id,
+         |  CAST(bb.b + (coalesce(sh3.c, 0) * 85) // 100 AS BIGINT) AS pr
+         | FROM documents d CROSS JOIN bb LEFT JOIN sh3 ON sh3.doc_id = d.doc_id)
+         |SELECT pr3.doc_id, CAST(coalesce(deg.deg, 0) AS BIGINT) AS degree,
+         | pr3.pr AS pr_mass
+         |FROM pr3 LEFT JOIN deg ON deg.doc_id = pr3.doc_id
+         |ORDER BY pr_mass DESC, pr3.doc_id""".stripMargin,
+    // mirrors TextOps.q138TokenFertility — strlen = byte length (Spark
+    // octet_length), exact BIGINT sums, one division each, 6 dp
+    "q138_token_fertility" ->
+      s"""WITH t AS (SELECT lang, source,
+         |  CAST(strlen(text) AS BIGINT) AS nb,
+         |  CAST(len(${toksSql("text")}) AS BIGINT) AS nt
+         | FROM documents),
+         |g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens
+         | FROM t GROUP BY lang, source)
+         |SELECT lang, source, n_docs, n_bytes, n_tokens,
+         | ${sqlRn("CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS bytes_per_token,
+         | ${sqlRn("CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS tokens_per_doc
+         |FROM g WHERE n_tokens > 0 ORDER BY lang, source""".stripMargin
   )
 }

@@ -45,7 +45,14 @@ object Dedup {
     * block — 563 s at a 100k-doc stress run vs seconds for this shape —
     * blocking keys don't bound block size as the corpus grows.
     */
-  def q31JaccardPairs(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
+  def q31JaccardPairs(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame =
+    verifiedPairs(s, d, threshold).orderBy("doc_a", "doc_b")
+
+  /** q31's verified pair set WITHOUT the presentation sort — the shared
+    * edge-set form for graph consumers ([[q137Pagerank]]) whose next
+    * operator is a shuffle that would destroy (and re-pay) the sort.
+    */
+  def verifiedPairs(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
     val cand = lshCandidatePairs(s, d)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
@@ -73,7 +80,6 @@ object Dedup {
         r4(col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** ASYMMETRIC containment pairs — quote/subset-duplication detection:
@@ -1500,5 +1506,69 @@ object Dedup {
         when(col("ah"), col("vec_a")).otherwise(col("vec_b")).as("eval_vec"),
         col("cos_sim"))
       .orderBy("train_vec", "eval_vec")
+  }
+
+  /** PAGERANK (fixed-iteration, exact-integer) over the verified
+    * near-dup graph — iterative LINK ANALYSIS beyond connectivity: CC
+    * (q69/q71) says which docs are transitively related; PageRank says
+    * which doc is the duplication HUB inside its cluster (the canonical
+    * template a thousand variants point at), the centrality signal a
+    * curation pipeline uses to pick what to keep or inspect. Classic
+    * damped formulation, 3 unrolled power iterations, uniform teleport.
+    *
+    * Engine-portability is by EXACT INTEGER arithmetic throughout — the
+    * float formulation is unusable for a bitwise gate (a double sum
+    * over in-neighbor contributions depends on partition order). Rank
+    * mass is integer micro-mass (SCALE = 10^12 total): initial rank
+    * SCALE div N, per-edge share = rank div degree, damping = ·85 div
+    * 100, teleport base = (SCALE·15 div 100) div N. Every div is a
+    * floor on non-negatives, so both engines compute identical BIGINTs
+    * regardless of plan or partitioning (sums of integers are
+    * order-invariant; no overflow: 85·SCALE ≪ 2^63). Floor-truncation
+    * deliberately LEAKS mass (standard in integer PageRank); ranks are
+    * comparable within a run, which is what centrality ranking needs.
+    *
+    * Scale shape: each iteration is one keyed join (rank → edge push)
+    * plus one keyed agg — the q69 propagation shape exactly, sized by
+    * the near-dup pair graph, not the corpus; the full-corpus frame is
+    * touched once per iteration by a left join to re-attach
+    * no-in-edge docs at teleport base. Dangling docs (no out-edges)
+    * keep base rank; symmetric edges mean dangling ⟺ isolated here.
+    * Driver holds N (one scalar count) and the loop index — no row
+    * data. 3 iterations ≡ rank flow over paths of length ≤ 3, inside
+    * any near-dup cluster's diameter for the hub question; the oracle
+    * unrolls the same 3 steps as chained CTEs.
+    */
+  def q137Pagerank(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val Scale = 1000000000000L
+    val docs = Tables.documents(s, d).select("doc_id")
+    val n = docs.count()
+    val base = (Scale * 15L / 100L) / n
+    val edges = symmetrizeEdges(
+      verifiedPairs(s, d).select("doc_a", "doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = edges.groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("deg"))
+      var pr = docs.withColumn("pr", lit(Scale / n))
+      for (_ <- 1 to iters) {
+        // per-node outgoing share, pushed along each edge, summed per
+        // destination: all BIGINT, so the agg is partition-invariant
+        val share = pr.join(deg, Seq("doc_id"))
+          .select(col("doc_id"), expr("pr div deg").as("sh"))
+        val pushed = edges.join(share, edges("doc_a") === share("doc_id"))
+          .select(col("doc_b").as("doc_id"), col("sh"))
+        val contrib = pushed.groupBy("doc_id").agg(sum("sh").as("c"))
+        pr = docs.join(contrib, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(base) + expr("(coalesce(c, CAST(0 AS BIGINT)) * 85) div 100"))
+              .as("pr"))
+      }
+      val out = pr.join(deg, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
+          col("pr").as("pr_mass"))
+        .orderBy(col("pr_mass").desc, col("doc_id"))
+      out.localCheckpoint(true)
+    } finally edges.unpersist()
   }
 }

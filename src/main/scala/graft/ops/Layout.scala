@@ -230,4 +230,43 @@ object Layout {
         (col("total_cents").cast("double") / lit(100.0)).as("total_price"))
       .orderBy("o_orderstatus")
   }
+
+  /** CORPUS SNAPSHOT DIFF — the change-data view between two table
+    * versions (what Delta/Iceberg expose as CDF): per-key status
+    * added / removed / changed / unchanged, derived from a full-outer
+    * merge of the two snapshots on the primary key with a content-hash
+    * compare. The maintenance twin of [[q92UpsertApply]]: upsert
+    * APPLIES a changeset; this RECOVERS the changeset two snapshots
+    * imply — what an incremental pipeline consumes to reprocess only
+    * what moved between corpus versions (re-embed changed docs, retire
+    * removed ones, dedup-check added ones).
+    *
+    * Versions are deterministic slices of the fixture (the q78/q116
+    * constructed-content idiom): v1 drops doc_id ≡ 4 (mod 5), v2 drops
+    * doc_id ≡ 0 (mod 5) — so added = ≡0-not-≡4, removed = ≡4 — and v2
+    * revises text for doc_id ≡ 3 (mod 7). Comparison travels as
+    * md5(text) — bounded width per row no matter how wide the payload,
+    * which is what makes the diff shufflable at 100 TB: the merge
+    * carries (key, 32-hex) only. Plan: one scan feeding both filtered
+    * sides, one full-outer SortMergeJoin on doc_id; on a real lake both
+    * snapshots would be bucketed by doc_id and the exchange vanishes
+    * (sources/Bucketing.scala). No skew risk: doc_id is unique per
+    * side.
+    */
+  def q136CorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val v1 = base.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val v2 = base.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 3, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("new_md5"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_md5"), col("new_md5"),
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy("doc_id")
+  }
 }

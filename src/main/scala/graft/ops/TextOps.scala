@@ -1564,4 +1564,96 @@ object TextOps {
           / (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
       .orderBy("doc_id")
   }
+
+  /** Java-regex text of the three PII patterns, shared by engine and
+    * spec; the oracle carries the identical TEXT (the patterns stay in
+    * the common Java-regex/RE2 subset: literal classes, bounded
+    * repetition, `\b` ASCII word boundaries — no lookaround, no
+    * backreferences, which RE2 lacks).
+    */
+  val EmailRe: String = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  val Ipv4Re: String = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe: String = """\b555-\d{4}\b"""
+
+  /** PII DETECTION + REDACTION — the scrubbing pass every training
+    * corpus runs before release (emails, phone numbers, IP addresses →
+    * typed placeholders), as a pure map-side regex battery. The gate is
+    * unusually strong here: Spark matches with java.util.regex, DuckDB
+    * with RE2 — two INDEPENDENT regex engines must agree on every match
+    * count and on the md5 of every redacted string, so the patterns are
+    * pinned to the semantics subset the engines share (see [[EmailRe]]).
+    *
+    * The fixture corpus carries no organic PII, so each doc gets a
+    * deterministic contact block derived from doc_id (the q78/q116
+    * constructed-content idiom) with VARIED multiplicity — a second
+    * email every 3rd doc, no phone every 4th — so zero / one / many
+    * matches per doc are all exercised, not just the happy path.
+    * Redaction order (email → ip → phone) is part of the operator
+    * contract; placeholders contain no digits, so later passes cannot
+    * re-match inside earlier replacements. Plan: scan-only (regexes
+    * fuse into whole-stage codegen); the only shuffle is the
+    * presentation sort. At 100 TB this runs at parquet-read speed.
+    */
+  def q135PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val pii = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 5).cast("string"), lit(".com"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" cc admin"), (col("doc_id") % 7).cast("string"),
+          lit("@ex.org"))).otherwise(lit("")),
+      lit(" ip 10."), (col("doc_id") % 254).cast("string"),
+      lit("."), (col("doc_id") % 97).cast("string"), lit(".7"),
+      when(col("doc_id") % 4 =!= 1,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), pii.as("pii_text"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("pii_text"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ipv4"),
+        size(regexp_extract_all(col("pii_text"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+        length(col("redacted")).cast("long").as("n_chars_redacted"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** TOKENIZER FERTILITY per (lang, source) — bytes-per-token and
+    * tokens-per-doc, the cost model every budget decision downstream
+    * rests on (token budgets q128, quotas q124, packing q64 all count
+    * tokens; storage and scan cost count bytes; fertility converts
+    * between them, and a fertility outlier flags a tokenizer/content
+    * mismatch — e.g. non-Latin text under a whitespace tokenizer).
+    * Exact integer sums (byte lengths and token counts are BIGINTs)
+    * with one final division each, q133's portability discipline.
+    * Plan: one scan, one |lang×source|-keyed agg — nothing at corpus
+    * cardinality crosses the wire.
+    */
+  def q138TokenFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        expr("octet_length(text)").cast("long").as("n_bytes"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bytes").as("n_bytes"),
+        sum("n_toks").as("n_tokens"))
+      .filter(col("n_tokens") > 0L)
+      .select(col("lang"), col("source"), col("n_docs"), col("n_bytes"),
+        col("n_tokens"),
+        r6(col("n_bytes").cast("double") / col("n_tokens").cast("double"))
+          .as("bytes_per_token"),
+        r6(col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("tokens_per_doc"))
+      .orderBy("lang", "source")
 }

@@ -151,4 +151,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows("U")._1 == base.filter(col("o_orderkey") % 7 === 0).count())
     assert(rows("N")._1 == nInserts)
   }
+
+  test("q136 corpus diff: matches a JVM reference diff of the two slices") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val v1 = docs.filter(_._1 % 5 != 4)
+      .map { case (id, t) => id -> md5hex(t) }.toMap
+    val v2 = docs.filter(_._1 % 5 != 0)
+      .map { case (id, t) =>
+        id -> md5hex(if (id % 7 == 3) t + " rev2" else t)
+      }.toMap
+    val want = (v1.keySet ++ v2.keySet).map { id =>
+      val status = (v1.get(id), v2.get(id)) match {
+        case (None, _)                    => "added"
+        case (_, None)                    => "removed"
+        case (Some(a), Some(b)) if a != b => "changed"
+        case _                            => "unchanged"
+      }
+      id -> (v1.get(id).orNull, v2.get(id).orNull, status)
+    }.toMap
+    val got = Layout.q136CorpusDiff(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(got == want)
+    // every status class is actually exercised by the slice rules
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(want.values.map(_._3).toSet))
+  }
 }

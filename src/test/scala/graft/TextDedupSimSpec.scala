@@ -1253,4 +1253,86 @@ class TextDedupSimSpec extends AnyFunSuite {
         r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
     assert(got == want)
   }
+
+  test("q135 PII redaction: matches a java.util.regex JVM reference; all multiplicities hit") {
+    val want = collectedDocs().map { case (id, _, text) =>
+      val pii = text + " contact user" + id + "@mail" + (id % 5) + ".com" +
+        (if (id % 3 == 0) " cc admin" + (id % 7) + "@ex.org" else "") +
+        " ip 10." + (id % 254) + "." + (id % 97) + ".7" +
+        (if (id % 4 != 1) " call 555-" + "%04d".format(id % 10000) else "")
+      def count(re: String): Long = {
+        val m = java.util.regex.Pattern.compile(re).matcher(pii)
+        Iterator.continually(m.find()).takeWhile(identity).size.toLong
+      }
+      val red = pii.replaceAll(TextOps.EmailRe, "<EMAIL>")
+        .replaceAll(TextOps.Ipv4Re, "<IP>")
+        .replaceAll(TextOps.PhoneRe, "<PHONE>")
+      id -> (count(TextOps.EmailRe), count(TextOps.Ipv4Re),
+        count(TextOps.PhoneRe), red.length.toLong, md5hex(red))
+    }.toMap
+    val got = TextOps.q135PiiRedact(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toMap
+    assert(got == want)
+    // the varied contact block exercises 0, 1 and 2 matches per type
+    assert(want.values.map(_._1).toSet.contains(2L)) // doubled email
+    assert(want.values.map(_._3).toSet == Set(0L, 1L)) // phone present/absent
+    // no residual PII survives redaction
+    got.values.foreach { case (_, _, _, _, md5) => assert(md5.length == 32) }
+    val residual = TextOps.q135PiiRedact(spark, sf)
+      .filter(col("n_email") + col("n_ipv4") + col("n_phone") === 0L).count()
+    assert(residual == 0L) // every doc carried at least one PII item
+  }
+
+  test("q137 pagerank: matches an exact-integer JVM reference over the verified graph") {
+    val Scale = 1000000000000L
+    val pairs = Dedup.q31JaccardPairs(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = collectedDocs().map(_._1)
+    val n = ids.length.toLong
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val base = (Scale * 15L / 100L) / n
+    var pr = ids.map(_ -> Scale / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = ids.map(id => id -> (base + contrib.getOrElse(id, 0L) * 85L / 100L)).toMap
+    }
+    val want = ids.map(id => id -> (deg.getOrElse(id, 0L), pr(id))).toMap
+    val got = Dedup.q137Pagerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // floor-truncation only ever LEAKS mass: total stays under SCALE,
+    // and every rank is at least the teleport base
+    assert(pr.values.sum <= Scale)
+    assert(pr.values.forall(_ >= base))
+    // hubs rank above their spokes: max-degree node holds max rank
+    // within its own neighborhood
+    if (deg.nonEmpty) {
+      val hub = deg.maxBy(x => (x._2, -x._1))._1
+      val neighbors = edges.filter(_._1 == hub).map(_._2)
+      assert(neighbors.forall(v => pr(hub) >= pr(v) || deg(v) > deg(hub)))
+    }
+  }
+
+  test("q138 token fertility: matches a JVM reference; exact integer sums") {
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(t => (t._1, t._2)).flatMap { case ((l, src), xs) =>
+      val nb = xs.map(_._3.getBytes("UTF-8").length.toLong).sum
+      val nt = xs.map(t => toks(t._3).length.toLong).sum
+      if (nt == 0) None
+      else Some((l, src) -> (xs.length.toLong, nb, nt,
+        math.floor(nb.toDouble / nt.toDouble * 1e6 + 0.5) / 1e6,
+        math.floor(nt.toDouble / xs.length.toLong * 1e6 + 0.5) / 1e6))
+    }
+    val got = TextOps.q138TokenFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(got == want)
+  }
 }
