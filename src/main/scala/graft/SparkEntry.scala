@@ -141,6 +141,7 @@ object SparkEntry {
     // exact-recall containment: prefix-filtered candidates, so the
     // independent all-pairs oracle hash-checks candidate RECALL itself
     "q121_containment_exact" -> ((s, d) => Dedup.q121ContainmentExact(s, d)),
+    "q139_sorted_neighborhood" -> ((s, d) => Dedup.q139SortedNeighborhood(s, d)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
@@ -155,6 +156,7 @@ object SparkEntry {
     "q90_quantize_embeddings" -> (Similarity.q90QuantizeEmbeddings(_, _)),
     "q126_trunc_energy" -> (Similarity.q126TruncEnergy(_, _)),
     "q132_ann_recall" -> ((s, d) => Similarity.q132AnnRecall(s, d)),
+    "q140_retrieval_metrics" -> ((s, d) => Similarity.q140RetrievalMetrics(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),

@@ -1571,4 +1571,83 @@ object Dedup {
       out.localCheckpoint(true)
     } finally edges.unpersist()
   }
+
+  /** MULTI-PASS SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo 1997's SNM,
+    * in the distributed form of Kolb et al. 2012) — the SORT-based
+    * blocking family, complementing the hash-based families already here
+    * (LSH banding q32, SimHash q33, prefix filtering q121): sort the
+    * corpus by a cheap blocking key, compare only rows within a sliding
+    * window of w positions, verify survivors exactly. Two passes with
+    * complementary keys (the published multi-pass remedy for
+    * single-key blind spots): the first 24 chars and the last 24 chars
+    * of the lowercased text — a prefix edit breaks key 1 but usually
+    * not key 2, and vice versa. Output: verified pairs with Jaccard
+    * (q31's exact verify — same token definition, same counting scalar)
+    * plus per-pass provenance booleans (`hit_prefix`/`hit_suffix`, the
+    * multi-pass diagnostic: a pair found by only one key is the
+    * blind-spot evidence for the other).
+    *
+    * Scale shape: the rank is [[graft.ops.ScalarSuites.globalRank]]
+    * (range-partitioned sort + zipWithIndex — NOT a no-key window; the
+    * frame carries (24-char key, id) only, never text). Window pairs
+    * come from an EQUALITY join on rank blocks of B = 64 ≥ w: block b
+    * joins candidates from blocks b and b−1, then filters to rank
+    * distance 1..w−1 — every within-w pair lands in exactly one
+    * (a-block, b-block) combination, so the join is provably the exact
+    * window pair set while staying a keyed equality join (per-key
+    * fan-out ≤ 2B rows; candidate volume ≤ n·(w−1) per pass by
+    * construction — SNM's defining bound, independent of key skew).
+    * Exact verify runs only on candidates. At 100 TB: two sorts of a
+    * narrow key frame + linear-size equality joins, no all-pairs
+    * anywhere. Recall is heuristic in the SNM sense (a true dup whose
+    * keys land > w apart in BOTH orders is missed) — the documented
+    * trade the sort family makes; the oracle mirrors the same window,
+    * so the gate checks window-exactness and verification, not dedup
+    * recall.
+    */
+  def q139SortedNeighborhood(s: SparkSession, d: String, w: Int = 6,
+      threshold: Double = 0.6): DataFrame = {
+    val B = 64L
+    require(w >= 2 && w <= B, s"window must be in [2, $B]")
+    // blocking keys: identical expression TEXT runs in the oracle
+    // (substring/length are codepoint-based in both engines; string
+    // ordering is UTF-8 memcmp in both, so ranks agree)
+    val keyed = Tables.documents(s, d).select(col("doc_id"),
+      expr("substring(lower(text), 1, 24)").as("k1"),
+      expr("substring(lower(text), greatest(length(text) - 23, 1), 24)").as("k2"))
+    def passCands(key: String, p: Int): DataFrame = {
+      val ranked = ScalarSuites.globalRank(
+          keyed.select(col("doc_id"), col(key).as("k")),
+          Seq(col("k"), col("doc_id")), "rnk")
+        .select(col("doc_id"), col("rnk"))
+      val a = ranked.select(col("doc_id").as("id_a"), col("rnk").as("ra"),
+        expr(s"rnk div $B").as("blk"))
+      val b = ranked.select(col("doc_id").as("id_b"), col("rnk").as("rb"),
+        explode(array(expr(s"rnk div $B"), expr(s"rnk div $B - 1"))).as("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= w - 1)
+        .select(least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"), lit(p).as("p"))
+    }
+    val cand = passCands("k1", 1).union(passCands("k2", 2))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(when(col("p") === 1, 1).otherwise(0)).as("hp"),
+        max(when(col("p") === 2, 1).otherwise(0)).as("hs"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val ta = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      size(col("toks")).as("na"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      size(col("toks")).as("nb"))
+    cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .withColumn("common",
+        graft.functions.expressions.TextExpressions
+          .arrayIntersectCount(col("toks_a"), col("toks_b")))
+      .select(col("doc_a"), col("doc_b"),
+        r4(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"),
+        (col("hp") === 1).as("hit_prefix"), (col("hs") === 1).as("hit_suffix"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
 }

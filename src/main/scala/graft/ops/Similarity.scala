@@ -421,4 +421,55 @@ object Similarity {
           / col("n_exact").cast("double")).as("recall"))
       .orderBy("query_id")
   }
+
+  /** RANKED retrieval metrics — MRR and NDCG@3 of the LSH ANN ranking
+    * against the exact cosine top-3 as binary relevance (q132's recall
+    * companion: recall says WHETHER the index finds the true neighbors,
+    * MRR/NDCG say WHERE it ranks them — rank-1-heavy quality that
+    * recall@k is blind to, and the number a RAG retrieval stack actually
+    * tunes against).
+    *
+    * Engine-portability discipline: NO runtime logarithms. The NDCG
+    * discount 1/log2(rank+1) is a PRECOMPUTED integer micro-unit table
+    * for the fixed k = 3 — disc = floor(1e6/log2(i+1)) = 1000000,
+    * 630929, 500000 — so DCG/IDCG are BIGINT sums (partition-order
+    * invariant), the reciprocal rank is one integer division
+    * (1000000 div rank), and the only float op is the final DCG/IDCG
+    * division, rounded to 6 dp. The oracle carries the SAME literal
+    * table; a libm log2 would drift ulps between engines.
+    *
+    * Cost: the eval joins run on 3-rows-per-query frames; the expensive
+    * side is the exact baseline, which is the documented q40 scale
+    * caveat (bounded probe set, exact brute force — the thing the ANN
+    * index exists to replace).
+    */
+  def q140RetrievalMetrics(s: SparkSession, d: String): DataFrame = {
+    val k = 3 // the discount table below is precomputed for exactly k=3
+    val exact = q40CosineTopK(s, d, k = k).select(col("query_id"), col("cand_id"))
+    val ann = q41AnnLshTopK(s, d, k = k)
+      .filter(col("query_id") % 50 === 0)
+      .select(col("query_id"), col("cand_id"), col("rk"))
+    val disc = when(col("rk") === 1, 1000000L)
+      .when(col("rk") === 2, 630929L).otherwise(500000L)
+    val hits = ann.join(exact, Seq("query_id", "cand_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hit"), min("rk").as("fhr"),
+        sum(disc).as("dcg"))
+    q40CosineTopK(s, d, k = k)
+      .groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_exact"),
+        coalesce(col("fhr"), lit(0L)).as("first_hit_rank"),
+        when(col("fhr").isNull, 0L)
+          .otherwise(expr("CAST(1000000 AS BIGINT) div fhr")).as("rr_micro"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_micro"),
+        when(col("n_exact") === 1, 1000000L)
+          .when(col("n_exact") === 2, 1630929L)
+          .otherwise(2130929L).as("idcg_micro"))
+      .withColumn("ndcg",
+        r6(col("dcg_micro").cast("double") / col("idcg_micro").cast("double")))
+      .orderBy("query_id")
+  }
 }
