@@ -40,7 +40,10 @@ object Explain {
     "q127_phrase_topk", "q128_token_budget_mix", "q129_component_size_hist",
     "q130_semantic_decontaminate",
     "q131_bigram_lm", "q132_ann_recall", "q133_simpson_diversity",
-    "q134_dedup_adjusted_mix")
+    "q134_dedup_adjusted_mix", "q135_pii_redact", "q136_corpus_diff",
+    "q137_pagerank", "q138_token_fertility", "q139_sorted_neighborhood",
+    "q140_retrieval_metrics", "q141_containment_reps",
+    "q142_ivf_recall_gate")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from

@@ -141,6 +141,9 @@ object SparkEntry {
     // exact-recall containment: prefix-filtered candidates, so the
     // independent all-pairs oracle hash-checks candidate RECALL itself
     "q121_containment_exact" -> ((s, d) => Dedup.q121ContainmentExact(s, d)),
+    // q121's dup-count-invariant rep-level artifact as its own gated
+    // surface (the thing a 100 TB pipeline materializes)
+    "q141_containment_reps" -> ((s, d) => Dedup.q141ContainmentReps(s, d)),
     "q139_sorted_neighborhood" -> ((s, d) => Dedup.q139SortedNeighborhood(s, d)),
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
@@ -149,7 +152,8 @@ object SparkEntry {
     // IVF ANN (no SQL oracle: k-means isn't DuckDB-expressible → rows-only
     // check; q70 is the persisted-index probe path — builds the bucketed
     // index table once, then answers from it with no fit; SimilaritySpec
-    // pins q70 ≡ q48 exactly, and q48's recall bound covers both)
+    // pins q70 ≡ q48 exactly, and the recall floor both depend on is
+    // oracle-gated via q142_ivf_recall_gate's error-bound boolean)
     "q48_ivf_ann" -> (Similarity.q48IvfAnn(_, _)),
     "q70_ivf_probe_indexed" -> ((s, d) => Similarity.q70IvfProbeIndexed(s, d)),
     "q88_label_centroids" -> (Similarity.q88LabelCentroids(_, _)),
@@ -157,6 +161,8 @@ object SparkEntry {
     "q126_trunc_energy" -> (Similarity.q126TruncEnergy(_, _)),
     "q132_ann_recall" -> ((s, d) => Similarity.q132AnnRecall(s, d)),
     "q140_retrieval_metrics" -> ((s, d) => Similarity.q140RetrievalMetrics(s, d)),
+    // IVF recall bound as an oracle-assertable boolean (q38/q66 pattern)
+    "q142_ivf_recall_gate" -> ((s, d) => Similarity.q142IvfRecallGate(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -1980,6 +1986,135 @@ object SparkEntry {
          |SELECT lang, source, n_docs, n_bytes, n_tokens,
          | ${sqlRn("CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS bytes_per_token,
          | ${sqlRn("CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS tokens_per_doc
-         |FROM g WHERE n_tokens > 0 ORDER BY lang, source""".stripMargin
+         |FROM g WHERE n_tokens > 0 ORDER BY lang, source""".stripMargin,
+    // mirrors Dedup.q139SortedNeighborhood — lowercase once, the same
+    // two 24-char blocking keys, ranks by (key, doc_id) (binary string
+    // order in both engines), window pairs at rank distance 1..w-1 per
+    // pass, exact distinct-token Jaccard at threshold 0.6 with r4
+    // rounding (keep in lockstep; w = 6). The na+nb-common>0 guard is
+    // Spark's null-comparison drop for empty-token pairs made explicit
+    // (DuckDB would order NaN above the threshold instead).
+    "q139_sorted_neighborhood" ->
+      s"""WITH lo AS (SELECT doc_id, lower(text) AS lt,
+         |  list_distinct(${toksSql("text")}) AS toks FROM documents),
+         |k AS (SELECT doc_id, toks,
+         |  substring(lt, 1, 24) AS k1,
+         |  substring(lt, greatest(length(lt) - 23, 1), 24) AS k2 FROM lo),
+         |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY k1, doc_id) AS rnk FROM k),
+         |p1 AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         |  greatest(a.doc_id, b.doc_id) AS doc_b, 1 AS p
+         | FROM r1 a JOIN r1 b ON b.rnk - a.rnk BETWEEN 1 AND 5),
+         |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY k2, doc_id) AS rnk FROM k),
+         |p2 AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         |  greatest(a.doc_id, b.doc_id) AS doc_b, 2 AS p
+         | FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND 5),
+         |cand AS (SELECT doc_a, doc_b,
+         |  max(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS hp,
+         |  max(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS hs
+         | FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         | GROUP BY doc_a, doc_b),
+         |v AS (SELECT c.doc_a, c.doc_b, c.hp, c.hs,
+         |  CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS common,
+         |  CAST(len(ta.toks) AS BIGINT) AS na,
+         |  CAST(len(tb.toks) AS BIGINT) AS nb
+         | FROM cand c JOIN k ta ON ta.doc_id = c.doc_a
+         |  JOIN k tb ON tb.doc_id = c.doc_b),
+         |j AS (SELECT doc_a, doc_b,
+         |  ${sqlRn("CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)", 4)} AS jaccard,
+         |  hp = 1 AS hit_prefix, hs = 1 AS hit_suffix, na, nb, common FROM v)
+         |SELECT doc_a, doc_b, jaccard, hit_prefix, hit_suffix
+         |FROM j WHERE na + nb - common > 0 AND jaccard >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // mirrors Similarity.q140RetrievalMetrics — q132's exact/ANN top-3
+    // CTEs, the SAME literal integer discount table
+    // (floor(1e6/log2(i+1)) = 1000000/630929/500000), BIGINT sums,
+    // integer reciprocal rank, one final division at 6 dp (keep in
+    // lockstep)
+    "q140_retrieval_metrics" ->
+      s"""WITH es AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS cand_id, ${sqlRn(cosSql, 6)} AS sim6
+         | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         | WHERE a.vec_id % 50 = 0),
+         |er AS (SELECT query_id, cand_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS rk
+         | FROM es),
+         |exact3 AS (SELECT query_id, cand_id FROM er WHERE rk <= 3),
+         |bucketed AS (
+         | SELECT vec_id, embedding,
+         |  ${(0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")} AS bucket
+         | FROM embeddings),
+         |as_ AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS cand_id, ${sqlRn(cosSql, 6)} AS sim6
+         | FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         | WHERE a.vec_id % 50 = 0),
+         |ar AS (SELECT query_id, cand_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS BIGINT) AS rk
+         | FROM as_),
+         |ann3 AS (SELECT query_id, cand_id, rk FROM ar WHERE rk <= 3),
+         |hits AS (SELECT e.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_hit,
+         |  CAST(min(a.rk) AS BIGINT) AS fhr,
+         |  CAST(sum(CASE WHEN a.rk = 1 THEN 1000000
+         |    WHEN a.rk = 2 THEN 630929 ELSE 500000 END) AS BIGINT) AS dcg
+         | FROM exact3 e JOIN ann3 a
+         |   ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+         | GROUP BY e.query_id),
+         |ex_n AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         | FROM exact3 GROUP BY query_id)
+         |SELECT ex_n.query_id,
+         | CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit, n_exact,
+         | CAST(coalesce(fhr, 0) AS BIGINT) AS first_hit_rank,
+         | CAST(CASE WHEN fhr IS NULL THEN 0 ELSE 1000000 // fhr END AS BIGINT) AS rr_micro,
+         | CAST(coalesce(dcg, 0) AS BIGINT) AS dcg_micro,
+         | CAST(CASE WHEN n_exact = 1 THEN 1000000 WHEN n_exact = 2 THEN 1630929
+         |   ELSE 2130929 END AS BIGINT) AS idcg_micro,
+         | ${sqlRn("CAST(coalesce(dcg, 0) AS DOUBLE) / CAST(CASE WHEN n_exact = 1 THEN 1000000 WHEN n_exact = 2 THEN 1630929 ELSE 2130929 END AS DOUBLE)", 6)} AS ndcg
+         |FROM ex_n LEFT JOIN hits ON hits.query_id = ex_n.query_id
+         |ORDER BY ex_n.query_id""".stripMargin,
+    // mirrors Dedup.q141ContainmentReps — INDEPENDENT brute-force
+    // containment grouped by the sorted-distinct-token-set key: reps =
+    // min doc_id per set, qualified rep pairs in exact integer
+    // arithmetic (threshold 0.8 → tS = 8000), plus self rows for
+    // multi-member groups (keep in lockstep)
+    "q141_containment_reps" ->
+      s"""WITH dt AS (SELECT doc_id, list_distinct(${toksSql("text")}) AS toks
+         |  FROM documents),
+         |nz AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |  md5(array_to_string(list_sort(toks), chr(1))) AS setkey
+         | FROM dt WHERE len(toks) > 0),
+         |g AS (SELECT setkey, CAST(min(doc_id) AS BIGINT) AS rep,
+         |  CAST(count(*) AS BIGINT) AS members FROM nz GROUP BY setkey),
+         |r AS (SELECT g.rep, g.members, nz.toks, nz.n
+         | FROM g JOIN nz ON nz.doc_id = g.rep),
+         |v AS (SELECT a.rep AS ra, b.rep AS rb, a.n AS na, b.n AS nb,
+         |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS common,
+         |  a.members AS members_a, b.members AS members_b
+         | FROM r a JOIN r b ON a.rep < b.rep),
+         |q AS (SELECT ra, rb, na, nb,
+         |  ${sqlRn("CAST(common AS DOUBLE) / CAST(least(na, nb) AS DOUBLE)", 4)} AS containment,
+         |  members_a, members_b
+         | FROM v WHERE common * 10000 >= 8000 * least(na, nb)),
+         |sf AS (SELECT rep AS ra, rep AS rb, n AS na, n AS nb,
+         |  CAST(1.0 AS DOUBLE) AS containment, members AS members_a,
+         |  members AS members_b FROM r WHERE members >= 2)
+         |SELECT * FROM (SELECT * FROM q UNION ALL SELECT * FROM sf)
+         |ORDER BY ra, rb""".stripMargin,
+    // mirrors Similarity.q142IvfRecallGate — exact-side totals
+    // recomputed from the brute-force top-3; the recall bound is the
+    // oracle's ASSERTION (literal TRUE, the q38/q66 pattern): a red row
+    // means the IVF index lost its spec-pinned recall floor
+    "q142_ivf_recall_gate" ->
+      s"""WITH es AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS cand_id, ${sqlRn(cosSql, 6)} AS sim6
+         | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         | WHERE a.vec_id % 50 = 0),
+         |er AS (SELECT query_id, cand_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS rk
+         | FROM es),
+         |exact3 AS (SELECT query_id, cand_id FROM er WHERE rk <= 3)
+         |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+         | CAST(count(*) AS BIGINT) AS n_exact,
+         | TRUE AS recall_ge_30pct
+         |FROM exact3""".stripMargin
   )
 }

@@ -345,6 +345,62 @@ object Dedup {
     cross.unionByName(within).orderBy("contained_doc", "container_doc")
   }
 
+  /** REP-LEVEL containment artifact (q141) — the dup-count-INVARIANT
+    * production surface q121's scaladoc directs scale consumers to,
+    * registered (and oracle-gated) in its own right. q121's member-level
+    * contract is quadratic in duplicate copies (20 copies ⇒ ~400 member
+    * pairs per set pair — 172 s of pure enumeration at the 20× stress
+    * corpus); THIS frame is the thing a 100 TB pipeline actually
+    * materializes: one row per qualified contracted-rep pair (ra < rb)
+    * with set sizes, r4 containment and both groups' member counts,
+    * plus one SELF row (ra = rb, containment exactly 1.0) per
+    * identical-set group with ≥ 2 members. Member-level accounting is
+    * then closed-form — members_a·members_b cross pairs per pair row,
+    * C(members, 2) within pairs per self row — so the quadratic
+    * expansion is a consumer choice, never a storage cost. Row count is
+    * reps², not members²: growing duplicate copies grows `members_*`
+    * values, NOT rows.
+    *
+    * Same set-contraction front end and [[qualifiedSetPairs]] core as
+    * q121 (one definition of "qualified pair" — the gates cannot
+    * diverge); the oracle is the same INDEPENDENT brute-force
+    * containment, grouped by sorted-token-set key, so rep choice
+    * (min doc_id), member counts and pair recall are all hash-checked.
+    */
+  def q141ContainmentReps(s: SparkSession, d: String,
+      threshold: Double = 0.8): DataFrame = {
+    val tS = containmentScale(threshold)
+    val docsToks = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // tokens are whitespace-split, so no token can contain U+0001
+    val keyed = docsToks.withColumn("setkey",
+      md5(array_join(array_sort(col("toks")), "\u0001")))
+    val groups = keyed.groupBy("setkey")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("members"))
+    val repToks = docsToks
+      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
+    val cross = qualifiedSetPairs(repToks, tS)
+      .join(groups.select(col("rep").as("ra"), col("members").as("members_a")),
+        Seq("ra"))
+      .join(groups.select(col("rep").as("rb"), col("members").as("members_b")),
+        Seq("rb"))
+      .select(col("ra"), col("rb"), col("na"), col("nb"),
+        r4(col("common").cast("double") / least(col("na"), col("nb"))
+          .cast("double")).as("containment"),
+        col("members_a"), col("members_b"))
+    // self rows: identical sets ⇒ containment exactly 1.0; r4(n/n) ≡ 1.0
+    // so the literal is bit-identical to the verified path's rounding
+    val self = groups.filter(col("members") >= 2)
+      .join(docsToks.select(col("doc_id").as("rep"),
+        size(col("toks")).cast("long").as("n")), Seq("rep"))
+      .select(col("rep").as("ra"), col("rep").as("rb"),
+        col("n").as("na"), col("n").as("nb"),
+        lit(1.0).as("containment"),
+        col("members").as("members_a"), col("members").as("members_b"))
+    cross.unionByName(self).orderBy("ra", "rb")
+  }
+
   /** MinHash + LSH candidate pairs over token 3-gram shingles.
     *
     * Signature: for each of 8 bands, min over shingles of
@@ -1611,10 +1667,16 @@ object Dedup {
     require(w >= 2 && w <= B, s"window must be in [2, $B]")
     // blocking keys: identical expression TEXT runs in the oracle
     // (substring/length are codepoint-based in both engines; string
-    // ordering is UTF-8 memcmp in both, so ranks agree)
-    val keyed = Tables.documents(s, d).select(col("doc_id"),
-      expr("substring(lower(text), 1, 24)").as("k1"),
-      expr("substring(lower(text), greatest(length(text) - 23, 1), 24)").as("k2"))
+    // ordering is UTF-8 memcmp in both, so ranks agree). Lowercase ONCE
+    // into a column so the suffix offset is computed from the SAME
+    // string it substrings — lowercasing can change codepoint count
+    // (e.g. U+0130 maps to 2 codepoints), so length(text) would slide
+    // the window off the true last-24 suffix of the lowered text.
+    val keyed = Tables.documents(s, d)
+      .withColumn("lt", lower(col("text")))
+      .select(col("doc_id"),
+        expr("substring(lt, 1, 24)").as("k1"),
+        expr("substring(lt, greatest(length(lt) - 23, 1), 24)").as("k2"))
     def passCands(key: String, p: Int): DataFrame = {
       val ranked = ScalarSuites.globalRank(
           keyed.select(col("doc_id"), col(key).as("k")),

@@ -455,7 +455,7 @@ object Similarity {
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_hit"), min("rk").as("fhr"),
         sum(disc).as("dcg"))
-    q40CosineTopK(s, d, k = k)
+    exact
       .groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
@@ -471,5 +471,39 @@ object Similarity {
       .withColumn("ndcg",
         r6(col("dcg_micro").cast("double") / col("idcg_micro").cast("double")))
       .orderBy("query_id")
+  }
+
+  /** IVF recall GATE (q142) — the q38/q66 error-bound-column pattern
+    * applied to the last rows-only family. The IVF ANSWER (q48/q70)
+    * cannot be oracle-gated: k-means assignment is not
+    * DuckDB-expressible, so those stay rows-only by determination (see
+    * NOTES). But the property that makes the index trustworthy — recall
+    * against the exact cosine top-k — IS gateable: the exact side is
+    * q40's brute-force baseline (already hash-gated), and the bound is
+    * a boolean the oracle asserts as literal TRUE, exactly like q38's
+    * HLL error band and q66's t-digest band. A red row here means the
+    * quantizer lost the spec-pinned recall floor (SimilaritySpec's
+    * >= 0.3 aggregate bound on the same probe core, held with wide
+    * margin at every tested SF), not a hash quibble.
+    *
+    * One aggregate row over the query_id % 50 probe subset (the
+    * intersection of q48's % 25 query set with q40's % 50 — same
+    * subsetting move as q132/q140): n_queries and n_exact are
+    * oracle-recomputed exact values; recall_ge_30pct crosses only as
+    * the asserted bound.
+    */
+  def q142IvfRecallGate(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val exact = q40CosineTopK(s, d, k = k).select(col("query_id"), col("cand_id"))
+    val ivf = q48IvfAnn(s, d, k = k)
+      .filter(col("query_id") % 50 === 0)
+      .select(col("query_id"), col("cand_id"))
+    val hits = ivf.join(exact, Seq("query_id", "cand_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    exact.agg(count(lit(1)).as("n_exact"),
+        countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(hits) // 1 row × 1 row
+      .select(col("n_queries"), col("n_exact"),
+        (col("n_hit") * lit(10L) >= col("n_exact") * lit(3L))
+          .as("recall_ge_30pct"))
   }
 }

@@ -22,6 +22,9 @@ class PlanSpec extends AnyFunSuite {
     "q40_cosine_topk" -> "exact all-pairs baseline: =!= join, broadcast query subset",
     "q35_knn_classify" -> "built on q40's exact baseline",
     "q132_ann_recall" -> "recall eval built on q40's exact baseline",
+    "q140_retrieval_metrics" -> "MRR/NDCG eval built on q40's exact baseline",
+    "q142_ivf_recall_gate" -> ("recall gate built on q40's exact baseline " +
+      "+ q48's centroid probe; its own joins are single-row aggregates"),
     "q48_ivf_ann" -> "nProbe probe: cross join against the nCentroids-row centroid table",
     "q70_ivf_probe_indexed" -> "same probe core as q48, reading the persisted index table",
     "q58_band_join" -> "theta join against the fixed 5-row band table",
@@ -38,7 +41,11 @@ class PlanSpec extends AnyFunSuite {
       "degenerate-vocabulary regime (V<=2048, R<=20000; the test corpus is " +
       "V=31) where the answer is provably dense and prefix-filter candidates " +
       "cannot prune; general corpora plan the keyed prefix-filter path " +
-      "(Dedup.qualifiedSetPairs)"))
+      "(Dedup.qualifiedSetPairs)"),
+    "q141_containment_reps" -> ("same guarded qualifiedSetPairs core as " +
+      "q121 (one definition of 'qualified pair'): the bitset crossJoin in " +
+      "the measured degenerate-vocabulary regime, the keyed prefix-filter " +
+      "path on general corpora"))
 
   test("no nested-loop join outside the documented non-equi allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

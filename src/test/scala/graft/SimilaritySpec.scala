@@ -240,4 +240,49 @@ class SimilaritySpec extends AnyFunSuite {
       assert(e16 >= 0.0 && e16 <= e32 && e32 <= 1.0)
     }
   }
+
+  test("q140 retrieval metrics: matches a JVM recount over the q40/q41 frames; metric invariants hold") {
+    val exact = Similarity.q40CosineTopK(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.q41AnnLshTopK(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))) // (query, cand, rk)
+      .filter(_._1 % 50 == 0)
+    def disc(rk: Long): Long =
+      if (rk == 1L) 1000000L else if (rk == 2L) 630929L else 500000L
+    def r6d(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val want = exact.groupBy(_._1).map { case (q, ex) =>
+      val hits = ann.filter(a => a._1 == q && ex.contains((q, a._2)))
+      val nExact = ex.size.toLong
+      val nHit = hits.size.toLong
+      val fhr = if (hits.isEmpty) 0L else hits.map(_._3).min
+      val rr = if (fhr == 0L) 0L else 1000000L / fhr
+      val dcg = hits.map(h => disc(h._3)).sum
+      val idcg =
+        if (nExact == 1) 1000000L else if (nExact == 2) 1630929L else 2130929L
+      q -> (nHit, nExact, fhr, rr, dcg, idcg, r6d(dcg.toDouble / idcg))
+    }
+    val got = Similarity.q140RetrievalMetrics(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    assert(got == want)
+    got.values.foreach { case (nHit, nExact, fhr, _, dcg, idcg, ndcg) =>
+      assert(nHit <= nExact && fhr >= 0L && fhr <= 3L && dcg <= idcg &&
+        ndcg >= 0.0 && ndcg <= 1.0)
+    }
+  }
+
+  test("q142 IVF recall gate: totals match the exact frame; the 30% bound holds") {
+    val exact = Similarity.q40CosineTopK(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val got = Similarity.q142IvfRecallGate(spark, sf).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == exact.map(_._1).distinct.length.toLong)
+    assert(got.head.getLong(1) == exact.length.toLong)
+    assert(got.head.getBoolean(2))
+    // recompute the bound the gate asserts, and report the margin
+    val ivf = Similarity.q48IvfAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).filter(_._1 % 50 == 0).toSet
+    val nHit = exact.count(ivf.contains)
+    assert(nHit * 10 >= exact.length * 3, s"IVF recall $nHit/${exact.length}")
+  }
 }

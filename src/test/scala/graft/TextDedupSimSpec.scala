@@ -1335,4 +1335,98 @@ class TextDedupSimSpec extends AnyFunSuite {
       .toMap
     assert(got == want)
   }
+
+  test("q139 sorted-neighborhood: matches a full JVM SNM reference (keys, byte-order ranks, window pairs, exact verify)") {
+    val w = 6
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // Spark's own lowercase (UTF8String), so case mapping is the
+    // engine's, not the JVM default locale's
+    def lowered(sz: String): String =
+      org.apache.spark.unsafe.types.UTF8String.fromString(sz).toLowerCase.toString
+    // codepoint-based substring, as substring()/length() are in both engines
+    def key(sz: String, suffix: Boolean): String = {
+      val cps = sz.codePoints.toArray
+      val start = if (suffix) math.max(cps.length - 24, 0) else 0
+      new String(cps, start, math.min(24, cps.length - start))
+    }
+    // UTF-8 byte order (Spark UTF8String / DuckDB memcmp collation)
+    val byteOrd = new Ordering[String] {
+      def compare(x: String, y: String): Int = {
+        val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+        var i = 0; var c = 0
+        while (c == 0 && i < a.length && i < b.length) {
+          c = (a(i) & 0xff) - (b(i) & 0xff); i += 1
+        }
+        if (c != 0) c else a.length - b.length
+      }
+    }
+    def passPairs(suffix: Boolean): Set[(Long, Long)] = {
+      val ranked = docs.map { case (id, t) => (id, key(lowered(t), suffix)) }
+        .sortBy { case (id, k) => (k, id) }(Ordering.Tuple2(byteOrd, Ordering.Long))
+      (for {
+        i <- ranked.indices.iterator
+        j <- (i + 1 until math.min(i + w, ranked.length)).iterator
+      } yield {
+        val a = ranked(i)._1; val b = ranked(j)._1
+        (math.min(a, b), math.max(a, b))
+      }).toSet
+    }
+    val p1 = passPairs(suffix = false)
+    val p2 = passPairs(suffix = true)
+    val tokSets = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSet }.toMap
+    def r4d(v: Double): Double = math.floor(v * 1e4 + 0.5) / 1e4
+    val expected = (p1 ++ p2).flatMap { case (a, b) =>
+      val ta = tokSets(a); val tb = tokSets(b)
+      val common = ta.intersect(tb).size
+      val denom = ta.size + tb.size - common
+      if (denom == 0) None
+      else {
+        val j = r4d(common.toDouble / denom)
+        if (j >= 0.6) Some((a, b, j, p1.contains((a, b)), p2.contains((a, b))))
+        else None
+      }
+    }
+    val got = Dedup.q139SortedNeighborhood(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getBoolean(4))).toSet
+    assert(got == expected && got.nonEmpty)
+    // SNM's defining candidate bound: per pass, at most n·(w−1) pairs
+    assert(p1.size <= docs.length * (w - 1) && p2.size <= docs.length * (w - 1))
+  }
+
+  test("q141 rep-level containment: matches JVM brute force; member expansion reconciles with q121's row count") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSet))
+      .filter(_._2.nonEmpty)
+    val groups = docs.groupBy(_._2).map { case (s, xs) =>
+      (xs.map(_._1).min, s, xs.length.toLong)
+    }.toSeq
+    def r4d(v: Double): Double = math.floor(v * 1e4 + 0.5) / 1e4
+    val cross = (for {
+      i <- groups.indices.iterator
+      j <- groups.indices.iterator
+      if groups(i)._1 < groups(j)._1
+      common = groups(i)._2.intersect(groups(j)._2).size
+      if common.toLong * 10000L >= 8000L *
+        math.min(groups(i)._2.size, groups(j)._2.size)
+    } yield (groups(i)._1, groups(j)._1,
+      groups(i)._2.size.toLong, groups(j)._2.size.toLong,
+      r4d(common.toDouble / math.min(groups(i)._2.size, groups(j)._2.size)),
+      groups(i)._3, groups(j)._3)).toSet
+    val self = groups.filter(_._3 >= 2).map { case (rep, t, m) =>
+      (rep, rep, t.size.toLong, t.size.toLong, 1.0, m, m) }.toSet
+    val rows = Dedup.q141ContainmentReps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(rows.toSet == (cross ++ self) && rows.nonEmpty)
+    // dup-count-invariance reconciliation: the closed-form member
+    // expansion of this frame equals q121's member-level row count —
+    // the 172 s quadratic enumeration is recoverable from seconds of
+    // rep-level rows, which is the whole point of the artifact
+    val memberPairs = rows.map { case (ra, rb, _, _, _, ma, mb) =>
+      if (ra == rb) ma * (ma - 1) / 2 else ma * mb }.sum
+    assert(memberPairs == Dedup.q121ContainmentExact(spark, sf).count())
+  }
 }
