@@ -69,10 +69,18 @@ object SnmRecallProbe {
       val b = addDoc((s"zzzhead${p}B" +: s"zzzx${p}B" +: m :+ s"fe${p}tail").mkString(" "), "fe")
       (a, b)
     }
+    // private head AND tail tokens, each EXACTLY 24 chars with the
+    // divergent letters in front, so each key is entirely private text
+    // diverging at char 0 (a longer tail token would have its leading
+    // letters cut off by the last-24-chars window; a shorter one would
+    // leave the window's leading chars to a shared mid token — either
+    // way the pair would still sort adjacent in pass 2)
     planted("bothEdit") = (1 to nPairs).map { p =>
       val m = mids(s"be$p")
-      val a = addDoc((s"aaabe${p}A" +: m :+ s"aaabetail${p}A").mkString(" "), "be")
-      val b = addDoc((s"zzzbe${p}B" +: m :+ s"zzzbetail${p}B").mkString(" "), "be")
+      val a = addDoc((s"aaabehead${p}A".padTo(24, 'x') +: m
+        :+ s"aaabetail${p}A".padTo(24, 'x')).mkString(" "), "be")
+      val b = addDoc((s"zzzbehead${p}B".padTo(24, 'x') +: m
+        :+ s"zzzbetail${p}B".padTo(24, 'x')).mkString(" "), "be")
       (a, b)
     }
     // crowds: shared 25-char head/tail tokens pin both rank orders to
