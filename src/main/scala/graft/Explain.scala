@@ -43,7 +43,8 @@ object Explain {
     "q134_dedup_adjusted_mix", "q135_pii_redact", "q136_corpus_diff",
     "q137_pagerank", "q138_token_fertility", "q139_sorted_neighborhood",
     "q140_retrieval_metrics", "q141_containment_reps",
-    "q142_ivf_recall_gate")
+    "q142_ivf_recall_gate", "q143_contamination_spans",
+    "q144_temporal_split")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from

@@ -49,6 +49,8 @@ object SparkEntry {
     "q96_event_funnel" -> (Events.q96EventFunnel(_, _)),
     "q97_click_attribution" -> (Events.q97ClickAttribution(_, _)),
     "q111_unattributed_purchases" -> (Events.q111UnattributedPurchases(_, _)),
+    // leakage-safe time-based split (user-granular, exact integer time)
+    "q144_temporal_split" -> (Events.q144TemporalSplit(_, _)),
     "q112_resample_ffill" -> (Events.q112ResampleFfill(_, _)),
     "q100_trailing_window" -> (Events.q100TrailingWindow(_, _)),
     // sketch (no SQL oracle: HLL impls differ across engines → rows-only
@@ -108,6 +110,8 @@ object SparkEntry {
     "q133_simpson_diversity" -> (TextOps.q133SimpsonDiversity(_, _)),
     "q135_pii_redact" -> (TextOps.q135PiiRedact(_, _)),
     "q138_token_fertility" -> (TextOps.q138TokenFertility(_, _)),
+    // contamination severity: longest shared token run vs the benchmark
+    "q143_contamination_spans" -> (TextOps.q143ContaminationSpans(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -2103,6 +2107,47 @@ object SparkEntry {
     // recomputed from the brute-force top-3; the recall bound is the
     // oracle's ASSERTION (literal TRUE, the q38/q66 pattern): a red row
     // means the IVF index lost its spec-pinned recall floor
+    // mirrors TextOps.q143ContaminationSpans — same 3-shingle CTE text
+    // as q74 but with positions, seeds on hash equality, islands via
+    // the pos - row_number idiom per (pair, diagonal), longest run =
+    // max island + 2 (keep in lockstep)
+    "q143_contamination_spans" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |g AS (SELECT doc_id, CAST(unnest(range(0, len(ts) - 2)) AS BIGINT) AS pos, ts
+         | FROM t WHERE len(ts) >= 3),
+         |sh AS (SELECT doc_id, pos,
+         |  md5(array_to_string(ts[pos + 1:pos + 3], ' ')) AS h FROM g),
+         |seeds AS (SELECT tr.doc_id AS train_doc, be.doc_id AS bench_doc,
+         |  tr.pos AS pos_t, tr.pos - be.pos AS diag
+         | FROM sh tr JOIN sh be ON tr.h = be.h
+         | WHERE tr.doc_id % 100 <> 0 AND be.doc_id % 100 = 0),
+         |isl AS (SELECT train_doc, bench_doc, diag, pos_t,
+         |  pos_t - row_number() OVER (PARTITION BY train_doc, bench_doc, diag
+         |    ORDER BY pos_t) AS island
+         | FROM seeds),
+         |runs AS (SELECT train_doc, bench_doc, island,
+         |  CAST(count(*) AS BIGINT) AS run_grams
+         | FROM isl GROUP BY train_doc, bench_doc, island)
+         |SELECT train_doc, bench_doc,
+         | CAST(sum(run_grams) AS BIGINT) AS n_seeds,
+         | CAST(max(run_grams) + 2 AS BIGINT) AS longest_run
+         |FROM runs GROUP BY train_doc, bench_doc
+         |ORDER BY train_doc, bench_doc""".stripMargin,
+    // mirrors Events.q144TemporalSplit — exact BIGINT microsecond time,
+    // cutoff = lo + (hi - lo)*8 div 10, user-granular split with the
+    // straddle band excluded (keep in lockstep)
+    "q144_temporal_split" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |b AS (SELECT CAST(min(us) + ((max(us) - min(us)) * 8) // 10 AS BIGINT) AS cut
+         | FROM e),
+         |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(min(us) AS BIGINT) AS first_us,
+         |  CAST(max(us) AS BIGINT) AS last_us
+         | FROM e GROUP BY user_id)
+         |SELECT user_id, n_events, first_us, last_us,
+         | CASE WHEN last_us < cut THEN 'train'
+         |  WHEN first_us >= cut THEN 'eval' ELSE 'excluded' END AS split
+         |FROM u, b ORDER BY user_id""".stripMargin,
     "q142_ivf_recall_gate" ->
       s"""WITH es AS (
          | SELECT a.vec_id AS query_id, b.vec_id AS cand_id, ${sqlRn(cosSql, 6)} AS sim6

@@ -353,4 +353,39 @@ object Events {
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
       .orderBy("purchase_id")
   }
+
+  /** TEMPORAL train/eval split with a user-level leakage guard (q144) —
+    * the time-based counterpart of the hash split (q67), holdout (q99)
+    * and component split (q82): evaluation data must postdate training
+    * data, and a USER whose activity straddles the cutoff leaks
+    * behavioral signal across the boundary (their train-side events
+    * predict their own eval-side events), so the split is decided at
+    * user granularity — `train` iff ALL the user's events precede the
+    * cutoff, `eval` iff ALL follow it, `excluded` otherwise. The
+    * excluded band is the price of leakage-freedom; its size (vs a
+    * leaky event-level cut) is exactly what this query reports.
+    *
+    * Cutoff = min + (max − min)·8 div 10 over event-time microseconds —
+    * exact BIGINT arithmetic end to end (unix_micros here, epoch_us in
+    * the oracle; no float time math anywhere), the q100 discipline.
+    * Plan: one user-keyed agg over one scan + the single-row bounds
+    * frame cross-joined in (q120's documented pattern) — nothing at
+    * event cardinality crosses the wire twice.
+    */
+  def q144TemporalSplit(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val bounds = e.agg(min("us").as("lo"), max("us").as("hi"))
+      .select(expr("lo + ((hi - lo) * 8L) div 10L").as("cut"))
+    e.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("first_us"), max("us").as("last_us"))
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("n_events"), col("first_us"),
+        col("last_us"),
+        when(col("last_us") < col("cut"), "train")
+          .when(col("first_us") >= col("cut"), "eval")
+          .otherwise("excluded").as("split"))
+      .orderBy("user_id")
+  }
 }

@@ -1656,4 +1656,60 @@ object TextOps {
         r6(col("n_tokens").cast("double") / col("n_docs").cast("double"))
           .as("tokens_per_doc"))
       .orderBy("lang", "source")
+
+  /** CONTAMINATION SPANS (q143) — the severity companion to q74/q86:
+    * those answer "which training docs touch the benchmark" (binary)
+    * and "how many shingles overlap" (counts); this answers the
+    * question an eval-integrity review actually asks — "what is the
+    * LONGEST verbatim token run shared with a benchmark doc?" (the
+    * published decontamination rule is a threshold on exactly that
+    * run length — e.g. the 13-gram rule; GPT-3 appendix C).
+    *
+    * Seed-and-extend, exact: every shared 3-gram is a SEED at
+    * (train position, bench position); a verbatim run of L ≥ 3 tokens
+    * appears as L−2 consecutive seeds on ONE DIAGONAL (pos_t − pos_b
+    * constant), so longest_run = max island length + 2 — exact for all
+    * runs ≥ the gram width, which is the decontamination regime by
+    * definition (sub-gram overlaps are below any rule's threshold).
+    * Islands via the gaps-and-islands idiom (pos_t − row_number per
+    * (pair, diag) — q112's move): within a diagonal, pos_t is unique
+    * (same diag + same pos_t ⇒ same pos_b), so the island id is exact.
+    *
+    * Scale shape: the gram-hash equality join is q74's shape — the
+    * bench side is eval-suite-sized, AQE broadcasts it and the corpus
+    * side never shuffles; per-key fan-out is tf_train(g)·tf_bench(g),
+    * bounded by in-doc gram repetition, and the islands window keys on
+    * (train_doc, bench_doc, diag) — contamination-density-sized, never
+    * corpus-sized. Production corpora additionally cap gram document
+    * frequency on the bench side (stop-gram guard) before seeding —
+    * a plan knob, not a semantics change at any threshold ≥ gram df.
+    *
+    * q74 RECONCILIATION (spec-pinned): the distinct train docs here
+    * are EXACTLY q74's flagged set — one shared gram is one seed.
+    */
+  def q143ContaminationSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(shingles3(tokens(col("text")))).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("sh")).as("h"))
+    val train = g.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("train_doc"), col("pos").as("pos_t"), col("h"))
+    val bench = g.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("bench_doc"), col("pos").as("pos_b"), col("h"))
+    val seeds = train.join(bench, Seq("h"))
+      .select(col("train_doc"), col("bench_doc"), col("pos_t"),
+        (col("pos_t") - col("pos_b")).as("diag"))
+    val w = Window.partitionBy("train_doc", "bench_doc", "diag")
+      .orderBy("pos_t")
+    val runs = seeds
+      .withColumn("isl", col("pos_t") - row_number().over(w))
+      .groupBy("train_doc", "bench_doc", "isl")
+      .agg(count(lit(1)).as("run_grams"))
+    runs.groupBy("train_doc", "bench_doc")
+      .agg(sum("run_grams").as("n_seeds"),
+        (max("run_grams") + lit(2L)).as("longest_run"))
+      .orderBy("train_doc", "bench_doc")
+  }
 }

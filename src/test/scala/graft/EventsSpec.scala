@@ -220,4 +220,32 @@ class EventsSpec extends AnyFunSuite {
     assert(anti == byCount.filter(_._2 == 0L).keySet)
     assert(byCount.keySet.size == anti.size + byCount.count(_._2 > 0L))
   }
+
+  test("q144 temporal split: matches a JVM reference; the guard admits no straddling user") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lo = evs.map(_._2).min
+    val hi = evs.map(_._2).max
+    val cut = lo + (hi - lo) * 8L / 10L
+    val want = evs.groupBy(_._1).map { case (u, xs) =>
+      val f = xs.map(_._2).min
+      val l = xs.map(_._2).max
+      u -> (xs.length.toLong, f, l,
+        if (l < cut) "train" else if (f >= cut) "eval" else "excluded")
+    }
+    val got = Events.q144TemporalSplit(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got == want && got.nonEmpty)
+    // the leakage guard, stated as the invariant it exists for: every
+    // train user's LAST event precedes the cutoff, every eval user's
+    // FIRST event does not, and nothing else is labeled
+    got.values.foreach {
+      case (_, _, l, "train") => assert(l < cut)
+      case (_, f, _, "eval") => assert(f >= cut)
+      case (_, f, l, "excluded") => assert(f < cut && l >= cut)
+      case (_, _, _, other) => fail(s"unknown split label $other")
+    }
+  }
 }

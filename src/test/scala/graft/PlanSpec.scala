@@ -35,6 +35,7 @@ class PlanSpec extends AnyFunSuite {
     "q104_equidepth_hist" -> "single-row percentile-boundaries frame cross-joined in",
     "q120_vocab_growth" -> "single-row id-bounds aggregate frame cross-joined in",
     "q124_mix_temperature" -> "single-row Σw totals aggregate frame cross-joined in",
+    "q144_temporal_split" -> "single-row time-bounds aggregate frame cross-joined in",
     "q134_dedup_adjusted_mix" -> "single-row Σw totals aggregate frame cross-joined in",
     "q121_containment_exact" -> ("dictionary-bitset brute force against the " +
       "broadcast contracted-rep mask table — taken only in the measured " +

@@ -1429,4 +1429,51 @@ class TextDedupSimSpec extends AnyFunSuite {
       if (ra == rb) ma * (ma - 1) / 2 else ma * mb }.sum
     assert(memberPairs == Dedup.q121ContainmentExact(spark, sf).count())
   }
+
+  test("q143 contamination spans: matches a JVM seed-and-extend reference; flagged set equals q74") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1)).toArray))
+    def grams(ts: Array[String]): Seq[(Long, String)] =
+      (0 to ts.length - 3).map(i => (i.toLong, ts.slice(i, i + 3).mkString(" ")))
+    val benchIdx = docs.filter(_._1 % 100 == 0)
+      .flatMap { case (id, ts) => grams(ts).map { case (p, g) => g -> (id, p) } }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSeq }
+    val seeds = scala.collection.mutable.Map
+      .empty[(Long, Long), scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    docs.filter(_._1 % 100 != 0).foreach { case (tid, ts) =>
+      grams(ts).foreach { case (pt, g) =>
+        benchIdx.getOrElse(g, Nil).foreach { case (bid, pb) =>
+          seeds.getOrElseUpdate((tid, bid),
+            scala.collection.mutable.ArrayBuffer.empty) += ((pt, pt - pb))
+        }
+      }
+    }
+    val expected = seeds.map { case (pair, ss) =>
+      // islands per diagonal: maximal consecutive pos_t runs
+      val runLens = ss.groupBy(_._2).values.flatMap { diag =>
+        val ps = diag.map(_._1).sorted
+        val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var run = 1L
+        for (i <- 1 until ps.length) {
+          if (ps(i) == ps(i - 1) + 1) run += 1
+          else { lens += run; run = 1 }
+        }
+        lens += run
+        lens
+      }
+      pair -> (ss.size.toLong, runLens.max + 2L)
+    }.toMap
+    val got = TextOps.q143ContaminationSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected && got.nonEmpty)
+    // the severity view covers exactly q74's flagged set: one shared
+    // gram is one seed, so the distinct train docs must coincide
+    val flagged = TextOps.q74Decontaminate(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.keySet.map(_._1) == flagged)
+    // a run of L tokens is L-2 consecutive seeds: every reported
+    // longest_run is >= the gram width and backed by enough seeds
+    got.values.foreach { case (n, l) => assert(l >= 3L && n >= l - 2L) }
+  }
 }
