@@ -1476,4 +1476,40 @@ class TextDedupSimSpec extends AnyFunSuite {
     // longest_run is >= the gram width and backed by enough seeds
     got.values.foreach { case (n, l) => assert(l >= 3L && n >= l - 2L) }
   }
+
+  test("q143 planted spans: a planted verbatim span of length L reports longest_run exactly L") {
+    import spark.implicits._
+    // bench doc (id 100, the % 100 == 0 stand-in) of 200 unique tokens;
+    // train docs embed a bench slice of known length L between unique
+    // filler, so the ONLY shared grams are the L-2 inside the span
+    val bench = (0 until 200).map(i => s"bench$i")
+    val planted = (3 to 20).zipWithIndex.map { case (l, i) =>
+      val off = (l * 7) % (200 - l)
+      val text = ((1 to 10).map(j => s"f${l}a$j") ++
+        bench.slice(off, off + l) ++
+        (1 to 10).map(j => s"f${l}b$j")).mkString(" ")
+      (101L + i, l.toLong, text) // ids 101.., never % 100 == 0
+    }
+    // a two-span doc: spans of 5 and 9 → longest_run 9, seeds 3 + 7
+    val twoId = 101L + planted.size
+    val twoText = ((1 to 10).map(j => s"g2a$j") ++ bench.slice(0, 5) ++
+      (1 to 10).map(j => s"g2m$j") ++ bench.slice(50, 59) ++
+      (1 to 10).map(j => s"g2b$j")).mkString(" ")
+    val rows = Seq((100L, bench.mkString(" "), "en", "bench")) ++
+      planted.map { case (id, _, t) => (id, t, "en", "train") } :+
+      ((twoId, twoText, "en", "train"))
+    val dir = java.nio.file.Files.createTempDirectory("q143_spans").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.q143ContaminationSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    planted.foreach { case (id, l, _) =>
+      assert(got((id, 100L)) == (l - 2L, l),
+        s"planted span of $l: got ${got.get((id, 100L))}")
+    }
+    assert(got((twoId, 100L)) == (10L, 9L))
+    // nothing else is reported: exactly one bench pairing per train doc
+    assert(got.keySet == (planted.map(p => (p._1, 100L)).toSet + ((twoId, 100L))))
+  }
 }
