@@ -112,6 +112,8 @@ object SparkEntry {
     "q138_token_fertility" -> (TextOps.q138TokenFertility(_, _)),
     // contamination severity: longest shared token run vs the benchmark
     "q143_contamination_spans" -> (TextOps.q143ContaminationSpans(_, _)),
+    // linear-classifier quality margin over broadcast hashed features
+    "q145_linear_quality_score" -> (TextOps.q145LinearQualityScore(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -2133,6 +2135,22 @@ object SparkEntry {
          | CAST(max(run_grams) + 2 AS BIGINT) AS longest_run
          |FROM runs GROUP BY train_doc, bench_doc
          |ORDER BY train_doc, bench_doc""".stripMargin,
+    // mirrors TextOps.q145LinearQualityScore — the identical
+    // arithmetic weight table (Knuth hash over 4096 buckets), q67's
+    // hex-bucket idiom, exact BIGINT milli margins (keep in lockstep)
+    "q145_linear_quality_score" ->
+      s"""WITH w AS (SELECT CAST(i AS BIGINT) AS bucket,
+         |  CAST(i * 2654435761 % 2001 - 1000 AS BIGINT) AS w
+         | FROM range(0, 4096) t(i)),
+         |u AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+         |b AS (SELECT doc_id,
+         |  CAST('0x' || substr(md5(tok), 1, 3) AS BIGINT) AS bucket FROM u),
+         |j AS (SELECT doc_id, w.w FROM b JOIN w USING (bucket))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(sum(w) AS BIGINT) AS margin_milli,
+         | ${sqlRn("CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_w_milli,
+         | CASE WHEN sum(w) >= 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // mirrors Events.q144TemporalSplit — exact BIGINT microsecond time,
     // cutoff = lo + (hi - lo)*8 div 10, user-granular split with the
     // straddle band excluded (keep in lockstep)

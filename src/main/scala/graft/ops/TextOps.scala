@@ -1712,4 +1712,43 @@ object TextOps {
         (max("run_grams") + lit(2L)).as("longest_run"))
       .orderBy("train_doc", "bench_doc")
   }
+
+  /** MODEL-BASED quality scoring (q145) — the linear-classifier filter
+    * shape (fastText-style: hashed token features × a weight vector,
+    * per-doc margin decides keep/drop) that sits beside the RULE
+    * battery (q125) and the statistical LM score (q83) in every
+    * production curation stack. The inference plan is the real thing:
+    * explode to tokens (corpus-linear, the q20 pass), map-side feature
+    * hashing into 4096 buckets (q67's engine-portable hex idiom), a
+    * BROADCAST join against the weight table — production swaps in
+    * learned weights; a 4096-row (or 2M-row) table broadcasts either
+    * way and the corpus side never shuffles for it — then ONE
+    * doc-keyed partial-agg sum. Margins are exact BIGINT milli-units
+    * (partition-order invariant, q88's discipline); the only float op
+    * is the final mean, rounded at 6 dp.
+    *
+    * The weight table here is a pure deterministic function of the
+    * bucket id (Knuth multiplicative hash, w ∈ [−1000, 1000] milli) so
+    * the DuckDB oracle derives the IDENTICAL table and the whole
+    * inference path — hashing, join, margin fold, threshold — is
+    * hash-gated end to end. A learned model changes the table's
+    * VALUES, not this plan or its verification story.
+    */
+  def q145LinearQualityScore(s: SparkSession, d: String): DataFrame = {
+    val weights = s.range(0, 4096)
+      .select(col("id").as("bucket"),
+        (col("id") * lit(2654435761L) % lit(2001L) - lit(1000L)).as("w"))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long").as("bucket"))
+    tok.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("margin_milli"))
+      .select(col("doc_id"), col("n_tokens"), col("margin_milli"),
+        r6(col("margin_milli").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_w_milli"),
+        when(col("margin_milli") >= 0L, "keep").otherwise("drop").as("label"))
+      .orderBy("doc_id")
+  }
 }

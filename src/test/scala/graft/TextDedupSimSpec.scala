@@ -1512,4 +1512,23 @@ class TextDedupSimSpec extends AnyFunSuite {
     // nothing else is reported: exactly one bench pairing per train doc
     assert(got.keySet == (planted.map(p => (p._1, 100L)).toSet + ((twoId, 100L))))
   }
+
+  test("q145 linear quality score: matches a JVM reference inference over the same weight table") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1))))
+    def bucket(t: String): Long = java.lang.Long.parseLong(md5hex(t).take(3), 16)
+    def w(b: Long): Long = b * 2654435761L % 2001L - 1000L
+    val want = docs.filter(_._2.nonEmpty).map { case (id, ts) =>
+      val margin = ts.map(t => w(bucket(t))).sum
+      id -> (ts.length.toLong, margin,
+        math.floor(margin.toDouble / ts.length * 1e6 + 0.5) / 1e6,
+        if (margin >= 0L) "keep" else "drop")
+    }.toMap
+    val got = TextOps.q145LinearQualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    assert(got == want && got.nonEmpty)
+    // the threshold genuinely separates the fixture (both labels occur)
+    assert(got.values.map(_._4).toSet == Set("keep", "drop"))
+  }
 }
