@@ -706,4 +706,35 @@ object StreamingOps {
       case None =>
         throw new IllegalStateException(s"no committed version in $tableDir")
     }
+
+  /** STATELESS model inference at ingest — q145's linear quality margin
+    * as a pure per-row projection: a document arrives whole in one row,
+    * so the hashed-feature margin is an IN-ROW integer fold (transform
+    * + aggregate over the token array) — no explode, no join, no
+    * aggregation, therefore NO streaming state at any ingest rate. The
+    * batch twin (TextOps.q145LinearQualityScore) materializes the same
+    * margin through the broadcast-join plan — the right shape when the
+    * weight table is learned and large — and the two are EXACTLY equal
+    * because every step is integer arithmetic over the same md5-derived
+    * buckets (StreamingSpec pins stream ≡ q145 row-for-row). At
+    * 100 TB/day this is the quality filter running at wire speed in
+    * the ingest path: dropped docs never land on storage.
+    */
+  def qualityScoreAtIngest(docs: DataFrame): DataFrame = {
+    val toksC = tokens(col("text"))
+    val margin = aggregate(
+      transform(toksC,
+        t => conv(substring(md5(t), 1, 3), 16, 10).cast("long")
+          * lit(2654435761L) % lit(2001L) - lit(1000L)),
+      lit(0L), (acc, x) => acc + x)
+    docs
+      .withColumn("n_tokens", size(toksC).cast("long"))
+      .filter(col("n_tokens") > 0L)
+      .withColumn("margin_milli", margin)
+      .select(col("doc_id"), col("n_tokens"), col("margin_milli"),
+        graft.functions.Round.r6(col("margin_milli").cast("double")
+          / col("n_tokens").cast("double")).as("mean_w_milli"),
+        when(col("margin_milli") >= 0L, "keep").otherwise("drop")
+          .as("label"))
+  }
 }

@@ -378,6 +378,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("streaming quality inference at ingest equals batch q145 row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.qualityScoreAtIngest(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("q145_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: the margin is per-row, so batch boundaries
+      // cannot matter — the union must equal the batch answer exactly
+      val (a, b) = docs.splitAt(docs.length / 2)
+      mem.addData(a.toSeq)
+      q.processAllAvailable()
+      mem.addData(b.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("q145_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getString(4))).toSet
+      val expect = graft.ops.TextOps
+        .q145LinearQualityScore(spark, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getString(4))).toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+    } finally q.stop()
+  }
+
   test("streaming centroid maintenance converges to batch q88 exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
