@@ -1705,26 +1705,11 @@ object TextOps {
       .join(reps, Seq("is_bench", "h"))
       .select(col("is_bench"), col("doc_id"), col("rep"))
     val g = base.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"))
-      .select(col("doc_id"), col("is_bench"),
-        posexplode(shingles3(tokens(col("text")))).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("is_bench"), col("pos").cast("long").as("pos"),
-        md5(col("sh")).as("h"))
-    val train = g.filter(!col("is_bench"))
-      .select(col("doc_id").as("train_rep"), col("pos").as("pos_t"), col("h"))
-    val bench = g.filter(col("is_bench"))
-      .select(col("doc_id").as("bench_rep"), col("pos").as("pos_b"), col("h"))
-    val seeds = train.join(bench, Seq("h"))
-      .select(col("train_rep"), col("bench_rep"), col("pos_t"),
-        (col("pos_t") - col("pos_b")).as("diag"))
-    val w = Window.partitionBy("train_rep", "bench_rep", "diag")
-      .orderBy("pos_t")
-    val runs = seeds
-      .withColumn("isl", col("pos_t") - row_number().over(w))
-      .groupBy("train_rep", "bench_rep", "isl")
-      .agg(count(lit(1)).as("run_grams"))
-    val repPairs = runs.groupBy("train_rep", "bench_rep")
-      .agg(sum("run_grams").as("n_seeds"),
-        (max("run_grams") + lit(2L)).as("longest_run"))
+    val repPairs = contaminationSpanCore(
+      positionedGrams(g.filter(!col("is_bench")), "train_doc", "pos_t"),
+      positionedGrams(g.filter(col("is_bench")), "bench_doc", "pos_b"))
+      .withColumnRenamed("train_doc", "train_rep")
+      .withColumnRenamed("bench_doc", "bench_rep")
     // closed-form membership expansion: output size is the answer's own
     // size, never recomputation
     repPairs
@@ -1737,6 +1722,42 @@ object TextOps {
       .select(col("train_doc"), col("bench_doc"), col("n_seeds"),
         col("longest_run"))
       .orderBy("train_doc", "bench_doc")
+  }
+
+  /** Positioned 3-gram hashes of a (doc_id, text) frame — (idCol,
+    * posCol, h) — the seed coordinate space of [[q143ContaminationSpans]]
+    * and its streaming twin.
+    */
+  private[graft] def positionedGrams(docs: DataFrame, idCol: String,
+      posCol: String): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(shingles3(tokens(col("text")))).as(Seq("pos", "sh")))
+      .select(col("doc_id").as(idCol), col("pos").cast("long").as(posCol),
+        md5(col("sh")).as("h"))
+
+  /** The seed-and-extend span measurement over explicit gram frames —
+    * ONE definition shared by the batch q143 (which feeds it contracted
+    * reps) and `StreamingOps.contaminationSpansAtIngest` (which feeds
+    * it each micro-batch against the static bench index), so the two
+    * surfaces cannot diverge on what a span is. Returns (train_doc,
+    * bench_doc, n_seeds, longest_run).
+    */
+  private[graft] def contaminationSpanCore(train: DataFrame,
+      bench: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = train.join(bench, Seq("h"))
+      .select(col("train_doc"), col("bench_doc"), col("pos_t"),
+        (col("pos_t") - col("pos_b")).as("diag"))
+    val w = Window.partitionBy("train_doc", "bench_doc", "diag")
+      .orderBy("pos_t")
+    seeds
+      .withColumn("isl", col("pos_t") - row_number().over(w))
+      .groupBy("train_doc", "bench_doc", "isl")
+      .agg(count(lit(1)).as("run_grams"))
+      .groupBy("train_doc", "bench_doc")
+      .agg(sum("run_grams").as("n_seeds"),
+        (max("run_grams") + lit(2L)).as("longest_run"))
   }
 
   /** MODEL-BASED quality scoring (q145) — the linear-classifier filter

@@ -720,6 +720,51 @@ object StreamingOps {
     * 100 TB/day this is the quality filter running at wire speed in
     * the ingest path: dropped docs never land on storage.
     */
+  /** Build the static bench-side gram index for
+    * [[contaminationSpansAtIngest]]: positioned 3-gram hashes of the
+    * benchmark docs, persisted — eval-suite-sized, built once per
+    * stream lifetime (the q86 ContaminationIndex discipline applied to
+    * the positioned space the span measurement needs).
+    */
+  def buildBenchGramIndex(benchDocs: DataFrame): DataFrame = {
+    val idx = graft.ops.TextOps
+      .positionedGrams(benchDocs, "bench_doc", "pos_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.count() // materialize once, eagerly
+    idx
+  }
+
+  /** Contamination SPANS at ingest — q143's severity measurement
+    * (longest verbatim token run vs a benchmark doc) running in the
+    * ingest path: per micro-batch, the arriving docs' positioned grams
+    * seed against the STATIC bench index and the per-batch report
+    * appends. A document arrives whole in one batch and span
+    * measurement is a pure function of (train text, bench text), so
+    * per-batch reports never split a doc and their union is EXACTLY
+    * batch q143 on the same docs — no cross-batch streaming state.
+    * The span definition is literally shared
+    * ([[graft.ops.TextOps.contaminationSpanCore]]), so the two
+    * surfaces cannot diverge. State story at 100 TB/day: zero
+    * streaming state; the resident piece is the bounded bench gram
+    * index (eval-suite-sized).
+    */
+  def contaminationSpansAtIngest(docs: DataFrame, benchGrams: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.TextOps.contaminationSpanCore(
+            graft.ops.TextOps.positionedGrams(batch, "train_doc", "pos_t"),
+            benchGrams)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
+
   def qualityScoreAtIngest(docs: DataFrame): DataFrame = {
     val toksC = tokens(col("text"))
     val margin = aggregate(

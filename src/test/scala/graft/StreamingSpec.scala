@@ -378,6 +378,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("streaming contamination spans at ingest union to batch q143 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.core.Tables.documents(spark, TestSpark.sf)
+    val benchGrams = StreamingOps.buildBenchGramIndex(
+      all.filter(col("doc_id") % 100 === 0))
+    val trainDocs = all.filter(col("doc_id") % 100 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val outDir = java.nio.file.Files
+      .createTempDirectory("spans_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("spans_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.contaminationSpansAtIngest(
+      mem.toDF().toDF("doc_id", "text"), benchGrams, outDir, ckpt)
+    try {
+      // a doc arrives whole, so per-batch span reports union to the
+      // corpus-wide q143 answer exactly
+      val (first, second) = trainDocs.splitAt(trainDocs.length / 2)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("train_doc", "bench_doc", "n_seeds", "longest_run")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val expect = graft.ops.TextOps
+        .q143ContaminationSpans(spark, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+    } finally { q.stop(); benchGrams.unpersist() }
+  }
+
   test("streaming quality inference at ingest equals batch q145 row-for-row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
