@@ -1336,12 +1336,12 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("q139 sorted-neighborhood: matches a full JVM SNM reference (keys, byte-order ranks, window pairs, exact verify)") {
-    val w = 6
-    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    // Spark's own lowercase (UTF8String), so case mapping is the
-    // engine's, not the JVM default locale's
+  /** Full JVM SNM reference for q139: Spark's own UTF8String lowercase,
+    * codepoint substring keys, UTF-8 byte-order ranks, window pairs at
+    * distance 1..w-1 per pass, exact distinct-token Jaccard at 0.6.
+    */
+  private def snmReference(docs: Array[(Long, String)], w: Int)
+      : Set[(Long, Long, Double, Boolean, Boolean)] = {
     def lowered(sz: String): String =
       org.apache.spark.unsafe.types.UTF8String.fromString(sz).toLowerCase.toString
     // codepoint-based substring, as substring()/length() are in both engines
@@ -1377,7 +1377,7 @@ class TextDedupSimSpec extends AnyFunSuite {
     val tokSets = docs.map { case (id, t) =>
       id -> t.split(" ").filter(_.nonEmpty).toSet }.toMap
     def r4d(v: Double): Double = math.floor(v * 1e4 + 0.5) / 1e4
-    val expected = (p1 ++ p2).flatMap { case (a, b) =>
+    (p1 ++ p2).flatMap { case (a, b) =>
       val ta = tokSets(a); val tb = tokSets(b)
       val common = ta.intersect(tb).size
       val denom = ta.size + tb.size - common
@@ -1388,12 +1388,46 @@ class TextDedupSimSpec extends AnyFunSuite {
         else None
       }
     }
+  }
+
+  test("q139 sorted-neighborhood: matches a full JVM SNM reference (keys, byte-order ranks, window pairs, exact verify)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = snmReference(docs, w = 6)
     val got = Dedup.q139SortedNeighborhood(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getBoolean(3), r.getBoolean(4))).toSet
     assert(got == expected && got.nonEmpty)
-    // SNM's defining candidate bound: per pass, at most n·(w−1) pairs
-    assert(p1.size <= docs.length * (w - 1) && p2.size <= docs.length * (w - 1))
+    // SNM's defining candidate bound means the verified output can never
+    // exceed 2·n·(w−1) pairs
+    assert(got.size <= 2 * docs.length * 5)
+  }
+
+  test("q139 sorted-neighborhood on an adversarial non-ASCII corpus (case expansion, supplementary planes)") {
+    import spark.implicits._
+    // the blind spot the driver corpus (pure ASCII) cannot exercise:
+    // lowercasing that CHANGES codepoint count (İ → i̇ , ẞ → ß keeps,
+    // but İ expands), supplementary-plane chars where UTF-16 order and
+    // UTF-8 byte order DISAGREE (𝔘 sorts above ﬁ in bytes, below in
+    // UTF-16 code units), and multi-byte chars straddling the 24-char
+    // key window — the exact class the r7 suffix-offset bug lived in
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("İstanbul", "straße", "ẞTRASSE", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢", "ﬁsh",
+      "naïve", "ΣΙΣΥΦΟΣ", "σίσυφος", "MIXED", "mixed", "Ωmega", "詞彙",
+      "🎛️knob", "aaa", "zzz")
+    val docs = (1L to 300L).map { id =>
+      val n = 2 + rnd.nextInt(30)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toArray
+    val dir = java.nio.file.Files.createTempDirectory("q139_utf").toString
+    docs.toSeq.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q139SortedNeighborhood(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getBoolean(4))).toSet
+    val expected = snmReference(docs, w = 6)
+    assert(got == expected && got.nonEmpty,
+      s"diff: ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
   }
 
   test("q141 rep-level containment: matches JVM brute force; member expansion reconciles with q121's row count") {
