@@ -44,7 +44,8 @@ object Explain {
     "q137_pagerank", "q138_token_fertility", "q139_sorted_neighborhood",
     "q140_retrieval_metrics", "q141_containment_reps",
     "q142_ivf_recall_gate", "q143_contamination_spans",
-    "q144_temporal_split", "q145_linear_quality_score")
+    "q144_temporal_split", "q145_linear_quality_score",
+    "q146_multiprobe_ann")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from

@@ -154,6 +154,8 @@ object SparkEntry {
     // similarity search
     "q40_cosine_topk" -> (Similarity.q40CosineTopK(_, _)),
     "q41_ann_lsh_topk" -> (Similarity.q41AnnLshTopK(_, _)),
+    // multi-probe LSH: q41's index probed at Hamming distance <= 1
+    "q146_multiprobe_ann" -> ((s, d) => Similarity.q146MultiprobeAnn(s, d)),
     "q35_knn_classify" -> (Similarity.q35KnnClassify(_, _)),
     // IVF ANN (no SQL oracle: k-means isn't DuckDB-expressible → rows-only
     // check; q70 is the persisted-index probe path — builds the bucketed
@@ -2135,6 +2137,26 @@ object SparkEntry {
          | CAST(max(run_grams) + 2 AS BIGINT) AS longest_run
          |FROM runs GROUP BY train_doc, bench_doc
          |ORDER BY train_doc, bench_doc""".stripMargin,
+    // mirrors Similarity.q146MultiprobeAnn — q41's bucketed CTE, the
+    // query's bucket plus its 8 Hamming-1 neighbors via xor, same
+    // ranking (keep in lockstep)
+    "q146_multiprobe_ann" ->
+      s"""WITH bucketed AS (
+         | SELECT vec_id, embedding,
+         |  ${(0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")} AS bucket
+         | FROM embeddings),
+         |probes AS (SELECT vec_id, embedding,
+         |  unnest([bucket${(0 until 8).map(j => s", xor(bucket, ${1L << j})").mkString}]) AS pb
+         | FROM bucketed WHERE vec_id % 25 = 0),
+         |scored AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS cand_id, ${sqlRn(cosSql, 6)} AS sim6
+         | FROM probes a JOIN bucketed b
+         |   ON b.bucket = a.pb AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT query_id, cand_id, sim6,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS BIGINT) AS rk
+         | FROM scored)
+         |SELECT query_id, rk, cand_id, ${sqlRn("sim6", 4)} AS cos_sim
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // mirrors TextOps.q145LinearQualityScore — the identical
     // arithmetic weight table (Knuth hash over 4096 buckets), q67's
     // hex-bucket idiom, exact BIGINT milli margins (keep in lockstep)

@@ -289,6 +289,50 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** MULTI-PROBE sign-LSH ANN top-k (q146) — the multi-probe LSH trade
+    * (Lv et al. 2007) applied to q41's index: instead of adding hash
+    * tables (more index memory, more build passes), each query probes
+    * its OWN sign bucket plus the 8 Hamming-distance-1 neighbors — the
+    * most likely homes of a true neighbor that one borderline sign
+    * flip pushed out of the query's bucket. Candidates remain an
+    * equality join on probed bucket ids — never all-pairs; candidate
+    * volume is ≤ 9× q41's per query, and because the multi-probe
+    * candidate set is a SUPERSET of q41's, every exact-top-k hit q41
+    * finds survives here (ranks are total via the cand_id tiebreak),
+    * so recall is ≥ q41's pointwise — SimilaritySpec pins exactly
+    * that, plus the recall gain the probes exist to buy.
+    *
+    * Scale shape: the probe explode happens on the BROADCAST query
+    * side (9 rows per query); the corpus side never duplicates and the
+    * join stays q41's bucket-equality hash join. No dedup needed:
+    * probe buckets are pairwise distinct and a candidate lives in
+    * exactly one bucket.
+    */
+  def q146MultiprobeAnn(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", signBucket(col("embedding"), 8))
+      .withColumn("nrm", norm(col("embedding")))
+    val probes = array(col("bucket") +: (0 until 8)
+      .map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), explode(probes).as("bucket"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_norm"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim6").desc, col("cand_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        r6(cosinePrenormed(dot(col("q_emb"), col("c_emb")), col("q_norm"),
+          col("c_norm"))).as("sim6"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        r4(col("sim6")).as("cos_sim"))
+      .orderBy("query_id", "rk")
+  }
+
   /** PER-LABEL EMBEDDING CENTROIDS — the mean-pooling reduction every
     * embedding pipeline runs (class prototypes, cluster summaries,
     * per-source corpus embeddings). Long format (label, dim, centroid):

@@ -271,6 +271,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q146 multi-probe ANN: per-rank sims dominate q41's; exact hits are a pointwise superset") {
+    val multi = Similarity.q146MultiprobeAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val single = Similarity.q41AnnLshTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    // every query q41 serves is served here — and multi-probe also
+    // answers queries whose OWN bucket held no candidate at all (the
+    // lone-bucket queries are exactly the ones multi-probe exists for;
+    // on this fixture it recovers several such queries)
+    assert(single.map(_._1).toSet.subsetOf(multi.map(_._1).toSet))
+    // candidate-superset ⇒ the sim at every rank can only improve
+    val mByRank = multi.map(t => (t._1, t._2) -> t._4).toMap
+    single.foreach { case (q, rk, _, sim) =>
+      assert(mByRank.get((q, rk)).exists(_ >= sim),
+        s"rank $rk of query $q regressed: multi=${mByRank.get((q, rk))} single=$sim")
+    }
+    // and every exact-top-3 hit q41 finds survives (ranks are total via
+    // the cand_id tiebreak, so a superset cannot evict a true hit)
+    val exact = Similarity.q40CosineTopK(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits41 = single.map(t => (t._1, t._3)).filter(exact.contains).toSet
+    val hits146 = multi.map(t => (t._1, t._3)).filter(exact.contains).toSet
+    assert(hits41.subsetOf(hits146),
+      s"multi-probe lost exact hits: ${hits41.diff(hits146)}")
+  }
+
   test("q142 IVF recall gate: totals match the exact frame; the 30% bound holds") {
     val exact = Similarity.q40CosineTopK(spark, sf, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
