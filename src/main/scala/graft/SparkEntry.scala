@@ -144,6 +144,9 @@ object SparkEntry {
     "q130_semantic_decontaminate" -> ((s, d) => Dedup.q130SemanticDecontaminate(s, d)),
     "q134_dedup_adjusted_mix" -> ((s, d) => Dedup.q134DedupAdjustedMix(s, d)),
     "q137_pagerank" -> ((s, d) => Dedup.q137Pagerank(s, d)),
+    // convergent PageRank: residual-based stop, n_iters is an output
+    // column so the oracle gates the convergence decision itself
+    "q147_pagerank_converged" -> ((s, d) => Dedup.q147PagerankConverged(s, d)),
     // exact-recall containment: prefix-filtered candidates, so the
     // independent all-pairs oracle hash-checks candidate RECALL itself
     "q121_containment_exact" -> ((s, d) => Dedup.q121ContainmentExact(s, d)),
@@ -278,6 +281,52 @@ object SparkEntry {
        |  ${sqlRn("CAST(len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE) / CAST(len(ta.dtoks) + len(tb.dtoks) - len(list_intersect(ta.dtoks, tb.dtoks)) AS DOUBLE)", 4)} AS jaccard
        | FROM cand JOIN dt ta ON cand.doc_a = ta.doc_id JOIN dt tb ON cand.doc_b = tb.doc_id)
        |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q147's oracle — mirrors Dedup.q147PagerankConverged: the q137
+    * iteration CTEs unrolled to the maxIters cap (12), residuals as
+    * exact-BIGINT max |Δpr| per step, and the SAME convergence rule
+    * (first step with residual ≤ p0 // 10, else the cap) picking
+    * which unrolled frame is the answer — so the gate covers the
+    * convergence DECISION, not just the ranks. Generated, not
+    * hand-written: one template per step, in lockstep with the Spark
+    * loop body.
+    */
+  private lazy val q147Sql: String = {
+    val K = 12
+    val steps = (1 to K).map { i =>
+      s"""sh$i AS (SELECT e.t AS doc_id, CAST(sum(p.pr // g.deg) AS BIGINT) AS c
+         | FROM edges e JOIN pr${i - 1} p ON e.s = p.doc_id JOIN deg g ON g.doc_id = e.s
+         | GROUP BY e.t),
+         |pr$i AS (SELECT d.doc_id,
+         |  CAST(bb.b + (coalesce(sh$i.c, 0) * 85) // 100 AS BIGINT) AS pr
+         | FROM documents d CROSS JOIN bb LEFT JOIN sh$i ON sh$i.doc_id = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to K).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS it, doc_id, pr FROM pr$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH pairs AS ($q31Sql),
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       | UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS deg
+       | FROM edges GROUP BY s),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |bb AS (SELECT CAST(((1000000000000 * 15) // 100) // n AS BIGINT) AS b,
+       |  CAST(1000000000000 // n AS BIGINT) AS p0 FROM nn),
+       |pr0 AS (SELECT d.doc_id, bb.p0 AS pr FROM documents d, bb),
+       |$steps,
+       |allpr AS ($unions),
+       |resid AS (SELECT a.it AS it, CAST(max(abs(a.pr - b.pr)) AS BIGINT) AS r
+       | FROM allpr a JOIN allpr b ON b.it = a.it - 1 AND b.doc_id = a.doc_id
+       | WHERE a.it >= 1 GROUP BY a.it),
+       |conv AS (SELECT CAST(coalesce(
+       |  min(CASE WHEN r <= bb.p0 // 10 THEN it END), $K) AS BIGINT) AS iters
+       | FROM resid CROSS JOIN bb)
+       |SELECT p.doc_id, CAST(coalesce(deg.deg, 0) AS BIGINT) AS degree,
+       | p.pr AS pr_mass, conv.iters AS n_iters
+       |FROM allpr p CROSS JOIN conv LEFT JOIN deg ON deg.doc_id = p.doc_id
+       |WHERE p.it = conv.iters
+       |ORDER BY pr_mass DESC, p.doc_id""".stripMargin
+  }
 
   private val lshSigCtes: String =
     s"""toks AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
@@ -1980,6 +2029,8 @@ object SparkEntry {
          | pr3.pr AS pr_mass
          |FROM pr3 LEFT JOIN deg ON deg.doc_id = pr3.doc_id
          |ORDER BY pr_mass DESC, pr3.doc_id""".stripMargin,
+    // mirrors Dedup.q147PagerankConverged — see q147Sql's scaladoc
+    "q147_pagerank_converged" -> q147Sql,
     // mirrors TextOps.q138TokenFertility — strlen = byte length (Spark
     // octet_length), exact BIGINT sums, one division each, 6 dp
     "q138_token_fertility" ->
@@ -2107,10 +2158,6 @@ object SparkEntry {
          |  members AS members_b FROM r WHERE members >= 2)
          |SELECT * FROM (SELECT * FROM q UNION ALL SELECT * FROM sf)
          |ORDER BY ra, rb""".stripMargin,
-    // mirrors Similarity.q142IvfRecallGate — exact-side totals
-    // recomputed from the brute-force top-3; the recall bound is the
-    // oracle's ASSERTION (literal TRUE, the q38/q66 pattern): a red row
-    // means the IVF index lost its spec-pinned recall floor
     // mirrors TextOps.q143ContaminationSpans — same 3-shingle CTE text
     // as q74 but with positions, seeds on hash equality, islands via
     // the pos - row_number idiom per (pair, diagonal), longest run =
@@ -2188,6 +2235,10 @@ object SparkEntry {
          | CASE WHEN last_us < cut THEN 'train'
          |  WHEN first_us >= cut THEN 'eval' ELSE 'excluded' END AS split
          |FROM u, b ORDER BY user_id""".stripMargin,
+    // mirrors Similarity.q142IvfRecallGate — exact-side totals
+    // recomputed from the brute-force top-3; the recall bound is the
+    // oracle's ASSERTION (literal TRUE, the q38/q66 pattern): a red row
+    // means the IVF index lost its spec-pinned recall floor
     "q142_ivf_recall_gate" ->
       s"""WITH es AS (
          | SELECT a.vec_id AS query_id, b.vec_id AS cand_id, ${sqlRn(cosSql, 6)} AS sim6

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming-surface scale stress: drives the two ingest twins
+  * (`qualityScoreAtIngest`, `contaminationSpansAtIngest`) over the 20×
+  * dup-heavy stress corpus as a REAL file-source stream — the corpus is
+  * chunked into N parquet files and replayed one file per micro-batch,
+  * so no row data ever sits on the driver — and reports end-to-end
+  * throughput plus per-batch latency, the numbers the batch queries
+  * already get from scripts/stress.sh.
+  *
+  * The contamination-spans surface runs twice: with the per-batch
+  * `coalesce(1)` report write (the tidy-output default) and without it
+  * — measuring, rather than assuming, that collapsing the post-agg
+  * stage to one task is harmless at the 20× ingest rate.
+  *
+  * Usage: runMain graft.StreamStress [corpusDir] [artifactPath]
+  */
+object StreamStress {
+
+  private def rmrf(p: String): Unit = {
+    val f = new java.io.File(p)
+    if (f.exists()) {
+      Option(f.listFiles()).foreach(_.foreach(c => rmrf(c.getPath)))
+      f.delete()
+    }
+    (): Unit
+  }
+
+  private def fmt(d: Double): String = f"$d%.3f"
+
+  /** Run one streaming surface over the chunked input; returns the
+    * measurement fields as (key, json-value) pairs.
+    */
+  private def runStream(spark: SparkSession, inDir: String, nRows: Long)(
+      start: DataFrame => StreamingQuery): Seq[(String, String)] = {
+    val schema = spark.read.parquet(inDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = start(src)
+    val t0 = System.nanoTime()
+    try q.processAllAvailable() finally q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val durs = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(p => p.durationMs.get("triggerExecution").toDouble / 1000.0)
+      .sorted
+    val p50 = if (durs.isEmpty) 0.0 else durs(durs.length / 2)
+    Seq(
+      "sec" -> fmt(secs),
+      "rows" -> nRows.toString,
+      "rows_per_sec" -> fmt(nRows / secs),
+      "batches" -> durs.length.toString,
+      "batch_p50_sec" -> fmt(p50),
+      "batch_max_sec" -> fmt(if (durs.isEmpty) 0.0 else durs.last))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dst = args.headOption.getOrElse("/tmp/graft-stress")
+    val artifact = args.lift(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = graft.core.GraftSession
+      .builder("graft-stream-stress", s"local[$cpus]",
+        shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Stress.generateIfAbsent(spark, "/root/testdata/sf0.1", dst)
+
+    val nBatches = 8
+    val inDir = "/tmp/graft-stream-in"
+    val workDir = "/tmp/graft-stream-out"
+    rmrf(inDir); rmrf(workDir)
+    val docs = spark.read.parquet(s"$dst/documents.parquet")
+    docs.filter(col("doc_id") % 100 =!= 0).select("doc_id", "text")
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(inDir)
+    val nTrain = spark.read.parquet(inDir).count()
+
+    val benchGrams = graft.streaming.StreamingOps.buildBenchGramIndex(
+      docs.filter(col("doc_id") % 100 === 0))
+    try {
+      val surfaces = Seq(
+        "quality_score_ingest" -> runStream(spark, inDir, nTrain) { s =>
+          graft.streaming.StreamingOps.qualityScoreAtIngest(s)
+            .writeStream
+            .option("checkpointLocation", s"$workDir/q_ckpt")
+            .outputMode("append")
+            .format("parquet").option("path", s"$workDir/q_out")
+            .start()
+        },
+        "contamination_spans_ingest" -> runStream(spark, inDir, nTrain) { s =>
+          graft.streaming.StreamingOps.contaminationSpansAtIngest(
+            s, benchGrams, s"$workDir/s_out", s"$workDir/s_ckpt")
+        },
+        "contamination_spans_ingest_nocoalesce" ->
+          runStream(spark, inDir, nTrain) { s =>
+            graft.streaming.StreamingOps.contaminationSpansAtIngest(
+              s, benchGrams, s"$workDir/s2_out", s"$workDir/s2_ckpt",
+              coalescePerBatch = false)
+          })
+      val line = surfaces.map { case (name, fields) =>
+        "\"" + name + "\":{" +
+          fields.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") +
+          "}"
+      }.mkString(
+        s"""{"metric":"stream_stress_20x","cpus":$cpus,"n_batches":$nBatches,""",
+        ",", "}")
+      println(line)
+      artifact.foreach(f => Files.writeString(Paths.get(f), line + "\n"))
+    } finally benchGrams.unpersist()
+    spark.stop()
+  }
+}

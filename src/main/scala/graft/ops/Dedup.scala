@@ -238,7 +238,6 @@ object Dedup {
     *   help; the guards keep it opt-in by measurement, never by hope.
     */
   private def qualifiedSetPairs(repToks: DataFrame, tS: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = repToks.select(col("doc_id"),
       size(col("toks")).cast("long").as("n"), explode(col("toks")).as("token"))
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
@@ -246,8 +245,14 @@ object Dedup {
     val nReps = repToks.count()
     if (vocab <= 2048 && nReps <= 20000) {
       val nw = math.max(((vocab + 63) / 64).toInt, 1)
-      val ids = dfreq.select(col("token"),
-        (row_number().over(Window.orderBy("token")) - 1).as("id"))
+      // dictionary ids via the distributed sort+zipWithIndex idiom
+      // (ScalarSuites.globalRank) — V is guard-bounded (≤ 2048) so a
+      // no-key window would be harmless here too, but using the same
+      // idiom everywhere keeps PlanSpec's "no no-key window" invariant
+      // mechanically true instead of exception-scoped
+      val ids = ScalarSuites
+        .globalRank(dfreq.select("token"), Seq(col("token")), "rank")
+        .select(col("token"), (col("rank") - 1L).cast("int").as("id"))
       val masks = tok.join(broadcast(ids), Seq("token"))
         .groupBy("doc_id").agg(collect_set(col("id")).as("ids"),
           first("n").as("n"))
@@ -302,8 +307,12 @@ object Dedup {
   private def containmentRepFrames(s: SparkSession, d: String, tS: Long)
       : (DataFrame, DataFrame, DataFrame) = repPairCache.synchronized {
     val fp = graft.core.Fingerprint.of(s, d, "documents")
+    // evict ALL stale-fingerprint entries for this (session, dir) —
+    // including ones memoized under other thresholds, which would
+    // otherwise hold executor storage until that threshold is queried
+    // again
     repPairCache.keys
-      .filter(k => k._1 == s && k._2 == d && k._3 == tS && k._4 != fp)
+      .filter(k => k._1 == s && k._2 == d && k._4 != fp)
       .foreach { stale =>
         repPairCache.remove(stale).foreach { case (m, g, p) =>
           Seq(m, g, p).foreach(df =>
@@ -1643,22 +1652,105 @@ object Dedup {
       val deg = edges.groupBy(col("doc_a").as("doc_id"))
         .agg(count(lit(1)).as("deg"))
       var pr = docs.withColumn("pr", lit(Scale / n))
-      for (_ <- 1 to iters) {
-        // per-node outgoing share, pushed along each edge, summed per
-        // destination: all BIGINT, so the agg is partition-invariant
-        val share = pr.join(deg, Seq("doc_id"))
-          .select(col("doc_id"), expr("pr div deg").as("sh"))
-        val pushed = edges.join(share, edges("doc_a") === share("doc_id"))
-          .select(col("doc_b").as("doc_id"), col("sh"))
-        val contrib = pushed.groupBy("doc_id").agg(sum("sh").as("c"))
-        pr = docs.join(contrib, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            (lit(base) + expr("(coalesce(c, CAST(0 AS BIGINT)) * 85) div 100"))
-              .as("pr"))
-      }
+      for (_ <- 1 to iters)
+        pr = pagerankStep(pr, docs, edges, deg, base)
       val out = pr.join(deg, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
           col("pr").as("pr_mass"))
+        .orderBy(col("pr_mass").desc, col("doc_id"))
+      out.localCheckpoint(true)
+    } finally edges.unpersist()
+  }
+
+  /** One integer power iteration — per-node outgoing share, pushed along
+    * each edge, summed per destination: all BIGINT, so the agg is
+    * partition-invariant. Shared by the fixed-3 [[q137Pagerank]] (which
+    * chains 3 lazy steps into one plan) and the convergent
+    * [[q147PagerankConverged]] (which materializes each step to check
+    * the residual).
+    */
+  private def pagerankStep(pr: DataFrame, docs: DataFrame, edges: DataFrame,
+      deg: DataFrame, base: Long): DataFrame = {
+    val share = pr.join(deg, Seq("doc_id"))
+      .select(col("doc_id"), expr("pr div deg").as("sh"))
+    val pushed = edges.join(share, edges("doc_a") === share("doc_id"))
+      .select(col("doc_b").as("doc_id"), col("sh"))
+    val contrib = pushed.groupBy("doc_id").agg(sum("sh").as("c"))
+    docs.join(contrib, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(base) + expr("(coalesce(c, CAST(0 AS BIGINT)) * 85) div 100"))
+          .as("pr"))
+  }
+
+  /** CONVERGENT PageRank (q147) — [[q137Pagerank]]'s integer formulation
+    * with the blind fixed iteration count replaced by a RESIDUAL-BASED
+    * STOP: iterate until max |Δpr| ≤ tol (exact integer micro-mass) or
+    * `maxIters`, whichever first. This is the production entry point on
+    * graphs whose density (hence mixing time) is unknown up front — the
+    * fixed-3 q137 contract answers "rank flow over paths ≤ 3"; this one
+    * answers "the stationary hub ranking", paying only the iterations
+    * the graph actually needs. On the near-dup graphs this engine
+    * polices, most components are quasi-regular duplicate clusters
+    * (stationary ≈ uniform — converge in 1–2 steps) or isolated docs
+    * (teleport-only after step 1), so the stop fires far below any
+    * safe fixed cap.
+    *
+    * Engine-exact convergence DECISION: the residual is an exact BIGINT
+    * max over exact BIGINT ranks, so iterations-to-converge is itself
+    * deterministic and engine-portable — `n_iters` is an output column
+    * and the DuckDB oracle re-derives it (unrolled iterations + the
+    * same min-first-converged-else-cap rule), gating not just the
+    * ranks but the convergence decision.
+    *
+    * Tolerance is scale-invariant: tol = p0 div `tolDiv`, where
+    * p0 = SCALE div N is the uniform per-node mass — default 1/10 of
+    * it, i.e. ranks stationary to 10 % of a node's uniform share: the
+    * HUB-ORDERING stability the curation question needs, not full mass
+    * convergence (the 0.85-damped power iteration contracts at ~0.85
+    * per step through bipartite-ish star components, so sub-percent
+    * tolerances cost ~25+ iterations on sparse graphs for no change in
+    * who the hub is — measured residual curves in NOTES round 9).
+    * Measured iterations-to-fire at this default: 10 on the sparse
+    * sf0.01 graph, ~4 on the 20× dup-heavy blow-up graph whose dense
+    * clique components smooth fast — early stop pays most exactly
+    * where the corpus is most duplicated, which is the 100 TB case.
+    *
+    * Scale shape per iteration: the q137 keyed join + keyed agg, plus
+    * ONE extra scalar agg (the residual — driver holds one Long), with
+    * eager `localCheckpoint` lineage truncation per step (the q69/q71
+    * iterative discipline; the checkpointed frame is (doc_id, pr) —
+    * two BIGINTs per doc). The driver never holds row data.
+    */
+  def q147PagerankConverged(s: SparkSession, d: String,
+      tolDiv: Long = 10L, maxIters: Int = 12): DataFrame = {
+    val Scale = 1000000000000L
+    val docs = Tables.documents(s, d).select("doc_id")
+    val n = docs.count()
+    val base = (Scale * 15L / 100L) / n
+    val p0 = Scale / n
+    val tol = p0 / tolDiv
+    val edges = symmetrizeEdges(
+      verifiedPairs(s, d).select("doc_a", "doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = edges.groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("deg"))
+      var pr = docs.withColumn("pr", lit(p0)).localCheckpoint(true)
+      var it = 0
+      var resid = Long.MaxValue
+      while (it < maxIters && resid > tol) {
+        val next = pagerankStep(pr, docs, edges, deg, base)
+          .localCheckpoint(true)
+        resid = next
+          .join(pr.select(col("doc_id"), col("pr").as("prev")), Seq("doc_id"))
+          .agg(max(abs(col("pr") - col("prev"))).as("r"))
+          .head().getLong(0)
+        pr = next
+        it += 1
+      }
+      val out = pr.join(deg, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
+          col("pr").as("pr_mass"), lit(it.toLong).as("n_iters"))
         .orderBy(col("pr_mass").desc, col("doc_id"))
       out.localCheckpoint(true)
     } finally edges.unpersist()

@@ -120,7 +120,7 @@ object Similarity {
     * `d`, and the (vec_id, embedding, nrm, centroid) assignment frame it
     * induces.
     */
-  private def quantize(s: SparkSession, d: String, nCentroids: Int)
+  private[graft] def quantize(s: SparkSession, d: String, nCentroids: Int)
       : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -142,7 +142,7 @@ object Similarity {
   }
 
   /** The centroid vectors as a tiny broadcast-able frame. */
-  private def centroidFrame(s: SparkSession,
+  private[graft] def centroidFrame(s: SparkSession,
       model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
     import s.implicits._
     model.clusterCenters.zipWithIndex.toSeq

@@ -1218,11 +1218,10 @@ object TextOps {
     * PlanSpec gate bans repo-wide; with non-dense ids the x-axis is
     * id-range share rather than exact doc count, same curve shape),
     * tokens-per-decile aggregate to ten rows, and a 10-row running sum
-    * (computed on the driver-sized frame) yields the curve. One
-    * token-keyed shuffle regardless of curve resolution.
+    * (a literal triangular equality join — window-free) yields the
+    * curve. One token-keyed shuffle regardless of curve resolution.
     */
   def q120VocabGrowth(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
     val firstSeen = docs
@@ -1236,15 +1235,26 @@ object TextOps {
       .groupBy("decile")
       .agg(count(lit(1)).as("n_new_tokens"))
     // a TOTAL ten-row curve (saturated deciles emit 0, not a gap)
-    s.range(1, 11).toDF("decile")
+    val curve = s.range(1, 11).toDF("decile")
       .join(counts, Seq("decile"), "left")
       .withColumn("n_new_tokens", coalesce(col("n_new_tokens"), lit(0L)))
-      // the cumsum runs over this TEN-ROW frame — a constant-key window
-      // is deliberate and safe here, unlike the corpus-sized no-key
-      // windows the PlanSpec gate exists to ban
-      .withColumn("cum_vocab", sum("n_new_tokens").over(
-        Window.partitionBy(lit(0)).orderBy("decile")
-          .rowsBetween(Window.unboundedPreceding, 0)))
+    // cumsum WITHOUT a window: a constant-key window over the ten-row
+    // frame would be harmless in fact, but Catalyst folds the constant
+    // partition key away and plans a genuine no-key WindowExec — which
+    // the repo-wide PlanSpec gate bans with no exceptions. A literal
+    // 55-row triangular (decile, src_decile ≤ decile) table joined on
+    // equality gives the same running sum as broadcast hash joins.
+    import s.implicits._
+    val tri = (1 to 10).flatMap(i => (1 to i).map(j => (i.toLong, j.toLong)))
+      .toDF("decile", "src_decile")
+    tri
+      .join(curve.select(col("decile").as("src_decile"),
+        col("n_new_tokens")), Seq("src_decile"))
+      .groupBy("decile")
+      .agg(
+        sum(when(col("src_decile") === col("decile"), col("n_new_tokens"))
+          .otherwise(lit(0L))).as("n_new_tokens"),
+        sum("n_new_tokens").as("cum_vocab"))
       .orderBy("decile")
   }
 
@@ -1681,13 +1691,21 @@ object TextOps {
     * bounded by in-doc gram repetition, and the islands window keys on
     * (train_doc, bench_doc, diag) — contamination-density-sized, never
     * corpus-sized. Production corpora additionally cap gram document
-    * frequency on the bench side (stop-gram guard) before seeding —
-    * a plan knob, not a semantics change at any threshold ≥ gram df.
+    * frequency on the bench side (STOP-GRAM GUARD, `benchDfCap`,
+    * implemented in [[capBenchGrams]]) before seeding — a plan knob,
+    * not a semantics change at any threshold ≥ the max bench gram df
+    * (nothing dropped; spec-pinned), and a documented one-sided
+    * approximation below it (dropped seeds only ever SPLIT or SHRINK
+    * runs — n_seeds and longest_run are monotone non-increasing in the
+    * cap, also spec-pinned — the direction a decontamination gate can
+    * live with: ubiquitous stop-grams are exactly the runs the
+    * published 13-gram rules ignore).
     *
     * q74 RECONCILIATION (spec-pinned): the distinct train docs here
     * are EXACTLY q74's flagged set — one shared gram is one seed.
     */
-  def q143ContaminationSpans(s: SparkSession, d: String): DataFrame = {
+  def q143ContaminationSpans(s: SparkSession, d: String,
+      benchDfCap: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // EXACT-TEXT CONTRACTION first (the q102/q118/q121 move, exact here
     // because spans are a function of the two texts alone): duplicate
@@ -1707,7 +1725,9 @@ object TextOps {
     val g = base.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"))
     val repPairs = contaminationSpanCore(
       positionedGrams(g.filter(!col("is_bench")), "train_doc", "pos_t"),
-      positionedGrams(g.filter(col("is_bench")), "bench_doc", "pos_b"))
+      capBenchGrams(
+        positionedGrams(g.filter(col("is_bench")), "bench_doc", "pos_b"),
+        benchDfCap))
       .withColumnRenamed("train_doc", "train_rep")
       .withColumnRenamed("bench_doc", "bench_rep")
     // closed-form membership expansion: output size is the answer's own
@@ -1735,6 +1755,24 @@ object TextOps {
         posexplode(shingles3(tokens(col("text")))).as(Seq("pos", "sh")))
       .select(col("doc_id").as(idCol), col("pos").cast("long").as(posCol),
         md5(col("sh")).as("h"))
+
+  /** STOP-GRAM GUARD over a positioned bench gram frame (the q143
+    * family's bench side): drop every gram hash whose bench DOCUMENT
+    * frequency exceeds `dfCap` before seeding. Per-key seed fan-out is
+    * tf_train(g)·tf_bench(g) summed over the gram's bench docs, so a
+    * ubiquitous bench gram (boilerplate headers, license lines shared
+    * by the whole eval suite) is the one fan-out risk in the seed
+    * join; capping its df bounds that product at the source. The df
+    * agg runs on the eval-suite-sized bench frame — never the corpus.
+    * `Long.MaxValue` (the gated default) is the identity — the
+    * `if` keeps the extra agg out of the default plan entirely.
+    */
+  private[graft] def capBenchGrams(bench: DataFrame, dfCap: Long): DataFrame =
+    if (dfCap == Long.MaxValue) bench
+    else bench.join(
+      bench.groupBy("h").agg(countDistinct(col("bench_doc")).as("bdf"))
+        .filter(col("bdf") <= dfCap).select("h"),
+      Seq("h"))
 
   /** The seed-and-extend span measurement over explicit gram frames —
     * ONE definition shared by the batch q143 (which feeds it contracted

@@ -707,28 +707,20 @@ object StreamingOps {
         throw new IllegalStateException(s"no committed version in $tableDir")
     }
 
-  /** STATELESS model inference at ingest — q145's linear quality margin
-    * as a pure per-row projection: a document arrives whole in one row,
-    * so the hashed-feature margin is an IN-ROW integer fold (transform
-    * + aggregate over the token array) — no explode, no join, no
-    * aggregation, therefore NO streaming state at any ingest rate. The
-    * batch twin (TextOps.q145LinearQualityScore) materializes the same
-    * margin through the broadcast-join plan — the right shape when the
-    * weight table is learned and large — and the two are EXACTLY equal
-    * because every step is integer arithmetic over the same md5-derived
-    * buckets (StreamingSpec pins stream ≡ q145 row-for-row). At
-    * 100 TB/day this is the quality filter running at wire speed in
-    * the ingest path: dropped docs never land on storage.
-    */
   /** Build the static bench-side gram index for
     * [[contaminationSpansAtIngest]]: positioned 3-gram hashes of the
     * benchmark docs, persisted — eval-suite-sized, built once per
     * stream lifetime (the q86 ContaminationIndex discipline applied to
-    * the positioned space the span measurement needs).
+    * the positioned space the span measurement needs). `dfCap` is the
+    * q143 stop-gram guard ([[graft.ops.TextOps.capBenchGrams]]) —
+    * applied HERE, at index build, it bounds per-batch seed fan-out
+    * for the stream's whole lifetime at one upfront agg.
     */
-  def buildBenchGramIndex(benchDocs: DataFrame): DataFrame = {
-    val idx = graft.ops.TextOps
-      .positionedGrams(benchDocs, "bench_doc", "pos_b")
+  def buildBenchGramIndex(benchDocs: DataFrame,
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    val idx = graft.ops.TextOps.capBenchGrams(
+      graft.ops.TextOps.positionedGrams(benchDocs, "bench_doc", "pos_b"),
+      dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     idx.count() // materialize once, eagerly
     idx
@@ -747,24 +739,51 @@ object StreamingOps {
     * surfaces cannot diverge. State story at 100 TB/day: zero
     * streaming state; the resident piece is the bounded bench gram
     * index (eval-suite-sized).
+    *
+    * Delivery contract: the foreachBatch parquet append is
+    * AT-LEAST-ONCE — a batch replayed after a failure appends its rows
+    * again. `batch_id` is written precisely so readers can dedup
+    * (`max_by`/latest-attempt per batch_id), the same caveat documented
+    * on [[foreachBatchPartitionedSink]]; "union is EXACTLY batch q143"
+    * holds after that per-batch_id dedup.
     */
   def contaminationSpansAtIngest(docs: DataFrame, benchGrams: DataFrame,
-      outDir: String, checkpointDir: String)
+      outDir: String, checkpointDir: String,
+      coalescePerBatch: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.ops.TextOps.contaminationSpanCore(
+        val report = graft.ops.TextOps.contaminationSpanCore(
             graft.ops.TextOps.positionedGrams(batch, "train_doc", "pos_t"),
             benchGrams)
           .withColumn("batch_id", lit(batchId))
-          .coalesce(1)
+        // per-batch reports are contamination-density-sized, so one
+        // file per batch keeps the output tidy; `coalescePerBatch =
+        // false` writes shuffle-partition-count files instead — the
+        // knob StreamStress measures (the coalesce collapses only the
+        // post-agg stage, so it costs little, but it is measured, not
+        // assumed)
+        (if (coalescePerBatch) report.coalesce(1) else report)
           .write.mode("append").parquet(outDir)
         (): Unit
       }
       .start()
 
+  /** STATELESS model inference at ingest — q145's linear quality margin
+    * as a pure per-row projection: a document arrives whole in one row,
+    * so the hashed-feature margin is an IN-ROW integer fold (transform
+    * + aggregate over the token array) — no explode, no join, no
+    * aggregation, therefore NO streaming state at any ingest rate. The
+    * batch twin (TextOps.q145LinearQualityScore) materializes the same
+    * margin through the broadcast-join plan — the right shape when the
+    * weight table is learned and large — and the two are EXACTLY equal
+    * because every step is integer arithmetic over the same md5-derived
+    * buckets (StreamingSpec pins stream ≡ q145 row-for-row). At
+    * 100 TB/day this is the quality filter running at wire speed in
+    * the ingest path: dropped docs never land on storage.
+    */
   def qualityScoreAtIngest(docs: DataFrame): DataFrame = {
     val toksC = tokens(col("text"))
     val margin = aggregate(

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.VectorFunctions.{signBucket, norm, dot}
+import graft.ops.Similarity
+
+/** MEASUREMENT main (Test/runMain graft.AnnComparisonProbe [dir]): the
+  * q146-vs-q48 ANN family comparison the round-8 verdict asked for —
+  * recall@3 against the exact q40 baseline, average candidates examined
+  * per query (the budget that actually costs at 100 TB), and wall time,
+  * at EQUAL probe budgets: q146 probes 9 of 256 sign-LSH buckets, so
+  * the matched IVF configuration is 256 centroids with nProbe = 9 —
+  * both examine ~9/256 of the corpus per query. The family defaults
+  * (q41 1-probe LSH, q48 8-cell IVF at nProbe 2) bracket the
+  * comparison. Recall is computed over the %50 query subset (q40's
+  * fixture set — a subset of the ANN queries' %25 set).
+  *
+  * The decision this feeds (NOTES round 9): which ANN family the
+  * engine recommends at scale, at what budget, and what the
+  * crossover looks like.
+  */
+object AnnComparisonProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nVecs = Tables.embeddings(spark, dir).count()
+    println(s"== ANN comparison at $dir ($nVecs vectors) ==")
+
+    // exact ground truth: q40's top-3 per %50 query
+    val truth = Similarity.q40CosineTopK(spark, dir, k = 3)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val nq = truth.size
+
+    def recallAt3(df: DataFrame): Double = {
+      val got = df.filter(col("query_id") % 50 === 0)
+        .select(col("query_id"), col("cand_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      truth.map { case (q, t) =>
+        (got.getOrElse(q, Set.empty[Long]) & t).size.toDouble / t.size
+      }.sum / nq
+    }
+
+    def timeMin(mk: => DataFrame): Double = {
+      mk.collect() // warm pass (k-means memo, page cache)
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        mk.collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    // candidates/query, LSH side: probed-bucket sizes summed per query
+    def lshCands(nProbes: Int): Double = {
+      val e = Tables.embeddings(spark, dir)
+        .withColumn("bucket", signBucket(col("embedding"), 8))
+      val sizes = e.groupBy("bucket").agg(count(lit(1)).as("bs"))
+      val probes =
+        if (nProbes == 1) array(col("bucket"))
+        else array(col("bucket") +: (0 until 8)
+          .map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+      e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), explode(probes).as("bucket"))
+        .join(sizes, Seq("bucket"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("bs"), lit(0L))).as("cands"))
+        .agg(avg("cands")).head().getDouble(0)
+    }
+
+    // candidates/query, IVF side: probed-cell sizes summed per query
+    def ivfCands(nCentroids: Int, nProbe: Int): Double = {
+      import org.apache.spark.sql.expressions.Window
+      val (model, assigned) = Similarity.quantize(spark, dir, nCentroids)
+      val sizes = assigned.groupBy("centroid").agg(count(lit(1)).as("cs"))
+      val wP = Window.partitionBy("query_id").orderBy(col("c_dist"))
+      assigned.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_norm"))
+        .crossJoin(broadcast(Similarity.centroidFrame(spark, model)))
+        .withColumn("c_dist", -dot(col("q_emb"), col("c_emb"))
+          / (col("q_norm") * norm(col("c_emb"))))
+        .withColumn("pr", row_number().over(wP))
+        .filter(col("pr") <= nProbe)
+        .join(sizes, Seq("centroid"))
+        .groupBy("query_id").agg(sum("cs").as("cands"))
+        .agg(avg("cands")).head().getDouble(0)
+    }
+
+    val rows = Seq(
+      ("q41_lsh_1of256", () => Similarity.q41AnnLshTopK(spark, dir),
+        () => lshCands(1)),
+      ("q146_lsh_9of256", () => Similarity.q146MultiprobeAnn(spark, dir),
+        () => lshCands(9)),
+      ("q48_ivf_8c_2p", () => Similarity.q48IvfAnn(spark, dir, 8, 2, 3),
+        () => ivfCands(8, 2)),
+      ("ivf_256c_1p", () => Similarity.q48IvfAnn(spark, dir, 256, 1, 3),
+        () => ivfCands(256, 1)),
+      ("ivf_256c_9p", () => Similarity.q48IvfAnn(spark, dir, 256, 9, 3),
+        () => ivfCands(256, 9)))
+
+    println(f"${"config"}%-18s ${"recall@3"}%9s ${"cands/q"}%9s ${"sec"}%7s")
+    rows.foreach { case (name, mk, cands) =>
+      val t = timeMin(mk())
+      val r = recallAt3(mk())
+      val c = cands()
+      println(f"$name%-18s $r%9.3f $c%9.1f $t%7.2f")
+    }
+    println(s"(recall over the $nq %50-queries; time = min of 2 warm passes)")
+  }
+}

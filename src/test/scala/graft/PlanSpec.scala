@@ -103,20 +103,24 @@ class PlanSpec extends AnyFunSuite {
       s"propagation round must fold labels in a hash agg:\n$plan")
   }
 
-  test("no query plans a no-key (global) window") {
+  test("NO query plans a no-key (global) window — all registered queries") {
     // the q49 hazard class: Window.partitionBy()/Window.orderBy() with no
     // partition keys funnels everything through one partition. Even
-    // semantically-global ranks (q60) must use the distributed
-    // sort+zipWithIndex formulation (ScalarSuites.globalRank) instead.
+    // semantically-global ranks (q60) and guard-bounded dictionaries
+    // (the q121/q141 bitset branch) use the distributed
+    // sort+zipWithIndex formulation (ScalarSuites.globalRank) instead —
+    // so this invariant holds over the ENTIRE query surface with no
+    // exception list.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    for (name <- Seq("q26_tfidf", "q31_jaccard_pairs", "q32_minhash_lsh",
-        "q34_embedding_neardup", "q39_dedup_keep", "q49_collocations",
-        "q60_rank_distributions", "q64_pack_sequences", "q73_quality_quota")) {
-      val globalWindows = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty => w
-        }
-      assert(globalWindows.isEmpty, s"$name has a no-key global window")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val globalWindows = fn(spark, sf)
+          .queryExecution.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty => w
+          }
+        if (globalWindows.nonEmpty) Some(name) else None
     }
+    assert(offenders.isEmpty,
+      s"no-key global windows in: ${offenders.mkString(", ")}")
   }
 }

@@ -1317,6 +1317,64 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("q147 convergent pagerank: JVM reference agrees on ranks AND iterations-to-converge") {
+    val Scale = 1000000000000L
+    val maxIters = 12
+    val pairs = Dedup.q31JaccardPairs(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = collectedDocs().map(_._1)
+    val n = ids.length.toLong
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val base = (Scale * 15L / 100L) / n
+    val p0 = Scale / n
+    val tol = p0 / 10L
+    var pr = ids.map(_ -> p0).toMap
+    var it = 0
+    var resid = Long.MaxValue
+    while (it < maxIters && resid > tol) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      val next =
+        ids.map(id => id -> (base + contrib.getOrElse(id, 0L) * 85L / 100L)).toMap
+      resid = ids.map(id => math.abs(next(id) - pr(id))).max
+      pr = next
+      it += 1
+    }
+    val want = ids.map(id =>
+      id -> (deg.getOrElse(id, 0L), pr(id), it.toLong)).toMap
+    val got = Dedup.q147PagerankConverged(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    // On this tiny sparse corpus (sf0.001) the cap binds — its star
+    // components mix at ~0.85/step, so the budget bound is the designed
+    // behavior here (measured curves in NOTES round 9: sf0.01 fires at
+    // 10, the 20× dup-heavy blow-up at ~4). The escape hatch itself is
+    // pinned by the dup-clique test below, where n_iters must be 1.
+  }
+
+  test("q147 convergent pagerank: the stop fires immediately on pure dup-clique graphs") {
+    import spark.implicits._
+    // three groups of 10 identical docs → the verified graph is three
+    // 10-cliques. A regular graph's stationary distribution IS the
+    // uniform start, so the residual after one step is floor crumbs —
+    // the early-stop regime of the dup-heavy corpora this op polices
+    val rows = for { g <- 0 until 3; k <- 0 until 10 } yield
+      (g * 100L + k, (0 until 12).map(i => s"g${g}tok$i").mkString(" "),
+        "en", "x")
+    val dir = java.nio.file.Files.createTempDirectory("q147_cliques").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q147PagerankConverged(spark, dir).collect()
+    assert(got.length == 30)
+    assert(got.forall(_.getLong(3) == 1L), "expected n_iters == 1")
+    assert(got.forall(_.getLong(1) == 9L)) // every node degree 9
+    // symmetric nodes hold identical mass
+    assert(got.map(_.getLong(2)).distinct.length == 1)
+  }
+
   test("q138 token fertility: matches a JVM reference; exact integer sums") {
     val docs = Tables.documents(spark, sf)
       .select("lang", "source", "text").collect()
@@ -1545,6 +1603,58 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got((twoId, 100L)) == (10L, 9L))
     // nothing else is reported: exactly one bench pairing per train doc
     assert(got.keySet == (planted.map(p => (p._1, 100L)).toSet + ((twoId, 100L))))
+  }
+
+  test("q143 stop-gram guard: identity at any cap >= max bench gram df; monotone below it") {
+    import spark.implicits._
+    // three bench docs share a 5-token boilerplate prefix (its interior
+    // 3-grams have bench df = 3 — the stop-gram class); everything else
+    // is unique (df = 1). Train docs: boiler-only overlap (101),
+    // unique-span-only (102), boiler + unique span (103).
+    val boiler = (1 to 5).map(i => s"p$i")
+    def uniq(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val bench = Seq(
+      (100L, (boiler ++ uniq("a", 50)).mkString(" ")),
+      (200L, (boiler ++ uniq("b", 50)).mkString(" ")),
+      (300L, (boiler ++ uniq("c", 50)).mkString(" ")))
+    val train = Seq(
+      (101L, (uniq("t1a", 10) ++ boiler ++ uniq("t1b", 10)).mkString(" ")),
+      (102L, (uniq("t2a", 10) ++ uniq("a", 50).slice(10, 20) ++
+        uniq("t2b", 10)).mkString(" ")),
+      (103L, (uniq("t3a", 10) ++ boiler ++ uniq("a", 50).slice(20, 25) ++
+        uniq("t3b", 10)).mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("q143_stopgram").toString
+    (bench ++ train).map { case (id, t) => (id, t, "en", "x") }
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(cap: Long) = TextOps.q143ContaminationSpans(spark, dir, cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val full = run(Long.MaxValue)
+    assert(full == Map(
+      (101L, 100L) -> ((3L, 5L)), (101L, 200L) -> ((3L, 5L)),
+      (101L, 300L) -> ((3L, 5L)),
+      (102L, 100L) -> ((8L, 10L)),
+      (103L, 100L) -> ((6L, 5L)), (103L, 200L) -> ((3L, 5L)),
+      (103L, 300L) -> ((3L, 5L))))
+    // identity at every threshold >= the max bench gram df (3 here)
+    assert(run(3L) == full)
+    assert(run(4L) == full)
+    // below it: stop-grams drop. Boiler-only pairs disappear; mixed
+    // pairs keep only their unique-span seeds; unique-span pairs are
+    // untouched — and every surviving (pair, n_seeds, longest_run) is
+    // monotone non-increasing vs the uncapped answer
+    for (cap <- Seq(1L, 2L)) {
+      val capped = run(cap)
+      assert(capped == Map(
+        (102L, 100L) -> ((8L, 10L)),
+        (103L, 100L) -> ((3L, 5L))))
+      capped.foreach { case (k, (seeds, runLen)) =>
+        val (s0, r0) = full(k)
+        assert(seeds <= s0 && runLen <= r0, s"non-monotone at $k")
+      }
+    }
   }
 
   test("q145 linear quality score: matches a JVM reference inference over the same weight table") {
