@@ -23,8 +23,32 @@ import graft.functions.Round._
   */
 object Similarity {
 
+  // Memoized, persisted exact-top-k frame, fingerprint-keyed like every
+  // other session memo (Dedup.contentHashes discipline: a corpus changing
+  // under a cached dir is detected by the embeddings fingerprint, the
+  // stale frame unpersisted and rebuilt). The exact baseline is the one
+  // expensive pass in the whole index-quality family — q35 (k=5) and
+  // q132/q140/q142 (k=3) each consume it, and before this memo each
+  // PAID it (three full brute-force scans per bench sweep at k=3 alone).
+  // The memoized frame is |queries|·k rows — trivially persistable at
+  // any scale the q40 broadcast caveat already admits. Standalone lock:
+  // the build touches no other memo, and no other memo takes this one.
+  private val exactCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, String), DataFrame]
+
+  /** Drop memoized exact-top-k frames (unpersisting live ones) — same
+    * contract as [[invalidateIvfCache]].
+    */
+  def invalidateExactTopKCache(): Unit = exactCache.synchronized {
+    exactCache.values.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    exactCache.clear()
+  }
+
   /** Brute-force cosine top-k for a deterministic query subset
-    * (vec_id % 50 == 0), excluding self-matches.
+    * (vec_id % 50 == 0), excluding self-matches. Memoized per
+    * (session, dir, k, corpus-fingerprint) — see `exactCache` above.
     *
     * SCALE ASSUMPTION (do not lift this pattern blindly): `broadcast(q)`
     * is correct only because the QUERY SET is assumed bounded (a fixed
@@ -45,7 +69,22 @@ object Similarity {
     * losing window formulation was removed per the measured-verdict
     * discipline).
     */
-  def q40CosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def q40CosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    exactCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "embeddings")
+      exactCache.keys
+        .filter(key => key._1 == s && key._2 == d && key._4 != fp)
+        .foreach { stale =>
+          exactCache.remove(stale).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+        }
+      exactCache.getOrElseUpdate((s, d, k, fp),
+        buildExactTopK(s, d, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  private def buildExactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") % 50 === 0)
