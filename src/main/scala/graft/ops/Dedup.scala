@@ -1645,9 +1645,7 @@ object Dedup {
     val docs = Tables.documents(s, d).select("doc_id")
     val n = docs.count()
     val base = (Scale * 15L / 100L) / n
-    val edges = symmetrizeEdges(
-      verifiedPairs(s, d).select("doc_a", "doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pagerankEdges(s, d)
     try {
       val deg = edges.groupBy(col("doc_a").as("doc_id"))
         .agg(count(lit(1)).as("deg"))
@@ -1662,6 +1660,23 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** The symmetrized verified-pair edge frame, persisted HASH-PARTITIONED
+    * on `doc_a` — the source-side join key every power iteration probes.
+    * The persisted partitioning is visible to the planner through the
+    * InMemoryTableScan, so the per-iteration `edges ⨝ share` join
+    * re-shuffles only the rank side (|docs| rows of two BIGINTs), never
+    * the edge frame — on the 20× dup-heavy graph that is the difference
+    * between moving ~2M edge rows per iteration and moving none. The
+    * one remaining edge-sized exchange per iteration is the push-agg on
+    * the DESTINATION key, inherent to the push formulation (and partial-
+    * aggregated map-side). `deg` also builds shuffle-free off the same
+    * co-location. Paid once, shared by q137 and q147.
+    */
+  private def pagerankEdges(s: SparkSession, d: String): DataFrame =
+    symmetrizeEdges(verifiedPairs(s, d).select("doc_a", "doc_b"))
+      .repartition(col("doc_a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** One integer power iteration — per-node outgoing share, pushed along
     * each edge, summed per destination: all BIGINT, so the agg is
     * partition-invariant. Shared by the fixed-3 [[q137Pagerank]] (which
@@ -1669,8 +1684,8 @@ object Dedup {
     * [[q147PagerankConverged]] (which materializes each step to check
     * the residual).
     */
-  private def pagerankStep(pr: DataFrame, docs: DataFrame, edges: DataFrame,
-      deg: DataFrame, base: Long): DataFrame = {
+  private[graft] def pagerankStep(pr: DataFrame, docs: DataFrame,
+      edges: DataFrame, deg: DataFrame, base: Long): DataFrame = {
     val share = pr.join(deg, Seq("doc_id"))
       .select(col("doc_id"), expr("pr div deg").as("sh"))
     val pushed = edges.join(share, edges("doc_a") === share("doc_id"))
@@ -1729,9 +1744,7 @@ object Dedup {
     val base = (Scale * 15L / 100L) / n
     val p0 = Scale / n
     val tol = p0 / tolDiv
-    val edges = symmetrizeEdges(
-      verifiedPairs(s, d).select("doc_a", "doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pagerankEdges(s, d)
     try {
       val deg = edges.groupBy(col("doc_a").as("doc_id"))
         .agg(count(lit(1)).as("deg"))
