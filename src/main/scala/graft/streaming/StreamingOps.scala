@@ -760,11 +760,14 @@ object StreamingOps {
             benchGrams)
           .withColumn("batch_id", lit(batchId))
         // per-batch reports are contamination-density-sized, so one
-        // file per batch keeps the output tidy; `coalescePerBatch =
-        // false` writes shuffle-partition-count files instead — the
-        // knob StreamStress measures (the coalesce collapses only the
-        // post-agg stage, so it costs little, but it is measured, not
-        // assumed)
+        // file per batch keeps the output tidy. coalesce(1) collapses
+        // the reduce side of the span agg to a single task; StreamStress
+        // measured that as a wash at the 20x ingest rate (mirrored-order
+        // warm runs: 28.2/29.6 s coalesced vs 31.7/23.8 s parallel —
+        // the variant effect is below the run-order noise) because the
+        // report is small. Flip to `coalescePerBatch = false` if
+        // per-batch contamination reports grow to genuine
+        // multi-partition size (then compact with Layout.compact).
         (if (coalescePerBatch) report.coalesce(1) else report)
           .write.mode("append").parquet(outDir)
         (): Unit
