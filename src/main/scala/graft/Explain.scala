@@ -45,7 +45,8 @@ object Explain {
     "q140_retrieval_metrics", "q141_containment_reps",
     "q142_ivf_recall_gate", "q143_contamination_spans",
     "q144_temporal_split", "q145_linear_quality_score",
-    "q146_multiprobe_ann")
+    "q146_multiprobe_ann", "q147_pagerank_converged",
+    "q148_repeated_spans", "q149_dedup_rewrite")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from

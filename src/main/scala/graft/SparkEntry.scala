@@ -114,6 +114,9 @@ object SparkEntry {
     "q143_contamination_spans" -> (TextOps.q143ContaminationSpans(_, _)),
     // linear-classifier quality margin over broadcast hashed features
     "q145_linear_quality_score" -> (TextOps.q145LinearQualityScore(_, _)),
+    // corpus-internal exact substring dedup: profile + rewrite
+    "q148_repeated_spans" -> (TextOps.q148RepeatedSpans(_, _)),
+    "q149_dedup_rewrite" -> (TextOps.q149DedupRewrite(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -231,6 +234,24 @@ object SparkEntry {
        |g AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
        | FROM c GROUP BY doc_id, chunk_id)""".stripMargin
+
+  /** q148/q149's shared repeated-gram CTEs (mirrors
+    * TextOps.repeatedStartFrames minus the contraction, which is a
+    * plan move, not a semantics change — keep in lockstep): positioned
+    * 3-gram hashes over every doc, a position is repeated iff its hash
+    * occurs ≥ 2 times corpus-wide. ONE definition so the profile and
+    * the rewrite can never diverge on what "repeated" means.
+    */
+  private lazy val repSpanCtes: String =
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+       |gr AS (SELECT doc_id, CAST(unnest(range(0, len(ts) - 2)) AS BIGINT) AS pos, ts
+       | FROM t WHERE len(ts) >= 3),
+       |sh AS (SELECT doc_id, pos,
+       |  md5(array_to_string(ts[pos + 1:pos + 3], ' ')) AS h FROM gr),
+       |rep AS (SELECT sh.doc_id, sh.pos FROM sh
+       | JOIN (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2) r USING (h)),
+       |cov AS (SELECT DISTINCT rep.doc_id, rep.pos + o.i AS cpos
+       | FROM rep, range(0, 3) o(i))""".stripMargin
 
   /** The word-count oracle text, bound ONCE for q20 and q117 — the
     * "q20/q117/oracle triangulate one semantics" contract is
@@ -2184,6 +2205,45 @@ object SparkEntry {
          | CAST(max(run_grams) + 2 AS BIGINT) AS longest_run
          |FROM runs GROUP BY train_doc, bench_doc
          |ORDER BY train_doc, bench_doc""".stripMargin,
+    // mirrors TextOps.q148RepeatedSpans over the shared repSpanCtes —
+    // islands per doc (no diagonal: corpus-internal positions), exact
+    // covered-token union via the cov CTE
+    "q148_repeated_spans" ->
+      s"""WITH $repSpanCtes,
+         |isl AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         | FROM rep),
+         |runs AS (SELECT doc_id, island, CAST(count(*) AS BIGINT) AS run_grams
+         | FROM isl GROUP BY doc_id, island),
+         |agg AS (SELECT doc_id, CAST(sum(run_grams) AS BIGINT) AS n_rep_grams,
+         |  CAST(max(run_grams) + 2 AS BIGINT) AS longest_rep_run
+         | FROM runs GROUP BY doc_id),
+         |covn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens
+         | FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         | CAST(coalesce(agg.n_rep_grams, 0) AS BIGINT) AS n_rep_grams,
+         | CAST(coalesce(agg.longest_rep_run, 0) AS BIGINT) AS longest_rep_run,
+         | CAST(coalesce(covn.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         | ${sqlRn("CAST(coalesce(covn.n_dup_tokens, 0) AS DOUBLE) / CAST(len(t.ts) AS DOUBLE)", 6)} AS dup_fraction
+         |FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN covn USING (doc_id)
+         |WHERE len(t.ts) >= 3 ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q149DedupRewrite — kept tokens are positions not
+    // covered by any repeated gram, reassembled in position order
+    "q149_dedup_rewrite" ->
+      s"""WITH $repSpanCtes,
+         |p AS (SELECT doc_id, CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos, ts
+         | FROM t),
+         |ptok AS (SELECT doc_id, pos, ts[pos + 1] AS tok FROM p),
+         |kept AS (SELECT ptok.doc_id, ptok.pos, ptok.tok FROM ptok
+         | LEFT JOIN cov ON ptok.doc_id = cov.doc_id AND ptok.pos = cov.cpos
+         | WHERE cov.cpos IS NULL),
+         |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+         | FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         | coalesce(k.kept_md5, md5('')) AS kept_md5
+         |FROM t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
     // mirrors Similarity.q146MultiprobeAnn — q41's bucketed CTE, the
     // query's bucket plus its 8 Hamming-1 neighbors via xor, same
     // ranking (keep in lockstep)

@@ -1675,4 +1675,112 @@ class TextDedupSimSpec extends AnyFunSuite {
     // the threshold genuinely separates the fixture (both labels occur)
     assert(got.values.map(_._4).toSet == Set("keep", "drop"))
   }
+
+  test("q148/q149 planted corpus: cross-doc run, intra-doc repetition, exact copies, short doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("repspan_docs").toString
+    val texts = Seq(
+      "p q r s t u",                               // 0: shares "p q r s" with 1
+      "m n o p q r s w",                           // 1
+      "g h i j g h i j",                           // 2: repeats ITSELF
+      "totally unique words nobody else uses ever", // 3: fresh
+      "copy of this exact text here",              // 4: dup of 5
+      "copy of this exact text here",              // 5
+      "so lo")                                     // 6: < 3 tokens
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val prof = TextOps.q148RepeatedSpans(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    def f6(n: Long, d: Long): Double = math.floor(n.toDouble / d * 1e6 + 0.5) / 1e6
+    assert(prof == Map(
+      0L -> (6L, 2L, 4L, 4L, f6(4, 6)),   // run "p q r s": grams at 0,1
+      1L -> (8L, 2L, 4L, 4L, f6(4, 8)),   // same run at positions 3,4
+      2L -> (8L, 4L, 4L, 8L, 1.0),        // two islands {0,1},{4,5}, full cover
+      3L -> (7L, 0L, 0L, 0L, 0.0),        // nothing repeated
+      4L -> (6L, 4L, 6L, 6L, 1.0),        // exact copies cover each other fully
+      5L -> (6L, 4L, 6L, 6L, 1.0)))       // identical to its copy modulo id
+
+    val rew = TextOps.q149DedupRewrite(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(rew == Map(
+      0L -> (6L, 2L, md5hex("t u")),
+      1L -> (8L, 4L, md5hex("m n o w")),
+      2L -> (8L, 0L, md5hex("")),          // fully repeated -> empty doc
+      3L -> (7L, 7L, md5hex(texts(3))),    // fresh doc unchanged
+      4L -> (6L, 0L, md5hex("")),
+      5L -> (6L, 0L, md5hex("")),
+      6L -> (2L, 2L, md5hex("so lo"))))    // sub-gram doc kept whole
+  }
+
+  test("q122 contraction is invisible: matches the un-contracted formulation on a dup-heavy corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val n = 8
+    val dir = java.nio.file.Files.createTempDirectory("q122_dup").toString
+    val copied = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      // ids 0-2: exact copies — every gram duplicated BY the copies
+      copied, copied, copied,
+      // ids 3-4: unique texts sharing a 9-token run (two 8-gram starts)
+      "one two three four five six seven eight nine unique1 tailA",
+      "headB one two three four five six seven eight nine unique2",
+      // id 5: unique, no duplicated grams
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11")
+    docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s0", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // un-contracted reference: the pre-round-9 formulation, verbatim
+    val grams = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ts")) - n),
+          i => md5(array_join(slice(col("ts"), i + 1, lit(n)), " "))))
+          .as(Seq("pos", "h")))
+    val dupGrams = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val runs = grams.join(dupGrams, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(sum("run").as("n_dup"), max("run").as("max_run"))
+    val want = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        graft.functions.Round.r4(
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"))
+          .as("dup_frac"))
+    val got = TextOps.q122DupNgramSpans(spark, dir)
+    assert(got.count() == 6L)
+    assert(got.exceptAll(want).count() == 0L && want.exceptAll(got).count() == 0L)
+    // the corpus genuinely exercises both regimes: copy-induced dup
+    // (dup_frac 1 on the copied text) and cross-doc shared runs
+    val byId = got.collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(byId(0L) == 1.0 && byId(2L) == 1.0) // copies fully duplicated
+    assert(byId(3L) == 0.5 && byId(4L) == 0.5) // 2 of 4 starts shared
+    assert(byId(5L) == 0.0)                    // fresh text untouched
+  }
+
+  test("q149 reconciles with q148: n_kept + n_dup_tokens = n_tokens on the fixture corpus") {
+    val prof = TextOps.q148RepeatedSpans(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"))
+    val rew = TextOps.q149DedupRewrite(spark, sf)
+      .select(col("doc_id"), col("n_kept"))
+    val joined = prof.join(rew, Seq("doc_id"))
+    assert(joined.count() > 0L)
+    assert(joined
+      .filter(col("n_kept") + col("n_dup_tokens") =!= col("n_tokens"))
+      .count() == 0L)
+  }
 }
