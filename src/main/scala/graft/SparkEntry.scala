@@ -117,6 +117,8 @@ object SparkEntry {
     // corpus-internal exact substring dedup: profile + rewrite
     "q148_repeated_spans" -> (TextOps.q148RepeatedSpans(_, _)),
     "q149_dedup_rewrite" -> (TextOps.q149DedupRewrite(_, _)),
+    // DSIR-style importance weights over hashed bigram features
+    "q150_dsir_weights" -> (TextOps.q150DsirWeights(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
     "q107_shingle_novelty" -> (TextOps.q107ShingleNovelty(_, _)),
     "q108_content_chunks" -> (TextOps.q108ContentChunks(_, _)),
@@ -2244,6 +2246,43 @@ object SparkEntry {
          | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
          | coalesce(k.kept_md5, md5('')) AS kept_md5
          |FROM t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q150DsirWeights — identical hashed-bucket bigram
+    // features (q145's hex idiom), add-one-smoothed likelihood ratio in
+    // exact integer micro-units, all multiplies before ONE integer
+    // division (HUGEINT intermediates on the DuckDB side; keep in
+    // lockstep)
+    "q150_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |f AS (SELECT doc_id, doc_id % 100 = 0 AS is_target,
+         |  CAST('0x' || substr(md5(ts[pos + 1] || ' ' || ts[pos + 2]), 1, 3) AS BIGINT) AS bucket
+         | FROM (SELECT doc_id, ts, CAST(unnest(range(0, len(ts) - 1)) AS BIGINT) AS pos
+         |  FROM t WHERE len(ts) >= 2)),
+         |c AS (SELECT bucket,
+         |  CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         |  CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+         | FROM f GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+         |  CAST(sum(c_r) AS BIGINT) AS n_r FROM c),
+         |r AS (SELECT bucket,
+         |  CAST((CAST(c_t + 1 AS HUGEINT) * (n_r + 4096) * 1000000)
+         |    // (CAST(c_r + 1 AS HUGEINT) * (n_t + 4096)) AS BIGINT) AS ratio_micro
+         | FROM c, tot),
+         |pd AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |  CAST(sum(ratio_micro) AS BIGINT) AS sum_ratio_micro
+         | FROM f JOIN r USING (bucket) WHERE NOT is_target GROUP BY f.doc_id),
+         |sc AS (SELECT d.doc_id,
+         |  CAST(coalesce(pd.n_feats, 0) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(pd.sum_ratio_micro, 0) AS BIGINT) AS sum_ratio_micro,
+         |  CAST(pd.sum_ratio_micro // pd.n_feats AS BIGINT) AS mean_ratio_micro
+         | FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+         | LEFT JOIN pd USING (doc_id)),
+         |rk AS (SELECT sc.*, CAST(row_number() OVER (
+         |   ORDER BY mean_ratio_micro DESC NULLS LAST, doc_id) AS BIGINT) AS rank
+         | FROM sc),
+         |kk AS (SELECT (count(*) + 9) // 10 AS k FROM sc)
+         |SELECT doc_id, n_feats, sum_ratio_micro, mean_ratio_micro, rank,
+         | rank <= k AS selected
+         |FROM rk, kk ORDER BY doc_id""".stripMargin,
     // mirrors Similarity.q146MultiprobeAnn — q41's bucketed CTE, the
     // query's bucket plus its 8 Hamming-1 neighbors via xor, same
     // ranking (keep in lockstep)

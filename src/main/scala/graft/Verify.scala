@@ -20,7 +20,18 @@ object Verify {
     // small and the pool bounds how many are in flight.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, Runtime.getRuntime.availableProcessors()))
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // GRAFT_VERIFY_ONLY: comma-separated names for a targeted dump
+    // (Bench's GRAFT_BENCH_ONLY discipline — fail loudly on typos so a
+    // targeted check can't silently dump nothing). Absent = all queries
+    // (the driver's mode).
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val tasks = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

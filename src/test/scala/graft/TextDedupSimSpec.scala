@@ -1772,6 +1772,58 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(byId(5L) == 0.0)                    // fresh text untouched
   }
 
+  test("q150 DSIR weights: matches a JVM reference on a planted target/raw corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dsir_docs").toString
+    val docs = Seq(
+      (0L,   "the quick brown fox jumps"),   // target (doc_id % 100 == 0)
+      (100L, "the quick brown dog sleeps"),  // target
+      (200L, "the quick brown fox jumps"),   // target, copy of 0 (target-side contraction)
+      (1L,   "the quick brown fox jumps"),   // raw, identical to the target text
+      (4L,   "the quick brown fox jumps"),   // raw, copy of 1 (raw-side contraction + tie-break)
+      (2L,   "zeta xi omicron upsilon psi"), // raw, vocabulary-disjoint
+      (3L,   "solo"))                        // raw, no bigrams
+    docs.map { case (i, t) => (i, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // JVM reference: the identical integer arithmetic, end to end
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    def bigrams(t: String) = toks(t).sliding(2).filter(_.length == 2)
+      .map(_.mkString(" ")).toSeq
+    def bucket(bg: String) = java.lang.Long.parseLong(md5hex(bg).take(3), 16)
+    val feats = docs.flatMap { case (id, t) =>
+      bigrams(t).map(bg => (id, id % 100 == 0, bucket(bg))) }
+    val cT = feats.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cR = feats.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (nT, nR) = (cT.values.sum, cR.values.sum)
+    def ratio(b: Long): Long =
+      ((cT.getOrElse(b, 0L) + 1) * (nR + 4096) * 1000000L) /
+        ((cR.getOrElse(b, 0L) + 1) * (nT + 4096))
+    val stats = docs.filter(_._1 % 100 != 0).map { case (id, t) =>
+      val rs = bigrams(t).map(bg => ratio(bucket(bg)))
+      val (n, sum) = (rs.size.toLong, rs.sum)
+      (id, n, sum, if (n > 0) Some(sum / n) else None)
+    }
+    // top-K selection reference: mean desc (None last), doc_id asc
+    val k = (stats.size + 9) / 10
+    val ranked = stats.sortBy { case (id, _, _, m) => (-m.getOrElse(-1L), id) }
+      .zipWithIndex.map { case (s, i) => (s, i + 1L) }
+    val want = ranked.map { case ((id, n, sum, m), rk) =>
+      id -> (n, sum, m, rk, rk <= k)
+    }.toMap
+    val got = TextOps.q150DsirWeights(spark, dir).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got == want)
+    // the planted structure genuinely discriminates, and the raw-side
+    // copy pins the deterministic tie-break: docs 1 and 4 share a mean,
+    // k = 1 of 4 raw docs, so doc 1 (smaller id) is selected, 4 is not
+    assert(got(1L)._5 && !got(4L)._5 && !got(2L)._5 && !got(3L)._5)
+    assert(got(1L)._3 == got(4L)._3 && got(4L)._4 == 2L)
+  }
+
   test("q149 reconciles with q148: n_kept + n_dup_tokens = n_tokens on the fixture corpus") {
     val prof = TextOps.q148RepeatedSpans(spark, sf)
       .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"))
