@@ -87,6 +87,7 @@ object StreamStress {
 
     val benchGrams = graft.streaming.StreamingOps.buildBenchGramIndex(
       docs.filter(col("doc_id") % 100 === 0))
+    val dsirRatios = graft.streaming.StreamingOps.buildDsirRatioTable(spark, dst)
     try {
       // UNMEASURED warm pass of the heavy surface: the first stream a
       // fresh JVM runs pays whole-stage-codegen JIT + page-cache warm-up
@@ -105,6 +106,10 @@ object StreamStress {
             .outputMode("append")
             .format("parquet").option("path", s"$workDir/q_out")
             .start()
+        },
+        "importance_score_ingest" -> runStream(spark, inDir, nTrain) { s =>
+          graft.streaming.StreamingOps.importanceScoreAtIngest(
+            s, dsirRatios, s"$workDir/d_out", s"$workDir/d_ckpt")
         },
         "contamination_spans_ingest" -> runStream(spark, inDir, nTrain) { s =>
           graft.streaming.StreamingOps.contaminationSpansAtIngest(
@@ -125,7 +130,7 @@ object StreamStress {
         ",", "}")
       println(line)
       artifact.foreach(f => Files.writeString(Paths.get(f), line + "\n"))
-    } finally benchGrams.unpersist()
+    } finally { benchGrams.unpersist(); dsirRatios.unpersist(); (): Unit }
     spark.stop()
   }
 }

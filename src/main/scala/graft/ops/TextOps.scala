@@ -2054,18 +2054,33 @@ object TextOps {
     * no-key window. The model is bucket-bounded everywhere — corpus
     * cardinality only ever crosses the wire keyed by doc.
     */
-  def q150DsirWeights(s: SparkSession, d: String): DataFrame = {
+  /** Per-occurrence hashed bigram features of a (doc_id, text) frame —
+    * ONE feature definition shared by batch q150 and the ingest twin
+    * ([[graft.streaming.StreamingOps.importanceScoreAtIngest]]).
+    */
+  private[graft] def dsirFeatures(docs: DataFrame): DataFrame = {
     import graft.functions.expressions.TextExpressions.tokenShingles
+    docs
+      .select(col("doc_id"),
+        explode(tokenShingles(tokens(col("text")), 2)).as("bigram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("bigram")), 1, 3), 16, 10).cast("long")
+          .as("bucket"))
+  }
+
+  /** The contracted DSIR model frames: (repDocs, membership, ratios).
+    * Per-SIDE exact-text contraction (q143's two-sided variant — the
+    * target flag is a function of doc_id, not text, so the same text
+    * may appear on both sides and reps are per (is_target, text)):
+    * bigrams explode once per DISTINCT (side, text) and the count
+    * tables weight by copy multiplicity, so `ratios` carries the exact
+    * un-contracted corpus's values at rep cost. The ratio table is the
+    * MODEL — ≤ 4096 rows, broadcastable, and what the ingest twin
+    * builds once per stream lifetime.
+    */
+  private[graft] def dsirModel(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val B = 4096L
-    // per-SIDE exact-text contraction (q143's two-sided variant — the
-    // target flag is a function of doc_id, not text, so the same text
-    // may appear on both sides and reps are per (is_target, text)):
-    // bigrams explode once per DISTINCT (side, text), count tables
-    // weight by copy multiplicity, members inherit the rep's score
-    // closed-form before ranking. Measured (with the persists below)
-    // 16.7 → 0.88 s at the 20× dup-heavy stress corpus — cheaper than
-    // the un-contracted query at sf0.1 (1.61 s), because reps are
-    // sf0.1-sized there.
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         (col("doc_id") % 100 === 0).as("is_target"), md5(col("text")).as("h"))
@@ -2077,35 +2092,46 @@ object TextOps {
     val repDocs = base.join(
       reps.select(col("is_target"), col("rep").as("doc_id"), col("copies")),
       Seq("is_target", "doc_id"))
-    val feats = repDocs
-      .select(col("doc_id"), col("is_target"), col("copies"),
-        explode(tokenShingles(tokens(col("text")), 2)).as("bigram"))
-      .select(col("doc_id"), col("is_target"), col("copies"),
-        conv(substring(md5(col("bigram")), 1, 3), 16, 10).cast("long")
-          .as("bucket"))
-      // the explode feeds both the count tables and the scoring join;
-      // without the persist it (and everything under it) evaluates
-      // twice per action
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = feats.groupBy("bucket").agg(
-      sum(when(col("is_target"), col("copies")).otherwise(0L)).as("c_t"),
-      sum(when(!col("is_target"), col("copies")).otherwise(0L)).as("c_r"))
+    val counts = dsirFeatures(repDocs)
+      .join(repDocs.select("doc_id", "is_target", "copies"), Seq("doc_id"))
+      .groupBy("bucket").agg(
+        sum(when(col("is_target"), col("copies")).otherwise(0L)).as("c_t"),
+        sum(when(!col("is_target"), col("copies")).otherwise(0L)).as("c_r"))
     val totals = counts.agg(sum("c_t").as("n_t"), sum("c_r").as("n_r"))
     val ratios = counts.crossJoin(broadcast(totals)) // single-row broadcast
       .select(col("bucket"),
         expr(s"((c_t + 1) * (n_r + $B) * 1000000) div ((c_r + 1) * (n_t + $B))")
           .as("ratio_micro"))
-    val perRep = feats.filter(!col("is_target"))
+    (repDocs, membership, ratios)
+  }
+
+  /** Score a (doc_id, text) frame against a DSIR ratio table — ONE
+    * scoring definition shared by batch q150 (fed contracted raw-side
+    * reps) and the ingest twin (fed each micro-batch), so the two
+    * surfaces cannot diverge on what a score is: n_feats,
+    * sum_ratio_micro (exact BIGINT), mean_ratio_micro (null when the
+    * doc has no bigrams — no evidence).
+    */
+  private[graft] def dsirScoreDocs(docs: DataFrame, ratios: DataFrame)
+      : DataFrame = {
+    val perDoc = dsirFeatures(docs)
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("ratio_micro").as("sum_ratio_micro"))
-    val scored = repDocs.filter(!col("is_target")).select("doc_id")
-      .join(perRep, Seq("doc_id"), "left")
-      .select(col("doc_id").as("rep"),
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("sum_ratio_micro"), lit(0L)).as("sum_ratio_micro"),
-        // null for docs with no bigrams (< 2 tokens): no evidence
         expr("sum_ratio_micro div n_feats").as("mean_ratio_micro"))
+  }
+
+  def q150DsirWeights(s: SparkSession, d: String): DataFrame = {
+    // contraction + shared scoring core; measured 16.7 → 0.88 s at the
+    // 20× dup-heavy stress corpus — cheaper than the un-contracted
+    // query at sf0.1 (1.61 s), because reps are sf0.1-sized there
+    val (repDocs, membership, ratios) = dsirModel(s, d)
+    val scored = dsirScoreDocs(repDocs.filter(!col("is_target")), ratios)
+      .withColumnRenamed("doc_id", "rep")
       .join(membership.filter(!col("is_target")).select("rep", "doc_id"),
         Seq("rep"))
       .select("doc_id", "n_feats", "sum_ratio_micro", "mean_ratio_micro")
@@ -2120,7 +2146,6 @@ object TextOps {
     // tie-break by doc_id, no-evidence docs ranked last. globalRank is
     // the range-partitioned idiom — no no-key window.
     val k = (scored.count() + 9L) / 10L
-    feats.unpersist() // scored is materialized; the explode is done
     ScalarSuites.globalRank(scored,
       Seq(col("mean_ratio_micro").desc_nulls_last, col("doc_id")), "rank")
       .withColumn("selected", col("rank") <= lit(k))

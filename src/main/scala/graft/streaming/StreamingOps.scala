@@ -774,6 +774,52 @@ object StreamingOps {
       }
       .start()
 
+  /** Static DSIR ratio table for [[importanceScoreAtIngest]] — q150's
+    * corpus model built once per stream lifetime, persisted: ≤ 4096
+    * rows (bucket-bounded regardless of corpus size), the q86/q143
+    * static-index discipline applied to importance weights.
+    */
+  def buildDsirRatioTable(s: SparkSession, corpusDir: String): DataFrame = {
+    val (_, _, ratios) = graft.ops.TextOps.dsirModel(s, corpusDir)
+    val t = ratios.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t.count() // materialize once, eagerly
+    t
+  }
+
+  /** DSIR importance SCORING at ingest — q150's per-doc score running
+    * in the ingest path against the static ratio table: per
+    * micro-batch, arriving docs score through the SAME
+    * [[graft.ops.TextOps.dsirScoreDocs]] core as batch q150 (one
+    * shared definition — the two surfaces cannot diverge on what a
+    * score is), and the per-batch report appends. A doc arrives whole
+    * in one batch and the score is a pure function of (text, ratio
+    * table), so per-batch reports never split a doc and their union is
+    * EXACTLY batch q150's (n_feats, sum_ratio_micro, mean_ratio_micro)
+    * columns on the same docs — spec-pinned. The RANK/selected columns
+    * are deliberately absent: top-K selection is a property of the
+    * accumulated corpus, not of any single batch — the ingest surface
+    * scores at wire speed, the batch q150 ranks over what landed.
+    * State story at 100 TB/day: zero streaming state; the resident
+    * piece is the ≤ 4096-row broadcast ratio table.
+    *
+    * Delivery contract: at-least-once parquet append, batch_id written
+    * for reader-side dedup — [[foreachBatchPartitionedSink]]'s
+    * documented discipline.
+    */
+  def importanceScoreAtIngest(docs: DataFrame, ratios: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.TextOps.dsirScoreDocs(batch.toDF(), ratios)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
+
   /** STATELESS model inference at ingest — q145's linear quality margin
     * as a pure per-row projection: a document arrives whole in one row,
     * so the hashed-feature margin is an IN-ROW integer fold (transform

@@ -444,6 +444,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR scoring at ingest unions to batch q150's score columns exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ingest the RAW docs (the stream scores arrivals; the target set
+    // is the model, not the stream) against the static ratio table
+    val ratios = StreamingOps.buildDsirRatioTable(spark, TestSpark.sf)
+    val rawDocs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") % 100 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val outDir = java.nio.file.Files
+      .createTempDirectory("dsir_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("dsir_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.importanceScoreAtIngest(
+      mem.toDF().toDF("doc_id", "text"), ratios, outDir, ckpt)
+    try {
+      val (a, b) = rawDocs.splitAt(rawDocs.length / 2)
+      mem.addData(a.toSeq)
+      q.processAllAvailable()
+      mem.addData(b.toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "n_feats", "sum_ratio_micro", "mean_ratio_micro")
+        .collect().map(key).toSet
+      // rank/selected are corpus-level (absent from the ingest surface
+      // by contract); the score columns must match row-for-row
+      val expect = graft.ops.TextOps.q150DsirWeights(spark, TestSpark.sf)
+        .select("doc_id", "n_feats", "sum_ratio_micro", "mean_ratio_micro")
+        .collect().map(key).toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+    } finally { q.stop(); ratios.unpersist() }
+  }
+
   test("streaming centroid maintenance converges to batch q88 exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
