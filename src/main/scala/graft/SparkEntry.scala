@@ -117,6 +117,7 @@ object SparkEntry {
     // corpus-internal exact substring dedup: profile + rewrite
     "q148_repeated_spans" -> (TextOps.q148RepeatedSpans(_, _)),
     "q149_dedup_rewrite" -> (TextOps.q149DedupRewrite(_, _)),
+    "q151_dedup_keep_first" -> (TextOps.q151DedupKeepFirst(_, _)),
     // DSIR-style importance weights over hashed bigram features
     "q150_dsir_weights" -> (TextOps.q150DsirWeights(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
@@ -250,7 +251,7 @@ object SparkEntry {
        | FROM t WHERE len(ts) >= 3),
        |sh AS (SELECT doc_id, pos,
        |  md5(array_to_string(ts[pos + 1:pos + 3], ' ')) AS h FROM gr),
-       |rep AS (SELECT sh.doc_id, sh.pos FROM sh
+       |rep AS (SELECT sh.doc_id, sh.pos, sh.h FROM sh
        | JOIN (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2) r USING (h)),
        |cov AS (SELECT DISTINCT rep.doc_id, rep.pos + o.i AS cpos
        | FROM rep, range(0, 3) o(i))""".stripMargin
@@ -2239,6 +2240,31 @@ object SparkEntry {
          |kept AS (SELECT ptok.doc_id, ptok.pos, ptok.tok FROM ptok
          | LEFT JOIN cov ON ptok.doc_id = cov.doc_id AND ptok.pos = cov.cpos
          | WHERE cov.cpos IS NULL),
+         |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+         | FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         | coalesce(k.kept_md5, md5('')) AS kept_md5
+         |FROM t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q151DedupKeepFirst — removable = repeated gram
+    // occurrence that is not its gram's corpus-wide first (row_number
+    // over (doc_id, pos) per hash), rewrite kernel identical to q149's
+    "q151_dedup_keep_first" ->
+      s"""WITH $repSpanCtes,
+         |rmv AS (SELECT doc_id, pos FROM (
+         |  SELECT doc_id, pos,
+         |   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM rep)
+         | WHERE rn > 1),
+         |cv2 AS (SELECT DISTINCT rmv.doc_id, rmv.pos + o.i AS cpos
+         | FROM rmv, range(0, 3) o(i)),
+         |p AS (SELECT doc_id, CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos, ts
+         | FROM t),
+         |ptok AS (SELECT doc_id, pos, ts[pos + 1] AS tok FROM p),
+         |kept AS (SELECT ptok.doc_id, ptok.pos, ptok.tok FROM ptok
+         | LEFT JOIN cv2 ON ptok.doc_id = cv2.doc_id AND ptok.pos = cv2.cpos
+         | WHERE cv2.cpos IS NULL),
          |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
          |  md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
          | FROM kept GROUP BY doc_id)

@@ -1884,7 +1884,7 @@ object TextOps {
       .join(repDocs.select("doc_id", "copies"), Seq("doc_id"))
       .groupBy("h").agg(sum("copies").as("cnt"))
       .filter(col("cnt") >= 2L).select("h")
-    val starts = pg.join(repeatedHashes, Seq("h")).select("doc_id", "pos")
+    val starts = pg.join(repeatedHashes, Seq("h")).select("doc_id", "pos", "h")
     (repDocs, membership, starts)
   }
 
@@ -1994,27 +1994,96 @@ object TextOps {
     * per-pair work; the q148 contraction applies unchanged since the
     * rewrite is a pure function of the text.
     */
-  def q149DedupRewrite(s: SparkSession, d: String): DataFrame = {
-    val (repDocs, membership, starts) = repeatedStartFrames(s, d)
-    val posToks = repDocs
+  /** (doc_id, pos, tok) positions of a (doc_id, text) frame — the
+    * q149/q151 rewrite coordinate space.
+    */
+  private def docPosToks(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    val kept = posToks.join(coveredPositions(starts), Seq("doc_id", "pos"),
-      "left_anti")
-    val rewritten = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      md5(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x("tok")))).as("kept_md5"))
-    val perRep = repDocs
+
+  /** The rewrite kernel shared by q149 and q151: drop `covered`
+    * positions (doc-keyed equality anti-join), reassemble the kept
+    * tokens in position order inside ONE doc-keyed agg (state =
+    * one document's kept tokens, doc-bounded) → (doc_id, n_kept,
+    * kept_md5). Docs with nothing kept produce no row — callers
+    * left-join and default to (0, md5('')).
+    */
+  private def keptRewrite(posToks: DataFrame, covered: DataFrame): DataFrame =
+    posToks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")))).as("kept_md5"))
+
+  /** Attach n_tokens and the empty-doc defaults to a [[keptRewrite]]
+    * result, keyed as `rep` for membership expansion.
+    */
+  private def finishRewrite(repDocs: DataFrame, kept: DataFrame): DataFrame =
+    repDocs
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
-      .join(rewritten, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id").as("rep"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+
+  def q149DedupRewrite(s: SparkSession, d: String): DataFrame = {
+    val (repDocs, membership, starts) = repeatedStartFrames(s, d)
+    val perRep = finishRewrite(repDocs,
+      keptRewrite(docPosToks(repDocs), coveredPositions(starts)))
     perRep.join(membership, Seq("rep"))
       .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("kept_md5"))
       .orderBy("doc_id")
+  }
+
+  /** KEEP-FIRST dedup rewrite (q151) — the intervention production
+    * dedup actually performs (q149 removes EVERY occurrence of
+    * repeated text; real pipelines keep one): a repeated gram
+    * occurrence is REMOVABLE iff it is not the corpus-wide FIRST
+    * occurrence of its gram (lexicographic (doc_id, pos) — one
+    * gram-keyed min), and only removable occurrences' positions are
+    * cut. Exact copies behave exactly as dedup should: the first copy
+    * survives INTACT (it holds every canonical occurrence), later
+    * copies rewrite to empty. Honesty note, spec-pinned: at gram
+    * granularity the keep-first guarantee is per-GRAM, not per-string —
+    * a canonical occurrence's tokens can still be cut when overlapped
+    * by a DIFFERENT gram's non-canonical occurrence (cross-doc partial
+    * overlap chains; the spec plants one), so content shared by
+    * partially-overlapping docs retains each gram somewhere but not
+    * necessarily contiguously. q151.n_kept ≥ q149.n_kept pointwise
+    * (keep-first removes a strict subset), spec-pinned corpus-wide.
+    *
+    * Contraction correctness (same frames as q148/q149): the global
+    * first occurrence of any gram always lives in a REP (a rep is its
+    * group's min doc_id and copies hold identical positions), so
+    * canonical resolution needs only rep-level occurrences. A non-rep
+    * copy can never hold a canonical occurrence — its removable set is
+    * ALL its repeated positions (exactly q149's covered set) — so the
+    * group expands as two closed-form row shapes: the rep's
+    * keep-first row and the shared fully-removed member row; the
+    * member-variant rewrite only runs over multi-copy reps.
+    */
+  def q151DedupKeepFirst(s: SparkSession, d: String): DataFrame = {
+    val (repDocs, membership, starts) = repeatedStartFrames(s, d)
+    val canon = starts.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+      .select(col("h"), col("c.doc_id").as("doc_id"), col("c.pos").as("pos"))
+    val removable = starts.join(canon, Seq("h", "doc_id", "pos"), "left_anti")
+    val posToks = docPosToks(repDocs)
+    val repRows = finishRewrite(repDocs,
+      keptRewrite(posToks, coveredPositions(removable)))
+      .select(col("rep").as("doc_id"), col("n_tokens"), col("n_kept"),
+        col("kept_md5"))
+    // non-rep copies: removable = every repeated position (they hold no
+    // canonical occurrence) — computed only over multi-copy groups
+    val multiReps = repDocs.filter(col("copies") >= 2L).select("doc_id")
+    val memberRows = finishRewrite(repDocs.join(multiReps, Seq("doc_id")),
+      keptRewrite(posToks.join(multiReps, Seq("doc_id")),
+        coveredPositions(starts.join(multiReps, Seq("doc_id")))))
+      .join(membership.filter(col("doc_id") =!= col("rep")), Seq("rep"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("kept_md5"))
+    repRows.unionByName(memberRows).orderBy("doc_id")
   }
 
   /** DSIR-style IMPORTANCE WEIGHTS (q150) — data selection via

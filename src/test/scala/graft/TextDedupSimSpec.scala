@@ -1824,6 +1824,56 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got(1L)._3 == got(4L)._3 && got(4L)._4 == 2L)
   }
 
+  test("q151 keep-first: copies keep the rep intact, intra-doc repeats keep the first, overlap hazard pinned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("keepfirst_docs").toString
+    val texts = Seq(
+      "alpha beta gamma delta epsilon",  // 0: dup of 1 — FIRST copy, kept intact
+      "alpha beta gamma delta epsilon",  // 1: later copy -> emptied
+      "g h i j k g h i j k",             // 2: repeats ITSELF; first "g h i j k" kept
+      "fresh words only appearing once", // 3: untouched
+      // 4+5: the documented per-gram (not per-string) hazard — doc 4 is
+      // canonical for "b c d"; doc 5's "b c d" is removable and doc 5's
+      // "a b c" is CANONICAL (first in corpus order among docs holding
+      // it)... doc 6 makes "a b c" repeated
+      "b c d tail1 tail2",               // 4: canonical holder of "b c d"
+      "a b c d tail3",                   // 5: "b c d" removable cuts into its canonical "a b c"
+      "a b c tail4 tail5")               // 6: makes "a b c" repeated; its copy is removable
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.q151DedupKeepFirst(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // exact copies: keep-first dedup exactly — first copy INTACT
+    assert(got(0L) == (5L, 5L, md5hex(texts(0))))
+    assert(got(1L) == (5L, 0L, md5hex("")))
+    // intra-doc repeat: first occurrence survives, second is cut
+    // (grams at 5..7 are all rank-2 on their diagonals; 0..4 canonical)
+    assert(got(2L) == (10L, 5L, md5hex("g h i j k")))
+    // fresh text untouched
+    assert(got(3L) == (5L, 5L, md5hex(texts(3))))
+    // the hazard case: doc 4 intact (canonical "b c d"); doc 5 loses
+    // b,c,d (its "b c d" occurrence is removable) even though its
+    // "a b c" occurrence is canonical — tokens b,c are shared between
+    // the two grams, so the per-gram guarantee does not preserve the
+    // "a b c" string; doc 6's "a b c" is removable
+    assert(got(4L) == (5L, 5L, md5hex(texts(4))))
+    assert(got(5L) == (5L, 2L, md5hex("a tail3")))
+    assert(got(6L) == (5L, 2L, md5hex("tail4 tail5")))
+  }
+
+  test("q151 keep-first removes a subset of q149's removals: n_kept pointwise >= on the fixture corpus") {
+    val kf = TextOps.q151DedupKeepFirst(spark, sf)
+      .select(col("doc_id"), col("n_kept").as("kf"))
+    val all = TextOps.q149DedupRewrite(spark, sf)
+      .select(col("doc_id"), col("n_kept").as("ka"))
+    val j = kf.join(all, Seq("doc_id"))
+    assert(j.count() > 0L)
+    assert(j.filter(col("kf") < col("ka")).count() == 0L)
+  }
+
   test("q149 reconciles with q148: n_kept + n_dup_tokens = n_tokens on the fixture corpus") {
     val prof = TextOps.q148RepeatedSpans(spark, sf)
       .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"))
