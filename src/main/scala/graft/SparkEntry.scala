@@ -118,6 +118,8 @@ object SparkEntry {
     "q148_repeated_spans" -> (TextOps.q148RepeatedSpans(_, _)),
     "q149_dedup_rewrite" -> (TextOps.q149DedupRewrite(_, _)),
     "q151_dedup_keep_first" -> (TextOps.q151DedupKeepFirst(_, _)),
+    // decontamination rewrite: cut runs >= minRun shared with the bench
+    "q152_decontaminate_rewrite" -> ((s, d) => TextOps.q152DecontaminateRewrite(s, d)),
     // DSIR-style importance weights over hashed bigram features
     "q150_dsir_weights" -> (TextOps.q150DsirWeights(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
@@ -2247,6 +2249,44 @@ object SparkEntry {
          | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
          | coalesce(k.kept_md5, md5('')) AS kept_md5
          |FROM t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q152DecontaminateRewrite — q143's seed/island CTEs
+    // verbatim, islands gaining min(pos_t) start, covered = exact union
+    // over runs >= 4 tokens, then the q149/q151 rewrite kernel over the
+    // train docs (keep in lockstep with the q143 oracle's CTE text)
+    "q152_decontaminate_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |g AS (SELECT doc_id, CAST(unnest(range(0, len(ts) - 2)) AS BIGINT) AS pos, ts
+         | FROM t WHERE len(ts) >= 3),
+         |sh AS (SELECT doc_id, pos,
+         |  md5(array_to_string(ts[pos + 1:pos + 3], ' ')) AS h FROM g),
+         |seeds AS (SELECT tr.doc_id AS train_doc, be.doc_id AS bench_doc,
+         |  tr.pos AS pos_t, tr.pos - be.pos AS diag
+         | FROM sh tr JOIN sh be ON tr.h = be.h
+         | WHERE tr.doc_id % 100 <> 0 AND be.doc_id % 100 = 0),
+         |isl AS (SELECT train_doc, bench_doc, diag, pos_t,
+         |  pos_t - row_number() OVER (PARTITION BY train_doc, bench_doc, diag
+         |    ORDER BY pos_t) AS island
+         | FROM seeds),
+         |runs AS (SELECT train_doc, CAST(min(pos_t) AS BIGINT) AS start_t,
+         |  CAST(count(*) AS BIGINT) AS run_grams
+         | FROM isl GROUP BY train_doc, bench_doc, diag, island),
+         |cv AS (SELECT DISTINCT train_doc AS doc_id,
+         |  start_t + CAST(unnest(range(0, run_grams + 2)) AS BIGINT) AS cpos
+         | FROM runs WHERE run_grams + 2 >= 4),
+         |p AS (SELECT doc_id, CAST(unnest(range(0, len(ts))) AS BIGINT) AS pos, ts
+         | FROM t WHERE doc_id % 100 <> 0),
+         |ptok AS (SELECT doc_id, pos, ts[pos + 1] AS tok FROM p),
+         |kept AS (SELECT ptok.doc_id, ptok.pos, ptok.tok FROM ptok
+         | LEFT JOIN cv ON ptok.doc_id = cv.doc_id AND ptok.pos = cv.cpos
+         | WHERE cv.cpos IS NULL),
+         |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+         | FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         | coalesce(k.kept_md5, md5('')) AS kept_md5
+         |FROM t LEFT JOIN k USING (doc_id)
+         |WHERE t.doc_id % 100 <> 0 ORDER BY doc_id""".stripMargin,
     // mirrors TextOps.q151DedupKeepFirst — removable = repeated gram
     // occurrence that is not its gram's corpus-wide first (row_number
     // over (doc_id, pos) per hash), rewrite kernel identical to q149's

@@ -1728,14 +1728,7 @@ object TextOps {
     // 20× stress corpus pre-contraction). Reps are per (side, text):
     // the same text appearing as both a bench doc and a train doc is
     // two different reps, so sides never mix.
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        (col("doc_id") % 100 === 0).as("is_bench"), md5(col("text")).as("h"))
-    val reps = base.groupBy("is_bench", "h").agg(min("doc_id").as("rep"))
-    val membership = base.select("is_bench", "h", "doc_id")
-      .join(reps, Seq("is_bench", "h"))
-      .select(col("is_bench"), col("doc_id"), col("rep"))
-    val g = base.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"))
+    val (g, membership) = benchSideContraction(s, d)
     val repPairs = contaminationSpanCore(
       positionedGrams(g.filter(!col("is_bench")), "train_doc", "pos_t"),
       capBenchGrams(
@@ -1755,6 +1748,68 @@ object TextOps {
       .select(col("train_doc"), col("bench_doc"), col("n_seeds"),
         col("longest_run"))
       .orderBy("train_doc", "bench_doc")
+  }
+
+  /** The bench/train-split exact-text contraction shared by q143 and
+    * q152 (factored from q143's body, unchanged): reps per (side,
+    * text) — the same text appearing as both a bench doc and a train
+    * doc is two different reps, so sides never mix. Returns (g,
+    * membership): the contracted doc frame (with `is_bench`) and the
+    * (is_bench, doc_id, rep) expansion map.
+    */
+  private def benchSideContraction(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 100 === 0).as("is_bench"), md5(col("text")).as("h"))
+    val reps = base.groupBy("is_bench", "h").agg(min("doc_id").as("rep"))
+    val membership = base.select("is_bench", "h", "doc_id")
+      .join(reps, Seq("is_bench", "h"))
+      .select(col("is_bench"), col("doc_id"), col("rep"))
+    val g = base.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"))
+    (g, membership)
+  }
+
+  /** DECONTAMINATION REWRITE (q152) — the intervention the
+    * contamination family exists to enable (q74/q86 detect, q143
+    * measures, this REMOVES): cut every train-doc token run of
+    * ≥ `minRun` tokens shared verbatim with any benchmark doc, and
+    * report the rewritten doc as (n_kept, md5) — the published
+    * n-gram-collision removal rule (GPT-3 appendix C uses 13-grams;
+    * production corpora use that setting). The GATED default is
+    * minRun = 4 because that is where the driver fixture has signal
+    * (its contamination spans top out at 4 tokens; at 13 the gate
+    * would certify an identity function — the q150 lesson): runs of
+    * exactly 3 survive and runs of 4 are cut, so both regimes of the
+    * threshold are exercised by the gate.
+    *
+    * Runs come from [[contaminationIslandRuns]] — the SAME seeds,
+    * window, and islands q143 aggregates, so "what is a run" has one
+    * definition — with run START positions; covered positions are the
+    * exact interval union (q148's distinct-expansion move), and the
+    * rewrite is the q149/q151 kernel. Same two-sided contraction and
+    * scale shape as q143: bench side broadcast, train side never
+    * shuffles for the seed join, islands window keyed on (pair, diag).
+    */
+  def q152DecontaminateRewrite(s: SparkSession, d: String,
+      minRun: Int = 4): DataFrame = {
+    val (g, membership) = benchSideContraction(s, d)
+    val runs = contaminationIslandRuns(
+      positionedGrams(g.filter(!col("is_bench")), "train_doc", "pos_t"),
+      positionedGrams(g.filter(col("is_bench")), "bench_doc", "pos_b"))
+      .filter(col("run_grams") + lit(2L) >= lit(minRun.toLong))
+    val covered = runs
+      .select(col("train_doc").as("doc_id"),
+        explode(sequence(col("start_t"), col("start_t") + col("run_grams") + 1L))
+          .as("pos"))
+      .distinct()
+    val train = g.filter(!col("is_bench"))
+    val perRep = finishRewrite(train, keptRewrite(docPosToks(train), covered))
+    perRep
+      .join(membership.filter(!col("is_bench")).select("rep", "doc_id"),
+        Seq("rep"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("kept_md5"))
+      .orderBy("doc_id")
   }
 
   /** Positioned 3-gram hashes of a (doc_id, text) frame — (idCol,
@@ -1795,6 +1850,22 @@ object TextOps {
     * bench_doc, n_seeds, longest_run).
     */
   private[graft] def contaminationSpanCore(train: DataFrame,
+      bench: DataFrame): DataFrame =
+    contaminationIslandRuns(train, bench)
+      .groupBy("train_doc", "bench_doc")
+      .agg(sum("run_grams").as("n_seeds"),
+        (max("run_grams") + lit(2L)).as("longest_run"))
+
+  /** The island (maximal diagonal run) frame under
+    * [[contaminationSpanCore]], exposed for the q152 rewrite which
+    * needs run START positions, not just lengths: one row per maximal
+    * run of consecutive seeds on a (train, bench, diag) diagonal, with
+    * `start_t` (first train token of the run) and `run_grams` (gram
+    * count; token length = run_grams + 2). Same seeds, same window,
+    * same islands — q143 aggregates this frame, so the two operators
+    * share one definition of a run.
+    */
+  private[graft] def contaminationIslandRuns(train: DataFrame,
       bench: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seeds = train.join(bench, Seq("h"))
@@ -1804,11 +1875,8 @@ object TextOps {
       .orderBy("pos_t")
     seeds
       .withColumn("isl", col("pos_t") - row_number().over(w))
-      .groupBy("train_doc", "bench_doc", "isl")
-      .agg(count(lit(1)).as("run_grams"))
-      .groupBy("train_doc", "bench_doc")
-      .agg(sum("run_grams").as("n_seeds"),
-        (max("run_grams") + lit(2L)).as("longest_run"))
+      .groupBy("train_doc", "bench_doc", "diag", "isl")
+      .agg(min("pos_t").as("start_t"), count(lit(1)).as("run_grams"))
   }
 
   /** MODEL-BASED quality scoring (q145) — the linear-classifier filter

@@ -1874,6 +1874,46 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(j.filter(col("kf") < col("ka")).count() == 0L)
   }
 
+  test("q152 decontaminate rewrite: threshold cuts 4-token runs, spares 3-token runs, copies contract") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("decon_docs").toString
+    val docs = Seq(
+      (0L,   "b1 b2 s1 s2 s3 s4 b3"),   // bench: holds the 4-token span s1..s4
+      (100L, "x1 x2 x3"),               // bench: a 3-token span
+      (1L,   "t1 s1 s2 s3 s4 t2"),      // train: 4-token run -> cut
+      (2L,   "u1 s1 s2 s3 u2 u3"),      // train: only a 3-token run -> SPARED
+      (3L,   "w1 w2 w3 w4 w5"),         // train: no overlap
+      (4L,   "t1 s1 s2 s3 s4 t2"),      // train: exact copy of 1 (contraction)
+      (5L,   "v1 x1 x2 x3 v2"))         // train: 3-token run vs bench 100 -> spared
+    docs.map { case (i, t) => (i, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.q152DecontaminateRewrite(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got == Map(
+      1L -> (6L, 2L, md5hex("t1 t2")),        // s1..s4 cut
+      2L -> (6L, 6L, md5hex("u1 s1 s2 s3 u2 u3")), // 3-run below threshold
+      3L -> (5L, 5L, md5hex("w1 w2 w3 w4 w5")),
+      4L -> (6L, 2L, md5hex("t1 t2")),        // copy rewrites identically
+      5L -> (5L, 5L, md5hex("v1 x1 x2 x3 v2"))))
+  }
+
+  test("q152 reconciles with q143: a train doc is rewritten iff its longest shared run >= the threshold") {
+    val longest = TextOps.q143ContaminationSpans(spark, sf)
+      .groupBy(col("train_doc").as("doc_id"))
+      .agg(max("longest_run").as("lr"))
+    val rew = TextOps.q152DecontaminateRewrite(spark, sf)
+    val j = rew.join(longest, Seq("doc_id"), "left")
+      .select(col("doc_id"), (col("n_kept") < col("n_tokens")).as("changed"),
+        (coalesce(col("lr"), lit(0L)) >= 4L).as("should_change"))
+    assert(j.count() > 0L)
+    assert(j.filter(col("changed") =!= col("should_change")).count() == 0L)
+    // the fixture exercises both regimes of the threshold
+    assert(rew.filter(col("n_kept") < col("n_tokens")).count() > 0L)
+    assert(j.filter(col("lr") === 3L && !col("changed")).count() > 0L)
+  }
+
   test("q149 reconciles with q148: n_kept + n_dup_tokens = n_tokens on the fixture corpus") {
     val prof = TextOps.q148RepeatedSpans(spark, sf)
       .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"))
