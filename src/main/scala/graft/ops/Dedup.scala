@@ -52,7 +52,40 @@ object Dedup {
     * edge-set form for graph consumers ([[q137Pagerank]]) whose next
     * operator is a shuffle that would destroy (and re-pay) the sort.
     */
-  def verifiedPairs(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
+  def verifiedPairs(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame =
+    if (threshold == 0.6) verifiedPairsShared(s, d)
+    else verifiedPairsRaw(s, d, threshold)
+
+  // memoized, persisted verified near-dup pair frame at the DEFAULT
+  // threshold — q31 orders it and the two pagerank variants symmetrize
+  // it, so the candidate join + exact Jaccard verify runs once per
+  // (session, dir, corpus version) rather than once per consumer
+  // (measured ~15 s per re-pay at the 20× stress corpus: q31 15.9 s,
+  // q137/q147 each re-verifying under their iterations). epairCache's
+  // fingerprint-staleness pattern verbatim; in the memo lock total
+  // order it sits between compCache and candCache (its build takes
+  // candCache → sigCache while holding its own lock, like compCache's
+  // build does; nothing takes vpairCache while holding candCache).
+  private val vpairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def verifiedPairsShared(s: SparkSession, d: String): DataFrame =
+    vpairCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "documents")
+      vpairCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+        .foreach { stale =>
+          vpairCache.remove(stale).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+        }
+      vpairCache.getOrElseUpdate((s, d, fp),
+        verifiedPairsRaw(s, d, 0.6)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  private def verifiedPairsRaw(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
     val cand = lshCandidatePairs(s, d)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
@@ -502,34 +535,42 @@ object Dedup {
     * embedding the engine in a long-lived JVM that cycles sessions — the
     * memos are per-(session, dir) SNAPSHOTS and hold session references
     * until cleared. Lock order is triCache (outermost), then
-    * epairCache, then compCache, then
-    * candCache, then sigCache — the same total order the builds take
-    * (components build candidates, candidates build signatures, each
-    * while holding its own lock; the embedding-pair build touches no
-    * other memo), so invalidation cannot deadlock against a build.
+    * epairCache, then compCache, then prEdgeCache, then vpairCache,
+    * then candCache, then sigCache — the same total order the builds take
+    * (components and verified pairs build candidates, candidates build
+    * signatures, each while holding its own lock; the embedding-pair
+    * build touches no other memo), so invalidation cannot deadlock
+    * against a build.
     */
   def invalidateSignatureCache(): Unit = repPairCache.synchronized {
     triCache.synchronized {
       epairCache.synchronized {
         compCache.synchronized {
-          candCache.synchronized {
-            sigCache.synchronized {
-              hashCache.synchronized {
-                (triCache.values ++ epairCache.values ++ compCache.values ++
-                  candCache.values ++ sigCache.values ++ hashCache.values ++
-                  repPairCache.values.flatMap { case (m, g, p) => Seq(m, g, p) })
-                  .foreach { df =>
-                    try df.unpersist() catch { case _: Throwable => () }
-                  }
-                triCache.clear()
-                epairCache.clear()
-                compCache.clear()
-                candCache.clear()
-                sigCache.clear()
-                hashCache.clear()
-                repPairCache.clear()
+          prEdgeCache.synchronized {
+           vpairCache.synchronized {
+            candCache.synchronized {
+              sigCache.synchronized {
+                hashCache.synchronized {
+                  (triCache.values ++ epairCache.values ++ compCache.values ++
+                    prEdgeCache.values ++ vpairCache.values ++
+                    candCache.values ++ sigCache.values ++ hashCache.values ++
+                    repPairCache.values.flatMap { case (m, g, p) => Seq(m, g, p) })
+                    .foreach { df =>
+                      try df.unpersist() catch { case _: Throwable => () }
+                    }
+                  triCache.clear()
+                  epairCache.clear()
+                  compCache.clear()
+                  prEdgeCache.clear()
+                  vpairCache.clear()
+                  candCache.clear()
+                  sigCache.clear()
+                  hashCache.clear()
+                  repPairCache.clear()
+                }
               }
             }
+           }
           }
         }
       }
@@ -1645,19 +1686,17 @@ object Dedup {
     val docs = Tables.documents(s, d).select("doc_id")
     val n = docs.count()
     val base = (Scale * 15L / 100L) / n
-    val edges = pagerankEdges(s, d)
-    try {
-      val deg = edges.groupBy(col("doc_a").as("doc_id"))
-        .agg(count(lit(1)).as("deg"))
-      var pr = docs.withColumn("pr", lit(Scale / n))
-      for (_ <- 1 to iters)
-        pr = pagerankStep(pr, docs, edges, deg, base)
-      val out = pr.join(deg, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
-          col("pr").as("pr_mass"))
-        .orderBy(col("pr_mass").desc, col("doc_id"))
-      out.localCheckpoint(true)
-    } finally edges.unpersist()
+    val edges = pagerankEdges(s, d) // memoized; shared with q147
+    val deg = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+    var pr = docs.withColumn("pr", lit(Scale / n))
+    for (_ <- 1 to iters)
+      pr = pagerankStep(pr, docs, edges, deg, base)
+    val out = pr.join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
+        col("pr").as("pr_mass"))
+      .orderBy(col("pr_mass").desc, col("doc_id"))
+    out.localCheckpoint(true)
   }
 
   /** The symmetrized verified-pair edge frame, persisted HASH-PARTITIONED
@@ -1672,10 +1711,29 @@ object Dedup {
     * aggregated map-side). `deg` also builds shuffle-free off the same
     * co-location. Paid once, shared by q137 and q147.
     */
+  // memoized like the other session frames (fingerprint-keyed) so the
+  // two variants genuinely share ONE persisted copy across calls — the
+  // bodies previously each built and unpersisted their own. In the memo
+  // lock order prEdgeCache sits directly above vpairCache (its build
+  // takes vpairCache → candCache → sigCache).
+  private val prEdgeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
   private def pagerankEdges(s: SparkSession, d: String): DataFrame =
-    symmetrizeEdges(verifiedPairs(s, d).select("doc_a", "doc_b"))
-      .repartition(col("doc_a"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prEdgeCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "documents")
+      prEdgeCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+        .foreach { stale =>
+          prEdgeCache.remove(stale).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+        }
+      prEdgeCache.getOrElseUpdate((s, d, fp),
+        symmetrizeEdges(verifiedPairs(s, d).select("doc_a", "doc_b"))
+          .repartition(col("doc_a"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** One integer power iteration — per-node outgoing share, pushed along
     * each edge, summed per destination: all BIGINT, so the agg is
@@ -1744,29 +1802,27 @@ object Dedup {
     val base = (Scale * 15L / 100L) / n
     val p0 = Scale / n
     val tol = p0 / tolDiv
-    val edges = pagerankEdges(s, d)
-    try {
-      val deg = edges.groupBy(col("doc_a").as("doc_id"))
-        .agg(count(lit(1)).as("deg"))
-      var pr = docs.withColumn("pr", lit(p0)).localCheckpoint(true)
-      var it = 0
-      var resid = Long.MaxValue
-      while (it < maxIters && resid > tol) {
-        val next = pagerankStep(pr, docs, edges, deg, base)
-          .localCheckpoint(true)
-        resid = next
-          .join(pr.select(col("doc_id"), col("pr").as("prev")), Seq("doc_id"))
-          .agg(max(abs(col("pr") - col("prev"))).as("r"))
-          .head().getLong(0)
-        pr = next
-        it += 1
-      }
-      val out = pr.join(deg, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
-          col("pr").as("pr_mass"), lit(it.toLong).as("n_iters"))
-        .orderBy(col("pr_mass").desc, col("doc_id"))
-      out.localCheckpoint(true)
-    } finally edges.unpersist()
+    val edges = pagerankEdges(s, d) // memoized; shared with q137
+    val deg = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+    var pr = docs.withColumn("pr", lit(p0)).localCheckpoint(true)
+    var it = 0
+    var resid = Long.MaxValue
+    while (it < maxIters && resid > tol) {
+      val next = pagerankStep(pr, docs, edges, deg, base)
+        .localCheckpoint(true)
+      resid = next
+        .join(pr.select(col("doc_id"), col("pr").as("prev")), Seq("doc_id"))
+        .agg(max(abs(col("pr") - col("prev"))).as("r"))
+        .head().getLong(0)
+      pr = next
+      it += 1
+    }
+    val out = pr.join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
+        col("pr").as("pr_mass"), lit(it.toLong).as("n_iters"))
+      .orderBy(col("pr_mass").desc, col("doc_id"))
+    out.localCheckpoint(true)
   }
 
   /** MULTI-PASS SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo 1997's SNM,
