@@ -47,7 +47,8 @@ object Explain {
     "q144_temporal_split", "q145_linear_quality_score",
     "q146_multiprobe_ann", "q147_pagerank_converged",
     "q148_repeated_spans", "q149_dedup_rewrite", "q150_dsir_weights",
-    "q151_dedup_keep_first", "q152_decontaminate_rewrite")
+    "q151_dedup_keep_first", "q152_decontaminate_rewrite",
+    "q153_bpe_train")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from

@@ -120,6 +120,8 @@ object SparkEntry {
     "q151_dedup_keep_first" -> (TextOps.q151DedupKeepFirst(_, _)),
     // decontamination rewrite: cut runs >= minRun shared with the bench
     "q152_decontaminate_rewrite" -> ((s, d) => TextOps.q152DecontaminateRewrite(s, d)),
+    // BPE tokenizer training: the q106 statistic iterated into merges
+    "q153_bpe_train" -> ((s, d) => TextOps.q153BpeTrain(s, d)),
     // DSIR-style importance weights over hashed bigram features
     "q150_dsir_weights" -> (TextOps.q150DsirWeights(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
@@ -257,6 +259,34 @@ object SparkEntry {
        | JOIN (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2) r USING (h)),
        |cov AS (SELECT DISTINCT rep.doc_id, rep.pos + o.i AS cpos
        | FROM rep, range(0, 3) o(i))""".stripMargin
+
+  /** q153's oracle: 3 unrolled BPE merge iterations over the
+    * frequency-weighted distinct vocabulary, starting from character
+    * symbols (mirrors TextOps.q153BpeTrain — keep in lockstep).
+    */
+  private lazy val q153Sql: String = {
+    val merges = 3
+    def iterBlock(i: Int): String =
+      s"""t$i AS (SELECT seq, freq, string_split(seq, ' ') AS sy FROM v${i - 1}),
+         |p$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(sy)),
+         |    i -> sy[i] || ' ' || sy[i + 1])) AS pair
+         |  FROM t$i WHERE len(sy) >= 2) GROUP BY pair),
+         |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |v$i AS (SELECT CASE WHEN b$i.pair IS NULL THEN t$i.seq
+         |    ELSE trim(replace(' ' || t$i.seq || ' ', ' ' || b$i.pair || ' ',
+         |      ' ' || replace(b$i.pair, ' ', '') || ' ')) END AS seq, t$i.freq AS freq
+         |  FROM t$i LEFT JOIN b$i ON true)""".stripMargin
+    val selects = (1 to merges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS iter, pair, replace(pair, ' ', '') AS merged, cnt FROM b$i")
+      .mkString("\n", "\nUNION ALL ", "")
+    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       | SELECT unnest(${toksSql("text")}) AS word FROM documents) GROUP BY word),
+       |v0 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
+       |  i -> substr(word, i, 1)), ' ') AS seq, freq FROM w),
+       |${(1 to merges).map(iterBlock).mkString(",\n")}$selects
+       |ORDER BY iter""".stripMargin
+  }
 
   /** The word-count oracle text, bound ONCE for q20 and q117 — the
     * "q20/q117/oracle triangulate one semantics" contract is
@@ -2249,6 +2279,12 @@ object SparkEntry {
          | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
          | coalesce(k.kept_md5, md5('')) AS kept_md5
          |FROM t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q153BpeTrain — the q147 unrolled-iteration
+    // discipline: each merge is one CTE block (pairs → deterministic
+    // argmax → padded-space replace), so the gate re-derives every
+    // loop decision; LEFT JOIN ON TRUE guards the no-pairs edge (keep
+    // in lockstep)
+    "q153_bpe_train" -> q153Sql,
     // mirrors TextOps.q152DecontaminateRewrite — q143's seed/island CTEs
     // verbatim, islands gaining min(pos_t) start, covered = exact union
     // over runs >= 4 tokens, then the q149/q151 rewrite kernel over the

@@ -2154,6 +2154,77 @@ object TextOps {
     repRows.unionByName(memberRows).orderBy("doc_id")
   }
 
+  /** BPE TOKENIZER TRAINING (q153) — the iterated form of
+    * [[q106BpePairs]] (which computes exactly this loop's FIRST
+    * statistic): starting from character symbols over the
+    * frequency-weighted DISTINCT vocabulary, repeatedly find the most
+    * frequent adjacent symbol pair and merge it corpus-wide — the
+    * Sennrich et al. 2016 training algorithm itself, not just its
+    * inner statistic. Output is the artifact tokenizer training
+    * produces: the MERGE TABLE (iter, pair, merged, cnt), the thing a
+    * BPE tokenizer ships as its model.
+    *
+    * Exactness/portability: symbol sequences are space-joined strings;
+    * a merge is the padded-space `replace(' '||seq||' ', ' x y ',
+    * ' xy ')` — both engines' replace() scans left-to-right
+    * non-overlapping, which IS BPE's greedy-left merge order ("a a a"
+    * merges to "aa a", not "a aa"; spec-planted). The top pair breaks
+    * ties deterministically by (cnt desc, pair asc); the oracle
+    * re-derives every iteration through `merges` unrolled CTE blocks
+    * (the q147 discipline: the gate covers the LOOP's decisions, not
+    * one step).
+    *
+    * Scale shape: everything after the one corpus-sized word count is
+    * VOCABULARY-bounded (q106's argument) — per iteration one
+    * vocab-keyed pair agg, ONE driver scalar (the argmax pair — the
+    * loop holds nothing else), one map-side replace; the evolving
+    * vocab is persisted and lineage-truncated per step, the q69/q147
+    * loop discipline. `merges` is a constant (a tokenizer trains tens
+    * of thousands of merges, each this same bounded step; the gated
+    * default is 3 to keep the oracle's unrolled CTEs honest).
+    */
+  def q153BpeTrain(s: SparkSession, d: String, merges: Int = 3): DataFrame = {
+    import s.implicits._
+    var vocab = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(
+        concat_ws(" ",
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as("seq"),
+        col("freq"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (i <- 1 to merges) {
+      val top = vocab
+        .withColumn("sy", split(col("seq"), " "))
+        // guard BEFORE the transform: Spark's sequence(1, 0) yields a
+        // DESCENDING [1, 0], not an empty array
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sy) - 1)," +
+            " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val p = top(0).getString(0)
+        val merged = p.replace(" ", "")
+        out += ((i.toLong, p, merged, top(0).getLong(1)))
+        // lit()-based replace — the pair text never enters SQL source,
+        // so no literal-escaping hazard whatever characters it holds
+        val next = vocab.select(
+          trim(replace(concat(lit(" "), col("seq"), lit(" ")),
+            lit(s" $p "), lit(s" $merged "))).as("seq"),
+          col("freq"))
+          .localCheckpoint(true)
+        vocab = next
+      }
+    }
+    out.toSeq.toDF("iter", "pair", "merged", "cnt").orderBy("iter")
+  }
+
   /** DSIR-style IMPORTANCE WEIGHTS (q150) — data selection via
     * importance resampling (Xie et al. 2023): score every raw document
     * by how target-domain-like its hashed bigram features are, the

@@ -1914,6 +1914,58 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(j.filter(col("lr") === 3L && !col("changed")).count() > 0L)
   }
 
+  test("q153 BPE train matches an independent JVM reference, greedy-left merge order pinned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_docs").toString
+    // the classic Sennrich corpus shape plus a self-repeating word that
+    // only greedy-LEFT merging handles correctly ("a a a a" -> "aa aa",
+    // never "a aa a")
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("aaaa")).mkString(" ")
+    Seq((0L, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // independent reference: symbol VECTORS and an explicit greedy-left
+    // scan — no string replace anywhere, so the engine's padded-space
+    // replace idiom is being checked against a different formulation
+    def refBpe(words: Map[String, Long], k: Int): Seq[(Long, String, String, Long)] = {
+      var vocab: Seq[(Vector[String], Long)] =
+        words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (i <- 1 to k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((sy, f) <- vocab; j <- 0 until sy.length - 1)
+          counts((sy(j), sy(j + 1))) = counts.getOrElse((sy(j), sy(j + 1)), 0L) + f
+        if (counts.nonEmpty) {
+          val ((x, y), c) = counts.toSeq
+            .sortBy { case ((a, b), n) => (-n, a + " " + b) }.head
+          out += ((i.toLong, s"$x $y", x + y, c))
+          vocab = vocab.map { case (sy, f) =>
+            val b = Vector.newBuilder[String]
+            var j = 0
+            while (j < sy.length) {
+              if (j < sy.length - 1 && sy(j) == x && sy(j + 1) == y) {
+                b += (x + y); j += 2
+              } else { b += sy(j); j += 1 }
+            }
+            (b.result(), f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val words = text.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val k = 6
+    val want = refBpe(words, k)
+    val got = TextOps.q153BpeTrain(spark, dir, merges = k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // the self-repeat word genuinely exercised greedy-left: some merge
+    // must be ("a a") or a descendant pair of it
+    assert(want.exists(_._2.startsWith("a")))
+  }
+
   test("q149 reconciles with q148: n_kept + n_dup_tokens = n_tokens on the fixture corpus") {
     val prof = TextOps.q148RepeatedSpans(spark, sf)
       .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"))
