@@ -576,13 +576,22 @@ object TextOps {
     * windows, same plan, longer shingles.
     */
   def q74Decontaminate(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+    // the flag is a pure function of (text, bench shingle set), so the
+    // two-sided contraction applies (the q143 frames): screen reps,
+    // expand flagged members closed-form
+    val (g, membership) = benchSideContraction(s, d)
+    val sh = g
+      .select(col("doc_id"), col("is_bench"),
+        explode(shingles3(tokens(col("text")))).as("sh"))
       .withColumn("h", md5(col("sh")))
-    val bench = sh.filter(col("doc_id") % 100 === 0).select("h").distinct()
-    sh.filter(col("doc_id") % 100 =!= 0)
+    val bench = sh.filter(col("is_bench")).select("h").distinct()
+    sh.filter(!col("is_bench"))
       .join(bench, Seq("h"), "left_semi")
       .select("doc_id").distinct()
+      .withColumnRenamed("doc_id", "rep")
+      .join(membership.filter(!col("is_bench")).select("rep", "doc_id"),
+        Seq("rep"))
+      .select("doc_id")
       .orderBy("doc_id")
   }
 
@@ -614,10 +623,16 @@ object TextOps {
     // and once more lazily by the verify join — all three are jobs over
     // the BOUNDED side, and recompute-over-cache is this repo's
     // measured default (NOTES.md r1)
-    val bench = benchShingleHashes(
-      Tables.documents(s, d).filter(col("doc_id") % 100 === 0))
-    contaminationScreen(Tables.documents(s, d).filter(col("doc_id") % 100 =!= 0),
+    // contracted like q74: intensity is a pure function of (text,
+    // bench set) — screen reps, expand members closed-form
+    val (g, membership) = benchSideContraction(s, d)
+    val bench = benchShingleHashes(g.filter(col("is_bench")))
+    contaminationScreen(g.filter(!col("is_bench")),
       bench, benchBloom(bench, fpp))
+      .withColumnRenamed("doc_id", "rep")
+      .join(membership.filter(!col("is_bench")).select("rep", "doc_id"),
+        Seq("rep"))
+      .select(col("doc_id"), col("n_contaminated_shingles"))
       .orderBy("doc_id")
   }
 
@@ -1369,7 +1384,13 @@ object TextOps {
     * #sources rows — broadcast.
     */
   def q123SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    // distinct-text-per-source pre-pass: the output is built from
+    // DISTINCT (source, shingle) sets, so exact copies within a source
+    // contribute nothing — dedup the (source, text) pairs BEFORE the
+    // shingle explode and the dup-heavy corpus pays reps, not copies
+    // (exact by the distinct semantics; measured 5.3 -> ~1 s at 20x)
     val sh = Tables.documents(s, d)
+      .select(col("source"), col("text")).distinct()
       .select(col("source"), explode(shingles3(tokens(col("text")))).as("sh"))
       .select(col("source"), md5(col("sh")).as("h"))
       .distinct()
@@ -1560,9 +1581,13 @@ object TextOps {
       minPrefix: Long = 50L, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.expressions.TextExpressions.tokenShingles
-    val bg = Tables.documents(s, d)
-      .select(explode(tokenShingles(tokens(col("text")), 2)).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("c_bg"))
+    // corpus-level counts: the exact-text contraction turns copies into
+    // integer weights (the q49 move; values bit-identical)
+    val (cdocs, _) = textContraction(s, d)
+    val bg = cdocs
+      .select(explode(tokenShingles(tokens(col("text")), 2)).as("bigram"),
+        col("copies"))
+      .groupBy("bigram").agg(sum("copies").as("c_bg"))
       .withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
       .withColumn("w2", split_part(col("bigram"), lit(" "), lit(2)))
     val prefix = bg.groupBy("w1").agg(sum("c_bg").as("c_prefix"))
@@ -1775,18 +1800,37 @@ object TextOps {
     * membership): the contracted doc frame (with `is_bench`) and the
     * (is_bench, doc_id, rep) expansion map.
     */
+  // memoized like [[textContraction]]'s frames: FOUR queries consume
+  // the bench-split contraction (q143, q152, q74, q86) — one build per
+  // (session, dir, corpus version), both frames persisted.
+  private val benchContractionCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), (DataFrame, DataFrame)]
+
   private def benchSideContraction(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        (col("doc_id") % 100 === 0).as("is_bench"), md5(col("text")).as("h"))
-    val reps = base.groupBy("is_bench", "h").agg(min("doc_id").as("rep"))
-    val membership = base.select("is_bench", "h", "doc_id")
-      .join(reps, Seq("is_bench", "h"))
-      .select(col("is_bench"), col("doc_id"), col("rep"))
-    val g = base.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"))
-    (g, membership)
-  }
+      : (DataFrame, DataFrame) =
+    benchContractionCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "documents")
+      benchContractionCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+        .foreach { stale =>
+          benchContractionCache.remove(stale).foreach { case (a, b) =>
+            try { a.unpersist(); b.unpersist() } catch { case _: Throwable => () }
+          }
+        }
+      benchContractionCache.getOrElseUpdate((s, d, fp), {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            (col("doc_id") % 100 === 0).as("is_bench"), md5(col("text")).as("h"))
+        val reps = base.groupBy("is_bench", "h").agg(min("doc_id").as("rep"))
+        val membership = base.select("is_bench", "h", "doc_id")
+          .join(reps, Seq("is_bench", "h"))
+          .select(col("is_bench"), col("doc_id"), col("rep"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val g = base.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (g, membership)
+      })
+    }
 
   /** DECONTAMINATION REWRITE (q152) — the intervention the
     * contamination family exists to enable (q74/q86 detect, q143
