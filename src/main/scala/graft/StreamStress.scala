@@ -111,6 +111,10 @@ object StreamStress {
           graft.streaming.StreamingOps.importanceScoreAtIngest(
             s, dsirRatios, s"$workDir/d_out", s"$workDir/d_ckpt")
         },
+        "decontaminate_rewrite_ingest" -> runStream(spark, inDir, nTrain) { s =>
+          graft.streaming.StreamingOps.decontaminateRewriteAtIngest(
+            s, benchGrams, s"$workDir/dr_out", s"$workDir/dr_ckpt")
+        },
         "contamination_spans_ingest" -> runStream(spark, inDir, nTrain) { s =>
           graft.streaming.StreamingOps.contaminationSpansAtIngest(
             s, benchGrams, s"$workDir/s_out", s"$workDir/s_ckpt")

@@ -1853,21 +1853,37 @@ object TextOps {
     * scale shape as q143: bench side broadcast, train side never
     * shuffles for the seed join, islands window keyed on (pair, diag).
     */
-  def q152DecontaminateRewrite(s: SparkSession, d: String,
-      minRun: Int = 4): DataFrame = {
-    val (g, membership) = benchSideContraction(s, d)
+  /** The decontamination-rewrite kernel over explicit frames — ONE
+    * definition shared by batch [[q152DecontaminateRewrite]] (fed
+    * contracted train reps) and the ingest twin
+    * ([[graft.streaming.StreamingOps.decontaminateRewriteAtIngest]],
+    * fed each micro-batch against the static bench gram index), so the
+    * two surfaces cannot diverge on what gets cut. Returns (doc_id,
+    * n_tokens, n_kept, kept_md5).
+    */
+  private[graft] def decontaminateRewriteCore(docs: DataFrame,
+      benchGrams: DataFrame, minRun: Int): DataFrame = {
     val runs = contaminationIslandRuns(
-      positionedGrams(g.filter(!col("is_bench")), "train_doc", "pos_t"),
-      positionedGrams(g.filter(col("is_bench")), "bench_doc", "pos_b"))
+      positionedGrams(docs, "train_doc", "pos_t"), benchGrams)
       .filter(col("run_grams") + lit(2L) >= lit(minRun.toLong))
     val covered = runs
       .select(col("train_doc").as("doc_id"),
         explode(sequence(col("start_t"), col("start_t") + col("run_grams") + 1L))
           .as("pos"))
       .distinct()
-    val train = g.filter(!col("is_bench"))
-    val perRep = finishRewrite(train, keptRewrite(docPosToks(train), covered))
-    perRep
+    finishRewrite(docs, keptRewrite(docPosToks(docs), covered))
+      .select(col("rep").as("doc_id"), col("n_tokens"), col("n_kept"),
+        col("kept_md5"))
+  }
+
+  def q152DecontaminateRewrite(s: SparkSession, d: String,
+      minRun: Int = 4): DataFrame = {
+    val (g, membership) = benchSideContraction(s, d)
+    decontaminateRewriteCore(
+      g.filter(!col("is_bench")),
+      positionedGrams(g.filter(col("is_bench")), "bench_doc", "pos_b"),
+      minRun)
+      .withColumnRenamed("doc_id", "rep")
       .join(membership.filter(!col("is_bench")).select("rep", "doc_id"),
         Seq("rep"))
       .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("kept_md5"))

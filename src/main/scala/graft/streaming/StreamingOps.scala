@@ -774,6 +774,33 @@ object StreamingOps {
       }
       .start()
 
+  /** DECONTAMINATION REWRITE at ingest — q152's intervention running in
+    * the ingest path: per micro-batch, arriving docs rewrite through
+    * the SAME [[graft.ops.TextOps.decontaminateRewriteCore]] as batch
+    * q152, against the static persisted bench gram index
+    * ([[buildBenchGramIndex]] — the q143-twin's index, stop-gram knob
+    * included). A doc arrives whole in one batch and the rewrite is a
+    * pure function of (text, bench index), so per-batch reports union
+    * to batch q152 on the same docs exactly — spec-pinned. At
+    * 100 TB/day this is decontamination AS ADMISSION CONTROL:
+    * benchmark-overlapping spans never land on training storage.
+    * Zero streaming state; same at-least-once/batch_id delivery
+    * contract as [[contaminationSpansAtIngest]].
+    */
+  def decontaminateRewriteAtIngest(docs: DataFrame, benchGrams: DataFrame,
+      outDir: String, checkpointDir: String, minRun: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.TextOps.decontaminateRewriteCore(batch.toDF(), benchGrams, minRun)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
+
   /** Static DSIR ratio table for [[importanceScoreAtIngest]] — q150's
     * corpus model built once per stream lifetime, persisted: ≤ 4096
     * rows (bucket-bounded regardless of corpus size), the q86/q143

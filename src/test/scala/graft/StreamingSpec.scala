@@ -444,6 +444,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination rewrite at ingest unions to batch q152 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.core.Tables.documents(spark, TestSpark.sf)
+    val benchGrams = StreamingOps.buildBenchGramIndex(
+      all.filter(col("doc_id") % 100 === 0))
+    val trainDocs = all.filter(col("doc_id") % 100 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val outDir = java.nio.file.Files
+      .createTempDirectory("decon_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("decon_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.decontaminateRewriteAtIngest(
+      mem.toDF().toDF("doc_id", "text"), benchGrams, outDir, ckpt)
+    try {
+      val (a, b) = trainDocs.splitAt(trainDocs.length / 2)
+      mem.addData(a.toSeq)
+      q.processAllAvailable()
+      mem.addData(b.toSeq)
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "n_tokens", "n_kept", "kept_md5")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      val expect = graft.ops.TextOps
+        .q152DecontaminateRewrite(spark, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+      // the fixture genuinely cuts something at this threshold
+      assert(got.exists(r => r._3 < r._2))
+    } finally { q.stop(); benchGrams.unpersist() }
+  }
+
   test("streaming DSIR scoring at ingest unions to batch q150's score columns exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
