@@ -1966,6 +1966,33 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(want.exists(_._2.startsWith("a")))
   }
 
+  test("contraction memos: a corpus changing under a cached dir is detected, not served stale") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contraction_stale").toString
+    def write(texts: Seq[String]): Unit = {
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      (): Unit
+    }
+    // v1: both q145 (textContraction memo) and q74 (benchSideContraction
+    // memo) consume the dir — warms both caches
+    write(Seq("aa bb cc", "aa bb cc", "dd ee ff"))
+    val before145 = TextOps.q145LinearQualityScore(spark, dir).collect().length
+    TextOps.q74Decontaminate(spark, dir).collect()
+    // v2: different corpus under the SAME dir — the fingerprint must
+    // evict the memoized frames, not serve the v1 contraction
+    write(Seq("gg hh ii", "jj kk ll", "mm nn oo", "pp qq rr"))
+    val after145 = TextOps.q145LinearQualityScore(spark, dir).collect()
+    assert(before145 == 3 && after145.length == 4)
+    // v2 has no duplicate texts: every doc must appear with its own row
+    assert(after145.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    val after74 = TextOps.q74Decontaminate(spark, dir).collect()
+    // v2's bench doc (id 0) shares no shingles with train docs
+    assert(after74.isEmpty)
+  }
+
   test("q149 reconciles with q148: n_kept + n_dup_tokens = n_tokens on the fixture corpus") {
     val prof = TextOps.q148RepeatedSpans(spark, sf)
       .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"))
