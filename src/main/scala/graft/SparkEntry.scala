@@ -122,6 +122,8 @@ object SparkEntry {
     "q152_decontaminate_rewrite" -> ((s, d) => TextOps.q152DecontaminateRewrite(s, d)),
     // BPE tokenizer training: the q106 statistic iterated into merges
     "q153_bpe_train" -> ((s, d) => TextOps.q153BpeTrain(s, d)),
+    // count-min sketch point-frequency estimates, hash-exact oracle
+    "q154_countmin" -> ((s, d) => TextOps.q154CountMin(s, d)),
     // DSIR-style importance weights over hashed bigram features
     "q150_dsir_weights" -> (TextOps.q150DsirWeights(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
@@ -2279,6 +2281,30 @@ object SparkEntry {
          | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
          | coalesce(k.kept_md5, md5('')) AS kept_md5
          |FROM t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q154CountMin — identical deterministic row
+    // hashes (md5(j||':'||token) first 4 hex mod 1024), so every
+    // counter and estimate is recomputed exactly, not bounded (keep in
+    // lockstep)
+    "q154_countmin" ->
+      s"""WITH tk AS (SELECT unnest(${toksSql("text")}) AS token FROM documents),
+         |exact AS (SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+         | FROM tk GROUP BY token),
+         |jt AS (SELECT token, CAST(i AS BIGINT) AS j FROM tk, range(0, 4) t(i)),
+         |cells AS (SELECT j,
+         |  CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 4) AS BIGINT) % 1024 AS b,
+         |  CAST(count(*) AS BIGINT) AS c
+         | FROM jt GROUP BY j, b),
+         |top AS (SELECT token, true_cnt FROM exact
+         | ORDER BY true_cnt DESC, token LIMIT 20),
+         |probe AS (SELECT top.token, top.true_cnt, CAST(i AS BIGINT) AS j,
+         |  CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || top.token), 1, 4) AS BIGINT) % 1024 AS b
+         | FROM top, range(0, 4) t(i))
+         |SELECT probe.token, probe.true_cnt,
+         | CAST(min(cells.c) AS BIGINT) AS est_cnt,
+         | min(cells.c) >= probe.true_cnt AS over_ok
+         |FROM probe JOIN cells USING (j, b)
+         |GROUP BY probe.token, probe.true_cnt
+         |ORDER BY true_cnt DESC, token""".stripMargin,
     // mirrors TextOps.q153BpeTrain — the q147 unrolled-iteration
     // discipline: each merge is one CTE block (pairs → deterministic
     // argmax → padded-space replace), so the gate re-derives every

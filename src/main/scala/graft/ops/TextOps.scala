@@ -2332,6 +2332,59 @@ object TextOps {
     out.toSeq.toDF("iter", "pair", "merged", "cnt").orderBy("iter")
   }
 
+  /** COUNT-MIN SKETCH frequency estimates (q154) — the third sketch in
+    * the inventory (HLL q38 counts distincts, t-digest q66 quantiles;
+    * CMS answers POINT frequency queries) and the mergeable structure
+    * streaming frequency estimation is built on. Depth 4 × width 1024
+    * counters; row hashes are deterministic md5 arithmetic
+    * (md5(j || ':' || token), first 4 hex digits mod width), so unlike
+    * the q38/q66 error-bound gates the ENTIRE sketch is
+    * oracle-reproducible bit-for-bit — the DuckDB gate recomputes every
+    * counter and every estimate, not just a bound. Output: the top-k
+    * exact heavy hitters with (true_cnt, est_cnt) and the structural
+    * CMS guarantee est ≥ true as a literal-TRUE boolean (`over_ok` —
+    * CMS never underestimates; the spec additionally checks the
+    * estimate against an independent JVM sketch).
+    *
+    * Plan shape: the corpus-level counts take the exact-text
+    * contraction (copies are integer weights); the sketch build is one
+    * (depth × reps)-explode into a ≤ depth·width-row agg (broadcast);
+    * the probe joins k tokens against it. At 100 TB the sketch is the
+    * bounded artifact that ships — the whole point of CMS.
+    */
+  def q154CountMin(s: SparkSession, d: String, depth: Int = 4,
+      width: Int = 1024, k: Int = 20): DataFrame = {
+    val (cdocs, _) = textContraction(s, d)
+    val tok = cdocs
+      .select(explode(tokens(col("text"))).as("token"), col("copies"))
+    val exact = tok.groupBy("token").agg(sum("copies").as("true_cnt"))
+    def bucket(j: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      conv(substring(md5(concat(j.cast("string"), lit(":"), t)), 1, 4), 16, 10)
+        .cast("long") % width.toLong
+    // the sketch builds from the VOCABULARY-level count table, not the
+    // token stream: cells are identical (a cell sums the counts of the
+    // tokens hashing into it) and the depth-fold explode runs over
+    // vocabulary rows instead of corpus occurrences
+    val sketch = exact
+      .select(col("token"), col("true_cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("j"), bucket(col("j"), col("token")).as("b"), col("true_cnt"))
+      .groupBy("j", "b").agg(sum("true_cnt").as("c"))
+    val top = exact
+      .orderBy(col("true_cnt").desc, col("token").asc).limit(k)
+    top
+      .select(col("token"), col("true_cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("b", bucket(col("j"), col("token")))
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy("token", "true_cnt")
+      .agg(min("c").as("est_cnt"))
+      .select(col("token"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("true_cnt")).as("over_ok"))
+      .orderBy(col("true_cnt").desc, col("token").asc)
+  }
+
   /** DSIR-style IMPORTANCE WEIGHTS (q150) — data selection via
     * importance resampling (Xie et al. 2023): score every raw document
     * by how target-domain-like its hashed bigram features are, the

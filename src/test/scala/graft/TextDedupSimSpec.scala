@@ -1993,6 +1993,37 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(after74.isEmpty)
   }
 
+  test("q154 count-min matches an independent JVM sketch; width-4 collisions prove min-over-rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cms_docs").toString
+    val text = (Seq.fill(9)("alpha") ++ Seq.fill(7)("beta") ++
+      Seq.fill(5)("gamma") ++ Seq.fill(4)("delta") ++ Seq.fill(3)("epsilon") ++
+      Seq("zeta", "eta", "theta", "iota", "kappa")).mkString(" ")
+    Seq((0L, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val (depth, width) = (4, 4) // width 4 forces collisions
+    // independent JVM CMS over the same deterministic hashes
+    def bucket(j: Int, t: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$j:$t").take(4), 16) % width
+    val freq = text.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cells = (for ((t, f) <- freq.toSeq; j <- 0 until depth)
+      yield ((j, bucket(j, t)), f))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def est(t: String): Long =
+      (0 until depth).map(j => cells((j, bucket(j, t)))).min
+    val want = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(10)
+      .map { case (t, f) => (t, f, est(t), est(t) >= f) }
+    val got = TextOps.q154CountMin(spark, dir, depth, width, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // CMS never underestimates, and at width 4 some token genuinely
+    // collides (est > true) so min-over-rows is exercised, not vacuous
+    assert(got.forall(_._4))
+    assert(got.exists(r => r._3 > r._2))
+  }
+
   test("q149 reconciles with q148: n_kept + n_dup_tokens = n_tokens on the fixture corpus") {
     val prof = TextOps.q148RepeatedSpans(spark, sf)
       .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"))
