@@ -274,10 +274,16 @@ object SparkEntry {
          |  SELECT freq, unnest(list_transform(range(1, len(sy)),
          |    i -> sy[i] || ' ' || sy[i + 1])) AS pair
          |  FROM t$i WHERE len(sy) >= 2) GROUP BY pair),
-         |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |b$i AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS x1,
+         |    string_split(pair, ' ')[2] AS x2,
+         |    replace(pair, ' ', '') AS m FROM p$i
+         |  ORDER BY cnt DESC, pair LIMIT 1),
          |v$i AS (SELECT CASE WHEN b$i.pair IS NULL THEN t$i.seq
-         |    ELSE trim(replace(' ' || t$i.seq || ' ', ' ' || b$i.pair || ' ',
-         |      ' ' || replace(b$i.pair, ' ', '') || ' ')) END AS seq, t$i.freq AS freq
+         |    ELSE list_reduce(t$i.sy, (acc, x) -> CASE
+         |      WHEN (acc = b$i.x1 OR ends_with(acc, ' ' || b$i.x1)) AND x = b$i.x2
+         |      THEN CASE WHEN acc = b$i.x1 THEN b$i.m
+         |           ELSE left(acc, len(acc) - len(b$i.x1)) || b$i.m END
+         |      ELSE acc || ' ' || x END) END AS seq, t$i.freq AS freq
          |  FROM t$i LEFT JOIN b$i ON true)""".stripMargin
     val selects = (1 to merges).map(i =>
       s"SELECT CAST($i AS BIGINT) AS iter, pair, replace(pair, ' ', '') AS merged, cnt FROM b$i")
@@ -2234,9 +2240,9 @@ object SparkEntry {
          |  pos_t - row_number() OVER (PARTITION BY train_doc, bench_doc, diag
          |    ORDER BY pos_t) AS island
          | FROM seeds),
-         |runs AS (SELECT train_doc, bench_doc, island,
+         |runs AS (SELECT train_doc, bench_doc, diag, island,
          |  CAST(count(*) AS BIGINT) AS run_grams
-         | FROM isl GROUP BY train_doc, bench_doc, island)
+         | FROM isl GROUP BY train_doc, bench_doc, diag, island)
          |SELECT train_doc, bench_doc,
          | CAST(sum(run_grams) AS BIGINT) AS n_seeds,
          | CAST(max(run_grams) + 2 AS BIGINT) AS longest_run

@@ -534,9 +534,10 @@ object Dedup {
     * a session (e.g. after a streaming ingest lands new files) or when
     * embedding the engine in a long-lived JVM that cycles sessions — the
     * memos are per-(session, dir) SNAPSHOTS and hold session references
-    * until cleared. Lock order is triCache (outermost), then
-    * epairCache, then compCache, then prEdgeCache, then vpairCache,
-    * then candCache, then sigCache — the same total order the builds take
+    * until cleared. Lock order is repPairCache (outermost), then
+    * triCache, then epairCache, then compCache, then prEdgeCache, then
+    * vpairCache, then candCache, then sigCache, then hashCache
+    * (innermost) — the same total order the builds take
     * (components and verified pairs build candidates, candidates build
     * signatures, each while holding its own lock; the embedding-pair
     * build touches no other memo), so invalidation cannot deadlock

@@ -2272,14 +2272,20 @@ object TextOps {
     * BPE tokenizer ships as its model.
     *
     * Exactness/portability: symbol sequences are space-joined strings;
-    * a merge is the padded-space `replace(' '||seq||' ', ' x y ',
-    * ' xy ')` — both engines' replace() scans left-to-right
-    * non-overlapping, which IS BPE's greedy-left merge order ("a a a"
-    * merges to "aa a", not "a aa"; spec-planted). The top pair breaks
-    * ties deterministically by (cnt desc, pair asc); the oracle
-    * re-derives every iteration through `merges` unrolled CTE blocks
-    * (the q147 discipline: the gate covers the LOOP's decisions, not
-    * one step).
+    * a merge is a greedy-LEFT fold over the split symbol array
+    * (`aggregate`: if the accumulator's last symbol is x and the next
+    * is y, pop-and-push xy, else push) — the Sennrich scan itself.
+    * A single-pass padded-space replace is NOT equivalent: the match
+    * consumes the shared separator space, so "a a a a" would come out
+    * "aa a a" instead of BPE's "aa aa" (spec-planted at a merge depth
+    * where the self-repeat word wins the argmax). The merged symbol
+    * can never re-merge as the left element within the same pass
+    * because xy ≠ x (y is nonempty) — exactly the scan-with-skip
+    * semantics. The top pair breaks ties deterministically by
+    * (cnt desc, pair asc); the oracle re-derives every iteration —
+    * including the same greedy fold, via `list_reduce` — through
+    * `merges` unrolled CTE blocks (the q147 discipline: the gate
+    * covers the LOOP's decisions, not one step).
     *
     * Scale shape: everything after the one corpus-sized word count is
     * VOCABULARY-bounded (q106's argument) — per iteration one
@@ -2317,13 +2323,23 @@ object TextOps {
         .limit(1).collect()
       if (top.nonEmpty) {
         val p = top(0).getString(0)
+        val Array(x1, x2) = p.split(" ", 2)
         val merged = p.replace(" ", "")
         out += ((i.toLong, p, merged, top(0).getLong(1)))
-        // lit()-based replace — the pair text never enters SQL source,
-        // so no literal-escaping hazard whatever characters it holds
+        // greedy-left fold (lit()-based — the pair text never enters
+        // SQL source, so no literal-escaping hazard): `get` is
+        // null-safe on the empty accumulator, and null === x1 is null,
+        // so the first symbol always takes the push branch under ANSI
         val next = vocab.select(
-          trim(replace(concat(lit(" "), col("seq"), lit(" ")),
-            lit(s" $p "), lit(s" $merged "))).as("seq"),
+          array_join(
+            aggregate(split(col("seq"), " "),
+              lit(Array.empty[String]),
+              (acc, x) => when(
+                get(acc, size(acc) - 1) === lit(x1) && x === lit(x2),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(merged))))
+                .otherwise(concat(acc, array(x)))),
+            " ").as("seq"),
           col("freq"))
           .localCheckpoint(true)
         vocab = next
@@ -2490,7 +2506,13 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("sum_ratio_micro"), lit(0L)).as("sum_ratio_micro"),
-        expr("sum_ratio_micro div n_feats").as("mean_ratio_micro"))
+        // guarded: a doc with zero bigram features (< 2 tokens) must
+        // yield the documented null mean, never an ANSI DIVIDE_BY_ZERO
+        // — the when() also keeps the semantics fixed regardless of
+        // whether n_feats resolves to the join column (null) or the
+        // lateral coalesced alias (0)
+        when(col("n_feats") > 0, expr("sum_ratio_micro div n_feats"))
+          .as("mean_ratio_micro"))
   }
 
   def q150DsirWeights(s: SparkSession, d: String): DataFrame = {

@@ -1605,6 +1605,30 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got.keySet == (planted.map(p => (p._1, 100L)).toSet + ((twoId, 100L))))
   }
 
+  test("q143 repeated bench gram: colliding islands on different diagonals stay separate runs") {
+    import spark.implicits._
+    // the bench doc repeats the 3-gram "x y z" at two positions; a
+    // train doc containing it ONCE seeds two diagonals whose island
+    // values collide (both = pos_t - 1, row_number 1 within each diag
+    // partition). Runs must be per-(pair, DIAGONAL): two runs of one
+    // gram each -> n_seeds 2, longest_run 3. Grouping islands without
+    // the diagonal would merge them into a phantom run of 2 ->
+    // longest_run 4. Pins the engine AND the oracle's GROUP BY
+    // train_doc, bench_doc, diag, island (SparkEntry q143 oracle).
+    val bench = (Seq("x", "y", "z") ++ (1 to 20).map(i => s"u$i") ++
+      Seq("x", "y", "z") ++ (1 to 20).map(i => s"v$i")).mkString(" ")
+    val train = ((1 to 8).map(i => s"t$i") ++ Seq("x", "y", "z") ++
+      (1 to 8).map(i => s"w$i")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("q143_repgram").toString
+    Seq((100L, bench, "en", "bench"), (101L, train, "en", "train"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.q143ContaminationSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map((101L, 100L) -> ((2L, 3L))))
+  }
+
   test("q143 stop-gram guard: identity at any cap >= max bench gram df; monotone below it") {
     import spark.implicits._
     // three bench docs share a 5-token boilerplate prefix (its interior
@@ -1956,14 +1980,18 @@ class TextDedupSimSpec extends AnyFunSuite {
       out.toSeq
     }
     val words = text.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val k = 6
+    // deep enough that the self-repeat word WINS the argmax twice:
+    // iter 1 merges ("a a") -> greedy-left must produce "aa aa" (a
+    // single-pass padded replace yields "aa a a" and diverges), and at
+    // iter 9 the ("aa", "aa") pair — which only exists under correct
+    // greedy merging — itself reaches the argmax
+    val k = 10
     val want = refBpe(words, k)
     val got = TextOps.q153BpeTrain(spark, dir, merges = k).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == want, s"got $got\nwant $want")
-    // the self-repeat word genuinely exercised greedy-left: some merge
-    // must be ("a a") or a descendant pair of it
-    assert(want.exists(_._2.startsWith("a")))
+    // the corpus genuinely exercised both regimes
+    assert(want.exists(_._2 == "a a") && want.exists(_._2 == "aa aa"))
   }
 
   test("contraction memos: a corpus changing under a cached dir is detected, not served stale") {
