@@ -172,11 +172,13 @@ object SparkEntry {
     // multi-probe LSH: q41's index probed at Hamming distance <= 1
     "q146_multiprobe_ann" -> ((s, d) => Similarity.q146MultiprobeAnn(s, d)),
     "q35_knn_classify" -> (Similarity.q35KnnClassify(_, _)),
-    // IVF ANN (no SQL oracle: k-means isn't DuckDB-expressible → rows-only
-    // check; q70 is the persisted-index probe path — builds the bucketed
-    // index table once, then answers from it with no fit; SimilaritySpec
-    // pins q70 ≡ q48 exactly, and the recall floor both depend on is
-    // oracle-gated via q142_ivf_recall_gate's error-bound boolean)
+    // IVF ANN over the deterministic exact-integer k-means: the oracle
+    // replays the ENTIRE fit + probe (q48Sql — seeds, 4 Lloyd
+    // iterations, integer updates, integer probe ranking), so both rows
+    // are hash-gated; q70 is the persisted-index probe path — builds the
+    // bucketed index table once, then answers from it with no fit;
+    // SimilaritySpec pins q70 ≡ q48 exactly, and the recall floor is
+    // additionally oracle-gated via q142_ivf_recall_gate's boolean
     "q48_ivf_ann" -> (Similarity.q48IvfAnn(_, _)),
     "q70_ivf_probe_indexed" -> ((s, d) => Similarity.q70IvfProbeIndexed(s, d)),
     "q88_label_centroids" -> (Similarity.q88LabelCentroids(_, _)),
@@ -209,6 +211,9 @@ object SparkEntry {
     "q50_binary_meta" -> (Multimodal.q50BinaryMeta(_, _)),
     "q68_frame_sample" -> (Multimodal.q68FrameSample(_, _)),
     "q114_frame_features" -> ((s, d) => Multimodal.q114FrameFeatures(s, d)),
+    // perceptual-hash media near-dup: banded Hamming blocking (exact
+    // recall at the <= 7 threshold by pigeonhole over 8 bands)
+    "q155_phash_neardup" -> ((s, d) => Multimodal.q155PhashNearDup(s, d)),
     // data layout / table maintenance
     "q79_zorder_layout" -> (Layout.q79ZOrderLayout(_, _)),
     "q80_compact_roundtrip" -> ((s, d) => Layout.q80CompactRoundtrip(s, d)),
@@ -294,6 +299,71 @@ object SparkEntry {
        |  i -> substr(word, i, 1)), ' ') AS seq, freq FROM w),
        |${(1 to merges).map(iterBlock).mkString(",\n")}$selects
        |ORDER BY iter""".stripMargin
+  }
+
+  /** q48/q70's oracle: the deterministic exact-integer k-means replayed
+    * end to end — salted-hash seed pick, `Similarity.IvfIters` unrolled
+    * Lloyd iterations (assignment argmin on BIGINT squared-L2 over
+    * micro-unit vectors, tie → smaller centroid; per-dim integer `//`
+    * mean updates, empty cluster keeps its centroid), then the probe:
+    * nProbe=2 nearest centroids per query by the same integer metric,
+    * cosine top-3 within them (mirrors Similarity.quantize/ivfProbe —
+    * keep seeds/ties/update/probe rules in lockstep).
+    */
+  private lazy val q48Sql: String = {
+    val iters = graft.ops.Similarity.IvfIters
+    def d2(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a) + 1), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+    def iterBlock(i: Int): String =
+      s"""ka$i AS (SELECT vec_id, mvec, centroid FROM (
+         |  SELECT m.vec_id, m.mvec, c.centroid,
+         |   row_number() OVER (PARTITION BY m.vec_id
+         |     ORDER BY ${d2("m.mvec", "c.cvec")}, c.centroid) AS rn
+         |  FROM m, kc${i - 1} c) WHERE rn = 1),
+         |ks$i AS (SELECT centroid, dim, CAST(sum(mvec[dim]) AS BIGINT) AS sv,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT centroid, CAST(unnest(range(1, len(mvec) + 1)) AS BIGINT) AS dim, mvec
+         |  FROM ka$i) GROUP BY centroid, dim),
+         |kc$i AS (SELECT p.centroid, list(COALESCE(s.sv // s.cnt, p.v) ORDER BY p.dim) AS cvec
+         | FROM (SELECT centroid, dim, cvec[dim] AS v FROM (
+         |   SELECT centroid, CAST(unnest(range(1, len(cvec) + 1)) AS BIGINT) AS dim, cvec
+         |   FROM kc${i - 1})) p
+         | LEFT JOIN ks$i s ON s.centroid = p.centroid AND s.dim = p.dim
+         | GROUP BY p.centroid)""".stripMargin
+    s"""WITH m AS (SELECT vec_id,
+       |  list_transform(embedding, v ->
+       |    CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mvec
+       | FROM embeddings),
+       |kc0 AS (SELECT centroid, mvec AS cvec FROM (
+       |  SELECT CAST(row_number() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':ivfseed'), vec_id) AS BIGINT) - 1
+       |    AS centroid, mvec
+       |  FROM m) WHERE centroid < 8),
+       |${(1 to iters).map(iterBlock).mkString(",\n")},
+       |af AS (SELECT vec_id, centroid FROM (
+       |  SELECT m.vec_id, c.centroid,
+       |   row_number() OVER (PARTITION BY m.vec_id
+       |     ORDER BY ${d2("m.mvec", "c.cvec")}, c.centroid) AS rn
+       |  FROM m, kc$iters c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, mvec FROM m WHERE vec_id % 25 = 0),
+       |pr AS (SELECT query_id, centroid FROM (
+       |  SELECT q.query_id, c.centroid,
+       |   row_number() OVER (PARTITION BY q.query_id
+       |     ORDER BY ${d2("q.mvec", "c.cvec")}, c.centroid) AS rn
+       |  FROM q, kc$iters c) WHERE rn <= 2),
+       |cand AS (SELECT pr.query_id, af.vec_id AS cand_id, af.centroid
+       | FROM pr JOIN af ON pr.centroid = af.centroid
+       | WHERE pr.query_id <> af.vec_id),
+       |scored AS (SELECT cand.query_id, cand.cand_id, cand.centroid,
+       |  ${sqlRn(cosSql, 6)} AS sim6
+       | FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+       |  JOIN embeddings b ON b.vec_id = cand.cand_id),
+       |ranked AS (SELECT query_id, cand_id, centroid, sim6,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim6 DESC, cand_id) AS BIGINT) AS rk FROM scored)
+       |SELECT query_id, rk, cand_id, CAST(centroid AS BIGINT) AS centroid,
+       | ${sqlRn("sim6", 4)} AS cos_sim
+       |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
   }
 
   /** The word-count oracle text, bound ONCE for q20 and q117 — the
@@ -1574,6 +1644,11 @@ object SparkEntry {
          | FROM scored)
          |SELECT query_id, rk, cand_id, bucket, ${sqlRn("sim6", 4)} AS cos_sim
          |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // the full k-means fit + probe replay (q48Sql above); q70 is the
+    // persisted-index probe of the SAME quantizer — identical output by
+    // construction (SimilaritySpec pins it), so one SQL text gates both
+    "q48_ivf_ann" -> q48Sql,
+    "q70_ivf_probe_indexed" -> q48Sql,
     "q43_pivot" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
          | ${ScalarSuites.Priorities.map(p =>
@@ -1756,6 +1831,46 @@ object SparkEntry {
         | CAST(max(brightness) AS BIGINT) AS max_brightness,
         | ${sqlRn("CAST(sum(brightness) AS DOUBLE) / count(*)", 4)} AS mean_brightness
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors Multimodal.q155PhashNearDup — byte-fold grid, row-gradient
+    // dHash bands, band-equality candidates, bit_count verify, rep-level
+    // output with member counts (keep in lockstep)
+    "q155_phash_neardup" ->
+      s"""WITH dt AS (SELECT min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS members, text
+         |  FROM documents GROUP BY text),
+         |hxf AS (SELECT rep, members, lower(hex(encode(text))) AS hx FROM dt),
+         |bp AS (SELECT rep, CAST((p - 1) % 72 AS BIGINT) AS cell,
+         |  CAST(16 * (instr('0123456789abcdef', substr(hx, p * 2 - 1, 1)) - 1)
+         |    + instr('0123456789abcdef', substr(hx, p * 2, 1)) - 1 AS BIGINT) AS v
+         | FROM (SELECT rep, hx, CAST(unnest(range(1, len(hx) // 2 + 1)) AS INT) AS p
+         |       FROM hxf)),
+         |cl AS (SELECT rep, cell, CAST(sum(v) AS BIGINT) AS v FROM bp GROUP BY rep, cell),
+         |grid AS (SELECT gg.rep, list(COALESCE(cl.v, 0) ORDER BY gg.cell) AS g
+         | FROM (SELECT rep, CAST(unnest(range(0, 72)) AS BIGINT) AS cell FROM dt) gg
+         | LEFT JOIN cl ON cl.rep = gg.rep AND cl.cell = gg.cell
+         | GROUP BY gg.rep),
+         |bands AS (SELECT rep, CAST(r AS BIGINT) AS band,
+         |  CAST(sum(CASE WHEN g[r * 9 + c + 2] > g[r * 9 + c + 1]
+         |    THEN 1 << c ELSE 0 END) AS BIGINT) AS bv
+         | FROM grid, range(0, 8) rr(r), range(0, 8) cc(c)
+         | GROUP BY rep, r),
+         |cand AS (SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         | WHERE a.rep < b.rep),
+         |ham AS (SELECT cand.doc_a, cand.doc_b,
+         |  CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+         | FROM cand
+         | JOIN bands ba ON ba.rep = cand.doc_a
+         | JOIN bands bb ON bb.rep = cand.doc_b AND bb.band = ba.band
+         | GROUP BY cand.doc_a, cand.doc_b),
+         |cr AS (SELECT h.doc_a, h.doc_b, h.hamming,
+         |  ma.members AS members_a, mb.members AS members_b
+         | FROM ham h JOIN dt ma ON ma.rep = h.doc_a
+         | JOIN dt mb ON mb.rep = h.doc_b
+         | WHERE h.hamming <= 7),
+         |sfr AS (SELECT rep AS doc_a, rep AS doc_b, CAST(0 AS BIGINT) AS hamming,
+         |  members AS members_a, members AS members_b FROM dt WHERE members >= 2)
+         |SELECT * FROM (SELECT * FROM cr UNION ALL SELECT * FROM sfr)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q50_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -81,6 +81,102 @@ object Multimodal {
           sum("brightness").cast("double") / count(lit(1))).as("mean_brightness"))
       .orderBy("doc_id")
 
+  /** PERCEPTUAL-HASH media near-dup (q155) — dHash over the binary
+    * payload column, banded for scale: the q33 SimHash move (banded
+    * Hamming blocking, never all-pairs) applied to MEDIA bytes, which
+    * closes the multimodal family's dedup gap (re-encoded or
+    * lightly-edited media shares a perceptual fingerprint even when
+    * sha256 differs — q30's exact hash can't see it).
+    *
+    * The dHash pipeline is structurally the real thing:
+    *  1. DECODE/RESIZE (stub): fold the payload bytes into an 8×9
+    *     "grayscale grid" — cell i sums bytes at positions ≡ i
+    *     (mod 72). A real pipeline swaps this fold for
+    *     decode+grayscale+resize(9×8); everything downstream is
+    *     unchanged. Deterministic byte arithmetic (hex-pair parse, the
+    *     q67 engine-portable idiom) so the DuckDB oracle replays it.
+    *  2. GRADIENT BITS: per row r, bit c = [cell(r,c+1) > cell(r,c)]
+    *     — 8 row-adjacent comparisons × 8 rows = the 64-bit dHash,
+    *     carried as 8 one-byte BAND values (b0..b7; a single BIGINT
+    *     would need the sign bit, which DuckDB refuses to shift into).
+    *  3. BANDED BLOCKING: candidates from an equality join on
+    *     (band, value). Pigeonhole gives EXACT recall at the gated
+    *     threshold: hamming ≤ 7 over 8 bands forces ≥ 1 identical
+    *     band, so unlike the probabilistic q31/q33 recall this blocking
+    *     loses nothing.
+    *  4. VERIFY: hamming = Σ_band bit_count(xor) on candidates only;
+    *     keep pairs ≤ `maxHamming`.
+    *
+    * Dup-heavy scale shape: payload is a pure function of the text, so
+    * the exact-text contraction applies (q148's discipline, shared
+    * memo) — signatures are computed once per DISTINCT payload, pairs
+    * are emitted at REP level with member counts (the q31 oracle's
+    * members_a/members_b design), and the 20× stress corpus costs the
+    * same as sf0.1 plus one closed-form self-row per dup group. The
+    * byte explode is the decode pass itself — corpus-linear, folded by
+    * a map-side partial agg into ≤ 72 rows per doc before any
+    * exchange.
+    */
+  def q155PhashNearDup(s: SparkSession, d: String, maxHamming: Int = 7)
+      : DataFrame = {
+    val bandsN = 8
+    val (repDocs, _) = TextOps.textContraction(s, d)
+    val hx = repDocs.select(col("doc_id"), col("copies"),
+      lower(hex(encode(col("text"), "UTF-8"))).as("hx"))
+    val cells = hx
+      .select(col("doc_id"),
+        explode(sequence(lit(1), (length(col("hx")) / lit(2)).cast("int")))
+          .as("p"),
+        col("hx"))
+      .select(col("doc_id"), ((col("p") - 1) % lit(72)).cast("long").as("cell"),
+        conv(col("hx").substr(col("p") * 2 - 1, lit(2)), 16, 10)
+          .cast("long").as("v"))
+      .groupBy("doc_id", "cell").agg(sum("v").as("v"))
+    val grid = cells.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("v"))))
+        .as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(71L)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("g"))
+    val bandArr = array((0 until bandsN).map { r =>
+      (0 until 8).map { c =>
+        when(element_at(col("g"), r * 9 + c + 2)
+          > element_at(col("g"), r * 9 + c + 1), lit(1L << c))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val bands = grid
+      .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bv")))
+    val cand = bands
+      .select(col("doc_id").as("doc_a"), col("band"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ham = cand
+      .join(bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("bv").as("ba")), Seq("doc_a"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+        col("bv").as("bb")), Seq("doc_b", "band"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(bit_count(col("ba").bitwiseXOR(col("bb")))).as("hamming"))
+      .filter(col("hamming") <= lit(maxHamming.toLong))
+    val members = hx.select(col("doc_id"), col("copies"))
+    val crossRows = ham
+      .join(members.select(col("doc_id").as("doc_a"),
+        col("copies").as("members_a")), Seq("doc_a"))
+      .join(members.select(col("doc_id").as("doc_b"),
+        col("copies").as("members_b")), Seq("doc_b"))
+      .select("doc_a", "doc_b", "hamming", "members_a", "members_b")
+    // identical payloads (hamming 0 by construction) surface as one
+    // closed-form self-row per multi-copy group, the q31 oracle design
+    val selfRows = members.filter(col("copies") >= 2L)
+      .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0L).as("hamming"), col("copies").as("members_a"),
+        col("copies").as("members_b"))
+    crossRows.unionByName(selfRows).orderBy("doc_a", "doc_b")
+  }
+
   /** Decoded-media record produced by the per-partition decode pass. */
   case class DecodedMedia(doc_id: Long, n_bytes: Int, format: String,
       width: Int, height: Int, n_frames: Int)

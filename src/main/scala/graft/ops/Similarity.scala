@@ -128,25 +128,52 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  /** IVF-style ANN: spark.ml KMeans as the coarse quantizer (fixed
-    * seed), candidates drawn only from the query's `nProbe` nearest
+  /** IVF-style ANN: a DETERMINISTIC exact-integer k-means as the coarse
+    * quantizer, candidates drawn only from the query's `nProbe` nearest
     * centroids, cosine top-k within them. The inverted-file layout is
     * the production ANN shape at 100 TB: centroid id becomes the
     * partition key, a query touches nProbe partitions instead of the
-    * whole corpus. No SQL oracle (k-means isn't expressible in DuckDB);
-    * SimilaritySpec bounds recall against the exact top-k instead.
-    */
-  /** Memoized IVF coarse quantizer per (session, dir, k): the index
-    * BUILD (KMeans fit) runs once and is reused by every subsequent
-    * probe in the session — the production shape, where the quantizer
-    * is persisted alongside the corpus and queries only pay the probe.
-    * Seeded fit ⇒ the memo does not change results.
+    * whole corpus.
+    *
+    * Why not MLlib KMeans: its float arithmetic (parallel seeding,
+    * double-sum centroid updates) is not replayable by the DuckDB
+    * oracle, which left q48/q70 as the inventory's only rows-only
+    * checks. This quantizer is built from the same exact-integer
+    * discipline as q88/q137/q150 so the oracle re-derives the ENTIRE
+    * fit — seeds, every assignment, every centroid update — through
+    * unrolled CTE blocks (the q153/q147 loop-gating discipline):
+    *
+    *  - vectors land in integer MICRO-UNITS (floor(v·1e6 + 0.5), the
+    *    q88 idiom); every distance is a BIGINT squared-L2 sum (max
+    *    ~64·(4e6)² ≈ 1e15 ≪ 2⁶³), invariant to partitioning;
+    *  - seeds are the `nCentroids` vectors ranked first by
+    *    (md5(vec_id || ':ivfseed'), vec_id) — a salted-hash pick, no
+    *    RNG state to replicate;
+    *  - a FIXED `IvfIters` Lloyd iterations; assignment ties break to
+    *    the smaller centroid id; updates are per-dim integer `div`
+    *    means; an empty cluster keeps its previous centroid.
+    *
+    * Scale shape per iteration: assignment is a pure MAP pass — the
+    * centroids ride along as one literal array-of-arrays column and a
+    * fold over centroid ids picks the argmin (no crossJoin, no
+    * per-iteration corpus shuffle, expression size O(1) in
+    * nCentroids); the update's only exchange is the (centroid, dim)
+    * partial-agg shuffle, ≤ nCentroids·dims rows after map-side
+    * combine. The driver holds exactly the model (nCentroids·dims
+    * longs per iteration) — the same bounded-artifact discipline as
+    * q153's merge table.
     */
   // key carries a content fingerprint of the embeddings table (listing +
   // mtimes, graft.core.Fingerprint) so a corpus changing under a cached
   // dir evicts the stale quantizer instead of silently probing it
   private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, String), org.apache.spark.ml.clustering.KMeansModel]
+    .empty[(SparkSession, String, Int, String), Array[Array[Long]]]
+
+  /** Fixed Lloyd iteration count — the oracle unrolls exactly this many
+    * assignment+update CTE blocks (keep in lockstep with SparkEntry's
+    * q48 oracle).
+    */
+  private[graft] val IvfIters = 4
 
   /** Drop memoized quantizers — the IVF analog of
     * [[graft.ops.Dedup.invalidateSignatureCache]]; call it for the same
@@ -155,54 +182,131 @@ object Similarity {
     */
   def invalidateIvfCache(): Unit = ivfCache.synchronized { ivfCache.clear() }
 
-  /** Fit-or-fetch the memoized coarse quantizer over the embeddings at
-    * `d`, and the (vec_id, embedding, nrm, centroid) assignment frame it
-    * induces.
+  /** Embedding → integer micro-unit vector (the q88 scaling idiom,
+    * element-wise). Exact: float→double is exact, and the floor lands
+    * every engine on the same BIGINT.
+    */
+  private[graft] def microVec(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    transform(v, x => floor(x.cast("double") * lit(MicroScale) + lit(0.5))
+      .cast("long"))
+
+  /** Integer squared-L2 distance between two micro-unit vectors — the
+    * codegen'd [[graft.functions.expressions.LongVecDist2]] (the
+    * composable `aggregate(zip_with(...))` formulation is interpreted
+    * and made the 256-centroid assignment ~20× slower; see the
+    * expression's scaladoc for the measurement). The DuckDB oracle
+    * mirrors the identical BIGINT arithmetic.
+    */
+  private def dist2(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.expressions.FloatVecExpressions.longDist2(a, b)
+
+  /** Map-side argmin over the driver-held centroid model: one
+    * `least(...)` over per-centroid (dist2, id) structs — struct
+    * ordering is lexicographic, so equal distances break to the smaller
+    * centroid id. Each leaf is one codegen'd native loop; at the
+    * probe's 256-centroid config this is 256 small calls (codegen
+    * splits methods), measured fast where the O(1)-sized interpreted
+    * fold alternative was ~20× slower. Bound: nCentroids in the low
+    * thousands; beyond that, shard the model (IVF at 100 TB sizes
+    * nCentroids ~√N but probes a PERSISTED index — the in-session
+    * literal model is the build path, not the serving path).
+    */
+  private def assignExpr(cents: Array[Array[Long]],
+      mvec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scored = cents.zipWithIndex.map { case (cv, i) =>
+      struct(dist2(mvec, lit(cv)), lit(i.toLong))
+    }
+    (if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*))
+      .getField("col2")
+  }
+
+  /** Fit-or-fetch the memoized deterministic quantizer over the
+    * embeddings at `d`: returns the driver-held centroid model (row i =
+    * centroid i's micro-unit vector) and the (vec_id, embedding, nrm,
+    * centroid) assignment frame it induces.
     */
   private[graft] def quantize(s: SparkSession, d: String, nCentroids: Int)
-      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      : (Array[Array[Long]], DataFrame) = {
     val e = Tables.embeddings(s, d)
-      .withColumn("vec", array_to_vector(col("embedding")))
       .withColumn("nrm", norm(col("embedding")))
-    val model = ivfCache.synchronized {
+      .withColumn("mvec", microVec(col("embedding")))
+    val cents = ivfCache.synchronized {
       val fp = graft.core.Fingerprint.of(s, d, "embeddings")
       ivfCache.keys
         .filter(k => k._1 == s && k._2 == d && k._3 == nCentroids && k._4 != fp)
         .foreach(ivfCache.remove)
       ivfCache.getOrElseUpdate((s, d, nCentroids, fp),
-        new KMeans().setK(nCentroids).setSeed(42L)
-          .setFeaturesCol("vec").setPredictionCol("centroid")
-          .fit(e.select("vec")))
+        fitKMeans(e.select("vec_id", "mvec"), nCentroids))
     }
-    (model, model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid")))
+    (cents, e.select(col("vec_id"), col("embedding"), col("nrm"),
+      assignExpr(cents, col("mvec")).as("centroid")))
   }
 
-  /** The centroid vectors as a tiny broadcast-able frame. */
+  /** The Lloyd loop over micro-unit vectors — `e` must carry (vec_id,
+    * mvec). Each iteration: map-side [[assignExpr]] argmin, one
+    * (centroid, dim)-keyed partial-agg shuffle (≤ nCentroids·dims rows
+    * after map-side combine), integer-div means collected to the
+    * driver-held model. Mirrors SparkEntry's q48 oracle CTE unroll —
+    * keep seeds/ties/empty-cluster rules in lockstep.
+    */
+  private def fitKMeans(e: DataFrame, nCentroids: Int): Array[Array[Long]] = {
+    var cents: Array[Array[Long]] = e
+      .select(col("vec_id"), col("mvec"),
+        md5(concat(col("vec_id").cast("string"), lit(":ivfseed"))).as("h"))
+      .orderBy("h", "vec_id")
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    for (_ <- 1 to IvfIters) {
+      val sums = e
+        .select(assignExpr(cents, col("mvec")).as("centroid"),
+          posexplode(col("mvec")).as(Seq("dim", "v")))
+        .groupBy("centroid", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        // JVM Long `/` truncates toward zero — same semantics as
+        // DuckDB's integer `//`, so the oracle's unrolled update matches
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** The centroid model as a tiny broadcast-able frame
+    * (centroid, cvec: array&lt;long&gt; in micro-units) — also the schema
+    * of the persisted `<table>_centroids` side table.
+    */
   private[graft] def centroidFrame(s: SparkSession,
-      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+      cents: Array[Array[Long]]): DataFrame = {
     import s.implicits._
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toDF("centroid", "c_emb")
+    cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("centroid", "cvec")
   }
 
   /** The probe core shared by the in-session q48 and the persisted-index
     * path: rank the `nProbe` nearest centroids per query (queries =
-    * vec_id % 25 == 0 of the assignment frame), then cosine top-k within
-    * only those centroids' assignments.
+    * vec_id % 25 == 0 of the assignment frame) by exact integer
+    * squared-L2 on micro-unit vectors — the quantizer's own metric, so
+    * the ranking is replayable bit-for-bit by the oracle (the old
+    * float-cosine ranking was not: an unrounded double ordering can
+    * flip across engines) — then cosine top-k within only those
+    * centroids' assignments.
     */
   private def ivfProbe(assigned: DataFrame, centroids: DataFrame,
       nProbe: Int, k: Int): DataFrame = {
     val queries = assigned.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_norm"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("c_dist"))
+        col("nrm").as("q_norm"), microVec(col("embedding")).as("qm"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("c_d2"), col("centroid"))
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("c_dist", -cosinePrenormed(
-        dot(col("q_emb"), col("c_emb")), col("q_norm"), norm(col("c_emb"))))
+      .withColumn("c_d2", dist2(col("qm"), col("cvec")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid"))
@@ -221,8 +325,8 @@ object Similarity {
 
   def q48IvfAnn(s: SparkSession, d: String, nCentroids: Int = 8, nProbe: Int = 2,
       k: Int = 3): DataFrame = {
-    val (model, assigned) = quantize(s, d, nCentroids)
-    ivfProbe(assigned, centroidFrame(s, model), nProbe, k)
+    val (cents, assigned) = quantize(s, d, nCentroids)
+    ivfProbe(assigned, centroidFrame(s, cents), nProbe, k)
   }
 
   /** Materialize the IVF index: the assignment frame lands as a catalog
@@ -240,10 +344,10 @@ object Similarity {
       nCentroids: Int = 8, buckets: Int = 8,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists,
       path: Option[String] = None): Unit = {
-    val (model, assigned) = quantize(s, d, nCentroids)
+    val (cents, assigned) = quantize(s, d, nCentroids)
     graft.sources.Bucketing.writeBucketed(
       assigned, table, "centroid", buckets, Some("vec_id"), mode, path)
-    val cw = centroidFrame(s, model).write.mode(mode).format("parquet")
+    val cw = centroidFrame(s, cents).write.mode(mode).format("parquet")
     path.fold(cw)(p => cw.option("path", p + "_centroids"))
       .saveAsTable(table + "_centroids")
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
 import graft.functions.Round._
+import org.apache.spark.sql.graft.Bridge
 
 /** Text-analysis operators over the `documents` fixture: word count (the
   * reference's one and only query — `MapClass.java`/`ReduceClass.java` —
@@ -647,40 +648,52 @@ object TextOps {
       .select(explode(shingles3(tokens(col("text")))).as("sh"))
       .select(md5(col("sh")).as("h")).distinct()
 
-  /** Bloom sketch over a hash frame, sized from the TRUE distinct count
-    * (one tiny job over the eval-suite-sized side, never the corpus).
+  /** Bloom sketch over a hash frame as SERIALIZED BYTES, sized from the
+    * TRUE distinct count (one tiny job over the eval-suite-sized side,
+    * never the corpus). Built with Spark's own `BloomFilterAggregate`
+    * over `xxhash64(h)` — the same sketch class the engine's runtime
+    * row-group filtering uses — so the probe side can be the codegen'd
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * expression instead of a Scala UDF (which would break whole-stage
+    * codegen on the q86 filter path; this retired the codebase's last
+    * UDF). `bloom_filter_agg`/`might_contain` are not SQL-registered in
+    * Spark 4.1.2 (they are optimizer-internal), so both go through the
+    * Expression→Column bridge.
     */
-  def benchBloom(hashes: DataFrame, fpp: Double)
-      : org.apache.spark.util.sketch.BloomFilter =
-    hashes.stat.bloomFilter("h", math.max(1L, hashes.count()), fpp)
+  def benchBloom(hashes: DataFrame, fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val n = math.max(1L, hashes.count())
+    val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val agg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("h"))),
+      Bridge.expression(lit(n)), Bridge.expression(lit(math.max(1L, bits))))
+      .toAggregateExpression()
+    hashes.select(Bridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+  }
 
   /** Core of the Bloom-pre-filtered contamination screen, shared by
     * [[q86BloomDecontaminate]] (whole-corpus batch) and
     * [[graft.streaming.StreamingOps]]' ingest-time screen (per
     * micro-batch): explode `docs` (doc_id, text) to hashed 3-shingles,
-    * pre-filter through the broadcast sketch, exact-verify against the
-    * real benchmark hash set (false positives drop here), count distinct
-    * contaminated shingles per doc. Exact regardless of the sketch's
-    * error rate; the sketch only sizes the join input.
+    * pre-filter through the sketch (a plan literal probed by the
+    * codegen'd `might_contain` expression — the filter stays inside the
+    * WholeStageCodegen span), exact-verify against the real benchmark
+    * hash set (false positives drop here), count distinct contaminated
+    * shingles per doc. Exact regardless of the sketch's error rate; the
+    * sketch only sizes the join input. Eval-suite sketches are small
+    * (KBs), so carrying the bytes as a literal costs what a broadcast
+    * would.
     */
   def contaminationScreen(docs: DataFrame, benchHashes: DataFrame,
-      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
-    contaminationScreen(docs, benchHashes,
-      docs.sparkSession.sparkContext.broadcast(bloom))
-
-  /** Overload taking an ALREADY-broadcast sketch: a long-lived stream
-    * screens thousands of micro-batches against one benchmark index,
-    * and re-shipping the sketch per trigger would be pure overhead —
-    * the caller broadcasts once per stream, every batch reuses it.
-    */
-  def contaminationScreen(docs: DataFrame, benchHashes: DataFrame,
-      bloomBc: org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
-    val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
+      bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(bloom)),
+      Bridge.expression(xxhash64(col("h")))))
     docs
       .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
       .withColumn("h", md5(col("sh")))
-      .filter(mightContain(col("h")))              // broadcast sketch probe
+      .filter(mightContain)                        // codegen'd sketch probe
       .join(benchHashes.select("h"), Seq("h"), "left_semi") // exact: drops FPs
       .groupBy("doc_id")
       .agg(countDistinct(col("h")).as("n_contaminated_shingles"))
@@ -2060,7 +2073,7 @@ object TextOps {
   private val contractionCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), (DataFrame, DataFrame)]
 
-  private def textContraction(s: SparkSession, d: String)
+  private[ops] def textContraction(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
     contractionCache.synchronized {
       val fp = graft.core.Fingerprint.of(s, d, "documents")

@@ -443,7 +443,7 @@ object StreamingOps {
     * callers own the lifecycle (`unpersist()` when the stream stops).
     */
   final case class ContaminationIndex(benchHashes: DataFrame,
-      bloom: org.apache.spark.util.sketch.BloomFilter) {
+      bloom: Array[Byte]) {
     def unpersist(): Unit =
       try { benchHashes.unpersist(); () } catch { case _: Throwable => () }
   }
@@ -472,15 +472,16 @@ object StreamingOps {
   def decontaminateAtIngest(docs: DataFrame, index: ContaminationIndex,
       outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // one sketch broadcast for the stream's whole lifetime — every
-    // micro-batch reuses it (re-shipping per trigger would be waste)
-    val bloomBc = docs.sparkSession.sparkContext.broadcast(index.bloom)
+    // the serialized sketch rides each micro-batch's plan as a literal
+    // probed by the codegen'd might_contain expression (an eval-suite
+    // sketch is KBs; the driver holds ONE copy in `index` for the
+    // stream's whole lifetime)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.TextOps
-          .contaminationScreen(batch, index.benchHashes, bloomBc)
+          .contaminationScreen(batch, index.benchHashes, index.bloom)
           .withColumn("batch_id", lit(batchId))
           .coalesce(1)
           .write.mode("append").parquet(outDir)

@@ -75,15 +75,17 @@ object AnnComparisonProbe {
     // candidates/query, IVF side: probed-cell sizes summed per query
     def ivfCands(nCentroids: Int, nProbe: Int): Double = {
       import org.apache.spark.sql.expressions.Window
-      val (model, assigned) = Similarity.quantize(spark, dir, nCentroids)
+      val (cents, assigned) = Similarity.quantize(spark, dir, nCentroids)
       val sizes = assigned.groupBy("centroid").agg(count(lit(1)).as("cs"))
-      val wP = Window.partitionBy("query_id").orderBy(col("c_dist"))
+      val wP = Window.partitionBy("query_id").orderBy(col("c_d2"), col("centroid"))
       assigned.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_norm"))
-        .crossJoin(broadcast(Similarity.centroidFrame(spark, model)))
-        .withColumn("c_dist", -dot(col("q_emb"), col("c_emb"))
-          / (col("q_norm") * norm(col("c_emb"))))
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * lit(1000000L) + lit(0.5)).cast("long"))
+            .as("qm"))
+        .crossJoin(broadcast(Similarity.centroidFrame(spark, cents)))
+        .withColumn("c_d2", graft.functions.expressions
+          .FloatVecExpressions.longDist2(col("qm"), col("cvec")))
         .withColumn("pr", row_number().over(wP))
         .filter(col("pr") <= nProbe)
         .join(sizes, Seq("centroid"))
@@ -104,12 +106,47 @@ object AnnComparisonProbe {
         () => ivfCands(256, 9)))
 
     println(f"${"config"}%-18s ${"recall@3"}%9s ${"cands/q"}%9s ${"sec"}%7s")
-    rows.foreach { case (name, mk, cands) =>
+    val measured = rows.map { case (name, mk, cands) =>
       val t = timeMin(mk())
       val r = recallAt3(mk())
       val c = cands()
       println(f"$name%-18s $r%9.3f $c%9.1f $t%7.2f")
+      (name, r, c, t)
     }
     println(s"(recall over the $nq %50-queries; time = min of 2 warm passes)")
+
+    // args(1): write the decision record as a committed artifact
+    // (ANN_DECISION.json — the round-9 verdict's item 6), so the
+    // recommended family's recall/cost are diffable round-over-round
+    // and SimilaritySpec can gate on the committed numbers. The
+    // decision rule is the NOTES round-9 one, re-derived from THIS
+    // run's numbers: at the matched ~9/256 candidate budget, recommend
+    // the higher-recall family; multi-probe LSH stays the documented
+    // fit-free fallback either way.
+    args.lift(1).foreach { out =>
+      val m = measured.map(x => x._1 -> x).toMap
+      val budgetPair = Seq("ivf_256c_9p", "q146_lsh_9of256")
+      val recommended = budgetPair.maxBy(n => m(n)._2)
+      def r3(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      def r1(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      val cfgs = measured.map { case (n, r, c, t) =>
+        s""""$n":{"recall3":${r3(r)},"cands_per_query":${r1(c)},"sec":${r3(t)}}"""
+      }.mkString(",")
+      val json =
+        s"""{"artifact":"ann_decision","sf_dir":"$dir","n_vectors":$nVecs,
+           |"n_queries":$nq,
+           |"protocol":"recall@3 vs exact q40 over the %50 query set; cands_per_query = probed bucket/cell sizes summed per query (the number that scales); sec = min of 2 warm passes",
+           |"quantizer":"deterministic exact-integer k-means (md5-salted seeds, ${Similarity
+              .IvfIters} Lloyd iterations, micro-unit BIGINT arithmetic)",
+           |"budget_matched_pair":["ivf_256c_9p","q146_lsh_9of256"],
+           |"recommended":"$recommended",
+           |"recommended_recall3":${r3(m(recommended)._2)},
+           |"fit_free_fallback":"q146_lsh_9of256",
+           |"configs":{$cfgs}}""".stripMargin.replace("\n", "")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      println(s"wrote $out (recommended: $recommended)")
+    }
   }
 }

@@ -12,6 +12,24 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("ANN decision artifact: committed record is well-formed and its recommended family holds the recall floor") {
+    // the committed ANN_DECISION.json (written by AnnComparisonProbe at
+    // sf0.1) is the round-over-round regression gate on the family
+    // choice: regenerating it with a recommended-config recall below
+    // the spec's 0.3 floor breaks this test until re-adjudicated
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("ANN_DECISION.json"))
+    def field(k: String): String =
+      s""""$k":\\s*([^,}\\s]+)""".r.findFirstMatchIn(txt)
+        .getOrElse(fail(s"ANN_DECISION.json missing $k")).group(1)
+    assert(field("artifact") == "\"ann_decision\"")
+    assert(field("n_vectors").toLong > 0L)
+    val rec = field("recommended").stripPrefix("\"").stripSuffix("\"")
+    assert(txt.contains(s""""$rec":{"""), s"recommended $rec not in configs")
+    assert(field("recommended_recall3").toDouble >= 0.3,
+      s"recommended family recall ${field("recommended_recall3")} < spec floor 0.3")
+  }
+
   test("q48 IVF: at most k rows per query, valid sims, recall@3 vs exact >= 0.3") {
     val ivf = Similarity.q48IvfAnn(spark, sf).cache()
     try {

@@ -470,6 +470,64 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("q155 perceptual-hash near-dup: matches a JVM dHash reference; banding loses nothing at <= 7") {
+    import spark.implicits._
+    // JVM reference: byte-fold grid -> row-gradient bands -> hamming,
+    // formulated over byte ARRAYS (no hex strings, no SQL) so the
+    // engine's hex-pair parse is checked against a different formulation
+    def bandsOf(text: String): Array[Long] = {
+      val cells = Array.fill(72)(0L)
+      text.getBytes("UTF-8").zipWithIndex
+        .foreach { case (b, j) => cells(j % 72) += (b & 0xff).toLong }
+      (0 until 8).map { r =>
+        (0 until 8).map { c =>
+          if (cells(r * 9 + c + 1) > cells(r * 9 + c)) 1L << c else 0L
+        }.sum
+      }.toArray
+    }
+    def ham(a: Array[Long], b: Array[Long]): Long =
+      (0 until 8).map(r => java.lang.Long.bitCount(a(r) ^ b(r)).toLong).sum
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    // deterministic self-calibrating edits: single-char substitutions
+    // scanned in order until one lands in the near band (a one-byte
+    // delta moves exactly one grid cell, flipping <= 2 gradient bits
+    // ONLY when it crosses that cell's margins — which depends on the
+    // text, so the fixture derives the edit instead of guessing it)
+    val near = (0 until base.length).iterator
+      .flatMap(i => Seq('z', '0', '~').map(ch => base.updated(i, ch)))
+      .find { t =>
+        val h = ham(bandsOf(base), bandsOf(t)); h >= 1L && h <= 7L
+      }.get
+    val far = Seq("0123456789 " * 25, base.reverse,
+      base.map(c => if (c.isLetter) ('z' - (c - 'a')).toChar else c))
+      .find(t => ham(bandsOf(base), bandsOf(t)) > 7L &&
+        ham(bandsOf(near), bandsOf(t)) > 7L).get
+    val texts = Map(0L -> base, 1L -> base /* exact dup of 0 */,
+      2L -> near, 3L -> far)
+    val dir = java.nio.file.Files.createTempDirectory("phash_docs").toString
+    texts.toSeq.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // the fixture genuinely exercises all three regimes (the finds
+    // above guarantee it; re-assert for the reader)
+    val b = texts.view.mapValues(bandsOf).toMap
+    assert(ham(b(0L), b(2L)) >= 1L && ham(b(0L), b(2L)) <= 7L)
+    assert(ham(b(0L), b(3L)) > 7L && ham(b(2L), b(3L)) > 7L)
+    // expected rep-level output: reps {0 (members 2), 2, 3}; brute-force
+    // all rep pairs at <= 7 — banding must find exactly these (pigeonhole)
+    val reps = Map(0L -> 2L, 2L -> 1L, 3L -> 1L)
+    val expect = (for {
+      a <- reps.keys; bb <- reps.keys if a < bb
+      h = ham(b(a), b(bb)) if h <= 7L
+    } yield (a, bb) -> (h, reps(a), reps(bb))).toMap +
+      ((0L, 0L) -> ((0L, 2L, 2L)))  // the multi-copy self-row
+    val got = graft.ops.Multimodal.q155PhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == expect, s"got $got\nwant $expect")
+  }
+
   test("q86 bloom decontamination: flagged set equals q74, counts positive, fpp-invariant") {
     val q86 = TextOps.q86BloomDecontaminate(spark, sf).cache()
     try {
