@@ -49,10 +49,13 @@ object StreamStress {
     val t0 = System.nanoTime()
     try q.processAllAvailable() finally q.stop()
     val secs = (System.nanoTime() - t0) / 1e9
-    val durs = q.recentProgress.toSeq
+    // arrival order retained in batch_secs: a max that is always batch 0
+    // is a JIT/codegen warm-up artifact, not data skew — the two need
+    // different fixes, so the artifact must distinguish them
+    val inOrder = q.recentProgress.toSeq
       .filter(_.numInputRows > 0)
       .map(p => p.durationMs.get("triggerExecution").toDouble / 1000.0)
-      .sorted
+    val durs = inOrder.sorted
     val p50 = if (durs.isEmpty) 0.0 else durs(durs.length / 2)
     Seq(
       "sec" -> fmt(secs),
@@ -60,7 +63,8 @@ object StreamStress {
       "rows_per_sec" -> fmt(nRows / secs),
       "batches" -> durs.length.toString,
       "batch_p50_sec" -> fmt(p50),
-      "batch_max_sec" -> fmt(if (durs.isEmpty) 0.0 else durs.last))
+      "batch_max_sec" -> fmt(if (durs.isEmpty) 0.0 else durs.last),
+      "batch_secs" -> inOrder.map(fmt).mkString("[", ",", "]"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -97,6 +101,14 @@ object StreamStress {
       runStream(spark, inDir, nTrain) { s =>
         graft.streaming.StreamingOps.contaminationSpansAtIngest(
           s, benchGrams, s"$workDir/warm_out", s"$workDir/warm_ckpt")
+      }
+      // the rewrite surface JITs a distinct plan (contraction + token
+      // rewrite), and its un-warmed batch 0 ran 3.0 s vs a 1.5-2.1 s
+      // steady state (batch_secs, round 10) — warm it too so the
+      // measured max reflects skew, not first-compilation
+      runStream(spark, inDir, nTrain) { s =>
+        graft.streaming.StreamingOps.decontaminateRewriteAtIngest(
+          s, benchGrams, s"$workDir/warm_rw_out", s"$workDir/warm_rw_ckpt")
       }
       val surfaces = Seq(
         "quality_score_ingest" -> runStream(spark, inDir, nTrain) { s =>

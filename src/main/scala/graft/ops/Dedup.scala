@@ -1537,12 +1537,21 @@ object Dedup {
       col("name").as("name_b"), col("k"))
     a.join(b, Seq("k"))
       .where(col("key_a") < col("key_b"))
-      // verify BEFORE distinct: levenshtein is cheap map-side codegen
-      // and candidate occurrences outnumber true pairs ~5× here
-      // (measured 1.46M occurrences → 262k pairs at sf0.1), so
-      // filtering first shrinks the dedup shuffle by that factor; a
-      // true pair reaches distinct once per shared key (≤2 for
-      // distance-1, all L+1 keys only for identical strings)
+      // distinct BEFORE verify (round-10 re-measurement, Q101Probe:
+      // 3.18 vs 3.75 s at sf0.1): a candidate pair reaches the join
+      // once per shared key (~3.7× multiplicity here — 977k
+      // occurrences → 262k pairs), and on this fixture the verify
+      // drops NOTHING (structured names make every shared-deletion
+      // pair a true distance-≤1 pair), so deduping first does 3.7×
+      // fewer levenshtein DPs at the price of a wider distinct
+      // shuffle. The opposite order wins only when false candidates
+      // dominate (verify selectivity ≪ 1) — revisit if the name
+      // distribution changes. Length-segmented keys (the other r9
+      // suggestion) are a no-op under this join: keys of different
+      // lengths can never be string-equal, so cross-length candidates
+      // already vanish (NOTES round 10).
+      .select("key_a", "key_b", "name_a", "name_b")
+      .distinct()
       // bounded edit distance: the 3-arg form abandons a row's DP as
       // soon as distance 1 is exceeded (returns -1), so the verify does
       // O(threshold·len) work per candidate, not O(len²); surviving
@@ -1552,7 +1561,6 @@ object Dedup {
         levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
       .where(col("lev") >= 0L && col("lev") <= 1L)
       .select("key_a", "key_b", "name_a", "name_b", "lev")
-      .distinct()
   }
 
   /** COMPONENT SIZE HISTOGRAM — the one-look answer to "how duplicated

@@ -787,6 +787,16 @@ object StreamingOps {
     * benchmark-overlapping spans never land on training storage.
     * Zero streaming state; same at-least-once/batch_id delivery
     * contract as [[contaminationSpansAtIngest]].
+    *
+    * BATCH-LOCAL exact-text contraction (round 10, the q152/q143
+    * contraction applied inside the micro-batch): the rewrite is a
+    * pure function of the text, so identical texts arriving in one
+    * batch rewrite ONCE and members inherit the row closed-form —
+    * exactness unchanged (the spec's union ≡ batch q152 pin covers
+    * it). On the 20× dup-heavy ingest stress each batch carries ~2.5
+    * copies per doc, so the gram explode + seed join — the batch's
+    * dominant cost — shrinks by that factor; on a dup-free stream the
+    * overhead is one batch-local md5 groupBy (batch-sized, cheap).
     */
   def decontaminateRewriteAtIngest(docs: DataFrame, benchGrams: DataFrame,
       outDir: String, checkpointDir: String, minRun: Int = 4)
@@ -795,7 +805,19 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.ops.TextOps.decontaminateRewriteCore(batch.toDF(), benchGrams, minRun)
+        val base = batch.toDF()
+          .select(col("doc_id"), col("text"), md5(col("text")).as("ht"))
+        val reps = base.groupBy("ht").agg(min("doc_id").as("rep"))
+        val membership = base.join(reps, Seq("ht"))
+          .select(col("rep"), col("doc_id"))
+        val repDocs = base.join(
+          reps.select(col("rep").as("doc_id")), Seq("doc_id"))
+          .select("doc_id", "text")
+        graft.ops.TextOps.decontaminateRewriteCore(repDocs, benchGrams, minRun)
+          .withColumnRenamed("doc_id", "rep")
+          .join(membership, Seq("rep"))
+          .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+            col("kept_md5"))
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
         (): Unit
