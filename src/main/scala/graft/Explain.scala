@@ -20,6 +20,7 @@ object Explain {
     "q01_pricing_summary", "q03_customer_revenue", "q05_nation_revenue",
     "q26_tfidf", "q31_jaccard_pairs", "q32_minhash_lsh",
     "q34_embedding_neardup", "q40_cosine_topk", "q41_ann_lsh_topk",
+    "q48_ivf_ann",
     "q76_incremental_dedup", "q77_component_keeper", "q79_zorder_layout",
     "q81_minhash_estimate", "q83_lm_score", "q84_heavy_hitters",
     "q85_source_drift", "q86_bloom_decontaminate", "q87_semantic_clusters",

@@ -526,6 +526,15 @@ class TextDedupSimSpec extends AnyFunSuite {
         ((r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
     assert(got == expect, s"got $got\nwant $expect")
+    // band-vector memo staleness: the corpus changing under the cached
+    // dir must evict the persisted frame, not serve it stale (the
+    // contraction-memo discipline, applied to phashCache)
+    Thread.sleep(1100) // mtime granularity
+    Seq((0L, base, "en", "s0", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val after = graft.ops.Multimodal.q155PhashNearDup(spark, dir).collect()
+    assert(after.isEmpty, s"stale phash memo served: ${after.toSeq}")
   }
 
   test("q86 bloom decontamination: flagged set equals q74, counts positive, fpp-invariant") {
