@@ -214,6 +214,9 @@ object SparkEntry {
     // perceptual-hash media near-dup: banded Hamming blocking (exact
     // recall at the <= 7 threshold by pigeonhole over 8 bands)
     "q155_phash_neardup" -> ((s, d) => Multimodal.q155PhashNearDup(s, d)),
+    // Hamming top-k media similarity (multi-index hashing probe over the
+    // q155 band index; all-BIGINT — the gate needs no rounding at all)
+    "q156_phash_topk" -> ((s, d) => Multimodal.q156PhashTopK(s, d)),
     // data layout / table maintenance
     "q79_zorder_layout" -> (Layout.q79ZOrderLayout(_, _)),
     "q80_compact_roundtrip" -> ((s, d) => Layout.q80CompactRoundtrip(s, d)),
@@ -365,6 +368,32 @@ object SparkEntry {
        | ${sqlRn("sim6", 4)} AS cos_sim
        |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
   }
+
+  /** The dHash fingerprint CTE chain shared by the q155 near-dup and
+    * q156 Hamming-top-k oracles (mirrors Multimodal.phashBandsOf over
+    * the exact-text contraction — keep in lockstep): contraction reps,
+    * hex-pair byte parse, mod-72 cell fold, 72-cell grid, row-gradient
+    * band values. Ends at `bands(rep, band, bv)` + `dt(rep, members)`.
+    */
+  private lazy val phashCtes: String =
+    s"""dt AS (SELECT min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS members, text
+       |  FROM documents GROUP BY text),
+       |hxf AS (SELECT rep, members, lower(hex(encode(text))) AS hx FROM dt),
+       |bp AS (SELECT rep, CAST((p - 1) % 72 AS BIGINT) AS cell,
+       |  CAST(16 * (instr('0123456789abcdef', substr(hx, p * 2 - 1, 1)) - 1)
+       |    + instr('0123456789abcdef', substr(hx, p * 2, 1)) - 1 AS BIGINT) AS v
+       | FROM (SELECT rep, hx, CAST(unnest(range(1, len(hx) // 2 + 1)) AS INT) AS p
+       |       FROM hxf)),
+       |cl AS (SELECT rep, cell, CAST(sum(v) AS BIGINT) AS v FROM bp GROUP BY rep, cell),
+       |grid AS (SELECT gg.rep, list(COALESCE(cl.v, 0) ORDER BY gg.cell) AS g
+       | FROM (SELECT rep, CAST(unnest(range(0, 72)) AS BIGINT) AS cell FROM dt) gg
+       | LEFT JOIN cl ON cl.rep = gg.rep AND cl.cell = gg.cell
+       | GROUP BY gg.rep),
+       |bands AS (SELECT rep, CAST(r AS BIGINT) AS band,
+       |  CAST(sum(CASE WHEN g[r * 9 + c + 2] > g[r * 9 + c + 1]
+       |    THEN 1 << c ELSE 0 END) AS BIGINT) AS bv
+       | FROM grid, range(0, 8) rr(r), range(0, 8) cc(c)
+       | GROUP BY rep, r)""".stripMargin
 
   /** The word-count oracle text, bound ONCE for q20 and q117 — the
     * "q20/q117/oracle triangulate one semantics" contract is
@@ -1833,26 +1862,10 @@ object SparkEntry {
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // mirrors Multimodal.q155PhashNearDup — byte-fold grid, row-gradient
     // dHash bands, band-equality candidates, bit_count verify, rep-level
-    // output with member counts (keep in lockstep)
+    // output with member counts (keep in lockstep; CTE chain shared with
+    // the q156 probe)
     "q155_phash_neardup" ->
-      s"""WITH dt AS (SELECT min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS members, text
-         |  FROM documents GROUP BY text),
-         |hxf AS (SELECT rep, members, lower(hex(encode(text))) AS hx FROM dt),
-         |bp AS (SELECT rep, CAST((p - 1) % 72 AS BIGINT) AS cell,
-         |  CAST(16 * (instr('0123456789abcdef', substr(hx, p * 2 - 1, 1)) - 1)
-         |    + instr('0123456789abcdef', substr(hx, p * 2, 1)) - 1 AS BIGINT) AS v
-         | FROM (SELECT rep, hx, CAST(unnest(range(1, len(hx) // 2 + 1)) AS INT) AS p
-         |       FROM hxf)),
-         |cl AS (SELECT rep, cell, CAST(sum(v) AS BIGINT) AS v FROM bp GROUP BY rep, cell),
-         |grid AS (SELECT gg.rep, list(COALESCE(cl.v, 0) ORDER BY gg.cell) AS g
-         | FROM (SELECT rep, CAST(unnest(range(0, 72)) AS BIGINT) AS cell FROM dt) gg
-         | LEFT JOIN cl ON cl.rep = gg.rep AND cl.cell = gg.cell
-         | GROUP BY gg.rep),
-         |bands AS (SELECT rep, CAST(r AS BIGINT) AS band,
-         |  CAST(sum(CASE WHEN g[r * 9 + c + 2] > g[r * 9 + c + 1]
-         |    THEN 1 << c ELSE 0 END) AS BIGINT) AS bv
-         | FROM grid, range(0, 8) rr(r), range(0, 8) cc(c)
-         | GROUP BY rep, r),
+      s"""WITH $phashCtes,
          |cand AS (SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
          | FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
          | WHERE a.rep < b.rep),
@@ -1871,6 +1884,27 @@ object SparkEntry {
          |  members AS members_a, members AS members_b FROM dt WHERE members >= 2)
          |SELECT * FROM (SELECT * FROM cr UNION ALL SELECT * FROM sfr)
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // mirrors Multimodal.q156PhashTopK — band probes of the %25 query
+    // reps against the banded index, exact Hamming rank with
+    // (hamming, cand_id) tie-break (keep in lockstep)
+    "q156_phash_topk" ->
+      s"""WITH $phashCtes,
+         |q AS (SELECT rep AS query_id, band, bv FROM bands WHERE rep % 25 = 0),
+         |cand AS (SELECT DISTINCT q.query_id, b.rep AS cand_id
+         | FROM q JOIN bands b ON q.band = b.band AND q.bv = b.bv
+         | WHERE b.rep <> q.query_id),
+         |hamj AS (SELECT cand.query_id, cand.cand_id,
+         |  CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+         | FROM cand
+         | JOIN bands ba ON ba.rep = cand.query_id
+         | JOIN bands bb ON bb.rep = cand.cand_id AND bb.band = ba.band
+         | GROUP BY cand.query_id, cand.cand_id),
+         |ranked AS (SELECT query_id, cand_id, hamming,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, cand_id) AS BIGINT) AS rk
+         | FROM hamj)
+         |SELECT query_id, rk, cand_id, hamming FROM ranked WHERE rk <= 3
+         |ORDER BY query_id, rk""".stripMargin,
     "q50_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -135,11 +135,17 @@ object Multimodal {
     phashCache.clear()
   }
 
-  def q155PhashNearDup(s: SparkSession, d: String, maxHamming: Int = 7)
-      : DataFrame = {
-    val bandsN = 8
-    val (repDocs, _) = TextOps.textContraction(s, d)
-    val hx = repDocs.select(col("doc_id"), col("copies"),
+  private val BandsN = 8
+
+  /** dHash band vectors of a (doc_id, text) frame — (doc_id,
+    * bands: array&lt;long&gt;[8]) — the pure pipeline (decode fold →
+    * grid → gradient bits; steps 1-2 of the q155 scaladoc). Shared by
+    * the memoized corpus index, q156's probe queries, and the
+    * streaming ingest twin, so no two surfaces can disagree on what a
+    * fingerprint is.
+    */
+  private[graft] def phashBandsOf(docs: DataFrame): DataFrame = {
+    val hx = docs.select(col("doc_id"),
       lower(hex(encode(col("text"), "UTF-8"))).as("hx"))
     val cells = hx
       .select(col("doc_id"),
@@ -156,30 +162,27 @@ object Multimodal {
       .select(col("doc_id"),
         transform(sequence(lit(0L), lit(71L)),
           i => coalesce(element_at(col("m"), i), lit(0L))).as("g"))
-    val bandArr = array((0 until bandsN).map { r =>
+    val bandArr = array((0 until BandsN).map { r =>
       (0 until 8).map { c =>
         when(element_at(col("g"), r * 9 + c + 2)
           > element_at(col("g"), r * 9 + c + 1), lit(1L << c))
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
-    // bands twice: EXPLODED for the blocking join, as an ARRAY column
-    // for the verify — so a candidate pair verifies with one map-side
-    // unrolled 8-term bit_count instead of an 8-row join+agg. Verify
-    // runs BEFORE distinct (the q101 regime rule: band-collision
-    // multiplicity here is ~1.04 — 938k occurrences vs 904k pairs at
-    // sf0.1 — so a pre-verify distinct shuffles the whole candidate
-    // space to save almost nothing, while ham ≤ 7 survivors are a few
-    // hundred rows); the band-vector frames are rep-count-sized and
-    // broadcast, so candidates never shuffle at all
-    // materialized ONCE into the session memo: bandVec feeds four plan
-    // branches (both sides of the blocking self-join + both broadcast
-    // verify sides), and without truncation each branch re-runs the
-    // whole byte-decode lineage — measured 4× the decode pass, ~8 s of
-    // q155's first-cut 7.5 s at sf0.1. The frame is rep-count × 9
-    // longs — trivially resident at any scale where the rep set itself
-    // is manageable
-    val bandVec = phashCache.synchronized {
+    grid.select(col("doc_id"), bandArr.as("bands"))
+  }
+
+  /** The memoized, persisted CORPUS band index over the exact-text
+    * contraction reps — materialized once per (session, dir,
+    * fingerprint): the frame feeds four plan branches in q155 (both
+    * blocking-join sides + both verify sides) and every q156 probe,
+    * and without truncation each branch re-runs the whole byte-decode
+    * lineage — measured 4× the decode pass, ~8 s of q155's first-cut
+    * 7.5 s at sf0.1. Rep-count × 9 longs — trivially resident at any
+    * scale where the rep set itself is manageable.
+    */
+  private[graft] def phashIndex(s: SparkSession, d: String): DataFrame =
+    phashCache.synchronized {
       val fp = graft.core.Fingerprint.of(s, d, "documents")
       phashCache.keys
         .filter(k => k._1 == s && k._2 == d && k._3 != fp)
@@ -189,18 +192,40 @@ object Multimodal {
           }
         }
       phashCache.getOrElseUpdate((s, d, fp), {
-        val f = grid.select(col("doc_id"), bandArr.as("bands"))
+        val (repDocs, _) = TextOps.textContraction(s, d)
+        val f = phashBandsOf(repDocs.select(col("doc_id"), col("text")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         f.count()
         f
       })
     }
-    val bands = bandVec
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bv")))
-    val hamExpr = (0 until bandsN).map { r =>
+
+  /** Unrolled 8-term Hamming distance between band-vector columns `ba`
+    * and `bb` — one map-side codegen'd expression, no per-band join.
+    * Shared with the streaming ingest twin.
+    */
+  private[graft] def hamExpr: org.apache.spark.sql.Column =
+    (0 until BandsN).map { r =>
       bit_count(element_at(col("ba"), r + 1)
         .bitwiseXOR(element_at(col("bb"), r + 1)))
     }.reduce(_ + _).cast("long")
+
+  def q155PhashNearDup(s: SparkSession, d: String, maxHamming: Int = 7)
+      : DataFrame = {
+    val (repDocs, _) = TextOps.textContraction(s, d)
+    val hx = repDocs.select(col("doc_id"), col("copies"))
+    // bands twice: EXPLODED for the blocking join, as an ARRAY column
+    // for the verify — so a candidate pair verifies with one map-side
+    // unrolled 8-term bit_count instead of an 8-row join+agg. Verify
+    // runs BEFORE distinct (the q101 regime rule: band-collision
+    // multiplicity here is ~1.04 — 938k occurrences vs 904k pairs at
+    // sf0.1 — so a pre-verify distinct shuffles the whole candidate
+    // space to save almost nothing, while ham ≤ 7 survivors are a few
+    // hundred rows); the band-vector frames are rep-count-sized and
+    // broadcast, so candidates never shuffle at all
+    val bandVec = phashIndex(s, d)
+    val bands = bandVec
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bv")))
     val ham = bands
       .select(col("doc_id").as("doc_a"), col("band"), col("bv"))
       // the blocking join's build side is the rep-count-sized band
@@ -219,7 +244,7 @@ object Multimodal {
       .filter(col("hamming") <= lit(maxHamming.toLong))
       .select("doc_a", "doc_b", "hamming")
       .distinct()
-    val members = hx.select(col("doc_id"), col("copies"))
+    val members = hx
     val crossRows = ham
       .join(members.select(col("doc_id").as("doc_a"),
         col("copies").as("members_a")), Seq("doc_a"))
@@ -233,6 +258,59 @@ object Multimodal {
         lit(0L).as("hamming"), col("copies").as("members_a"),
         col("copies").as("members_b"))
     crossRows.unionByName(selfRows).orderBy("doc_a", "doc_b")
+  }
+
+  /** MEDIA SIMILARITY SEARCH (q156) — Hamming top-k over the dHash
+    * fingerprints: for each probe medium (rep % 25 == 0, the ANN
+    * family's query-subset convention), the k nearest corpus media by
+    * perceptual-hash Hamming distance. This is MULTI-INDEX HASHING
+    * (Norouzi et al. 2012) on q155's index: candidates come from
+    * equality probes of the query's 8 bands against the banded index —
+    * never a scan of the corpus — and exact Hamming ranks only the
+    * collided candidates. Completes the multimodal family's
+    * similarity-search story beside the embedding-space family
+    * (q40/q41/q48): same probe-the-buckets shape, but in Hamming space
+    * over media fingerprints.
+    *
+    * EXACTNESS, two layers:
+    *  - the gate is bit-exact: every number in the pipeline is a
+    *    BIGINT (no floats, no rounding anywhere), ranks are total via
+    *    the (hamming, cand_id) tie-break, so the oracle hash-matches
+    *    the full answer — no r6/r4 rounding discipline even needed;
+    *  - retrieval is exact for every neighbor at Hamming ≤ 7
+    *    (pigeonhole: 8 bands must share one); a true k-th neighbor
+    *    farther than 7 may be missed (candidates only come from band
+    *    collisions) — the documented multi-index-hashing recall
+    *    contract, mirrored verbatim by the oracle's candidate CTE.
+    *
+    * Scale shape: probes explode to 8 band keys each and hash-join the
+    * banded index (the only corpus-sized side, read from the persisted
+    * memo); per-pair verify is the map-side unrolled bit_count;
+    * ranking is a per-query window over that query's candidates only.
+    */
+  def q156PhashTopK(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bandVec = phashIndex(s, d)
+    val bands = bandVec
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+    val probes = bands.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"), col("band"), col("bv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("cand_id"))
+    probes
+      .join(bands.select(col("doc_id").as("cand_id"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+      .join(broadcast(bandVec.select(col("doc_id").as("query_id"),
+        col("bands").as("ba"))), Seq("query_id"))
+      .join(broadcast(bandVec.select(col("doc_id").as("cand_id"),
+        col("bands").as("bb"))), Seq("cand_id"))
+      .withColumn("hamming", hamExpr)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("hamming"))
+      .orderBy("query_id", "rk")
   }
 
   /** Decoded-media record produced by the per-partition decode pass. */

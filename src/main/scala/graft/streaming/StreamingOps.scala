@@ -824,6 +824,96 @@ object StreamingOps {
       }
       .start()
 
+  /** Corpus dHash band index for [[phashMatchAtIngest]] — the q155/q156
+    * fingerprint space distilled into persisted lookup frames: the
+    * exploded banded form (the probe target), the band-vector form (the
+    * verify side), and the per-rep member counts. Built over the
+    * corpus' exact-text contraction reps through the SAME
+    * [[graft.ops.Multimodal.phashBandsOf]] as batch, so the streaming
+    * surface cannot diverge on what a fingerprint is. PERSISTED because
+    * a stream-static join re-executes the static subplan every
+    * micro-batch. Caller owns the lifecycle (the
+    * [[CorpusDedupIndex]] contract).
+    */
+  final case class MediaPhashIndex(bands: DataFrame, bandVec: DataFrame,
+      members: DataFrame) {
+    def unpersist(): Unit =
+      Seq(bands, bandVec, members).foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+  }
+
+  def buildMediaPhashIndex(corpus: DataFrame): MediaPhashIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = corpus.select(col("doc_id"), col("text"),
+      md5(col("text")).as("ht"))
+    val reps = base.groupBy("ht")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("members"))
+    val repDocs = base.join(reps.select(col("ht"), col("rep")), Seq("ht"))
+      .filter(col("doc_id") === col("rep")).select("doc_id", "text")
+    val bandVec = graft.ops.Multimodal.phashBandsOf(repDocs).persist(lvl)
+    val bands = bandVec
+      .select(col("doc_id").as("rep"),
+        posexplode(col("bands")).as(Seq("band", "bv")))
+      .persist(lvl)
+    val members = reps.select(col("rep"), col("members")).persist(lvl)
+    bandVec.count(); bands.count(); members.count()
+    MediaPhashIndex(bands, bandVec, members)
+  }
+
+  /** PERCEPTUAL-HASH media near-dup AT INGEST — q155's detection
+    * running in the ingest path: per micro-batch, each arriving
+    * medium's dHash bands probe the static corpus index (multi-index
+    * hashing, q156's candidate shape), exact Hamming verifies, and
+    * matches at ≤ `maxHamming` land as (doc_id, match_rep, hamming,
+    * members, batch_id) — the admission-control signal that says "this
+    * media is a perceptual near-copy of `members` corpus items" before
+    * it reaches training storage. A doc arrives whole in one batch and
+    * the match set is a pure function of (text, index), so per-batch
+    * reports union to the equivalent batch stream-static join exactly
+    * — spec-pinned. Zero streaming state; the resident pieces are the
+    * three bounded index frames. Same at-least-once/batch_id delivery
+    * contract as the other ingest twins.
+    */
+  def phashMatchAtIngest(docs: DataFrame, index: MediaPhashIndex,
+      outDir: String, checkpointDir: String, maxHamming: Int = 7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        phashMatchBatch(batch.toDF(), index, maxHamming)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
+
+  /** The per-batch match computation of [[phashMatchAtIngest]] — also
+    * the batch-mode equivalence target the spec pins the stream against.
+    * The index side is rep-count-sized (corpus-scale): the probe is an
+    * equality hash join on (band, value) and the verify joins are
+    * rep-keyed — strategy left to AQE, which broadcasts them only when
+    * they genuinely fit.
+    */
+  private[graft] def phashMatchBatch(batch: DataFrame,
+      index: MediaPhashIndex, maxHamming: Int): DataFrame = {
+    val nb = graft.ops.Multimodal.phashBandsOf(
+      batch.select(col("doc_id"), col("text")))
+    val nbands = nb.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bv")))
+    nbands.join(index.bands, Seq("band", "bv"))
+      .select(col("doc_id"), col("rep")).distinct()
+      .join(nb.select(col("doc_id"), col("bands").as("ba")), Seq("doc_id"))
+      .join(index.bandVec.select(col("doc_id").as("rep"),
+        col("bands").as("bb")), Seq("rep"))
+      .withColumn("hamming", graft.ops.Multimodal.hamExpr)
+      .filter(col("hamming") <= lit(maxHamming.toLong))
+      .join(index.members, Seq("rep"))
+      .select(col("doc_id"), col("rep").as("match_rep"), col("hamming"),
+        col("members"))
+  }
+
   /** Static DSIR ratio table for [[importanceScoreAtIngest]] — q150's
     * corpus model built once per stream lifetime, persisted: ≤ 4096
     * rows (bucket-bounded regardless of corpus size), the q86/q143

@@ -415,6 +415,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); benchGrams.unpersist() }
   }
 
+  test("streaming phash media matching at ingest unions to the batch stream-static join exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus index over the fixture docs; the "arriving" media are the
+    // same docs re-ingested (every doc then perceptually matches at
+    // least its own rep at hamming 0, so the fixture genuinely
+    // exercises the probe + verify + members join)
+    val all = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text")
+    val index = StreamingOps.buildMediaPhashIndex(all)
+    val docs = all.as[(Long, String)].collect()
+    val outDir = java.nio.file.Files
+      .createTempDirectory("phash_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("phash_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.phashMatchAtIngest(
+      mem.toDF().toDF("doc_id", "text"), index, outDir, ckpt)
+    try {
+      // match sets are per-doc pure functions of (text, index), so
+      // batch boundaries cannot matter — union ≡ one batch pass
+      val (first, second) = docs.splitAt(docs.length / 2)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "match_rep", "hamming", "members")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val expect = StreamingOps.phashMatchBatch(
+        all.toDF(), index, maxHamming = 7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+      // every arriving doc matched its own rep at hamming 0
+      val selfMatched = got.filter(t => t._3 == 0L).map(_._1)
+      assert(docs.map(_._1).toSet.subsetOf(selfMatched))
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("streaming quality inference at ingest equals batch q145 row-for-row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -526,6 +526,26 @@ class TextDedupSimSpec extends AnyFunSuite {
         ((r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
     assert(got == expect, s"got $got\nwant $expect")
+    // q156 on the same corpus, against an independent JVM reference:
+    // candidates are exactly the band-collision set (the documented
+    // multi-index-hashing recall contract), ranked by (hamming,
+    // cand_id). Queries = reps % 25 == 0 → rep 0 here.
+    val repIds = reps.keys.toSeq
+    val want156 = (for {
+      qid <- repIds if qid % 25 == 0
+      ranked = repIds
+        .filter(c => c != qid &&
+          (0 until 8).exists(r => b(qid)(r) == b(c)(r)))
+        .map(c => (ham(b(qid), b(c)), c))
+        .sorted.take(3).zipWithIndex
+        .map { case ((h, c), i) => (qid, (i + 1).toLong, c, h) }
+      row <- ranked
+    } yield row).toSet
+    val got156 = graft.ops.Multimodal.q156PhashTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got156 == want156, s"got $got156\nwant $want156")
+    assert(want156.nonEmpty)
     // band-vector memo staleness: the corpus changing under the cached
     // dir must evict the persisted frame, not serve it stale (the
     // contraction-memo discipline, applied to phashCache)
