@@ -136,7 +136,17 @@ object StreamStress {
             graft.streaming.StreamingOps.contaminationSpansAtIngest(
               s, benchGrams, s"$workDir/s2_out", s"$workDir/s2_ckpt",
               coalescePerBatch = false)
-          })
+          },
+        "phash_match_ingest" -> {
+          // corpus index over the full 20x docs (reps = sf0.1-sized
+          // after the exact-text contraction inside the builder)
+          val phashIdx = graft.streaming.StreamingOps
+            .buildMediaPhashIndex(docs.select("doc_id", "text"))
+          try runStream(spark, inDir, nTrain) { s =>
+            graft.streaming.StreamingOps.phashMatchAtIngest(
+              s, phashIdx, s"$workDir/p_out", s"$workDir/p_ckpt")
+          } finally phashIdx.unpersist()
+        })
       val line = surfaces.map { case (name, fields) =>
         "\"" + name + "\":{" +
           fields.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") +

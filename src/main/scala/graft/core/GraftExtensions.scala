@@ -87,5 +87,22 @@ object GraftExtensions {
       "strip_accents(text) - NFD accent fold (combining marks removed)") {
       case Seq(t) => StripAccents(t)
       case other  => badArgs("strip_accents", other)
+    },
+    reg("byte_fold_cells",
+      "byte_fold_cells(payload, n) - fold binary payload bytes into n cells (cell i sums unsigned bytes at positions = i mod n); n a literal int") {
+      case Seq(p, Literal(n: Int, IntegerType)) => ByteFoldCells(p, n)
+      case Seq(p, n) if n.resolved && n.foldable &&
+          n.dataType == IntegerType && n.eval() != null =>
+        ByteFoldCells(p, n.eval().asInstanceOf[Int])
+      case Seq(_, n) =>
+        throw new IllegalArgumentException(
+          "byte_fold_cells: n must be a constant non-null INT, got " +
+            (if (n.resolved) n.dataType.simpleString else n.sql))
+      case other => badArgs("byte_fold_cells", other)
+    },
+    reg("dhash_bands",
+      "dhash_bands(payload) - 8 dHash row-gradient band values of a binary payload (72-cell byte fold, bit c of band r set iff cell(r,c+1) > cell(r,c))") {
+      case Seq(p) => DHashBands(p)
+      case other  => badArgs("dhash_bands", other)
     })
 }

@@ -139,38 +139,22 @@ object Multimodal {
 
   /** dHash band vectors of a (doc_id, text) frame — (doc_id,
     * bands: array&lt;long&gt;[8]) — the pure pipeline (decode fold →
-    * grid → gradient bits; steps 1-2 of the q155 scaladoc). Shared by
-    * the memoized corpus index, q156's probe queries, and the
-    * streaming ingest twin, so no two surfaces can disagree on what a
+    * grid → gradient bits; steps 1-2 of the q155 scaladoc), as ONE
+    * zero-shuffle map pass over the codegen'd
+    * [[graft.functions.expressions.DHashBands]] (see its scaladoc for
+    * why the fold+bits are FUSED: both the hex-explode formulation —
+    * a corpus×bytes row explosion — and the composed
+    * fold-then-compare form — CollapseProject re-inlining the fold
+    * 128× per row — measured 12-16 s per ingest micro-batch where the
+    * fused expression is microseconds per document). Shared by the
+    * memoized corpus index, q156's probe queries, and the streaming
+    * ingest twin, so no two surfaces can disagree on what a
     * fingerprint is.
     */
-  private[graft] def phashBandsOf(docs: DataFrame): DataFrame = {
-    val hx = docs.select(col("doc_id"),
-      lower(hex(encode(col("text"), "UTF-8"))).as("hx"))
-    val cells = hx
-      .select(col("doc_id"),
-        explode(sequence(lit(1), (length(col("hx")) / lit(2)).cast("int")))
-          .as("p"),
-        col("hx"))
-      .select(col("doc_id"), ((col("p") - 1) % lit(72)).cast("long").as("cell"),
-        conv(col("hx").substr(col("p") * 2 - 1, lit(2)), 16, 10)
-          .cast("long").as("v"))
-      .groupBy("doc_id", "cell").agg(sum("v").as("v"))
-    val grid = cells.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("cell"), col("v"))))
-        .as("m"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0L), lit(71L)),
-          i => coalesce(element_at(col("m"), i), lit(0L))).as("g"))
-    val bandArr = array((0 until BandsN).map { r =>
-      (0 until 8).map { c =>
-        when(element_at(col("g"), r * 9 + c + 2)
-          > element_at(col("g"), r * 9 + c + 1), lit(1L << c))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
-    grid.select(col("doc_id"), bandArr.as("bands"))
-  }
+  private[graft] def phashBandsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.expressions.MediaExpressions
+        .dhashBands(encode(col("text"), "UTF-8")).as("bands"))
 
   /** The memoized, persisted CORPUS band index over the exact-text
     * contraction reps — materialized once per (session, dir,

@@ -835,10 +835,9 @@ object StreamingOps {
     * micro-batch. Caller owns the lifecycle (the
     * [[CorpusDedupIndex]] contract).
     */
-  final case class MediaPhashIndex(bands: DataFrame, bandVec: DataFrame,
-      members: DataFrame) {
+  final case class MediaPhashIndex(bands: DataFrame, members: DataFrame) {
     def unpersist(): Unit =
-      Seq(bands, bandVec, members).foreach { df =>
+      Seq(bands, members).foreach { df =>
         try df.unpersist() catch { case _: Throwable => () }
       }
   }
@@ -851,14 +850,18 @@ object StreamingOps {
       .agg(min("doc_id").as("rep"), count(lit(1)).as("members"))
     val repDocs = base.join(reps.select(col("ht"), col("rep")), Seq("ht"))
       .filter(col("doc_id") === col("rep")).select("doc_id", "text")
-    val bandVec = graft.ops.Multimodal.phashBandsOf(repDocs).persist(lvl)
-    val bands = bandVec
-      .select(col("doc_id").as("rep"),
+    // each exploded index row CARRIES the rep's full band vector (9
+    // longs per row instead of 3): the per-batch probe join then has
+    // everything the verify needs in-row — no join back to a vector
+    // table, no per-pair second lookup (restructured after the first
+    // cut measured 12-21 s/batch on re-join-shaped plans)
+    val bands = graft.ops.Multimodal.phashBandsOf(repDocs)
+      .select(col("doc_id").as("rep"), col("bands").as("bb"),
         posexplode(col("bands")).as(Seq("band", "bv")))
       .persist(lvl)
     val members = reps.select(col("rep"), col("members")).persist(lvl)
-    bandVec.count(); bands.count(); members.count()
-    MediaPhashIndex(bands, bandVec, members)
+    bands.count(); members.count()
+    MediaPhashIndex(bands, members)
   }
 
   /** PERCEPTUAL-HASH media near-dup AT INGEST — q155's detection
@@ -898,17 +901,30 @@ object StreamingOps {
     */
   private[graft] def phashMatchBatch(batch: DataFrame,
       index: MediaPhashIndex, maxHamming: Int): DataFrame = {
-    val nb = graft.ops.Multimodal.phashBandsOf(
+    // FINGERPRINT contraction of the arriving batch (the rewrite
+    // twin's in-batch contraction, one level stronger: keyed on the
+    // band VECTOR itself, so any arrivals with identical fingerprints
+    // — dup texts included — probe ONCE and expand closed-form; the
+    // match set is a pure function of the fingerprint). On the 20×
+    // dup-heavy ingest the batch's pair space shrinks by the in-batch
+    // copy factor before the probe join even runs.
+    val fps = graft.ops.Multimodal.phashBandsOf(
       batch.select(col("doc_id"), col("text")))
-    val nbands = nb.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band", "bv")))
-    nbands.join(index.bands, Seq("band", "bv"))
-      .select(col("doc_id"), col("rep")).distinct()
-      .join(nb.select(col("doc_id"), col("bands").as("ba")), Seq("doc_id"))
-      .join(index.bandVec.select(col("doc_id").as("rep"),
-        col("bands").as("bb")), Seq("rep"))
+      .groupBy("bands")
+      .agg(min("doc_id").as("fp"), collect_list("doc_id").as("ids"))
+    // one probe join (both full band vectors ride the joined rows),
+    // map-side verify, then distinct over the ≤ maxHamming SURVIVORS
+    // only (a matching pair can collide in up to 8 bands)
+    val matches = fps
+      .select(col("fp"), col("bands").as("ba"),
+        posexplode(col("bands")).as(Seq("band", "bv")))
+      .join(index.bands, Seq("band", "bv"))
       .withColumn("hamming", graft.ops.Multimodal.hamExpr)
       .filter(col("hamming") <= lit(maxHamming.toLong))
+      .select(col("fp"), col("rep"), col("hamming")).distinct()
+    matches
+      .join(fps.select(col("fp"), col("ids")), Seq("fp"))
+      .select(explode(col("ids")).as("doc_id"), col("rep"), col("hamming"))
       .join(index.members, Seq("rep"))
       .select(col("doc_id"), col("rep").as("match_rep"), col("hamming"),
         col("members"))

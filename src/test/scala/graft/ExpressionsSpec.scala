@@ -202,6 +202,35 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(one("SELECT float_dot(CAST(array(1.0, 2.0) AS array<float>), CAST(array(3.0, 4.0) AS array<float>)) AS r")
       .getDouble(0) == 11.0)
     assert(one("SELECT strip_accents('çafé') AS r").getString(0) == "cafe")
+    // byte_fold_cells: hand-computed fold ("abcde" into 2 cells:
+    // a+c+e = 97+99+101 = 297, b+d = 98+100 = 198) and Column-twin parity
+    assert(one("SELECT byte_fold_cells(encode('abcde', 'UTF-8'), 2) AS r")
+      .getSeq[Long](0) == Seq(297L, 198L))
+    val bfSql = one("SELECT byte_fold_cells(encode('abcde', 'UTF-8'), 3) AS r")
+      .getSeq[Long](0)
+    val bfCol = spark.range(1)
+      .select(graft.functions.expressions.MediaExpressions
+        .byteFoldCells(org.apache.spark.sql.functions
+          .encode(org.apache.spark.sql.functions.lit("abcde"), "UTF-8"), 3)
+        .as("r"))
+      .head().getSeq[Long](0)
+    assert(bfSql == bfCol && bfSql == Seq(97L + 100L, 98L + 101L, 99L))
+    // dhash_bands ≡ the composed fold-then-compare formulation (the
+    // fused expression must be bit-identical to what it fused)
+    val text = "the quick brown fox jumps over the lazy dog " * 4
+    val dhSql = one(s"SELECT dhash_bands(encode('$text', 'UTF-8')) AS r")
+      .getSeq[Long](0)
+    val cellsRef = {
+      val cells = Array.fill(72)(0L)
+      text.getBytes("UTF-8").zipWithIndex
+        .foreach { case (b, j) => cells(j % 72) += (b & 0xff).toLong }
+      (0 until 8).map { r =>
+        (0 until 8).map { c =>
+          if (cells(r * 9 + c + 1) > cells(r * 9 + c)) 1L << c else 0L
+        }.sum
+      }
+    }
+    assert(dhSql == cellsRef && dhSql.length == 8)
     // token_counts: equality with its Column twin
     val viaSql = spark.sql("SELECT token_counts('x y x') AS r")
       .selectExpr("explode(r) AS e").selectExpr("e.*").collect().toSet
