@@ -42,6 +42,15 @@ object GraftExtensions {
     throw new IllegalArgumentException(
       s"$name: unexpected arguments (${got.length}); see function usage")
 
+  // n <= 0 would otherwise surface as a raw per-row `i % 0`
+  // ArithmeticException (n = 0) or NegativeArraySizeException (n < 0)
+  // deep inside eval/codegen, far from the call site
+  private def checkCells(n: Int): Int = {
+    if (n < 1) throw new IllegalArgumentException(
+      s"byte_fold_cells: n must be >= 1, got $n")
+    n
+  }
+
   /** All custom-expression SQL registrations. Input-type misuse is an
     * ANALYSIS error via each expression's ExpectsInputTypes contract;
     * arity/shape misuse fails here at function resolution.
@@ -90,10 +99,10 @@ object GraftExtensions {
     },
     reg("byte_fold_cells",
       "byte_fold_cells(payload, n) - fold binary payload bytes into n cells (cell i sums unsigned bytes at positions = i mod n); n a literal int") {
-      case Seq(p, Literal(n: Int, IntegerType)) => ByteFoldCells(p, n)
+      case Seq(p, Literal(n: Int, IntegerType)) => ByteFoldCells(p, checkCells(n))
       case Seq(p, n) if n.resolved && n.foldable &&
           n.dataType == IntegerType && n.eval() != null =>
-        ByteFoldCells(p, n.eval().asInstanceOf[Int])
+        ByteFoldCells(p, checkCells(n.eval().asInstanceOf[Int]))
       case Seq(_, n) =>
         throw new IllegalArgumentException(
           "byte_fold_cells: n must be a constant non-null INT, got " +

@@ -123,19 +123,49 @@ object Multimodal {
   // warm+timed protocol) probes the persisted rep-count-sized frame;
   // a corpus changing under a cached dir evicts by fingerprint
   private val phashCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    .empty[(SparkSession, String, String), (DataFrame, Long)]
 
   /** Drop memoized dHash band frames (unpersisting live ones) — same
     * contract as [[graft.ops.Dedup.invalidateSignatureCache]].
     */
   def invalidatePhashCache(): Unit = phashCache.synchronized {
-    phashCache.values.foreach { df =>
+    phashCache.values.foreach { case (df, _) =>
       try df.unpersist() catch { case _: Throwable => () }
     }
     phashCache.clear()
   }
 
-  private val BandsN = 8
+  private[graft] val BandsN = 8
+
+  /** Session conf key bounding the rep count under which the corpus
+    * band index is `broadcast()` in the phash family's joins; above it
+    * the joins take a SHUFFLE_HASH hint on their equality keys instead.
+    * The index is rep-count-sized (9 longs/rep, ~80 B with row
+    * overhead; the exploded band form is 8 narrower rows/rep) — at the
+    * default 1M reps the largest broadcast frame is ~80 MB, resident on
+    * every executor. At 100 TB the distinct-media rep set is
+    * O(corpus) — billions of reps — where an unconditional broadcast
+    * hint OOMs the driver; (band, bv) and the rep-id verify keys are
+    * perfectly good shuffle-hash keys, so the gate degrades to an
+    * exchange, not a failure. Both plan shapes are PlanSpec-gated.
+    */
+  private[graft] val BroadcastRepLimitConf =
+    "spark.graft.phash.broadcastRepLimit"
+  private[graft] val BroadcastRepLimitDefault = 1000000L
+
+  /** The measured-size strategy choice: broadcast a rep-count-sized
+    * index frame only when the memoized index's MEASURED rep count is
+    * under the configured limit (the count is free — the memo
+    * materializes with a `.count()`); otherwise pin a shuffle hash
+    * join so a stats misestimate can't flip the plan back to a
+    * driver-killing broadcast (or to a needless sort-merge).
+    */
+  private[graft] def sizeGated(df: DataFrame, repCount: Long): DataFrame = {
+    val limit = df.sparkSession.conf
+      .getOption(BroadcastRepLimitConf).map(_.toLong)
+      .getOrElse(BroadcastRepLimitDefault)
+    if (repCount <= limit) broadcast(df) else df.hint("shuffle_hash")
+  }
 
   /** dHash band vectors of a (doc_id, text) frame — (doc_id,
     * bands: array&lt;long&gt;[8]) — the pure pipeline (decode fold →
@@ -165,13 +195,13 @@ object Multimodal {
     * 7.5 s at sf0.1. Rep-count × 9 longs — trivially resident at any
     * scale where the rep set itself is manageable.
     */
-  private[graft] def phashIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def phashIndex(s: SparkSession, d: String): (DataFrame, Long) =
     phashCache.synchronized {
       val fp = graft.core.Fingerprint.of(s, d, "documents")
       phashCache.keys
         .filter(k => k._1 == s && k._2 == d && k._3 != fp)
         .foreach { stale =>
-          phashCache.remove(stale).foreach { df =>
+          phashCache.remove(stale).foreach { case (df, _) =>
             try df.unpersist() catch { case _: Throwable => () }
           }
         }
@@ -179,8 +209,9 @@ object Multimodal {
         val (repDocs, _) = TextOps.textContraction(s, d)
         val f = phashBandsOf(repDocs.select(col("doc_id"), col("text")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        f.count()
-        f
+        // the materializing count doubles as the measured size the
+        // broadcast-vs-shuffle gate ([[sizeGated]]) decides on
+        (f, f.count())
       })
     }
 
@@ -196,6 +227,13 @@ object Multimodal {
 
   def q155PhashNearDup(s: SparkSession, d: String, maxHamming: Int = 7)
       : DataFrame = {
+    // the banded blocking's EXACT-recall guarantee is the pigeonhole
+    // over BandsN one-byte bands: hamming <= BandsN-1 forces >= 1
+    // identical band. A larger threshold would silently under-recall
+    // while the scaladoc promises exactness — refuse it loudly.
+    require(maxHamming >= 0 && maxHamming < BandsN,
+      s"q155PhashNearDup: banded blocking is exact only for " +
+        s"0 <= maxHamming <= ${BandsN - 1}, got $maxHamming")
     val (repDocs, _) = TextOps.textContraction(s, d)
     val hx = repDocs.select(col("doc_id"), col("copies"))
     // bands twice: EXPLODED for the blocking join, as an ARRAY column
@@ -205,25 +243,28 @@ object Multimodal {
     // multiplicity here is ~1.04 — 938k occurrences vs 904k pairs at
     // sf0.1 — so a pre-verify distinct shuffles the whole candidate
     // space to save almost nothing, while ham ≤ 7 survivors are a few
-    // hundred rows); the band-vector frames are rep-count-sized and
-    // broadcast, so candidates never shuffle at all
-    val bandVec = phashIndex(s, d)
+    // hundred rows); the band-vector frames are rep-count-sized and,
+    // under the measured-size gate, broadcast — candidates then never
+    // shuffle at all. Above the gate every join degrades to a pinned
+    // shuffle hash join on its equality keys.
+    val (bandVec, reps) = phashIndex(s, d)
     val bands = bandVec
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bv")))
     val ham = bands
       .select(col("doc_id").as("doc_a"), col("band"), col("bv"))
       // the blocking join's build side is the rep-count-sized band
-      // frame — broadcast it explicitly so the candidate space is
-      // generated map-side (and the strategy can't flip to a shuffle
-      // join on a size misestimate)
-      .join(broadcast(bands.select(col("doc_id").as("doc_b"),
-        col("band"), col("bv"))), Seq("band", "bv"))
+      // frame — size-gated ([[sizeGated]]): broadcast under the
+      // measured rep limit so the candidate space is generated
+      // map-side (and the strategy can't flip on a size misestimate),
+      // shuffle hash join on (band, bv) above it
+      .join(sizeGated(bands.select(col("doc_id").as("doc_b"),
+        col("band"), col("bv")), reps), Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .join(broadcast(bandVec.select(col("doc_id").as("doc_a"),
-        col("bands").as("ba"))), Seq("doc_a"))
-      .join(broadcast(bandVec.select(col("doc_id").as("doc_b"),
-        col("bands").as("bb"))), Seq("doc_b"))
+      .join(sizeGated(bandVec.select(col("doc_id").as("doc_a"),
+        col("bands").as("ba")), reps), Seq("doc_a"))
+      .join(sizeGated(bandVec.select(col("doc_id").as("doc_b"),
+        col("bands").as("bb")), reps), Seq("doc_b"))
       .withColumn("hamming", hamExpr)
       .filter(col("hamming") <= lit(maxHamming.toLong))
       .select("doc_a", "doc_b", "hamming")
@@ -274,7 +315,7 @@ object Multimodal {
     */
   def q156PhashTopK(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bandVec = phashIndex(s, d)
+    val (bandVec, reps) = phashIndex(s, d)
     val bands = bandVec
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bv")))
     val probes = bands.filter(col("doc_id") % 25 === 0)
@@ -286,10 +327,13 @@ object Multimodal {
         Seq("band", "bv"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
-      .join(broadcast(bandVec.select(col("doc_id").as("query_id"),
-        col("bands").as("ba"))), Seq("query_id"))
-      .join(broadcast(bandVec.select(col("doc_id").as("cand_id"),
-        col("bands").as("bb"))), Seq("cand_id"))
+      // verify sides are rep-count-sized — same measured-size gate as
+      // q155: broadcast under the limit, shuffle hash join on the rep
+      // keys above it
+      .join(sizeGated(bandVec.select(col("doc_id").as("query_id"),
+        col("bands").as("ba")), reps), Seq("query_id"))
+      .join(sizeGated(bandVec.select(col("doc_id").as("cand_id"),
+        col("bands").as("bb")), reps), Seq("cand_id"))
       .withColumn("hamming", hamExpr)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

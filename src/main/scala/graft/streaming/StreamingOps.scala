@@ -835,7 +835,8 @@ object StreamingOps {
     * micro-batch. Caller owns the lifecycle (the
     * [[CorpusDedupIndex]] contract).
     */
-  final case class MediaPhashIndex(bands: DataFrame, members: DataFrame) {
+  final case class MediaPhashIndex(bands: DataFrame, members: DataFrame,
+      repCount: Long) {
     def unpersist(): Unit =
       Seq(bands, members).foreach { df =>
         try df.unpersist() catch { case _: Throwable => () }
@@ -860,8 +861,10 @@ object StreamingOps {
         posexplode(col("bands")).as(Seq("band", "bv")))
       .persist(lvl)
     val members = reps.select(col("rep"), col("members")).persist(lvl)
-    bands.count(); members.count()
-    MediaPhashIndex(bands, members)
+    bands.count()
+    // the materializing count doubles as the measured rep count the
+    // per-batch broadcast-vs-shuffle gate decides on
+    MediaPhashIndex(bands, members, members.count())
   }
 
   /** PERCEPTUAL-HASH media near-dup AT INGEST — q155's detection
@@ -880,7 +883,11 @@ object StreamingOps {
     */
   def phashMatchAtIngest(docs: DataFrame, index: MediaPhashIndex,
       outDir: String, checkpointDir: String, maxHamming: Int = 7)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail at stream START, not inside the first micro-batch
+    require(maxHamming >= 0 && maxHamming < graft.ops.Multimodal.BandsN,
+      s"phashMatchAtIngest: banded blocking is exact only for " +
+        s"0 <= maxHamming <= ${graft.ops.Multimodal.BandsN - 1}, got $maxHamming")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -891,16 +898,23 @@ object StreamingOps {
         (): Unit
       }
       .start()
+  }
 
   /** The per-batch match computation of [[phashMatchAtIngest]] — also
     * the batch-mode equivalence target the spec pins the stream against.
     * The index side is rep-count-sized (corpus-scale): the probe is an
-    * equality hash join on (band, value) and the verify joins are
-    * rep-keyed — strategy left to AQE, which broadcasts them only when
-    * they genuinely fit.
+    * equality hash join on (band, value) and the member join is
+    * rep-keyed — both size-gated on the index's MEASURED rep count
+    * ([[graft.ops.Multimodal.sizeGated]]): broadcast under the
+    * configured limit, pinned shuffle hash join above it.
     */
   private[graft] def phashMatchBatch(batch: DataFrame,
       index: MediaPhashIndex, maxHamming: Int): DataFrame = {
+    // same pigeonhole exact-recall contract as batch q155: banded
+    // blocking only sees every match at hamming <= BandsN-1
+    require(maxHamming >= 0 && maxHamming < graft.ops.Multimodal.BandsN,
+      s"phashMatchBatch: banded blocking is exact only for " +
+        s"0 <= maxHamming <= ${graft.ops.Multimodal.BandsN - 1}, got $maxHamming")
     // FINGERPRINT contraction of the arriving batch (the rewrite
     // twin's in-batch contraction, one level stronger: keyed on the
     // band VECTOR itself, so any arrivals with identical fingerprints
@@ -918,14 +932,21 @@ object StreamingOps {
     val matches = fps
       .select(col("fp"), col("bands").as("ba"),
         posexplode(col("bands")).as(Seq("band", "bv")))
-      .join(index.bands, Seq("band", "bv"))
+      // the probe target is corpus-rep-sized: size-gated on the
+      // index's measured rep count (broadcast under the limit, pinned
+      // shuffle hash join on (band, bv) above it) — the same
+      // Multimodal.sizeGated choice as batch q155/q156, so no ingest
+      // batch can force a corpus-sized broadcast
+      .join(graft.ops.Multimodal.sizeGated(index.bands, index.repCount),
+        Seq("band", "bv"))
       .withColumn("hamming", graft.ops.Multimodal.hamExpr)
       .filter(col("hamming") <= lit(maxHamming.toLong))
       .select(col("fp"), col("rep"), col("hamming")).distinct()
     matches
       .join(fps.select(col("fp"), col("ids")), Seq("fp"))
       .select(explode(col("ids")).as("doc_id"), col("rep"), col("hamming"))
-      .join(index.members, Seq("rep"))
+      .join(graft.ops.Multimodal.sizeGated(index.members, index.repCount),
+        Seq("rep"))
       .select(col("doc_id"), col("rep").as("match_rep"), col("hamming"),
         col("members"))
   }

@@ -246,6 +246,18 @@ class ExpressionsSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT token_shingles(array('a'), 'two')").collect()
     }
+    // byte_fold_cells rejects non-positive cell counts at RESOLUTION
+    // (n = 0 would otherwise reach the generated `i % 0` as a raw
+    // per-row ArithmeticException; n < 0 a NegativeArraySizeException)
+    for (bad <- Seq(0, -3)) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT byte_fold_cells(encode('a', 'UTF-8'), $bad)").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("n must be >= 1")),
+        s"expected a clear n>=1 rejection for n=$bad, got: $e")
+    }
   }
 
   test("optimizer rule: size(array_intersect) on string arrays rewrites to array_intersect_count") {

@@ -103,6 +103,35 @@ class PlanSpec extends AnyFunSuite {
       s"propagation round must fold labels in a hash agg:\n$plan")
   }
 
+  test("q155/q156 band-index joins flip on the measured-size broadcast gate") {
+    // Under the rep limit the corpus band index is broadcast (candidate
+    // generation map-side, zero candidate shuffle); above it every
+    // gated join is a pinned shuffle hash join on its equality keys —
+    // the shape that survives a corpus-sized rep set at 100 TB, where
+    // an unconditional broadcast() hint OOMs the driver. Both shapes
+    // are asserted here so neither can silently regress.
+    import graft.ops.Multimodal
+    for (name <- Seq("q155_phash_neardup", "q156_phash_topk")) {
+      val small = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(small.contains("BroadcastHashJoin"),
+        s"$name small regime: band-index joins should broadcast")
+      assert(!small.contains("ShuffledHashJoin"),
+        s"$name small regime: no gated join should take the shuffle path")
+    }
+    // force the large regime: a zero rep limit makes the measured
+    // count exceed it, so the gate must pick shuffle hash joins
+    spark.conf.set(Multimodal.BroadcastRepLimitConf, "0")
+    try {
+      for (name <- Seq("q155_phash_neardup", "q156_phash_topk")) {
+        val large = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(large.contains("ShuffledHashJoin"),
+          s"$name large regime: gated joins must take the shuffle-hash path")
+      }
+    } finally spark.conf.unset(Multimodal.BroadcastRepLimitConf)
+  }
+
   test("NO query plans a no-key (global) window — all registered queries") {
     // the q49 hazard class: Window.partitionBy()/Window.orderBy() with no
     // partition keys funnels everything through one partition. Even

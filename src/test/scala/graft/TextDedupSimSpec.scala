@@ -555,6 +555,11 @@ class TextDedupSimSpec extends AnyFunSuite {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val after = graft.ops.Multimodal.q155PhashNearDup(spark, dir).collect()
     assert(after.isEmpty, s"stale phash memo served: ${after.toSeq}")
+    // the exact-recall contract is pigeonhole over 8 one-byte bands —
+    // a threshold of 8+ would silently under-recall, so it must refuse
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.q155PhashNearDup(spark, dir, maxHamming = 8)
+    }
   }
 
   test("q86 bloom decontamination: flagged set equals q74, counts positive, fpp-invariant") {
