@@ -173,9 +173,9 @@ object SparkEntry {
     "q146_multiprobe_ann" -> ((s, d) => Similarity.q146MultiprobeAnn(s, d)),
     "q35_knn_classify" -> (Similarity.q35KnnClassify(_, _)),
     // IVF ANN over the deterministic exact-integer k-means: the oracle
-    // replays the ENTIRE fit + probe (q48Sql — seeds, 4 Lloyd
-    // iterations, integer updates, integer probe ranking), so both rows
-    // are hash-gated; q70 is the persisted-index probe path — builds the
+    // replays the ENTIRE fit + probe (q48Sql — seeds, residual-stop
+    // Lloyd iterations, integer updates, integer probe ranking), so both
+    // rows are hash-gated; q70 is the persisted-index probe path — builds the
     // bucketed index table once, then answers from it with no fit;
     // SimilaritySpec pins q70 ≡ q48 exactly, and the recall floor is
     // additionally oracle-gated via q142_ivf_recall_gate's boolean
@@ -305,55 +305,81 @@ object SparkEntry {
   }
 
   /** q48/q70's oracle: the deterministic exact-integer k-means replayed
-    * end to end — salted-hash seed pick, `Similarity.IvfIters` unrolled
-    * Lloyd iterations (assignment argmin on BIGINT squared-L2 over
-    * micro-unit vectors, tie → smaller centroid; per-dim integer `//`
-    * mean updates, empty cluster keeps its centroid), then the probe:
-    * nProbe=2 nearest centroids per query by the same integer metric,
-    * cosine top-3 within them (mirrors Similarity.quantize/ivfProbe —
-    * keep seeds/ties/update/probe rules in lockstep).
+    * end to end — salted-hash seed pick, `Similarity.IvfItersCap`
+    * unrolled Lloyd iterations (assignment argmin on BIGINT squared-L2
+    * over micro-unit vectors, tie → smaller centroid; per-dim integer
+    * `//` mean updates, empty cluster keeps its centroid), the
+    * RESIDUAL STOP re-derived from the unrolled chain (the q147
+    * pattern: per-iteration max |displacement| over all centroid dims,
+    * stop = first iteration <= `IvfConvergeEps`, else the cap — so the
+    * fit's stop decision itself is inside the hash gate, surfaced as
+    * the n_iters output column), then the probe: nProbe=2 nearest
+    * centroids per query by the same integer metric, cosine top-3
+    * within them (mirrors Similarity.quantize/ivfProbe — keep
+    * seeds/ties/update/stop/probe rules in lockstep).
     */
   private lazy val q48Sql: String = {
-    val iters = graft.ops.Similarity.IvfIters
+    val iters = graft.ops.Similarity.IvfItersCap
+    val eps = graft.ops.Similarity.IvfConvergeEps
     def d2(a: String, b: String): String =
       s"list_sum(list_transform(range(1, len($a) + 1), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+    // Every iteration CTE is MATERIALIZED: kc$i is referenced twice by
+    // level i+1 (assignment + empty-cluster keep) plus allkc, so
+    // DuckDB's default inlining would copy the whole chain ~2^iters
+    // times — measured >10 min at the cap-8 unroll vs 0.7 s
+    // materialized (the 4-iteration r10 oracle survived inlining only
+    // because 2^4 is small).
     def iterBlock(i: Int): String =
-      s"""ka$i AS (SELECT vec_id, mvec, centroid FROM (
+      s"""ka$i AS MATERIALIZED (SELECT vec_id, mvec, centroid FROM (
          |  SELECT m.vec_id, m.mvec, c.centroid,
          |   row_number() OVER (PARTITION BY m.vec_id
          |     ORDER BY ${d2("m.mvec", "c.cvec")}, c.centroid) AS rn
          |  FROM m, kc${i - 1} c) WHERE rn = 1),
-         |ks$i AS (SELECT centroid, dim, CAST(sum(mvec[dim]) AS BIGINT) AS sv,
+         |ks$i AS MATERIALIZED (SELECT centroid, dim, CAST(sum(mvec[dim]) AS BIGINT) AS sv,
          |  CAST(count(*) AS BIGINT) AS cnt FROM (
          |  SELECT centroid, CAST(unnest(range(1, len(mvec) + 1)) AS BIGINT) AS dim, mvec
          |  FROM ka$i) GROUP BY centroid, dim),
-         |kc$i AS (SELECT p.centroid, list(COALESCE(s.sv // s.cnt, p.v) ORDER BY p.dim) AS cvec
+         |kc$i AS MATERIALIZED (SELECT p.centroid, list(COALESCE(s.sv // s.cnt, p.v) ORDER BY p.dim) AS cvec
          | FROM (SELECT centroid, dim, cvec[dim] AS v FROM (
          |   SELECT centroid, CAST(unnest(range(1, len(cvec) + 1)) AS BIGINT) AS dim, cvec
          |   FROM kc${i - 1})) p
          | LEFT JOIN ks$i s ON s.centroid = p.centroid AND s.dim = p.dim
          | GROUP BY p.centroid)""".stripMargin
-    s"""WITH m AS (SELECT vec_id,
+    s"""WITH m AS MATERIALIZED (SELECT vec_id,
        |  list_transform(embedding, v ->
        |    CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mvec
        | FROM embeddings),
-       |kc0 AS (SELECT centroid, mvec AS cvec FROM (
+       |kc0 AS MATERIALIZED (SELECT centroid, mvec AS cvec FROM (
        |  SELECT CAST(row_number() OVER (
        |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':ivfseed'), vec_id) AS BIGINT) - 1
        |    AS centroid, mvec
        |  FROM m) WHERE centroid < 8),
        |${(1 to iters).map(iterBlock).mkString(",\n")},
+       |allkc AS MATERIALIZED (${(0 to iters).map(i =>
+           s"SELECT CAST($i AS BIGINT) AS it, centroid, cvec FROM kc$i")
+           .mkString("\n UNION ALL ")}),
+       |kresid AS (SELECT a.it AS it, CAST(max(list_max(
+       |  list_transform(range(1, len(a.cvec) + 1),
+       |    j -> abs(a.cvec[j] - b.cvec[j])))) AS BIGINT) AS r
+       | FROM allkc a JOIN allkc b
+       |  ON b.it = a.it - 1 AND b.centroid = a.centroid
+       | WHERE a.it >= 1 GROUP BY a.it),
+       |conv AS (SELECT CAST(coalesce(
+       |  min(CASE WHEN r <= $eps THEN it END), $iters) AS BIGINT) AS iters
+       | FROM kresid),
+       |kcf AS (SELECT centroid, cvec FROM allkc CROSS JOIN conv
+       | WHERE it = conv.iters),
        |af AS (SELECT vec_id, centroid FROM (
        |  SELECT m.vec_id, c.centroid,
        |   row_number() OVER (PARTITION BY m.vec_id
        |     ORDER BY ${d2("m.mvec", "c.cvec")}, c.centroid) AS rn
-       |  FROM m, kc$iters c) WHERE rn = 1),
+       |  FROM m, kcf c) WHERE rn = 1),
        |q AS (SELECT vec_id AS query_id, mvec FROM m WHERE vec_id % 25 = 0),
        |pr AS (SELECT query_id, centroid FROM (
        |  SELECT q.query_id, c.centroid,
        |   row_number() OVER (PARTITION BY q.query_id
        |     ORDER BY ${d2("q.mvec", "c.cvec")}, c.centroid) AS rn
-       |  FROM q, kc$iters c) WHERE rn <= 2),
+       |  FROM q, kcf c) WHERE rn <= 2),
        |cand AS (SELECT pr.query_id, af.vec_id AS cand_id, af.centroid
        | FROM pr JOIN af ON pr.centroid = af.centroid
        | WHERE pr.query_id <> af.vec_id),
@@ -365,8 +391,8 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY sim6 DESC, cand_id) AS BIGINT) AS rk FROM scored)
        |SELECT query_id, rk, cand_id, CAST(centroid AS BIGINT) AS centroid,
-       | ${sqlRn("sim6", 4)} AS cos_sim
-       |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+       | ${sqlRn("sim6", 4)} AS cos_sim, conv.iters AS n_iters
+       |FROM ranked CROSS JOIN conv WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
   }
 
   /** The dHash fingerprint CTE chain shared by the q155 near-dup and

@@ -149,9 +149,15 @@ object Similarity {
     *  - seeds are the `nCentroids` vectors ranked first by
     *    (md5(vec_id || ':ivfseed'), vec_id) — a salted-hash pick, no
     *    RNG state to replicate;
-    *  - a FIXED `IvfIters` Lloyd iterations; assignment ties break to
-    *    the smaller centroid id; updates are per-dim integer `div`
-    *    means; an empty cluster keeps its previous centroid.
+    *  - Lloyd iterations run to a RESIDUAL STOP (the q147 convergence
+    *    discipline): after each update, the exact-BIGINT max per-dim
+    *    centroid displacement is compared to `IvfConvergeEps`; the loop
+    *    stops at the first iteration at or under it, capped at
+    *    `IvfItersCap`. The iteration count is an OUTPUT (`n_iters`) the
+    *    oracle re-derives from its own unrolled iteration CTEs, so the
+    *    stop decision itself sits inside the hash gate. Assignment ties
+    *    break to the smaller centroid id; updates are per-dim integer
+    *    `div` means; an empty cluster keeps its previous centroid.
     *
     * Scale shape per iteration: assignment is a pure MAP pass — the
     * centroids ride along as one literal array-of-arrays column and a
@@ -167,13 +173,22 @@ object Similarity {
   // mtimes, graft.core.Fingerprint) so a corpus changing under a cached
   // dir evicts the stale quantizer instead of silently probing it
   private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, String), Array[Array[Long]]]
+    .empty[(SparkSession, String, Int, String), (Array[Array[Long]], Long)]
 
-  /** Fixed Lloyd iteration count — the oracle unrolls exactly this many
-    * assignment+update CTE blocks (keep in lockstep with SparkEntry's
-    * q48 oracle).
+  /** Lloyd iteration CAP — the oracle unrolls exactly this many
+    * assignment+update CTE blocks and picks the stop iteration from
+    * their residuals (keep in lockstep with SparkEntry's q48 oracle).
     */
-  private[graft] val IvfIters = 4
+  private[graft] val IvfItersCap = 8
+
+  /** Residual stop threshold in micro-units (0.001 in unit space):
+    * the fit stops at the first iteration whose max per-dim centroid
+    * displacement — exact BIGINT, so every engine agrees — is <= this.
+    * Same discipline as q147's pagerank residual stop; the blind
+    * 4-iteration fit it replaces could neither stop early on easy
+    * corpora nor keep refining on hard ones.
+    */
+  private[graft] val IvfConvergeEps = 1000L
 
   /** Drop memoized quantizers — the IVF analog of
     * [[graft.ops.Dedup.invalidateSignatureCache]]; call it for the same
@@ -224,15 +239,17 @@ object Similarity {
 
   /** Fit-or-fetch the memoized deterministic quantizer over the
     * embeddings at `d`: returns the driver-held centroid model (row i =
-    * centroid i's micro-unit vector) and the (vec_id, embedding, nrm,
-    * centroid) assignment frame it induces.
+    * centroid i's micro-unit vector), the measured Lloyd iteration
+    * count (the residual stop's decision, surfaced so the oracle can
+    * re-derive it), and the (vec_id, embedding, nrm, centroid)
+    * assignment frame the model induces.
     */
   private[graft] def quantize(s: SparkSession, d: String, nCentroids: Int)
-      : (Array[Array[Long]], DataFrame) = {
+      : (Array[Array[Long]], Long, DataFrame) = {
     val e = Tables.embeddings(s, d)
       .withColumn("nrm", norm(col("embedding")))
       .withColumn("mvec", microVec(col("embedding")))
-    val cents = ivfCache.synchronized {
+    val (cents, nIters) = ivfCache.synchronized {
       val fp = graft.core.Fingerprint.of(s, d, "embeddings")
       ivfCache.keys
         .filter(k => k._1 == s && k._2 == d && k._3 == nCentroids && k._4 != fp)
@@ -240,7 +257,7 @@ object Similarity {
       ivfCache.getOrElseUpdate((s, d, nCentroids, fp),
         fitKMeans(e.select("vec_id", "mvec"), nCentroids))
     }
-    (cents, e.select(col("vec_id"), col("embedding"), col("nrm"),
+    (cents, nIters, e.select(col("vec_id"), col("embedding"), col("nrm"),
       assignExpr(cents, col("mvec")).as("centroid")))
   }
 
@@ -251,7 +268,8 @@ object Similarity {
     * driver-held model. Mirrors SparkEntry's q48 oracle CTE unroll —
     * keep seeds/ties/empty-cluster rules in lockstep.
     */
-  private def fitKMeans(e: DataFrame, nCentroids: Int): Array[Array[Long]] = {
+  private def fitKMeans(e: DataFrame, nCentroids: Int)
+      : (Array[Array[Long]], Long) = {
     var cents: Array[Array[Long]] = e
       .select(col("vec_id"), col("mvec"),
         md5(concat(col("vec_id").cast("string"), lit(":ivfseed"))).as("h"))
@@ -259,7 +277,9 @@ object Similarity {
       .limit(nCentroids)
       .collect()
       .map(_.getSeq[Long](1).toArray)
-    for (_ <- 1 to IvfIters) {
+    var iters = 0L
+    var converged = false
+    while (iters < IvfItersCap && !converged) {
       val sums = e
         .select(assignExpr(cents, col("mvec")).as("centroid"),
           posexplode(col("mvec")).as(Seq("dim", "v")))
@@ -272,21 +292,33 @@ object Similarity {
         // DuckDB's integer `//`, so the oracle's unrolled update matches
         next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
       }
+      iters += 1
+      // residual stop: exact-BIGINT max per-dim displacement of any
+      // centroid this update — the update is KEPT either way, so the
+      // final model is the stop iteration's (= the oracle's kc[stop])
+      val disp = cents.iterator.zip(next.iterator)
+        .flatMap { case (a, b) => a.iterator.zip(b.iterator) }
+        .map { case (x, y) => math.abs(x - y) }
+        .foldLeft(0L)(math.max)
+      converged = disp <= IvfConvergeEps
       cents = next
     }
-    cents
+    (cents, iters)
   }
 
   /** The centroid model as a tiny broadcast-able frame
-    * (centroid, cvec: array&lt;long&gt; in micro-units) — also the schema
-    * of the persisted `<table>_centroids` side table.
+    * (centroid, cvec: array&lt;long&gt; in micro-units, n_iters: the
+    * fit's residual-stop iteration count, constant across rows) — also
+    * the schema of the persisted `<table>_centroids` side table, so
+    * the no-fit probe path (q70) serves the SAME n_iters the fit
+    * measured.
     */
   private[graft] def centroidFrame(s: SparkSession,
-      cents: Array[Array[Long]]): DataFrame = {
+      cents: Array[Array[Long]], nIters: Long): DataFrame = {
     import s.implicits._
     cents.zipWithIndex.toSeq
-      .map { case (c, i) => (i.toLong, c.toSeq) }
-      .toDF("centroid", "cvec")
+      .map { case (c, i) => (i.toLong, c.toSeq, nIters) }
+      .toDF("centroid", "cvec", "n_iters")
   }
 
   /** The probe core shared by the in-session q48 and the persisted-index
@@ -309,24 +341,26 @@ object Similarity {
       .withColumn("c_d2", dist2(col("qm"), col("cvec")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid"),
+        col("n_iters"))
     val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("cand_id"))
     probes.join(assigned.withColumnRenamed("vec_id", "cand_id"), Seq("centroid"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("centroid"),
+      .select(col("query_id"), col("cand_id"), col("centroid"), col("n_iters"),
         r6(cosinePrenormed(dot(col("q_emb"), col("embedding")), col("q_norm"), col("nrm")))
           .as("sim6"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
-        col("centroid").cast("long").as("centroid"), r4(col("sim6")).as("cos_sim"))
+        col("centroid").cast("long").as("centroid"), r4(col("sim6")).as("cos_sim"),
+        col("n_iters"))
       .orderBy("query_id", "rk")
   }
 
   def q48IvfAnn(s: SparkSession, d: String, nCentroids: Int = 8, nProbe: Int = 2,
       k: Int = 3): DataFrame = {
-    val (cents, assigned) = quantize(s, d, nCentroids)
-    ivfProbe(assigned, centroidFrame(s, cents), nProbe, k)
+    val (cents, nIters, assigned) = quantize(s, d, nCentroids)
+    ivfProbe(assigned, centroidFrame(s, cents, nIters), nProbe, k)
   }
 
   /** Materialize the IVF index: the assignment frame lands as a catalog
@@ -344,10 +378,10 @@ object Similarity {
       nCentroids: Int = 8, buckets: Int = 8,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists,
       path: Option[String] = None): Unit = {
-    val (cents, assigned) = quantize(s, d, nCentroids)
+    val (cents, nIters, assigned) = quantize(s, d, nCentroids)
     graft.sources.Bucketing.writeBucketed(
       assigned, table, "centroid", buckets, Some("vec_id"), mode, path)
-    val cw = centroidFrame(s, cents).write.mode(mode).format("parquet")
+    val cw = centroidFrame(s, cents, nIters).write.mode(mode).format("parquet")
     path.fold(cw)(p => cw.option("path", p + "_centroids"))
       .saveAsTable(table + "_centroids")
   }

@@ -75,7 +75,7 @@ object AnnComparisonProbe {
     // candidates/query, IVF side: probed-cell sizes summed per query
     def ivfCands(nCentroids: Int, nProbe: Int): Double = {
       import org.apache.spark.sql.expressions.Window
-      val (cents, assigned) = Similarity.quantize(spark, dir, nCentroids)
+      val (cents, nIters, assigned) = Similarity.quantize(spark, dir, nCentroids)
       val sizes = assigned.groupBy("centroid").agg(count(lit(1)).as("cs"))
       val wP = Window.partitionBy("query_id").orderBy(col("c_d2"), col("centroid"))
       assigned.filter(col("vec_id") % 25 === 0)
@@ -83,7 +83,7 @@ object AnnComparisonProbe {
           transform(col("embedding"), x =>
             floor(x.cast("double") * lit(1000000L) + lit(0.5)).cast("long"))
             .as("qm"))
-        .crossJoin(broadcast(Similarity.centroidFrame(spark, cents)))
+        .crossJoin(broadcast(Similarity.centroidFrame(spark, cents, nIters)))
         .withColumn("c_d2", graft.functions.expressions
           .FloatVecExpressions.longDist2(col("qm"), col("cvec")))
         .withColumn("pr", row_number().over(wP))
@@ -138,8 +138,7 @@ object AnnComparisonProbe {
         s"""{"artifact":"ann_decision","sf_dir":"$dir","n_vectors":$nVecs,
            |"n_queries":$nq,
            |"protocol":"recall@3 vs exact q40 over the %50 query set; cands_per_query = probed bucket/cell sizes summed per query (the number that scales); sec = min of 2 warm passes",
-           |"quantizer":"deterministic exact-integer k-means (md5-salted seeds, ${Similarity
-              .IvfIters} Lloyd iterations, micro-unit BIGINT arithmetic)",
+           |"quantizer":"deterministic exact-integer k-means (md5-salted seeds, residual-stop Lloyd iterations (cap ${Similarity.IvfItersCap}), micro-unit BIGINT arithmetic)",
            |"budget_matched_pair":["ivf_256c_9p","q146_lsh_9of256"],
            |"recommended":"$recommended",
            |"recommended_recall3":${r3(m(recommended)._2)},
