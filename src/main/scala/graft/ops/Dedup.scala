@@ -334,11 +334,43 @@ object Dedup {
     * (never takes another cache's lock; Fingerprint.of does filesystem
     * listing only).
     */
+  /** The containment family's shared memo payload: membership
+    * (doc_id, rep), groups (rep, members), qualified rep pairs
+    * (ra, rb, na, nb, common), per-rep sorted member-id lists
+    * (rep, mids) for closed-form member expansion, and the MEASURED
+    * total doc count (= Σ|mids|, the member-list frames' broadcast
+    * payload) driving [[memberListGated]]'s plan choice.
+    */
+  private[graft] final case class ContainmentFrames(
+      membership: DataFrame, groups: DataFrame, pairs: DataFrame,
+      memberLists: DataFrame, nDocs: Long)
+
+  /** Session conf key bounding the doc count under which the per-rep
+    * member-list frame is `broadcast()` in the q121 member expansion;
+    * above it the expansion joins take a pinned SHUFFLE_HASH on the rep
+    * key. Same measured-size discipline as the phash band index
+    * ([[graft.ops.Multimodal]] BroadcastRepLimitConf): the member-list
+    * payload is one long per corpus doc (~8 B + row overhead), so at
+    * the default 1M docs the broadcast is ~10 MB resident per
+    * executor; at 100 TB the membership is O(corpus) and the gate
+    * degrades to an exchange on `rep` instead of a driver OOM.
+    */
+  private[graft] val ContainmentBroadcastDocLimitConf =
+    "spark.graft.containment.broadcastDocLimit"
+  private[graft] val ContainmentBroadcastDocLimitDefault = 1000000L
+
+  private def memberListGated(df: DataFrame, nDocs: Long): DataFrame = {
+    val limit = df.sparkSession.conf
+      .getOption(ContainmentBroadcastDocLimitConf).map(_.toLong)
+      .getOrElse(ContainmentBroadcastDocLimitDefault)
+    if (nDocs <= limit) broadcast(df) else df.hint("shuffle_hash")
+  }
+
   private val repPairCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Long, String), (DataFrame, DataFrame, DataFrame)]
+    .empty[(SparkSession, String, Long, String), ContainmentFrames]
 
   private def containmentRepFrames(s: SparkSession, d: String, tS: Long)
-      : (DataFrame, DataFrame, DataFrame) = repPairCache.synchronized {
+      : ContainmentFrames = repPairCache.synchronized {
     val fp = graft.core.Fingerprint.of(s, d, "documents")
     // evict ALL stale-fingerprint entries for this (session, dir) —
     // including ones memoized under other thresholds, which would
@@ -347,8 +379,8 @@ object Dedup {
     repPairCache.keys
       .filter(k => k._1 == s && k._2 == d && k._4 != fp)
       .foreach { stale =>
-        repPairCache.remove(stale).foreach { case (m, g, p) =>
-          Seq(m, g, p).foreach(df =>
+        repPairCache.remove(stale).foreach { f =>
+          Seq(f.membership, f.groups, f.pairs, f.memberLists).foreach(df =>
             try df.unpersist() catch { case _: Throwable => () })
         }
       }
@@ -366,10 +398,21 @@ object Dedup {
       val membership = keyed.select("doc_id", "setkey")
         .join(groups.select("setkey", "rep"), Seq("setkey"))
         .select(col("doc_id"), col("rep")).persist(lvl)
+      // per-rep SORTED member-id lists — the member-expansion frame:
+      // rep-count rows, Σ|mids| = corpus doc count. Sorted so the
+      // within-group position order (i < j) is also id order.
+      val memberLists = membership.groupBy("rep")
+        .agg(sort_array(collect_list(col("doc_id"))).as("mids"))
+        .persist(lvl)
+      // the materializing count doubles as the MEASURED broadcast
+      // payload (one long per doc) for memberListGated — free, the
+      // memo materializes here anyway
+      val nDocs = membership.count()
       val repToks = docsToks
         .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
       val pairs = qualifiedSetPairs(repToks, tS).persist(lvl)
-      (membership, groups.select(col("rep"), col("members")), pairs)
+      ContainmentFrames(membership,
+        groups.select(col("rep"), col("members")), pairs, memberLists, nDocs)
     })
   }
 
@@ -391,19 +434,30 @@ object Dedup {
     // gated as q141 via the shared containmentRepFrames memo), and a
     // consumer materializes the cross product only if its contract —
     // like this oracle-matched query's — demands member granularity.
-    val (membership, _, pairs) = containmentRepFrames(s, d, tS)
-    val repPairs = pairs
+    val f = containmentRepFrames(s, d, tS)
+    val repPairs = f.pairs
       .withColumn("containment",
         r4(col("common").cast("double") / least(col("na"), col("nb")).cast("double")))
       .select(col("ra"), col("rb"), col("na"), col("nb"), col("containment"))
     // cross-group pairs: every (member of ra) × (member of rb); sizes
     // are group-constant, so the contained/container rule only needs
-    // the per-pair id tie-break
+    // the per-pair id tie-break. The expansion joins attach the two
+    // MEMBER-LIST arrays (size-gated broadcast — rep-keyed frames whose
+    // payload is one long per doc) and explode them MAP-SIDE, so the
+    // quadratic member blow-up never crosses an exchange: the old
+    // membership-join form shuffled the half-expanded (pairs × m_a)
+    // intermediate on rb — at the 20× dup-heavy stress corpus that is
+    // a ~20× row multiplier through a full shuffle, and it was the
+    // dominant term of q121's 37 s stress cost.
     val cross = repPairs
-      .join(membership.select(col("rep").as("ra"), col("doc_id").as("ida")),
+      .join(memberListGated(f.memberLists
+        .select(col("rep").as("ra"), col("mids").as("mids_a")), f.nDocs),
         Seq("ra"))
-      .join(membership.select(col("rep").as("rb"), col("doc_id").as("idb")),
+      .join(memberListGated(f.memberLists
+        .select(col("rep").as("rb"), col("mids").as("mids_b")), f.nDocs),
         Seq("rb"))
+      .withColumn("ida", explode(col("mids_a")))
+      .withColumn("idb", explode(col("mids_b")))
       .select(
         when(col("na") < col("nb"), col("ida"))
           .when(col("nb") < col("na"), col("idb"))
@@ -414,12 +468,13 @@ object Dedup {
         col("containment"))
     // within-group pairs: identical token sets ⇒ containment exactly
     // 1.0 (qualifies at any t ≤ 1); r4(n/n) ≡ 1.0 so the literal is
-    // bit-identical to the verified path's rounding
-    // membership already holds exactly the eligible (nonempty-token)
-    // docs, so it IS the within-group enumeration frame
-    val within = membership.select(col("rep"), col("doc_id").as("ida"))
-      .join(membership.select(col("rep"), col("doc_id").as("idb")), Seq("rep"))
-      .filter(col("ida") < col("idb"))
+    // bit-identical to the verified path's rounding. mids is sorted,
+    // so position order (i < j) IS id order — the enumeration is two
+    // generates over the rep-count-sized list frame, no join at all.
+    val within = f.memberLists.filter(size(col("mids")) >= 2)
+      .select(col("mids"), posexplode(col("mids")).as(Seq("i", "ida")))
+      .select(col("ida"), col("i"), posexplode(col("mids")).as(Seq("j", "idb")))
+      .filter(col("j") > col("i"))
       .select(col("ida").as("contained_doc"), col("idb").as("container_doc"),
         lit(1.0).as("containment"))
     cross.unionByName(within).orderBy("contained_doc", "container_doc")
@@ -450,7 +505,8 @@ object Dedup {
   def q141ContainmentReps(s: SparkSession, d: String,
       threshold: Double = 0.8): DataFrame = {
     val tS = containmentScale(threshold)
-    val (_, groups, pairs) = containmentRepFrames(s, d, tS)
+    val f = containmentRepFrames(s, d, tS)
+    val (groups, pairs) = (f.groups, f.pairs)
     val cross = pairs
       .join(groups.select(col("rep").as("ra"), col("members").as("members_a")),
         Seq("ra"))
@@ -555,7 +611,8 @@ object Dedup {
                   (triCache.values ++ epairCache.values ++ compCache.values ++
                     prEdgeCache.values ++ vpairCache.values ++
                     candCache.values ++ sigCache.values ++ hashCache.values ++
-                    repPairCache.values.flatMap { case (m, g, p) => Seq(m, g, p) })
+                    repPairCache.values.flatMap(f =>
+                      Seq(f.membership, f.groups, f.pairs, f.memberLists)))
                     .foreach { df =>
                       try df.unpersist() catch { case _: Throwable => () }
                     }
@@ -1203,12 +1260,13 @@ object Dedup {
   def q34EmbeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.4,
       bands: Int = 8, bitsPerBand: Int = 8): DataFrame =
     (if (threshold == 0.4 && bands == 8 && bitsPerBand == 8)
-       embeddingPairs(s, d)
+       embeddingNearDupPairs(s, d)
      else embeddingNearDupRaw(s, d, threshold, bands, bitsPerBand))
       .orderBy("vec_a", "vec_b")
 
   // memoized, persisted verified-pair frame at the DEFAULT parameters —
-  // q34 orders it, q87 closes over it, so the banded candidate join +
+  // q34 orders it, q87 closes over it, q157 reconciles it against the
+  // media fingerprint graph, so the banded candidate join +
   // exact cosine verify runs once per (session, dir, corpus version)
   // rather than once per consumer. Fingerprint-keyed like the doc-side
   // memos; independent lock (builds touch no other memo, so it slots
@@ -1216,7 +1274,7 @@ object Dedup {
   private val epairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
-  private def embeddingPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def embeddingNearDupPairs(s: SparkSession, d: String): DataFrame =
     epairCache.synchronized {
       val fp = graft.core.Fingerprint.of(s, d, "embeddings")
       epairCache.keys
@@ -1280,7 +1338,7 @@ object Dedup {
       : DataFrame = {
     // default threshold reads the shared memoized pair frame (no re-pay
     // of the candidate join + verify q34 already ran this session)
-    val pairs = (if (threshold == 0.4) embeddingPairs(s, d)
+    val pairs = (if (threshold == 0.4) embeddingNearDupPairs(s, d)
                  else embeddingNearDupRaw(s, d, threshold, 8, 8))
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val labels = connectedComponents(pairs)
@@ -1418,7 +1476,12 @@ object Dedup {
       .select(col("doc_id"),
         size(shingles3(tokens(col("text")))).as("nsh"))
       .filter(col("nsh") > 0).select("doc_id")
+    // same truncation rationale as repEdges below: the group map feeds
+    // the multiplicity aggregate (itself joined three ways) plus the
+    // final fan-out join, so its scan+shingle lineage would otherwise
+    // be re-inlined five times across the plan
     val groups = docReps(s, d).join(eligible, Seq("doc_id"))
+      .localCheckpoint(eager = false)
     val dt = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
     val ra = dt.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
@@ -1433,6 +1496,17 @@ object Dedup {
       .filter(r4(col("common").cast("double") /
         (col("na") + col("nb") - col("common")).cast("double")) >= threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      // lineage truncation: expandTriangles references the verified
+      // edge frame FOUR times (symmetrized degree pass + three-way
+      // wedge/closure joins); without the checkpoint each branch
+      // re-inlines the whole candidate+verify lineage and the q102/
+      // q103 explain is ~6.6k lines — a real driver-side plan-compile
+      // cost at scale, and the AQE planner re-optimizes the identical
+      // subtree once per branch. The checkpointed frame is the
+      // CONTRACTED edge list (group-count-sized, the same bound the CC
+      // kernels checkpoint at); eager=false so the memo's persist is
+      // the materializing action.
+      .localCheckpoint(eager = false)
     expandTriangles(repEdges, groups)
   }
 

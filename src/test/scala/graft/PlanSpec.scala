@@ -132,6 +132,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset(Multimodal.BroadcastRepLimitConf)
   }
 
+  test("q121 member-list expansion joins flip on the measured-size broadcast gate") {
+    // The member-expansion joins attach per-rep member-id LISTS and
+    // explode map-side, so the quadratic member blow-up never crosses
+    // an exchange. Under the doc limit the list frames broadcast;
+    // above it (forced here with a zero limit) the gate must degrade
+    // to pinned shuffle-hash joins on the rep keys — the shape that
+    // survives a corpus-sized membership at 100 TB.
+    import graft.ops.Dedup
+    val small = SparkEntry.queries("q121_containment_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin"),
+      s"q121 small regime: member-list joins should broadcast:\n$small")
+    spark.conf.set(Dedup.ContainmentBroadcastDocLimitConf, "0")
+    try {
+      val large = SparkEntry.queries("q121_containment_exact")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(large.contains("ShuffledHashJoin"),
+        s"q121 large regime: gated joins must take the shuffle-hash path:\n$large")
+    } finally spark.conf.unset(Dedup.ContainmentBroadcastDocLimitConf)
+  }
+
   test("NO query plans a no-key (global) window — all registered queries") {
     // the q49 hazard class: Window.partitionBy()/Window.orderBy() with no
     // partition keys funnels everything through one partition. Even
