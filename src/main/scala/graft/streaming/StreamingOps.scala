@@ -747,6 +747,18 @@ object StreamingOps {
     * (`max_by`/latest-attempt per batch_id), the same caveat documented
     * on [[foreachBatchPartitionedSink]]; "union is EXACTLY batch q143"
     * holds after that per-batch_id dedup.
+    *
+    * BATCH-LOCAL exact-text contraction (the move that bought the
+    * rewrite twin +85% in round 10, applied here): the span report for
+    * a (train, bench) pair is a pure function of the two texts, so
+    * identical texts arriving in one batch seed ONCE and members
+    * inherit the rep's report rows closed-form — exactness unchanged
+    * (the union ≡ batch q143 spec pins it). The gram explode + seed
+    * join — the batch's dominant cost and the reason this twin trailed
+    * every other ingest surface (3.6k docs/s vs 8-12k in
+    * STREAM_STRESS_r10) — shrinks by the batch's duplication factor
+    * (~2.5× on the 20× dup-heavy stress); on a dup-free stream the
+    * overhead is one batch-local md5 groupBy.
     */
   def contaminationSpansAtIngest(docs: DataFrame, benchGrams: DataFrame,
       outDir: String, checkpointDir: String,
@@ -756,9 +768,21 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val base = batch.toDF()
+          .select(col("doc_id"), col("text"), md5(col("text")).as("ht"))
+        val reps = base.groupBy("ht").agg(min("doc_id").as("rep"))
+        val membership = base.join(reps, Seq("ht"))
+          .select(col("rep").as("train_rep"), col("doc_id").as("train_doc"))
+        val repDocs = base.join(
+          reps.select(col("rep").as("doc_id")), Seq("doc_id"))
+          .select("doc_id", "text")
         val report = graft.ops.TextOps.contaminationSpanCore(
-            graft.ops.TextOps.positionedGrams(batch, "train_doc", "pos_t"),
+            graft.ops.TextOps.positionedGrams(repDocs, "train_doc", "pos_t"),
             benchGrams)
+          .withColumnRenamed("train_doc", "train_rep")
+          .join(membership, Seq("train_rep"))
+          .select(col("train_doc"), col("bench_doc"), col("n_seeds"),
+            col("longest_run"))
           .withColumn("batch_id", lit(batchId))
         // per-batch reports are contamination-density-sized, so one
         // file per batch keeps the output tidy. coalesce(1) collapses
