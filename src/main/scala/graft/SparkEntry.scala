@@ -217,6 +217,12 @@ object SparkEntry {
     // Hamming top-k media similarity (multi-index hashing probe over the
     // q155 band index; all-BIGINT — the gate needs no rounding at all)
     "q156_phash_topk" -> ((s, d) => Multimodal.q156PhashTopK(s, d)),
+    // cross-modal near-dup reconciliation: the media fingerprint graph
+    // (q155's verified pairs, member-expanded) full-outer the embedding
+    // near-dup graph (q34's verified pairs) over the doc_id<->vec_id
+    // link, labeled both/media_only/embedding_only
+    "q157_crossmodal_neardup" ->
+      ((s, d) => Multimodal.q157CrossModalNearDup(s, d)),
     // data layout / table maintenance
     "q79_zorder_layout" -> (Layout.q79ZOrderLayout(_, _)),
     "q80_compact_roundtrip" -> ((s, d) => Layout.q80CompactRoundtrip(s, d)),
@@ -1931,6 +1937,43 @@ object SparkEntry {
          | FROM hamj)
          |SELECT query_id, rk, cand_id, hamming FROM ranked WHERE rk <= 3
          |ORDER BY query_id, rk""".stripMargin,
+    // mirrors Multimodal.q157CrossModalNearDup — the q155 rep pairs
+    // expanded to member doc pairs (canonical a < b; within-group pairs
+    // hamming 0 closed-form) FULL OUTER the q34 epairs chain on the
+    // doc_id<->vec_id link (both CTE chains shared verbatim with their
+    // home oracles — keep in lockstep)
+    "q157_crossmodal_neardup" ->
+      s"""WITH $phashCtes,
+         |cand AS (SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         | WHERE a.rep < b.rep),
+         |ham AS (SELECT cand.doc_a, cand.doc_b,
+         |  CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+         | FROM cand
+         | JOIN bands ba ON ba.rep = cand.doc_a
+         | JOIN bands bb ON bb.rep = cand.doc_b AND bb.band = ba.band
+         | GROUP BY cand.doc_a, cand.doc_b),
+         |mm AS (SELECT d.doc_id, dt.rep FROM documents d
+         | JOIN dt ON dt.text = d.text),
+         |mcross AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |  greatest(ma.doc_id, mb.doc_id) AS doc_b, h.hamming
+         | FROM ham h JOIN mm ma ON ma.rep = h.doc_a
+         | JOIN mm mb ON mb.rep = h.doc_b
+         | WHERE h.hamming <= 7),
+         |mwithin AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(0 AS BIGINT) AS hamming
+         | FROM mm x JOIN mm y ON x.rep = y.rep AND x.doc_id < y.doc_id),
+         |media AS (SELECT * FROM mcross UNION ALL SELECT * FROM mwithin),
+         |$embeddingPairCtes
+         |SELECT coalesce(m.doc_a, e.vec_a) AS doc_a,
+         | coalesce(m.doc_b, e.vec_b) AS doc_b,
+         | m.hamming AS hamming, e.cos_sim AS cos_sim,
+         | CASE WHEN m.doc_a IS NOT NULL AND e.vec_a IS NOT NULL THEN 'both'
+         |      WHEN m.doc_a IS NOT NULL THEN 'media_only'
+         |      ELSE 'embedding_only' END AS modality
+         |FROM media m FULL OUTER JOIN epairs e
+         | ON m.doc_a = e.vec_a AND m.doc_b = e.vec_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q50_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

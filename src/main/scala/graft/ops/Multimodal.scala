@@ -225,32 +225,38 @@ object Multimodal {
         .bitwiseXOR(element_at(col("bb"), r + 1)))
     }.reduce(_ + _).cast("long")
 
-  def q155PhashNearDup(s: SparkSession, d: String, maxHamming: Int = 7)
-      : DataFrame = {
+  /** Verified rep-level near-dup pairs (doc_a &lt; doc_b, hamming ≤
+    * `maxHamming`) over the memoized band index — the blocking join +
+    * map-side verify shared by q155 (which attaches member counts) and
+    * the cross-modal q157 (which expands members and reconciles against
+    * the embedding near-dup graph). One definition, so the two surfaces
+    * cannot diverge on what a media near-dup is.
+    *
+    * bands twice: EXPLODED for the blocking join, as an ARRAY column
+    * for the verify — so a candidate pair verifies with one map-side
+    * unrolled 8-term bit_count instead of an 8-row join+agg. Verify
+    * runs BEFORE distinct (the q101 regime rule: band-collision
+    * multiplicity here is ~1.04 — 938k occurrences vs 904k pairs at
+    * sf0.1 — so a pre-verify distinct shuffles the whole candidate
+    * space to save almost nothing, while ham ≤ 7 survivors are a few
+    * hundred rows); the band-vector frames are rep-count-sized and,
+    * under the measured-size gate, broadcast — candidates then never
+    * shuffle at all. Above the gate every join degrades to a pinned
+    * shuffle hash join on its equality keys.
+    */
+  private[graft] def phashRepPairs(s: SparkSession, d: String,
+      maxHamming: Int): DataFrame = {
     // the banded blocking's EXACT-recall guarantee is the pigeonhole
     // over BandsN one-byte bands: hamming <= BandsN-1 forces >= 1
     // identical band. A larger threshold would silently under-recall
     // while the scaladoc promises exactness — refuse it loudly.
     require(maxHamming >= 0 && maxHamming < BandsN,
-      s"q155PhashNearDup: banded blocking is exact only for " +
+      s"phashRepPairs: banded blocking is exact only for " +
         s"0 <= maxHamming <= ${BandsN - 1}, got $maxHamming")
-    val (repDocs, _) = TextOps.textContraction(s, d)
-    val hx = repDocs.select(col("doc_id"), col("copies"))
-    // bands twice: EXPLODED for the blocking join, as an ARRAY column
-    // for the verify — so a candidate pair verifies with one map-side
-    // unrolled 8-term bit_count instead of an 8-row join+agg. Verify
-    // runs BEFORE distinct (the q101 regime rule: band-collision
-    // multiplicity here is ~1.04 — 938k occurrences vs 904k pairs at
-    // sf0.1 — so a pre-verify distinct shuffles the whole candidate
-    // space to save almost nothing, while ham ≤ 7 survivors are a few
-    // hundred rows); the band-vector frames are rep-count-sized and,
-    // under the measured-size gate, broadcast — candidates then never
-    // shuffle at all. Above the gate every join degrades to a pinned
-    // shuffle hash join on its equality keys.
     val (bandVec, reps) = phashIndex(s, d)
     val bands = bandVec
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bv")))
-    val ham = bands
+    bands
       .select(col("doc_id").as("doc_a"), col("band"), col("bv"))
       // the blocking join's build side is the rep-count-sized band
       // frame — size-gated ([[sizeGated]]): broadcast under the
@@ -269,6 +275,13 @@ object Multimodal {
       .filter(col("hamming") <= lit(maxHamming.toLong))
       .select("doc_a", "doc_b", "hamming")
       .distinct()
+  }
+
+  def q155PhashNearDup(s: SparkSession, d: String, maxHamming: Int = 7)
+      : DataFrame = {
+    val (repDocs, _) = TextOps.textContraction(s, d)
+    val hx = repDocs.select(col("doc_id"), col("copies"))
+    val ham = phashRepPairs(s, d, maxHamming)
     val members = hx
     val crossRows = ham
       .join(members.select(col("doc_id").as("doc_a"),
@@ -339,6 +352,68 @@ object Multimodal {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"), col("hamming"))
       .orderBy("query_id", "rk")
+  }
+
+  /** CROSS-MODAL NEAR-DUP RECONCILIATION (q157) — the multimodal
+    * family's graph meets the embedding family's graph: every document
+    * pair flagged near-dup by EITHER modality, labeled with which
+    * modalities agree. The media side is [[phashRepPairs]] (q155's
+    * verified rep pairs, expanded to member doc pairs through the
+    * exact-text contraction — within-group pairs are hamming 0 by
+    * construction); the embedding side is q34's verified pair memo
+    * (sign-LSH candidates, exact cosine ≥ 0.4) over the 1:1
+    * doc_id ↔ vec_id multimodal link. A `both` row is corroborated
+    * cross-modally (the strongest dedup evidence a multimodal corpus
+    * offers); a `media_only` row is pixel-level duplication an
+    * embedding model missed (e.g. re-encodes); an `embedding_only` row
+    * is semantic duplication with different bytes (e.g. captions
+    * paraphrased) — exactly the triage a training-data curation pass
+    * wants, and the first query where the fingerprint space and the
+    * embedding space meet.
+    *
+    * Exactness: hamming is BIGINT end-to-end (the q155/q156
+    * discipline); cos_sim carries q34's r4 rounding unchanged; the
+    * modality label is a pure null-pattern CASE over the full-outer
+    * join — nothing new to round, so the oracle hash-matches.
+    *
+    * Scale shape: both inputs are verified near-dup pair frames —
+    * near-dup-density-sized, never corpus-sized (each side's quadratic
+    * space is already collapsed by its own banded blocking) — and the
+    * member expansion is output-sized by construction. The full-outer
+    * join keys on the canonical (doc_a, doc_b) pair; every join here
+    * is an equality join AQE can size at runtime.
+    */
+  def q157CrossModalNearDup(s: SparkSession, d: String,
+      maxHamming: Int = 7): DataFrame = {
+    val (_, membership) = TextOps.textContraction(s, d)
+    // rep pairs → member doc pairs, canonicalized a < b (rep order and
+    // member-id order need not agree across groups)
+    val cross = phashRepPairs(s, d, maxHamming)
+      .join(membership.select(col("rep").as("doc_a"), col("doc_id").as("ma")),
+        Seq("doc_a"))
+      .join(membership.select(col("rep").as("doc_b"), col("doc_id").as("mb")),
+        Seq("doc_b"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("hamming"))
+    // within-group pairs: identical text ⇒ identical payload ⇒
+    // hamming exactly 0 — closed-form, no verify needed. Disjoint from
+    // `cross` (a doc belongs to exactly one rep), so the union is
+    // already pair-distinct.
+    val within = membership.select(col("rep"), col("doc_id").as("ma"))
+      .join(membership.select(col("rep"), col("doc_id").as("mb")), Seq("rep"))
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
+        lit(0L).as("hamming"))
+    val media = cross.unionByName(within)
+    val emb = Dedup.embeddingNearDupPairs(s, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        col("cos_sim"))
+    media.join(emb, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("cos_sim"),
+        when(col("hamming").isNotNull && col("cos_sim").isNotNull, "both")
+          .when(col("hamming").isNotNull, "media_only")
+          .otherwise("embedding_only").as("modality"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Decoded-media record produced by the per-partition decode pass. */

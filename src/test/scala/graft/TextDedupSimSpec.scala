@@ -562,6 +562,88 @@ class TextDedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 cross-modal: planted fixture hits both/media_only/embedding_only; expansion canonicalizes") {
+    import spark.implicits._
+    // same JVM dHash reference as the q155 test (byte arrays, no SQL)
+    def bandsOf(text: String): Array[Long] = {
+      val cells = Array.fill(72)(0L)
+      text.getBytes("UTF-8").zipWithIndex
+        .foreach { case (b, j) => cells(j % 72) += (b & 0xff).toLong }
+      (0 until 8).map { r =>
+        (0 until 8).map { c =>
+          if (cells(r * 9 + c + 1) > cells(r * 9 + c)) 1L << c else 0L
+        }.sum
+      }.toArray
+    }
+    def ham(a: Array[Long], b: Array[Long]): Long =
+      (0 until 8).map(r => java.lang.Long.bitCount(a(r) ^ b(r)).toLong).sum
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val near = (0 until base.length).iterator
+      .flatMap(i => Seq('z', '0', '~').map(ch => base.updated(i, ch)))
+      .find { t =>
+        val h = ham(bandsOf(base), bandsOf(t)); h >= 1L && h <= 7L
+      }.get
+    val far = Seq("0123456789 " * 25, base.reverse,
+      base.map(c => if (c.isLetter) ('z' - (c - 'a')).toChar else c))
+      .find(t => ham(bandsOf(base), bandsOf(t)) > 7L &&
+        ham(bandsOf(near), bandsOf(t)) > 7L).get
+    val h13 = ham(bandsOf(base), bandsOf(near))
+    // docs: {0, 5} exact copies (one text group, rep 0), 3 a near edit,
+    // 4 far. Member 5 of rep 0 pairing with member 3 of rep 3 forces
+    // the (ma, mb) = (5, 3) canonicalization — the cross-pair expansion
+    // where member order disagrees with rep order.
+    val texts = Map(0L -> base, 5L -> base, 3L -> near, 4L -> far)
+    // embeddings on the 1:1 doc_id<->vec_id link: v for {0, 5, 4}
+    // (cos 1.0, sign-LSH collides in every band), -v for 3 (no shared
+    // band, cos -1). So (0,5) is corroborated cross-modally; the media
+    // pairs against 3 stay media_only; (0,4)/(4,5) embedding_only.
+    val v = Seq.fill(64)(1.0f)
+    val dir = java.nio.file.Files.createTempDirectory("xmodal").toString
+    texts.toSeq.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    Seq((0L, v, 0), (5L, v, 0), (4L, v, 0), (3L, v.map(-_), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.ops.Multimodal.q157CrossModalNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3),
+          r.getString(4)))).toMap
+    val expect = Map(
+      (0L, 5L) -> ((0L, 1.0, "both")),
+      (0L, 3L) -> ((h13, -1.0, "media_only")),
+      (3L, 5L) -> ((h13, -1.0, "media_only")),
+      (0L, 4L) -> ((-1L, 1.0, "embedding_only")),
+      (4L, 5L) -> ((-1L, 1.0, "embedding_only")))
+    assert(got == expect, s"got $got\nwant $expect")
+  }
+
+  test("q157 sides reconcile on the real corpus: embedding rows ≡ q34; media pair count ≡ q155's expansion") {
+    val rows = graft.ops.Multimodal.q157CrossModalNearDup(spark, sf).collect()
+    // embedding side: exactly q34's verified pairs, cos_sim bit-equal
+    val emb = Dedup.q34EmbeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val gotEmb = rows.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(gotEmb == emb)
+    // media side count: q155's member counts expand closed-form —
+    // cross rows multiply, self rows enumerate within-group pairs
+    val q155 = graft.ops.Multimodal.q155PhashNearDup(spark, sf).collect()
+    val wantMedia = q155.map { r =>
+      val (a, b, ma, mb) = (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      if (a == b) ma * (ma - 1) / 2 else ma * mb
+    }.sum
+    assert(rows.count(!_.isNullAt(2)) == wantMedia)
+    // labels partition on the null pattern
+    rows.foreach { r =>
+      val want =
+        if (!r.isNullAt(2) && !r.isNullAt(3)) "both"
+        else if (!r.isNullAt(2)) "media_only" else "embedding_only"
+      assert(r.getString(4) == want, r.toString)
+    }
+  }
+
   test("q86 bloom decontamination: flagged set equals q74, counts positive, fpp-invariant") {
     val q86 = TextOps.q86BloomDecontaminate(spark, sf).cache()
     try {
