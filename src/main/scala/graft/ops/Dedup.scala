@@ -337,13 +337,15 @@ object Dedup {
   /** The containment family's shared memo payload: membership
     * (doc_id, rep), groups (rep, members), qualified rep pairs
     * (ra, rb, na, nb, common), per-rep sorted member-id lists
-    * (rep, mids) for closed-form member expansion, and the MEASURED
-    * total doc count (= Σ|mids|, the member-list frames' broadcast
-    * payload) driving [[memberListGated]]'s plan choice.
+    * (rep, mids) for closed-form member expansion, and two MEASURED
+    * counts — total docs (= Σ|mids|, the member-list frames' broadcast
+    * payload, driving [[memberListGated]]'s plan choice) and rep count
+    * (nDocs/nReps is the mean member-expansion factor, driving q121's
+    * pre-expansion rebalance).
     */
   private[graft] final case class ContainmentFrames(
       membership: DataFrame, groups: DataFrame, pairs: DataFrame,
-      memberLists: DataFrame, nDocs: Long)
+      memberLists: DataFrame, nDocs: Long, nReps: Long)
 
   /** Session conf key bounding the doc count under which the per-rep
     * member-list frame is `broadcast()` in the q121 member expansion;
@@ -404,15 +406,18 @@ object Dedup {
       val memberLists = membership.groupBy("rep")
         .agg(sort_array(collect_list(col("doc_id"))).as("mids"))
         .persist(lvl)
-      // the materializing count doubles as the MEASURED broadcast
-      // payload (one long per doc) for memberListGated — free, the
-      // memo materializes here anyway
+      // the materializing counts double as MEASURED plan inputs —
+      // nDocs is the broadcast payload (one long per doc) for
+      // memberListGated, nDocs/nReps the mean expansion factor for
+      // q121's rebalance gate; both frames persist here anyway
       val nDocs = membership.count()
+      val nReps = memberLists.count()
       val repToks = docsToks
         .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
       val pairs = qualifiedSetPairs(repToks, tS).persist(lvl)
       ContainmentFrames(membership,
-        groups.select(col("rep"), col("members")), pairs, memberLists, nDocs)
+        groups.select(col("rep"), col("members")), pairs, memberLists,
+        nDocs, nReps)
     })
   }
 
@@ -435,10 +440,25 @@ object Dedup {
     // consumer materializes the cross product only if its contract —
     // like this oracle-matched query's — demands member granularity.
     val f = containmentRepFrames(s, d, tS)
-    val repPairs = f.pairs
+    // On a dup-heavy corpus the expansion multiplies each pair row by
+    // (members_a × members_b) INSIDE its task — tasks inherit the
+    // cached pair frame's partitioning, whose per-partition pair
+    // counts (and fan-outs) are skewed, so a handful of tasks emit
+    // most of the billions of output rows while the rest idle
+    // (measured: 41 s at the 20× stress corpus for 4.03e9 rows where
+    // the fully-codegen'd generate pipeline sustains ~16M rows/s/core
+    // — a ~5× parallelism loss). A round-robin rebalance of the
+    // rep-pair frame (pair-count-sized, cheap) ahead of the broadcast
+    // joins spreads the generate work evenly. Gated on the memo's
+    // measured mean expansion factor so a dup-free corpus (factor 1,
+    // e.g. sf0.1: every text distinct) never pays the extra exchange.
+    val rebalance = f.nDocs >= 2 * f.nReps
+    val sp = s.sessionState.conf.numShufflePartitions
+    val repPairs0 = f.pairs
       .withColumn("containment",
         r4(col("common").cast("double") / least(col("na"), col("nb")).cast("double")))
       .select(col("ra"), col("rb"), col("na"), col("nb"), col("containment"))
+    val repPairs = if (rebalance) repPairs0.repartition(sp) else repPairs0
     // cross-group pairs: every (member of ra) × (member of rb); sizes
     // are group-constant, so the contained/container rule only needs
     // the per-pair id tie-break. The expansion joins attach the two
