@@ -124,6 +124,10 @@ object SparkEntry {
     "q153_bpe_train" -> ((s, d) => TextOps.q153BpeTrain(s, d)),
     // count-min sketch point-frequency estimates, hash-exact oracle
     "q154_countmin" -> ((s, d) => TextOps.q154CountMin(s, d)),
+    // BM25-ranked retrieval in exact micro-unit integer arithmetic
+    "q158_bm25_topk" -> ((s, d) => TextOps.q158Bm25TopK(s, d)),
+    // BPE encode: the q153-trained merge table applied to every doc
+    "q159_bpe_encode" -> ((s, d) => TextOps.q159BpeEncode(s, d)),
     // DSIR-style importance weights over hashed bigram features
     "q150_dsir_weights" -> (TextOps.q150DsirWeights(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
@@ -280,34 +284,84 @@ object SparkEntry {
     * frequency-weighted distinct vocabulary, starting from character
     * symbols (mirrors TextOps.q153BpeTrain — keep in lockstep).
     */
-  private lazy val q153Sql: String = {
-    val merges = 3
+  /** Shared q153/q159 BPE training chain (w → v0 → {t,p,b,v}1..merges —
+    * mirrors TextOps.q153BpeTrain / greedyMergeFold; keep in lockstep).
+    * b$i/v$i are MATERIALIZED: each is referenced by two downstream
+    * CTEs (the next iteration, plus q153's selects or q159's encode
+    * chain), and DuckDB's default inlining costs 2^depth — the NOTES
+    * round-11 trap.
+    */
+  private def bpeChainSql(merges: Int): String = {
     def iterBlock(i: Int): String =
       s"""t$i AS (SELECT seq, freq, string_split(seq, ' ') AS sy FROM v${i - 1}),
          |p$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |  SELECT freq, unnest(list_transform(range(1, len(sy)),
          |    i -> sy[i] || ' ' || sy[i + 1])) AS pair
          |  FROM t$i WHERE len(sy) >= 2) GROUP BY pair),
-         |b$i AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS x1,
+         |b$i AS MATERIALIZED (SELECT pair, cnt, string_split(pair, ' ')[1] AS x1,
          |    string_split(pair, ' ')[2] AS x2,
          |    replace(pair, ' ', '') AS m FROM p$i
          |  ORDER BY cnt DESC, pair LIMIT 1),
-         |v$i AS (SELECT CASE WHEN b$i.pair IS NULL THEN t$i.seq
+         |v$i AS MATERIALIZED (SELECT CASE WHEN b$i.pair IS NULL THEN t$i.seq
          |    ELSE list_reduce(t$i.sy, (acc, x) -> CASE
          |      WHEN (acc = b$i.x1 OR ends_with(acc, ' ' || b$i.x1)) AND x = b$i.x2
          |      THEN CASE WHEN acc = b$i.x1 THEN b$i.m
          |           ELSE left(acc, len(acc) - len(b$i.x1)) || b$i.m END
          |      ELSE acc || ' ' || x END) END AS seq, t$i.freq AS freq
          |  FROM t$i LEFT JOIN b$i ON true)""".stripMargin
-    val selects = (1 to merges).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS iter, pair, replace(pair, ' ', '') AS merged, cnt FROM b$i")
-      .mkString("\n", "\nUNION ALL ", "")
-    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    s"""w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        | SELECT unnest(${toksSql("text")}) AS word FROM documents) GROUP BY word),
        |v0 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
        |  i -> substr(word, i, 1)), ' ') AS seq, freq FROM w),
-       |${(1 to merges).map(iterBlock).mkString(",\n")}$selects
+       |${(1 to merges).map(iterBlock).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val q153Sql: String = {
+    val merges = 3
+    val selects = (1 to merges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS iter, pair, replace(pair, ' ', '') AS merged, cnt FROM b$i")
+      .mkString("\n", "\nUNION ALL ", "")
+    s"""WITH ${bpeChainSql(merges)}$selects
        |ORDER BY iter""".stripMargin
+  }
+
+  /** q159's oracle: the SAME training chain, then the encode side —
+    * each distinct corpus word replayed through the merge list in
+    * iteration order via the same list_reduce greedy fold (one
+    * definition of a merge), then per-doc sums and the two micro-unit
+    * integer divisions (mirrors TextOps.q159BpeEncode — keep in
+    * lockstep).
+    */
+  private lazy val q159Sql: String = {
+    val merges = 3
+    def encBlock(i: Int): String =
+      s"""e$i AS (SELECT word, CASE WHEN b$i.pair IS NULL THEN e${i - 1}.sy
+         |    ELSE string_split(list_reduce(e${i - 1}.sy, (acc, x) -> CASE
+         |      WHEN (acc = b$i.x1 OR ends_with(acc, ' ' || b$i.x1)) AND x = b$i.x2
+         |      THEN CASE WHEN acc = b$i.x1 THEN b$i.m
+         |           ELSE left(acc, len(acc) - len(b$i.x1)) || b$i.m END
+         |      ELSE acc || ' ' || x END), ' ') END AS sy
+         |  FROM e${i - 1} LEFT JOIN b$i ON true)""".stripMargin
+    s"""WITH ${bpeChainSql(merges)},
+       |e0 AS (SELECT word, list_transform(range(1, length(word) + 1),
+       |  i -> substr(word, i, 1)) AS sy FROM w),
+       |${(1 to merges).map(encBlock).mkString(",\n")},
+       |enc AS MATERIALIZED (SELECT word, CAST(length(word) AS BIGINT) AS n_ch,
+       |  CAST(len(sy) AS BIGINT) AS n_sym FROM e$merges),
+       |u AS (SELECT doc_id, unnest(${toksSql("text")}) AS word FROM documents),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(enc.n_ch) AS BIGINT) AS n_chars,
+       |  CAST(sum(enc.n_sym) AS BIGINT) AS n_symbols
+       | FROM u JOIN enc USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       | CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+       | CAST(coalesce(pd.n_chars, 0) AS BIGINT) AS n_chars,
+       | CAST(coalesce(pd.n_symbols, 0) AS BIGINT) AS n_symbols,
+       | CASE WHEN coalesce(pd.n_words, 0) > 0
+       |   THEN CAST((pd.n_symbols * 1000000) // pd.n_words AS BIGINT) END AS fertility_micro,
+       | CASE WHEN coalesce(pd.n_symbols, 0) > 0
+       |   THEN CAST((pd.n_chars * 1000000) // pd.n_symbols AS BIGINT) END AS compression_micro
+       |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
   /** q48/q70's oracle: the deterministic exact-integer k-means replayed
@@ -2096,6 +2150,37 @@ object SparkEntry {
          |    ORDER BY tf DESC, doc_id) AS BIGINT) AS rk FROM tf)
          |SELECT phrase, rk, doc_id, tf FROM r WHERE rk <= 10
          |ORDER BY phrase, rk""".stripMargin,
+    // mirrors TextOps.q158Bm25TopK — same term literals, rational idf
+    // (2N-2df+1)/(2df+1), avgdl in milli-tokens via one integer
+    // division, per-term micro-unit floors, BIGINT score sum (keep in
+    // lockstep)
+    "q158_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST((sum(len(ts)) * 1000) // count(*) AS BIGINT) AS avgdl_milli
+         | FROM t),
+         |u AS (SELECT doc_id, unnest(ts) AS token,
+         |  CAST(len(ts) AS BIGINT) AS dl FROM t),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+         |  CAST(min(dl) AS BIGINT) AS dl
+         | FROM u
+         | WHERE token IN (${graft.ops.TextOps.DefaultBm25Terms.map(t => s"'$t'").mkString(", ")})
+         | GROUP BY doc_id, token),
+         |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         | FROM tf GROUP BY token),
+         |c AS (SELECT doc_id,
+         |  CAST(((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1) AS BIGINT) AS idf_micro,
+         |  CAST((22 * tf * avgdl_milli * 1000000)
+         |    // (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl) AS BIGINT) AS frac_micro
+         | FROM tf JOIN dfx USING (token), st),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum((idf_micro * frac_micro) // 1000000) AS BIGINT) AS score_micro
+         | FROM c GROUP BY doc_id),
+         |rk AS (SELECT CAST(row_number() OVER (
+         |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, n_terms, score_micro FROM sc)
+         |SELECT rank, doc_id, n_terms, score_micro FROM rk
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // mirrors TextOps.q128TokenBudgetMix — md5-ranked order, explicit
     // ROWS-frame running token sum, cum_before < 1000 membership (keep
     // in lockstep)
@@ -2535,6 +2620,7 @@ object SparkEntry {
     // loop decision; LEFT JOIN ON TRUE guards the no-pairs edge (keep
     // in lockstep)
     "q153_bpe_train" -> q153Sql,
+    "q159_bpe_encode" -> q159Sql,
     // mirrors TextOps.q152DecontaminateRewrite — q143's seed/island CTEs
     // verbatim, islands gaining min(pos_t) start, covered = exact union
     // over runs >= 4 tokens, then the q149/q151 rewrite kernel over the

@@ -2274,6 +2274,27 @@ object TextOps {
     repRows.unionByName(memberRows).orderBy("doc_id")
   }
 
+  /** ONE definition of the BPE greedy-left merge scan, shared by
+    * training (q153 — applied to the evolving vocabulary) and encoding
+    * (q159 — applied to the tokens being encoded), so the two surfaces
+    * cannot diverge on what a merge does. lit()-based (the pair text
+    * never enters SQL source, so no literal-escaping hazard): `get` is
+    * null-safe on the empty accumulator, and null === x1 is null, so
+    * the first symbol always takes the push branch under ANSI. The
+    * merged symbol can never re-merge as the LEFT element within the
+    * same pass (xy ≠ x since y is nonempty) — exactly the Sennrich
+    * scan-with-skip semantics.
+    */
+  private def greedyMergeFold(sym: org.apache.spark.sql.Column,
+      x1: String, x2: String, merged: String): org.apache.spark.sql.Column =
+    aggregate(sym,
+      lit(Array.empty[String]),
+      (acc, x) => when(
+        get(acc, size(acc) - 1) === lit(x1) && x === lit(x2),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(lit(merged))))
+        .otherwise(concat(acc, array(x))))
+
   /** BPE TOKENIZER TRAINING (q153) — the iterated form of
     * [[q106BpePairs]] (which computes exactly this loop's FIRST
     * statistic): starting from character symbols over the
@@ -2339,19 +2360,9 @@ object TextOps {
         val Array(x1, x2) = p.split(" ", 2)
         val merged = p.replace(" ", "")
         out += ((i.toLong, p, merged, top(0).getLong(1)))
-        // greedy-left fold (lit()-based — the pair text never enters
-        // SQL source, so no literal-escaping hazard): `get` is
-        // null-safe on the empty accumulator, and null === x1 is null,
-        // so the first symbol always takes the push branch under ANSI
         val next = vocab.select(
           array_join(
-            aggregate(split(col("seq"), " "),
-              lit(Array.empty[String]),
-              (acc, x) => when(
-                get(acc, size(acc) - 1) === lit(x1) && x === lit(x2),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(lit(merged))))
-                .otherwise(concat(acc, array(x)))),
+            greedyMergeFold(split(col("seq"), " "), x1, x2, merged),
             " ").as("seq"),
           col("freq"))
           .localCheckpoint(true)
@@ -2552,6 +2563,163 @@ object TextOps {
     ScalarSuites.globalRank(scored,
       Seq(col("mean_ratio_micro").desc_nulls_last, col("doc_id")), "rank")
       .withColumn("selected", col("rank") <= lit(k))
+      .orderBy("doc_id")
+  }
+
+  /** The q158 query workload — a fixed disjunctive term set, the
+    * bounded "query side" of ranked retrieval (SparkEntry's oracle
+    * embeds the same literals; keep in lockstep).
+    */
+  val DefaultBm25Terms: Seq[String] = Seq("hash", "stream", "vector", "merge")
+
+  /** BM25-RANKED retrieval (Robertson et al., TREC-3; k1 = 1.2,
+    * b = 0.75) — the scored-retrieval capability between q127's exact
+    * phrase match and q26's per-doc TF-IDF profile: the global top-`k`
+    * documents for a disjunctive term query under the standard
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * ranking, with the SAME rational idf q26 uses,
+    * (N − df + ½)/(df + ½) = (2N − 2df + 1)/(2df + 1) — no libm log
+    * anywhere.
+    *
+    * Exactness (the q83/q150 micro-unit discipline, so the gate is
+    * hash-exact with NO rounding): with k1 = 6/5 and b = 3/4 the
+    * per-term factor is exactly 22·tf·A / (10·tf·A + 3·A + 9000·dl)
+    * where A = avgdl in milli-tokens = (Σdl·1000) div N — every
+    * quantity BIGINT, idf and the factor each floored through ONE
+    * integer division to micro-units, the product floored back to
+    * micro-units, and the per-doc score a BIGINT SUM of those
+    * (order-invariant, unlike a double sum). Exact while
+    * tf·A < 4.2×10¹¹ (tf·avgdl < 4×10⁸ token² — far past any chunked
+    * corpus; a 10k-token doc in a 1k-avgdl corpus sits at 10¹⁰).
+    *
+    * Plan shape at 100 TB: tf comes ROW-LOCAL from the TokenCounts
+    * expression (q26's move — one byte-scan per doc, no token
+    * explode), the `isin` query filter prunes the per-doc term rows
+    * map-side BEFORE the only corpus-keyed shuffle (the per-doc score
+    * agg, carrying ≤ |Q| rows per doc), df is a |Q|-row broadcast, the
+    * corpus totals one broadcast row, and the final top-k is
+    * TakeOrderedAndProject (per-partition k-heaps) — never a global
+    * sort of the scored corpus. The exact-text contraction makes the
+    * whole pipeline dup-count-invariant: copies enter df/N/Σdl as
+    * integer weights and members inherit their rep's score closed-form.
+    */
+  def q158Bm25TopK(s: SparkSession, d: String,
+      terms: Seq[String] = DefaultBm25Terms, k: Int = 20): DataFrame = {
+    val (repDocs, membership) = textContraction(s, d)
+    val totals = repDocs
+      .agg(sum(col("copies")).as("n"),
+        sum(col("copies") * tokenCount(col("text")).cast("long")).as("tt"))
+      .select(col("n"), expr("(tt * 1000) div n").as("avgdl_milli"))
+    val termRows = repDocs
+      .select(col("doc_id"), col("copies"),
+        tokenCount(col("text")).cast("long").as("dl"),
+        explode(graft.functions.expressions.TextExpressions
+          .tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("copies"), col("dl"),
+        col("tc.token").as("token"), col("tc.cnt").cast("long").as("tf"))
+      .filter(col("token").isin(terms: _*))
+    // df = copy-weighted doc count per term over (doc, token)-distinct
+    // rows — matches the oracle's count(DISTINCT doc_id) exactly
+    val dfTable = termRows.groupBy("token").agg(sum("copies").as("df"))
+    val scored = termRows
+      .join(broadcast(dfTable), Seq("token"))
+      .crossJoin(broadcast(totals)) // single-row corpus stats
+      .select(col("doc_id"),
+        expr("((2 * n - 2 * df + 1) * 1000000) div (2 * df + 1)")
+          .as("idf_micro"),
+        expr("(22 * tf * avgdl_milli * 1000000) div " +
+          "(10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl)")
+          .as("frac_micro"))
+      .select(col("doc_id"),
+        expr("(idf_micro * frac_micro) div 1000000").as("contrib_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib_micro").as("score_micro"))
+      .withColumnRenamed("doc_id", "rep")
+      .join(membership, Seq("rep"))
+      .select(col("doc_id"), col("n_terms"), col("score_micro"))
+    // (score, doc_id) is a unique sort key: limit is deterministic and
+    // globalRank runs over k rows, not the corpus
+    ScalarSuites.globalRank(
+      scored.orderBy(col("score_micro").desc, col("doc_id")).limit(k),
+      Seq(col("score_micro").desc, col("doc_id")), "rank")
+      .select("rank", "doc_id", "n_terms", "score_micro")
+      .orderBy("rank")
+  }
+
+  /** BPE ENCODE (q159) — the APPLY half of the tokenizer family q153
+    * trains: every document encoded with the trained merge table, the
+    * per-doc numbers a tokenizer-cost plan actually consumes. Where
+    * q138's fertility is WHITESPACE bytes-per-token, this is fertility
+    * under the TRAINED subword tokenizer: n_words (whitespace tokens),
+    * n_chars (their total characters = the char-symbol count before
+    * any merge), n_symbols (symbols after applying every merge in
+    * training order), fertility_micro = symbols-per-word and
+    * compression_micro = chars-per-symbol, both exact micro-unit
+    * integer divisions (null when the denominator is empty — a doc
+    * with no tokens has no fertility).
+    *
+    * One definition of a merge: encoding applies [[greedyMergeFold]] —
+    * the very fold training used — once per merge in iteration order,
+    * which IS how a shipped BPE tokenizer encodes (replay the merge
+    * list). Unseen words therefore encode correctly too: the fold is a
+    * pure function of the word, not a vocabulary lookup.
+    *
+    * Plan shape at 100 TB: training cost is q153's (vocabulary-bounded
+    * per iteration, one driver scalar each — the merge table IS the
+    * model, `merges` rows). Encoding computes the fold ONCE per
+    * DISTINCT corpus word (the explicit vocab dimension — at
+    * production merge counts the fold is the expensive step, so it
+    * must run per word, never per occurrence), broadcasts the
+    * vocabulary-sized (word → n_sym) table back onto the row-local
+    * (doc, word, cnt) stream (q26's measured vocabulary-broadcast
+    * argument), and aggregates per doc — the only corpus-keyed shuffle
+    * carries distinct-word rows per doc. The exact-text contraction
+    * makes all of it dup-count-invariant; members inherit the rep's
+    * numbers closed-form.
+    */
+  def q159BpeEncode(s: SparkSession, d: String, merges: Int = 3): DataFrame = {
+    val mergeTable = q153BpeTrain(s, d, merges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .map { case (pair, merged) =>
+        val Array(x1, x2) = pair.split(" ", 2); (x1, x2, merged)
+      }
+    val (repDocs, membership) = textContraction(s, d)
+    val docToks = repDocs
+      .select(col("doc_id"),
+        explode(graft.functions.expressions.TextExpressions
+          .tokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("tok"),
+        col("tc.cnt").cast("long").as("cnt"))
+    val chars = expr(
+      "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
+    val encoded = mergeTable.foldLeft(chars) { case (sym, (x1, x2, m)) =>
+      greedyMergeFold(sym, x1, x2, m)
+    }
+    val encTable = docToks.select("tok").distinct()
+      .select(col("tok"), length(col("tok")).cast("long").as("n_ch"),
+        size(encoded).cast("long").as("n_sym"))
+    val perDoc = docToks
+      .join(broadcast(encTable), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_ch")).as("n_chars"),
+        sum(col("cnt") * col("n_sym")).as("n_symbols"))
+    repDocs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"))
+      .withColumn("fertility_micro",
+        when(col("n_words") > 0L,
+          expr("(n_symbols * 1000000) div n_words")))
+      .withColumn("compression_micro",
+        when(col("n_symbols") > 0L,
+          expr("(n_chars * 1000000) div n_symbols")))
+      .withColumnRenamed("doc_id", "rep")
+      .join(membership, Seq("rep"))
+      .select("doc_id", "n_words", "n_chars", "n_symbols",
+        "fertility_micro", "compression_micro")
       .orderBy("doc_id")
   }
 }

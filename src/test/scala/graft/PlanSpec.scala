@@ -37,6 +37,9 @@ class PlanSpec extends AnyFunSuite {
     "q124_mix_temperature" -> "single-row Σw totals aggregate frame cross-joined in",
     "q144_temporal_split" -> "single-row time-bounds aggregate frame cross-joined in",
     "q134_dedup_adjusted_mix" -> "single-row Σw totals aggregate frame cross-joined in",
+    // q158_bm25_topk also cross-joins a single-row corpus-stats frame,
+    // but its registered shape ends at the k-row globalRank RDD hop, so
+    // the upstream join never appears in the inspected plan — no entry
     "q121_containment_exact" -> ("dictionary-bitset brute force against the " +
       "broadcast contracted-rep mask table — taken only in the measured " +
       "degenerate-vocabulary regime (V<=2048, R<=20000; the test corpus is " +

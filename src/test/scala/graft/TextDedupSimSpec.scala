@@ -1287,6 +1287,36 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q158 BM25 top-k: matches a JVM reference ranking run") {
+    val docs = collectedDocs()
+    val n = docs.size.toLong
+    val dls = docs.map { case (id, _, text) => id -> toks(text).size.toLong }.toMap
+    val avgdlMilli = dls.values.sum * 1000L / n
+    val terms = TextOps.DefaultBm25Terms.toSet
+    val tf = docs.flatMap { case (id, _, text) =>
+      toks(text).filter(terms.contains).groupBy(identity)
+        .map { case (t, xs) => (t, id, xs.size.toLong) }
+    }
+    val dfm = tf.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val perTerm = tf.map { case (t, id, f) =>
+      val df = dfm(t)
+      val idfMicro = (2L * n - 2L * df + 1L) * 1000000L / (2L * df + 1L)
+      val fracMicro = 22L * f * avgdlMilli * 1000000L /
+        (10L * f * avgdlMilli + 3L * avgdlMilli + 9000L * dls(id))
+      (id, idfMicro * fracMicro / 1000000L)
+    }
+    val want = perTerm.groupBy(_._1)
+      .map { case (id, xs) => (id, xs.size.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy { case (id, _, s) => (-s, id) }.take(20).zipWithIndex
+      .map { case ((id, nt, s), i) => (i + 1L, id, nt, s) }.toSet
+    val got = TextOps.q158Bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    // structural: every emitted score is positive (df < N for every
+    // fixture term) and ranks are the contiguous 1..k prefix
+    assert(got.forall(_._4 > 0L) && got.map(_._1) == (1L to 20L).toSet)
+  }
+
   test("q128 token budget: matches a JVM greedy fill; every source covers the budget or is exhausted") {
     val budget = 1000L
     val docs = collectedDocs()
@@ -2166,6 +2196,72 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got == want, s"got $got\nwant $want")
     // the corpus genuinely exercised both regimes
     assert(want.exists(_._2 == "a a") && want.exists(_._2 == "aa aa"))
+  }
+
+  test("q159 BPE encode: matches an independent JVM train+encode; copies and empty docs covered") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_enc").toString
+    val texts = Seq(
+      0L -> "low lower low aaaa",
+      1L -> "newest widest newest newest",
+      2L -> "aaaa aaaa low",
+      3L -> "low lower low aaaa", // exact copy of doc 0: contraction member
+      4L -> " ") // no tokens: zero counts, null ratios
+    texts.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val k = 3
+    // independent reference: symbol-VECTOR training (the q153 spec's
+    // formulation — no string replace anywhere) + encode by replaying
+    // the merge list in iteration order
+    def mergeOnce(sy: Vector[String], x: String, y: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var j = 0
+      while (j < sy.length) {
+        if (j < sy.length - 1 && sy(j) == x && sy(j + 1) == y) { b += (x + y); j += 2 }
+        else { b += sy(j); j += 1 }
+      }
+      b.result()
+    }
+    val words = texts.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var vocab = words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val ms = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sy, f) <- vocab; j <- 0 until sy.length - 1)
+        counts((sy(j), sy(j + 1))) = counts.getOrElse((sy(j), sy(j + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((x, y), _) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a + " " + b) }.head
+        ms += ((x, y))
+        vocab = vocab.map { case (sy, f) => (mergeOnce(sy, x, y), f) }
+      }
+    }
+    def encLen(w: String): Long =
+      ms.foldLeft(w.map(_.toString).toVector) { case (sy, (x, y)) =>
+        mergeOnce(sy, x, y)
+      }.length.toLong
+    val want = texts.map { case (id, t) =>
+      val ts = t.split(" ").filter(_.nonEmpty)
+      val nw = ts.length.toLong
+      val nc = ts.map(_.length.toLong).sum
+      val nsym = ts.map(encLen).sum
+      (id, nw, nc, nsym,
+        if (nw > 0L) Some(nsym * 1000000L / nw) else None,
+        if (nsym > 0L) Some(nc * 1000000L / nsym) else None)
+    }.toSet
+    val got = TextOps.q159BpeEncode(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }.toSet
+    assert(got == want, s"got $got\nwant $want")
+    // the merge replay genuinely fired: symbols never exceed chars,
+    // and SOME doc genuinely compressed; the copy inherited its rep
+    assert(ms.nonEmpty)
+    assert(got.filter(_._2 > 0L).forall(g => g._4 <= g._3))
+    assert(got.exists(g => g._2 > 0L && g._4 < g._3))
+    assert(got.find(_._1 == 3L) == got.find(_._1 == 0L).map(g => g.copy(_1 = 3L)))
   }
 
   test("contraction memos: a corpus changing under a cached dir is detected, not served stale") {
