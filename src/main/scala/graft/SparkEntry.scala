@@ -124,6 +124,9 @@ object SparkEntry {
     "q153_bpe_train" -> ((s, d) => TextOps.q153BpeTrain(s, d)),
     // count-min sketch point-frequency estimates, hash-exact oracle
     "q154_countmin" -> ((s, d) => TextOps.q154CountMin(s, d)),
+    // KMV bottom-k distinct sketches: per-source estimates + set ops
+    "q160_kmv_distinct" -> ((s, d) => TextOps.q160KmvDistinct(s, d)),
+    "q161_kmv_overlap" -> ((s, d) => TextOps.q161KmvOverlap(s, d)),
     // BM25-ranked retrieval in exact micro-unit integer arithmetic
     "q158_bm25_topk" -> ((s, d) => TextOps.q158Bm25TopK(s, d)),
     // BPE encode: the q153-trained merge table applied to every doc
@@ -240,6 +243,25 @@ object SparkEntry {
   /** StringTokenizer-faithful tokens of a text column, as DuckDB SQL. */
   private def toksSql(c: String): String =
     s"list_filter(string_split($c, ' '), x -> x <> '')"
+
+  /** Shared q160/q161 KMV sketch CTEs (mirrors TextOps.kmvSketches —
+    * keep in lockstep): per-source distinct 48-bit shingle hashes
+    * (first 12 md5 hex chars, +1 into [1, 2^48]), ranked ascending,
+    * bottom 256 kept; `per` folds each sketch to (n_kept, kth_h).
+    * hh is MATERIALIZED: q161 reads `sk` once per union branch.
+    */
+  private lazy val kmvSketchCtes: String =
+    s"""t AS (SELECT source, ${toksSql("text")} AS ts FROM documents),
+       |raw AS (SELECT source,
+       |  md5(unnest(list_transform(range(0, len(ts) - 2), i -> array_to_string(ts[i + 1:i + 3], ' ')))) AS hx
+       | FROM t WHERE len(ts) >= 3),
+       |hh AS MATERIALIZED (SELECT DISTINCT source,
+       |  CAST('0x' || substr(hx, 1, 12) AS BIGINT) + 1 AS h FROM raw),
+       |rk AS (SELECT source, h,
+       |  row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM hh),
+       |sk AS MATERIALIZED (SELECT source, h, rk FROM rk WHERE rk <= 256),
+       |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |  max(CASE WHEN rk = 256 THEN h END) AS kth_h FROM sk GROUP BY source)""".stripMargin
 
   /** q108/q109's shared chunk CTEs (mirrors TextOps.contentChunksOf —
     * keep in lockstep): content-defined chunking, boundary iff
@@ -2614,6 +2636,43 @@ object SparkEntry {
          |FROM probe JOIN cells USING (j, b)
          |GROUP BY probe.token, probe.true_cnt
          |ORDER BY true_cnt DESC, token""".stripMargin,
+    // mirrors TextOps.kmvSketches/q160KmvDistinct — same 48-bit
+    // md5-prefix hash shifted to [1, 2^48], per-source bottom-256
+    // distinct, estimate (k-1)*2^48 // h_k in BIGINT floor division
+    // (keep in lockstep)
+    "q160_kmv_distinct" ->
+      s"""WITH $kmvSketchCtes
+         |SELECT source, n_kept, kth_h,
+         | CAST(CASE WHEN n_kept < 256 THEN n_kept
+         |   ELSE 71776119061217280 // kth_h END AS BIGINT) AS est_distinct
+         |FROM per ORDER BY source""".stripMargin,
+    // mirrors TextOps.q161KmvOverlap — KMV union = bottom-256 of the
+    // merged sketches, inclusion-exclusion intersection clamped at 0,
+    // micro-unit Jaccard (keep in lockstep)
+    "q161_kmv_overlap" ->
+      s"""WITH $kmvSketchCtes,
+         |pe AS (SELECT source, CAST(CASE WHEN n_kept < 256 THEN n_kept
+         |  ELSE 71776119061217280 // kth_h END AS BIGINT) AS est FROM per),
+         |pr AS (SELECT a.source AS s1, b.source AS s2,
+         |  a.est AS est1, b.est AS est2
+         | FROM pe a JOIN pe b ON a.source < b.source),
+         |uh AS (SELECT s1, s2, h FROM pr JOIN sk ON sk.source = pr.s1
+         | UNION SELECT s1, s2, h FROM pr JOIN sk ON sk.source = pr.s2),
+         |urk AS (SELECT s1, s2, h,
+         |  row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rk FROM uh),
+         |ua AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS um,
+         |  max(CASE WHEN rk = 256 THEN h END) AS ukth
+         | FROM urk WHERE rk <= 256 GROUP BY s1, s2),
+         |fin AS (SELECT pr.s1, pr.s2, est1, est2,
+         |  CAST(CASE WHEN um < 256 THEN um
+         |    ELSE 71776119061217280 // ukth END AS BIGINT) AS est_union
+         | FROM pr JOIN ua ON ua.s1 = pr.s1 AND ua.s2 = pr.s2)
+         |SELECT s1, s2, est1, est2, est_union,
+         | CAST(greatest(0, est1 + est2 - est_union) AS BIGINT) AS est_inter,
+         | CAST(CASE WHEN est_union > 0
+         |   THEN (greatest(0, est1 + est2 - est_union) * 1000000) // est_union
+         |   END AS BIGINT) AS jaccard_est_micro
+         |FROM fin ORDER BY s1, s2""".stripMargin,
     // mirrors TextOps.q153BpeTrain — the q147 unrolled-iteration
     // discipline: each merge is one CTE block (pairs → deterministic
     // argmax → padded-space replace), so the gate re-derives every

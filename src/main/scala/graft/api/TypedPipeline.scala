@@ -83,4 +83,43 @@ object TypedPipeline {
     def outputEncoder: Encoder[List[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
   }
+
+  /** Bounded bottom-k DISTINCT values per group — the KMV /
+    * bottom-k-theta distinct-sketch state ([[graft.ops.TextOps]]
+    * q160/q161): keeps the k smallest distinct longs seen, merging
+    * buffers pairwise. State is O(k) regardless of group size AND of
+    * duplicate volume (inserting a duplicate is a no-op), which is what
+    * makes a per-source distinct sketch viable at 100 TB: the map-side
+    * partial aggregation reduces each task's contribution to <= k values
+    * per group before the only shuffle, so no corpus-wide DISTINCT (a
+    * full shuffle of the value space) is ever planned.
+    *
+    * Buffer is sorted DESCENDING so the steady-state common case — a
+    * value at least the current kth-smallest arriving at a full buffer —
+    * is rejected by one head comparison, O(1).
+    */
+  class BottomKDistinct(k: Int) extends Aggregator[Long, (Int, List[Long]), Seq[Long]] {
+    require(k >= 1, s"BottomKDistinct: k must be >= 1, got $k")
+    // buffer carries its size explicitly: the hot-path rejection must
+    // not pay List.size's O(k) walk per input row
+    private def insert(buf: (Int, List[Long]), v: Long): (Int, List[Long]) = {
+      val (n, vals) = buf
+      if (n >= k && vals.nonEmpty && v >= vals.head) buf
+      else {
+        val (pre, post) = vals.span(_ > v)
+        if (post.headOption.contains(v)) buf // distinct: drop duplicates
+        else if (n >= k) (n, (pre ::: v :: post).tail) // evict the largest
+        else (n + 1, pre ::: v :: post)
+      }
+    }
+    def zero: (Int, List[Long]) = (0, Nil)
+    def reduce(b: (Int, List[Long]), a: Long): (Int, List[Long]) = insert(b, a)
+    def merge(b1: (Int, List[Long]), b2: (Int, List[Long])): (Int, List[Long]) =
+      b2._2.foldLeft(b1)(insert)
+    def finish(b: (Int, List[Long])): Seq[Long] = b._2.reverse // ascending
+    def bufferEncoder: Encoder[(Int, List[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, List[Long])]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
 }

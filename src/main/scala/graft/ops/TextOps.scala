@@ -2722,4 +2722,105 @@ object TextOps {
         "fertility_micro", "compression_micro")
       .orderBy("doc_id")
   }
+
+  // ---- KMV / bottom-k-theta distinct sketches (q160, q161) --------------
+
+  /** KMV sketch size: relative standard error ~ 1/sqrt(k-2) ~ 6.3%. */
+  val KmvK: Int = 256
+
+  /** Hash domain: the first 12 hex chars of md5 as a 48-bit integer,
+    * shifted to [1, 2^48] so the kth-value division can never see 0.
+    * (k-1)·2^48 = 71776119061217280 fits BIGINT with 2 decimal orders
+    * to spare — the reason for a 48-bit domain rather than 63: DuckDB
+    * replays the estimate in exact BIGINT floor division. At 48 bits,
+    * expected hash collisions only bite beyond ~2^24 distinct values
+    * per source (birthday bound) — and a collision UNDERcounts by one,
+    * noise far under the sketch's own 6% error.
+    */
+  private val KmvNum: Long = (KmvK - 1).toLong * (1L << 48)
+
+  /** Per-source KMV sketch frame: (source, sk) with sk the ascending
+    * ≤k smallest distinct 48-bit shingle hashes. The scale story —
+    * and the reason this is q123's production surface — is the
+    * aggregation shape: [[graft.api.TypedPipeline.BottomKDistinct]] is
+    * O(k)-state with map-side partial aggregation, so the ONLY shuffle
+    * moves ≤ k·#sources·#tasks pre-combined values; neither the
+    * corpus-wide DISTINCT (source, shingle) frame nor the shingle ×
+    * shingle equality self-join that q123's exact overlap pays is ever
+    * planned, and exact-duplicate documents cost hashing only (every
+    * copy's shingles reject in O(1) against the full buffer head).
+    */
+  private def kmvSketches(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.api.TypedPipeline.BottomKDistinct(KmvK)
+    Tables.documents(s, d)
+      .select(col("source"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .select(col("source"),
+        (conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") + 1L).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("sk"))
+      .toDF("source", "sk")
+  }
+
+  /** Attaches the estimate for sketch column `sk`: exact count while the
+    * sketch is unsaturated (m < k ⇒ the sketch IS the distinct set),
+    * else (k-1)·2^48 div h_k — one BIGINT floor division the oracle
+    * replays bit-for-bit.
+    */
+  private def withKmvEstimate(df: DataFrame, sk: String, out: String): DataFrame =
+    df.withColumn(out, {
+      val m = size(col(sk)).cast("long")
+      when(m < KmvK.toLong, m)
+        .otherwise(expr(s"${KmvNum}L div element_at($sk, $KmvK)"))
+    })
+
+  /** q160: per-source distinct-shingle sketch summary — the
+    * dup-count-invariant, k-bounded production surface for "how many
+    * distinct 3-gram shingles does each source contribute" (q25/q123's
+    * exact counterpart question at 100 TB). Emits the sketch occupancy,
+    * the kth-smallest hash (the theta threshold; NULL while
+    * unsaturated) and the estimate. Everything is a deterministic
+    * integer function of the corpus, so the DuckDB oracle hash-gates
+    * the full sketch math, and the spec separately pins estimator
+    * QUALITY against a JVM exact count.
+    */
+  def q160KmvDistinct(s: SparkSession, d: String): DataFrame =
+    withKmvEstimate(kmvSketches(s, d), "sk", "est_distinct")
+      .select(col("source"),
+        size(col("sk")).cast("long").as("n_kept"),
+        when(size(col("sk")) >= KmvK, element_at(col("sk"), KmvK)).as("kth_h"),
+        col("est_distinct"))
+      .orderBy("source")
+
+  /** q161: sketch-based cross-source overlap — the scale path for
+    * q123's EXACT shingle-overlap matrix, whose corpus-sized equality
+    * self-join on shingle hash is the cost a 100 TB pipeline cannot
+    * pay per source pair. Union sketch = k smallest of the merged
+    * sketches (standard KMV union; exact while under k), intersection
+    * by inclusion–exclusion clamped at 0, Jaccard in micro-units.
+    * All pairs (s1 < s2) are emitted — including non-overlapping ones,
+    * which q123's inner join drops. The pair frame is #sources² rows
+    * over k-length arrays: driver-trivial, PlanSpec-allowlisted theta
+    * self-join.
+    */
+  def q161KmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val sk = withKmvEstimate(kmvSketches(s, d), "sk", "est")
+    val a = sk.select(col("source").as("s1"), col("sk").as("sk1"),
+      col("est").as("est1"))
+    val b = sk.select(col("source").as("s2"), col("sk").as("sk2"),
+      col("est").as("est2"))
+    withKmvEstimate(
+      a.join(b, col("s1") < col("s2"))
+        .withColumn("mu", array_sort(array_union(col("sk1"), col("sk2")))),
+      "mu", "est_union")
+      .withColumn("est_inter",
+        greatest(lit(0L), col("est1") + col("est2") - col("est_union")))
+      .select(col("s1"), col("s2"), col("est1"), col("est2"),
+        col("est_union"), col("est_inter"),
+        when(col("est_union") > 0L,
+          expr("(est_inter * 1000000) div est_union")).as("jaccard_est_micro"))
+      .orderBy("s1", "s2")
+  }
 }

@@ -37,6 +37,9 @@ class PlanSpec extends AnyFunSuite {
     "q124_mix_temperature" -> "single-row Σw totals aggregate frame cross-joined in",
     "q144_temporal_split" -> "single-row time-bounds aggregate frame cross-joined in",
     "q134_dedup_adjusted_mix" -> "single-row Σw totals aggregate frame cross-joined in",
+    "q161_kmv_overlap" -> ("theta self-join (s1 < s2) of the #sources-row " +
+      "KMV sketch frame — both sides are one k-length array per source, " +
+      "bounded by source count, never by corpus size"),
     // q158_bm25_topk also cross-joins a single-row corpus-stats frame,
     // but its registered shape ends at the k-row globalRank RDD hop, so
     // the upstream join never appears in the inspected plan — no entry

@@ -1317,6 +1317,69 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got.forall(_._4 > 0L) && got.map(_._1) == (1L to 20L).toSet)
   }
 
+  /** JVM replay of the q160/q161 KMV sketch pipeline: per-source
+    * distinct 48-bit shingle hashes (first 12 md5 hex chars, +1),
+    * ascending, bottom-k. Shared by both sketch specs.
+    */
+  private def kmvJvmSketches(): Map[String, Seq[Long]] = {
+    collectedDocs().groupBy(_._2).view.mapValues { ds =>
+      ds.flatMap { case (_, _, text) =>
+        toks(text).sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      }.map(sh => java.lang.Long.parseLong(md5hex(sh).substring(0, 12), 16) + 1L)
+        .distinct.sorted
+    }.toMap
+  }
+  private val kmvK = 256
+  private def kmvEst(sorted: Seq[Long]): Long =
+    if (sorted.size < kmvK) sorted.size.toLong
+    else (kmvK - 1).toLong * (1L << 48) / sorted(kmvK - 1)
+
+  test("q160 KMV distinct: matches a JVM sketch replay; saturated estimates within 25% of exact") {
+    val bySource = kmvJvmSketches()
+    val want = bySource.map { case (src, hs) =>
+      val sk = hs.take(kmvK)
+      (src, sk.size.toLong,
+        if (sk.size >= kmvK) Some(sk(kmvK - 1)) else None, kmvEst(sk))
+    }.toSet
+    val got = TextOps.q160KmvDistinct(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSet
+    assert(got == want)
+    // the saturated (genuinely estimating) branch is exercised, and
+    // every saturated estimate lands within 25% (4 sigma) of the true
+    // distinct-hash count
+    assert(bySource.exists(_._2.size >= kmvK))
+    for ((src, hs) <- bySource if hs.size >= kmvK) {
+      val est = want.find(_._1 == src).get._4
+      assert(math.abs(est - hs.size) * 100 <= 25L * hs.size,
+        s"$src est=$est exact=${hs.size}")
+    }
+  }
+
+  test("q161 KMV overlap: matches a JVM replay of the union/intersection sketch algebra") {
+    val bySource = kmvJvmSketches()
+    val sk = bySource.view.mapValues(_.take(kmvK)).toMap
+    val est = sk.view.mapValues(kmvEst).toMap
+    val srcs = sk.keys.toSeq.sorted
+    val want = (for {
+      s1 <- srcs; s2 <- srcs if s1 < s2
+    } yield {
+      val mu = (sk(s1) ++ sk(s2)).distinct.sorted
+      val eu = kmvEst(mu.take(kmvK))
+      val ei = math.max(0L, est(s1) + est(s2) - eu)
+      (s1, s2, est(s1), est(s2), eu, ei,
+        if (eu > 0L) Some(ei * 1000000L / eu) else None)
+    }).toSet
+    val got = TextOps.q161KmvOverlap(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSet
+    assert(got == want)
+    // all C(#sources, 2) pairs are emitted (q123's inner join drops
+    // disjoint pairs; the sketch matrix must not)
+    assert(got.size == srcs.size * (srcs.size - 1) / 2)
+  }
+
   test("q128 token budget: matches a JVM greedy fill; every source covers the budget or is exhausted") {
     val budget = 1000L
     val docs = collectedDocs()
