@@ -98,11 +98,15 @@ object TypedPipeline {
     * value at least the current kth-smallest arriving at a full buffer —
     * is rejected by one head comparison, O(1).
     */
-  class BottomKDistinct(k: Int) extends Aggregator[Long, (Int, List[Long]), Seq[Long]] {
-    require(k >= 1, s"BottomKDistinct: k must be >= 1, got $k")
-    // buffer carries its size explicitly: the hot-path rejection must
-    // not pay List.size's O(k) walk per input row
-    private def insert(buf: (Int, List[Long]), v: Long): (Int, List[Long]) = {
+  object BottomKDistinct {
+    /** The single definition of a sketch insert, shared by the batch
+      * Aggregator below and the streaming twin
+      * ([[graft.streaming.StreamingOps.kmvSketchStream]]) so the two
+      * surfaces cannot diverge on what the sketch IS. Buffer carries
+      * its size explicitly: the hot-path rejection must not pay
+      * List.size's O(k) walk per input value.
+      */
+    def insert(k: Int)(buf: (Int, List[Long]), v: Long): (Int, List[Long]) = {
       val (n, vals) = buf
       if (n >= k && vals.nonEmpty && v >= vals.head) buf
       else {
@@ -112,10 +116,15 @@ object TypedPipeline {
         else (n + 1, pre ::: v :: post)
       }
     }
+  }
+
+  class BottomKDistinct(k: Int) extends Aggregator[Long, (Int, List[Long]), Seq[Long]] {
+    require(k >= 1, s"BottomKDistinct: k must be >= 1, got $k")
+    private val ins = BottomKDistinct.insert(k) _
     def zero: (Int, List[Long]) = (0, Nil)
-    def reduce(b: (Int, List[Long]), a: Long): (Int, List[Long]) = insert(b, a)
+    def reduce(b: (Int, List[Long]), a: Long): (Int, List[Long]) = ins(b, a)
     def merge(b1: (Int, List[Long]), b2: (Int, List[Long])): (Int, List[Long]) =
-      b2._2.foldLeft(b1)(insert)
+      b2._2.foldLeft(b1)(ins)
     def finish(b: (Int, List[Long])): Seq[Long] = b._2.reverse // ascending
     def bufferEncoder: Encoder[(Int, List[Long])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, List[Long])]()

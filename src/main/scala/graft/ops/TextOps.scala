@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
@@ -2739,6 +2739,20 @@ object TextOps {
     */
   private val KmvNum: Long = (KmvK - 1).toLong * (1L << 48)
 
+  /** The 48-bit KMV value hash as a column expression — shared with the
+    * streaming twin ([[graft.streaming.StreamingOps.kmvSketchStream]])
+    * so both surfaces hash identically.
+    */
+  private[graft] def kmvHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 12), 16, 10).cast("long") + 1L
+
+  /** Scalar form of the KMV estimate for a k-sized sketch: exact count
+    * while unsaturated, else (k−1)·2^48 div h_k — the same BIGINT floor
+    * division [[withKmvEstimate]] plans; shared with the streaming twin.
+    */
+  private[graft] def kmvEstimate(k: Int, n: Int, kth: Long): Long =
+    if (n < k) n.toLong else (k - 1).toLong * (1L << 48) / kth
+
   /** Per-source KMV sketch frame: (source, sk) with sk the ascending
     * ≤k smallest distinct 48-bit shingle hashes. The scale story —
     * and the reason this is q123's production surface — is the
@@ -2755,8 +2769,7 @@ object TextOps {
     val agg = new graft.api.TypedPipeline.BottomKDistinct(KmvK)
     Tables.documents(s, d)
       .select(col("source"), explode(shingles3(tokens(col("text")))).as("sh"))
-      .select(col("source"),
-        (conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") + 1L).as("h"))
+      .select(col("source"), kmvHash(col("sh")).as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)

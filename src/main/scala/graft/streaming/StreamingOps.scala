@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{shingles3, tokens}
 
 /** Structured Streaming twins of the batch operators (SURVEY §2.2:
   * streaming was absent from the reference — Hadoop 1.x is batch-only —
@@ -1050,5 +1050,65 @@ object StreamingOps {
           / col("n_tokens").cast("double")).as("mean_w_milli"),
         when(col("margin_milli") >= 0L, "keep").otherwise("drop")
           .as("label"))
+  }
+
+  /** One KMV sketch emission: current occupancy, theta threshold
+    * (kth-smallest hash; NULL while unsaturated) and the distinct
+    * estimate — q160's row shape, continuously maintained.
+    */
+  case class KmvSketchUpdate(source: String, n_kept: Long,
+      kth_h: Option[Long], est_distinct: Long)
+
+  /** KMV DISTINCT SKETCH AT INGEST — the streaming twin of batch
+    * q160 ([[graft.ops.TextOps.q160KmvDistinct]]): a per-source
+    * "distinct 3-gram shingles contributed so far" estimate maintained
+    * continuously as documents arrive, emitting the updated sketch
+    * summary for every source touched by a micro-batch (Update mode).
+    * The monitoring signal a 100 TB/day ingest wants per source:
+    * distinct-content growth, dup-count-invariant by construction.
+    *
+    * Exception to the module's watermark rule, by DESIGN not omission:
+    * state carries no timeout because the sketch is the one stateful
+    * shape that cannot grow — O(k) longs per source forever (inserts
+    * past saturation EVICT the largest; duplicates are no-ops), and
+    * source cardinality is a bounded dimension (the fixture's q25/q89
+    * contract). Eviction would break the semantics: the sketch over
+    * "everything ingested so far" is exactly what the estimate means.
+    *
+    * One definition of every moving part, shared with batch: the value
+    * hash is [[graft.ops.TextOps.kmvHash]], the insert is
+    * [[graft.api.TypedPipeline.BottomKDistinct.insert]] (the batch
+    * Aggregator's reduce), the estimate is
+    * [[graft.ops.TextOps.kmvEstimate]]. Insert-order invariance of the
+    * bottom-k set is what makes the final streaming emission ≡ the
+    * batch q160 answer over the same documents regardless of batch
+    * boundaries — spec-pinned in StreamingSpec.
+    */
+  def kmvSketchStream(docs: DataFrame, k: Int = graft.ops.TextOps.KmvK)
+      : Dataset[KmvSketchUpdate] = {
+    require(k >= 1, s"kmvSketchStream: k must be >= 1, got $k")
+    val s = docs.sparkSession
+    import s.implicits._
+    val ins = graft.api.TypedPipeline.BottomKDistinct.insert(k) _
+    docs
+      .select(col("source"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .select(col("source"), graft.ops.TextOps.kmvHash(col("sh")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Int, List[Long]), KmvSketchUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[(String, Long)],
+            state: GroupState[(Int, List[Long])]) =>
+          val buf = batch.foldLeft(state.getOption.getOrElse((0, List.empty[Long]))) {
+            case (b, (_, h)) => ins(b, h)
+          }
+          state.update(buf)
+          val (n, desc) = buf
+          // buffer is descending; the kth-smallest of a SATURATED
+          // sketch is its head
+          val kth = if (n >= k) Some(desc.head) else None
+          KmvSketchUpdate(src, n.toLong, kth,
+            graft.ops.TextOps.kmvEstimate(k, n, kth.getOrElse(1L)))
+      }
   }
 }

@@ -562,6 +562,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); ratios.unpersist() }
   }
 
+  test("streaming KMV sketch final state equals batch q160 regardless of batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.kmvSketchStream(
+      mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    try {
+      // three uneven micro-batches: the bottom-k set is insert-order
+      // invariant, so the FINAL emission per source must equal batch
+      // q160 no matter where the batch boundaries fall
+      val parts = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+      // n_kept and est_distinct are monotone nondecreasing over a
+      // sketch's lifetime (inserts only shrink the kth value), and
+      // kth_h nonincreasing once saturated — max/max/min per source IS
+      // the final state
+      val got = spark.table("kmv_out").groupBy("source")
+        .agg(max("n_kept").as("n_kept"), min("kth_h").as("kth_h"),
+          max("est_distinct").as("est_distinct"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+        .toSet
+      val expect = graft.ops.TextOps.q160KmvDistinct(spark, TestSpark.sf)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+        .toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+      // the saturated regime is exercised in-stream (some source's
+      // sketch filled and began estimating)
+      assert(got.exists(_._3.nonEmpty))
+    } finally q.stop()
+  }
+
   test("streaming centroid maintenance converges to batch q88 exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
