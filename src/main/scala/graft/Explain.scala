@@ -50,7 +50,9 @@ object Explain {
     "q148_repeated_spans", "q149_dedup_rewrite", "q150_dsir_weights",
     "q151_dedup_keep_first", "q152_decontaminate_rewrite",
     "q153_bpe_train", "q154_countmin", "q155_phash_neardup",
-    "q156_phash_topk", "q157_crossmodal_neardup")
+    "q156_phash_topk", "q157_crossmodal_neardup", "q158_bm25_topk",
+    "q159_bpe_encode", "q160_kmv_distinct", "q161_kmv_overlap",
+    "q162_stupid_backoff")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from

@@ -131,6 +131,8 @@ object SparkEntry {
     "q158_bm25_topk" -> ((s, d) => TextOps.q158Bm25TopK(s, d)),
     // BPE encode: the q153-trained merge table applied to every doc
     "q159_bpe_encode" -> ((s, d) => TextOps.q159BpeEncode(s, d)),
+    // trigram stupid-backoff LM scoring vs the held-out LM slice
+    "q162_stupid_backoff" -> ((s, d) => TextOps.q162StupidBackoff(s, d)),
     // DSIR-style importance weights over hashed bigram features
     "q150_dsir_weights" -> (TextOps.q150DsirWeights(_, _)),
     "q106_bpe_pairs" -> ((s, d) => TextOps.q106BpePairs(s, d)),
@@ -2646,6 +2648,59 @@ object SparkEntry {
          | CAST(CASE WHEN n_kept < 256 THEN n_kept
          |   ELSE 71776119061217280 // kth_h END AS BIGINT) AS est_distinct
          |FROM per ORDER BY source""".stripMargin,
+    // mirrors TextOps.q162StupidBackoff — LM counts from the doc_id%10<8
+    // slice, stupid backoff S(w|u,v) with 0.4 = 2/5 as exact rational
+    // floor divisions in micro-units (keep in lockstep)
+    "q162_stupid_backoff" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |lm AS (SELECT ts FROM t WHERE doc_id % 10 < 8),
+         |c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM (
+         |  SELECT unnest(list_transform(range(0, len(ts) - 2),
+         |    i -> array_to_string(ts[i + 1:i + 3], ' '))) AS g
+         |  FROM lm WHERE len(ts) >= 3) GROUP BY g),
+         |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM (
+         |  SELECT unnest(list_transform(range(0, len(ts) - 1),
+         |    i -> array_to_string(ts[i + 1:i + 2], ' '))) AS g
+         |  FROM lm WHERE len(ts) >= 2) GROUP BY g),
+         |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS c1 FROM (
+         |  SELECT unnest(ts) AS g FROM lm) GROUP BY g),
+         |nt AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM c1),
+         |pos AS (SELECT doc_id,
+         |  unnest(list_transform(range(0, len(ts) - 2), i -> ts[i + 1])) AS u,
+         |  unnest(list_transform(range(0, len(ts) - 2), i -> ts[i + 2])) AS v,
+         |  unnest(list_transform(range(0, len(ts) - 2), i -> ts[i + 3])) AS w
+         | FROM t WHERE len(ts) >= 3),
+         |sc AS (SELECT pos.doc_id,
+         |  CASE WHEN g3.c3 IS NOT NULL THEN 0
+         |       WHEN vw.c2 IS NOT NULL THEN 1
+         |       WHEN cw.c1 IS NOT NULL THEN 2 ELSE 3 END AS depth,
+         |  CASE WHEN g3.c3 IS NOT NULL THEN (g3.c3 * 1000000) // cx.c2
+         |       WHEN vw.c2 IS NOT NULL THEN (vw.c2 * 2000000) // (5 * cv.c1)
+         |       WHEN cw.c1 IS NOT NULL THEN (cw.c1 * 4000000) // (25 * nt.n_total)
+         |       ELSE 0 END AS micro
+         | FROM pos
+         | LEFT JOIN c3 g3 ON g3.g = pos.u || ' ' || pos.v || ' ' || pos.w
+         | LEFT JOIN c2 cx ON cx.g = pos.u || ' ' || pos.v
+         | LEFT JOIN c2 vw ON vw.g = pos.v || ' ' || pos.w
+         | LEFT JOIN c1 cv ON cv.g = pos.v
+         | LEFT JOIN c1 cw ON cw.g = pos.w
+         | CROSS JOIN nt),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN depth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+         |  CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+         |  CAST(sum(CASE WHEN depth = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+         |  CAST(sum(CASE WHEN depth = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(sum(micro) AS BIGINT) AS score_sum_micro
+         | FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | coalesce(a.n_pos, 0) AS n_pos, coalesce(a.n_tri, 0) AS n_tri,
+         | coalesce(a.n_bi, 0) AS n_bi, coalesce(a.n_uni, 0) AS n_uni,
+         | coalesce(a.n_oov, 0) AS n_oov,
+         | coalesce(a.score_sum_micro, 0) AS score_sum_micro,
+         | CASE WHEN a.n_pos > 0 THEN a.score_sum_micro // a.n_pos
+         |   END AS mean_score_micro
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // mirrors TextOps.q161KmvOverlap — KMV union = bottom-256 of the
     // merged sketches, inclusion-exclusion intersection clamped at 0,
     // micro-unit Jaccard (keep in lockstep)

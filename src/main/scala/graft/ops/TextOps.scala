@@ -2836,4 +2836,106 @@ object TextOps {
           expr("(est_inter * 1000000) div est_union")).as("jaccard_est_micro"))
       .orderBy("s1", "s2")
   }
+
+  // ---- trigram stupid-backoff LM scoring (q162) -------------------------
+
+  /** TRIGRAM LM scoring with STUPID BACKOFF (Brants et al., EMNLP 2007
+    * — "Large Language Models in Machine Translation", the canonical
+    * distributed-LM scheme, designed precisely because at corpus scale
+    * the unnormalized back-off S(w|context) needs no discounting pass):
+    * each document scores as the sum/mean of
+    *
+    *   S(w | u,v) = c3(u,v,w)/c2(u,v)            if the trigram is in the LM
+    *              = 0.4 · c2(v,w)/c1(v)          else if the bigram is
+    *              = 0.4² · c1(w)/N               else if the unigram is
+    *              = 0                             else (true OOV)
+    *
+    * with counts from a HELD-OUT LM slice (doc_id % 10 < 8), not the
+    * scored doc itself — self-scoring would make every trigram a hit
+    * and the backoff dead code (the q83 self-corpus design is the MLE
+    * diagnostic; this is the inference shape: train slice → score
+    * everything, and the 20% non-LM docs exercise every depth).
+    *
+    * Exactness (q83's integral discipline, backoff factors as exact
+    * rationals): 0.4 = 2/5 and 0.16 = 4/25, so each per-position score
+    * is ONE BIGINT floor division — micro(depth0) = 1e6·c3 div c2ctx,
+    * micro(depth1) = 2e6·c2vw div (5·c1v), micro(depth2) = 4e6·c1w div
+    * (25·N) — and the per-doc sum is order-invariant: the whole answer
+    * hash-gates with NO rounding discipline. Depth conditions nest
+    * safely: a trigram hit implies its context bigram is in c2 (same
+    * slice), a (v,w) hit implies c1(v) > 0 — no denominator can be
+    * NULL or 0 on its branch.
+    *
+    * Plan shape: three gram-keyed hash aggs build the LM tables
+    * (map-side combined; open-vocabulary, so hash joins — never
+    * broadcast-pinned), five keyed left joins score the exploded
+    * trigram stream, the single-row N frame rides a broadcast cross
+    * join (the q124 idiom), one doc-keyed agg. Every shuffle is keyed
+    * on a gram or doc_id; nothing is corpus² anywhere.
+    */
+  def q162StupidBackoff(s: SparkSession, d: String): DataFrame =
+    stupidBackoffCore(Tables.documents(s, d))
+
+  /** The q162 pipeline over an arbitrary (doc_id, text) frame — split
+    * out so the spec can plant a corpus where every backoff depth
+    * (including true OOV, which the sf0.001 fixture's shared
+    * vocabulary never produces) is reachable.
+    */
+  private[graft] def stupidBackoffCore(docs: DataFrame): DataFrame = {
+    import graft.functions.expressions.TextExpressions.tokenShingles
+    val lm = docs.filter(col("doc_id") % 10 < 8)
+    def gramCounts(n: Int, cn: String): DataFrame =
+      lm.select(explode(tokenShingles(tokens(col("text")), n)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as(cn))
+    val c3 = gramCounts(3, "c3")
+    val c2 = gramCounts(2, "c2")
+    val c1 = gramCounts(1, "c1")
+    val nTot = c1.agg(sum("c1").as("n_total"))
+    val pos = docs
+      .select(col("doc_id"),
+        explode(tokenShingles(tokens(col("text")), 3)).as("g"))
+      // tokens never contain spaces (StringTokenizer contract), so the
+      // split is unambiguous
+      .withColumn("v", element_at(split(col("g"), " "), 2))
+      .withColumn("w", element_at(split(col("g"), " "), 3))
+      .withColumn("ctx", concat_ws(" ",
+        element_at(split(col("g"), " "), 1), col("v")))
+      .withColumn("vw", concat_ws(" ", col("v"), col("w")))
+    val scored = pos
+      .join(c3, Seq("g"), "left")
+      .join(c2.toDF("ctx", "c2ctx"), Seq("ctx"), "left")
+      .join(c2.toDF("vw", "c2vw"), Seq("vw"), "left")
+      .join(c1.toDF("v", "c1v"), Seq("v"), "left")
+      .join(c1.toDF("w", "c1w"), Seq("w"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("depth",
+        when(col("c3").isNotNull, 0L)
+          .when(col("c2vw").isNotNull, 1L)
+          .when(col("c1w").isNotNull, 2L)
+          .otherwise(3L))
+      .withColumn("micro",
+        when(col("depth") === 0L, expr("(c3 * 1000000) div c2ctx"))
+          .when(col("depth") === 1L, expr("(c2vw * 2000000) div (5 * c1v)"))
+          .when(col("depth") === 2L, expr("(c1w * 4000000) div (25 * n_total)"))
+          .otherwise(lit(0L)))
+    val perDoc = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_pos"),
+      sum(when(col("depth") === 0L, 1L).otherwise(0L)).as("n_tri"),
+      sum(when(col("depth") === 1L, 1L).otherwise(0L)).as("n_bi"),
+      sum(when(col("depth") === 2L, 1L).otherwise(0L)).as("n_uni"),
+      sum(when(col("depth") === 3L, 1L).otherwise(0L)).as("n_oov"),
+      sum("micro").as("score_sum_micro"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_uni"), lit(0L)).as("n_uni"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("score_sum_micro"), lit(0L)).as("score_sum_micro"),
+        // null for docs with < 3 tokens: no evidence ≠ low score (q83)
+        when(col("n_pos") > 0L, expr("score_sum_micro div n_pos"))
+          .as("mean_score_micro"))
+      .orderBy("doc_id")
+  }
 }

@@ -40,6 +40,7 @@ class PlanSpec extends AnyFunSuite {
     "q161_kmv_overlap" -> ("theta self-join (s1 < s2) of the #sources-row " +
       "KMV sketch frame — both sides are one k-length array per source, " +
       "bounded by source count, never by corpus size"),
+    "q162_stupid_backoff" -> "single-row N-total aggregate frame cross-joined in",
     // q158_bm25_topk also cross-joins a single-row corpus-stats frame,
     // but its registered shape ends at the k-row globalRank RDD hop, so
     // the upstream join never appears in the inspected plan — no entry

@@ -1215,6 +1215,71 @@ class TextDedupSimSpec extends AnyFunSuite {
   private def toks(text: String): Seq[String] =
     text.split(" ", -1).toSeq.filter(_.nonEmpty)
 
+  test("q162 stupid backoff: matches a JVM replay; all four backoff depths exercised") {
+    val docs = collectedDocs()
+    val lm = docs.filter(_._1 % 10 < 8)
+    def grams(n: Int): Map[String, Long] = lm
+      .flatMap(d => toks(d._3).sliding(n).filter(_.length == n).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c3 = grams(3); val c2 = grams(2); val c1 = grams(1)
+    val nTot = c1.values.sum
+    val want = docs.map { case (id, _, text) =>
+      val scores = toks(text).sliding(3).filter(_.length == 3).map { tri =>
+        val Seq(u, v, w) = tri
+        val g = s"$u $v $w"; val ctx = s"$u $v"; val vw = s"$v $w"
+        // positive-operand integer division ≡ floor division ≡ `div`
+        if (c3.contains(g)) (0, c3(g) * 1000000L / c2(ctx))
+        else if (c2.contains(vw)) (1, c2(vw) * 2000000L / (5L * c1(v)))
+        else if (c1.contains(w)) (2, c1(w) * 4000000L / (25L * nTot))
+        else (3, 0L)
+      }.toSeq
+      val np = scores.size.toLong
+      val sum = scores.map(_._2).sum
+      (id, np,
+        scores.count(_._1 == 0).toLong, scores.count(_._1 == 1).toLong,
+        scores.count(_._1 == 2).toLong, scores.count(_._1 == 3).toLong,
+        sum, if (np > 0) Some(sum / np) else None)
+    }.toSet
+    val got = TextOps.q162StupidBackoff(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSet
+    assert(got == want,
+      s"mismatch: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+    // the fixture exercises the trigram-hit, bigram- and
+    // unigram-backoff branches (true OOV can't occur at sf0.001 —
+    // the slices share a vocabulary; the constructed test below pins it)
+    assert(want.exists(_._3 > 0L) && want.exists(_._4 > 0L) &&
+      want.exists(_._5 > 0L))
+  }
+
+  test("q162 stupid backoff on a planted corpus: every depth incl. true OOV, hand-computed") {
+    import spark.implicits._
+    // LM slice = ids 0,1 (%10<8): N = 8 tokens
+    //   id 0: "a b c a b"  → trigrams {abc, bca, cab}; bigrams ab×2, bc, ca
+    //   id 1: "c d e"      → trigram {cde}; bigrams cd, de
+    // scored doc id 8 (%10=8, held out): "a b c x e d e zz q"
+    val docs = Seq(
+      (0L, "a b c a b"), (1L, "c d e"), (8L, "a b c x e d e zz q"))
+      .toDF("doc_id", "text")
+    val got = TextOps.stupidBackoffCore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))).toMap
+    // doc 8's 7 trigram positions, by hand:
+    //  (a,b,c): c3=1, c2(ab)=2      → depth0, 1000000*1/2   = 500000
+    //  (b,c,x): no c3; c2(cx)? no; c1(x)? no → OOV depth3, 0
+    //  (c,x,e): no c3; c2(xe)? no; c1(e)=1 → depth2, 4000000/(25*8) = 20000
+    //  (x,e,d): no c3; c2(ed)? no; c1(d)=1 → depth2, 4000000/200 = 20000
+    //  (e,d,e): no c3; c2(de)=1, c1(d)=1 → depth1, 1*2000000/5 = 400000
+    //  (d,e,zz): no c3; c2(e zz)? no; c1(zz)? no → OOV depth3, 0
+    //  (e,zz,q): no; no; c1(q)? no → OOV depth3, 0
+    val sum8 = 500000L + 20000L + 20000L + 400000L
+    assert(got(8L) == (7L, 1L, 1L, 2L, 3L, sum8, Some(sum8 / 7L)))
+    // LM docs self-score depth0 everywhere (their trigrams are in c3)
+    assert(got(0L)._2 == got(0L)._1 && got(1L)._2 == got(1L)._1)
+  }
+
   test("q122 dup n-gram spans: matches a JVM reference (grams, runs, fractions)") {
     val docs = collectedDocs()
     val grams = docs.map { case (id, _, text) => id -> toks(text).sliding(8).filter(_.length == 8).map(_.mkString(" ")).toVector }
