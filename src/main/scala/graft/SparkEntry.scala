@@ -145,6 +145,8 @@ object SparkEntry {
     // deduplication
     "q30_exact_dedup" -> (Dedup.q30ExactDedup(_, _)),
     "q31_jaccard_pairs" -> (Dedup.q31JaccardPairs(_, _)),
+    // provenance view over the q31 memo: source-pair dup matrix
+    "q164_cross_source_dup" -> ((s, d) => Dedup.q164CrossSourceDup(s, d)),
     "q32_minhash_lsh" -> (Dedup.q32MinHashLsh(_, _)),
     "q33_simhash" -> (Dedup.q33SimHash(_, _)),
     "q34_embedding_neardup" -> (Dedup.q34EmbeddingNearDup(_, _)),
@@ -197,6 +199,8 @@ object SparkEntry {
     "q140_retrieval_metrics" -> ((s, d) => Similarity.q140RetrievalMetrics(s, d)),
     // IVF recall bound as an oracle-assertable boolean (q38/q66 pattern)
     "q142_ivf_recall_gate" -> ((s, d) => Similarity.q142IvfRecallGate(s, d)),
+    // SemDeDup: within-cluster dominance prune over q48's shared fit
+    "q163_semdedup_prune" -> ((s, d) => Similarity.q163SemdedupPrune(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -402,11 +406,24 @@ object SparkEntry {
     * within them (mirrors Similarity.quantize/ivfProbe — keep
     * seeds/ties/update/stop/probe rules in lockstep).
     */
-  private lazy val q48Sql: String = {
+  /** BIGINT squared-L2 between two micro-unit list columns — the SQL
+    * mirror of `FloatVecExpressions.longDist2`, shared by every CTE
+    * that replays the quantizer's metric.
+    */
+  private def ivfD2(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+
+  /** The unrolled k-means fit as a reusable CTE chain (no `WITH`):
+    * `m` (micro-unit vectors) → `kc0` (salted-hash seeds) → capped
+    * iteration blocks → `allkc`/`kresid`/`conv` (the residual stop) →
+    * `kcf` (the converged model). Shared VERBATIM by q48/q70's probe
+    * oracle and q163's SemDeDup prune so the fit has one SQL
+    * definition.
+    */
+  private lazy val ivfChainCtes: String = {
     val iters = graft.ops.Similarity.IvfItersCap
     val eps = graft.ops.Similarity.IvfConvergeEps
-    def d2(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, len($a) + 1), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+    def d2(a: String, b: String): String = ivfD2(a, b)
     // Every iteration CTE is MATERIALIZED: kc$i is referenced twice by
     // level i+1 (assignment + empty-cluster keep) plus allkc, so
     // DuckDB's default inlining would copy the whole chain ~2^iters
@@ -429,7 +446,7 @@ object SparkEntry {
          |   FROM kc${i - 1})) p
          | LEFT JOIN ks$i s ON s.centroid = p.centroid AND s.dim = p.dim
          | GROUP BY p.centroid)""".stripMargin
-    s"""WITH m AS MATERIALIZED (SELECT vec_id,
+    s"""m AS MATERIALIZED (SELECT vec_id,
        |  list_transform(embedding, v ->
        |    CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mvec
        | FROM embeddings),
@@ -452,7 +469,12 @@ object SparkEntry {
        |  min(CASE WHEN r <= $eps THEN it END), $iters) AS BIGINT) AS iters
        | FROM kresid),
        |kcf AS (SELECT centroid, cvec FROM allkc CROSS JOIN conv
-       | WHERE it = conv.iters),
+       | WHERE it = conv.iters)""".stripMargin
+  }
+
+  private lazy val q48Sql: String = {
+    def d2(a: String, b: String): String = ivfD2(a, b)
+    s"""WITH $ivfChainCtes,
        |af AS (SELECT vec_id, centroid FROM (
        |  SELECT m.vec_id, c.centroid,
        |   row_number() OVER (PARTITION BY m.vec_id
@@ -478,6 +500,36 @@ object SparkEntry {
        | ${sqlRn("sim6", 4)} AS cos_sim, conv.iters AS n_iters
        |FROM ranked CROSS JOIN conv WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
   }
+
+  /** q163's oracle — mirrors Similarity.q163SemdedupPrune over the
+    * SHARED unrolled-fit chain (`ivfChainCtes`, verbatim q48's): the
+    * converged model's assignment with the argmin distance KEPT, then
+    * the SemDeDup dominance rule within each cluster — a same-cluster
+    * neighbor at r4-cosine ≥ 0.4 strictly closer to the centroid
+    * (exact BIGINT squared-L2, ties to the smaller vec_id) dominates.
+    */
+  private lazy val q163Sql: String =
+    s"""WITH $ivfChainCtes,
+       |afd AS MATERIALIZED (SELECT vec_id, centroid, d2c FROM (
+       |  SELECT m.vec_id, c.centroid,
+       |   CAST(${ivfD2("m.mvec", "c.cvec")} AS BIGINT) AS d2c,
+       |   row_number() OVER (PARTITION BY m.vec_id
+       |     ORDER BY ${ivfD2("m.mvec", "c.cvec")}, c.centroid) AS rn
+       |  FROM m, kcf c) WHERE rn = 1),
+       |dom AS (SELECT y.vec_id, CAST(count(*) AS BIGINT) AS n_dominators
+       | FROM afd x JOIN afd y ON x.centroid = y.centroid
+       |  AND x.vec_id <> y.vec_id
+       |  AND (x.d2c < y.d2c OR (x.d2c = y.d2c AND x.vec_id < y.vec_id))
+       | JOIN embeddings a ON a.vec_id = x.vec_id
+       | JOIN embeddings b ON b.vec_id = y.vec_id
+       | WHERE ${sqlRn(cosSql, 4)} >= 0.4
+       | GROUP BY y.vec_id)
+       |SELECT f.vec_id, CAST(f.centroid AS BIGINT) AS centroid, f.d2c,
+       | CAST(coalesce(dom.n_dominators, 0) AS BIGINT) AS n_dominators,
+       | coalesce(dom.n_dominators, 0) = 0 AS keep,
+       | conv.iters AS n_iters
+       |FROM afd f LEFT JOIN dom USING (vec_id) CROSS JOIN conv
+       |ORDER BY f.vec_id""".stripMargin
 
   /** The dHash fingerprint CTE chain shared by the q155 near-dup and
     * q156 Hamming-top-k oracles (mirrors Multimodal.phashBandsOf over
@@ -1502,6 +1554,29 @@ object SparkEntry {
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31_jaccard_pairs" -> q31Sql,
+    // mirrors Dedup.q164CrossSourceDup — q31's pair CTE verbatim, the
+    // source labels joined on, least/greatest canonicalization, min/max
+    // jaccard (order-invariant; a double sum would not hash-gate)
+    "q164_cross_source_dup" ->
+      s"""WITH pairs AS ($q31Sql),
+         |lab AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+         |  least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b
+         | FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+         |  JOIN documents db ON db.doc_id = p.doc_b),
+         |ag AS (SELECT source_a, source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+         | FROM lab GROUP BY source_a, source_b),
+         |dd AS (SELECT source_a, source_b,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (
+         |  SELECT source_a, source_b, doc_a AS doc_id FROM lab
+         |  UNION ALL SELECT source_a, source_b, doc_b FROM lab)
+         | GROUP BY source_a, source_b)
+         |SELECT ag.source_a, ag.source_b, ag.n_pairs, dd.n_docs,
+         | ag.min_jaccard, ag.max_jaccard
+         |FROM ag JOIN dd USING (source_a, source_b)
+         |ORDER BY ag.source_a, ag.source_b""".stripMargin,
     // mirrors Dedup.q113ContainmentPairs — same candidate + distinct-
     // token CTEs as q31 (lockstep); containment = common/min(na,nb),
     // contained side = smaller token set, ties to the smaller id
@@ -1788,6 +1863,7 @@ object SparkEntry {
     // construction (SimilaritySpec pins it), so one SQL text gates both
     "q48_ivf_ann" -> q48Sql,
     "q70_ivf_probe_indexed" -> q48Sql,
+    "q163_semdedup_prune" -> q163Sql,
     "q43_pivot" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
          | ${ScalarSuites.Priorities.map(p =>

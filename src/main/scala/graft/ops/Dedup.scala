@@ -48,6 +48,52 @@ object Dedup {
   def q31JaccardPairs(s: SparkSession, d: String, threshold: Double = 0.6): DataFrame =
     verifiedPairs(s, d, threshold).orderBy("doc_a", "doc_b")
 
+  /** CROSS-SOURCE DUPLICATION MATRIX (q164) — where does near-duplicate
+    * mass come from? Every verified near-dup pair (q31's memoized
+    * frame, built once per corpus version) is labeled with its two
+    * documents' sources, canonicalized (source_a ≤ source_b), and
+    * aggregated into a source-pair matrix: pair count, distinct
+    * documents involved, and the min/max verified Jaccard (both
+    * order-invariant over r4 values, unlike a sum/avg of doubles — the
+    * q44 exactness discipline). The diagonal rows are within-source
+    * duplication; off-diagonal rows are the cross-source contamination
+    * a mixture designer needs before weighting sources (a source whose
+    * docs are near-dups of another's adds no diversity at its nominal
+    * token share — the q134 adjustment's provenance view).
+    *
+    * Scale: the input is the near-dup-density-sized verified pair
+    * frame; the source labels arrive via two pair-keyed equality joins
+    * against `documents` (shuffle-hash at 100 TB — nothing here is
+    * corpus-broadcast), and the output is ≤ |sources|² rows. The
+    * distinct-doc count shuffles pair-frame-sized rows once.
+    */
+  def q164CrossSourceDup(s: SparkSession, d: String): DataFrame = {
+    val pairs = verifiedPairs(s, d)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val lab = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val ag = lab.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("jaccard").as("min_jaccard"),
+        max("jaccard").as("max_jaccard"))
+    val dd = lab.select(col("source_a"), col("source_b"),
+        col("doc_a").as("doc_id"))
+      .union(lab.select(col("source_a"), col("source_b"),
+        col("doc_b").as("doc_id")))
+      .groupBy("source_a", "source_b")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    ag.join(dd, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_docs"), col("min_jaccard"), col("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q31's verified pair set WITHOUT the presentation sort — the shared
     * edge-set form for graph consumers ([[q137Pagerank]]) whose next
     * operator is a shuffle that would destroy (and re-pay) the sort.

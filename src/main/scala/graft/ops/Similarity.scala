@@ -438,6 +438,71 @@ object Similarity {
     ivfProbeIndexed(s, table, nProbe, k)
   }
 
+  /** SEMDEDUP PRUNE (q163) — k-means-cluster-scoped semantic dedup
+    * (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    * space with the SHARED deterministic integer quantizer (q48's
+    * memoized fit — one Lloyd run serves q48/q70/q163), compare
+    * vectors ONLY within their cluster, and prune every vector that
+    * has a DOMINATING semantic duplicate — a same-cluster neighbor
+    * with cosine ≥ `threshold` (q34's r4 discipline, replayable) that
+    * sits strictly closer to the shared centroid by exact BIGINT
+    * squared-L2 on micro-unit vectors, ties to the smaller vec_id.
+    * The kept vector of every semantic-duplicate dominance chain is
+    * its cluster-representative — SemDeDup's keep-one-per-duplicate-
+    * set rule made deterministic.
+    *
+    * vs q87 (connected components over the global sign-LSH near-dup
+    * graph): q87 resolves the graph the LSH bands surface; q163 is the
+    * quantizer-scoped formulation whose pair space is Σ cluster² — the
+    * shape that scales by RAISING nCentroids (~√N at 100 TB makes the
+    * within-cluster self-join linear in N; the fixtures pin
+    * nCentroids = 8 so fit, memo, and the oracle's unrolled chain are
+    * exactly q48's). Plan: one equality self-join on centroid — a
+    * shuffle-hash join at scale, nothing corpus-sized is broadcast —
+    * with the cosine verify map-side codegen'd, then one aggregate.
+    *
+    * Output: one row per vector — (vec_id, centroid, d2c,
+    * n_dominators, keep, n_iters); `keep` is the prune decision and
+    * `n_iters` the fit's residual-stop count, both inside the oracle
+    * hash gate.
+    */
+  def q163SemdedupPrune(s: SparkSession, d: String, nCentroids: Int = 8,
+      threshold: Double = 0.4): DataFrame = {
+    val (cents, nIters, _) = quantize(s, d, nCentroids)
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("mvec", microVec(col("embedding")))
+    // the assignment argmin with BOTH struct fields kept — (d2c,
+    // centroid), same least(...) lexicographic tie rule as assignExpr
+    val scored = cents.zipWithIndex.map { case (cv, i) =>
+      struct(dist2(col("mvec"), lit(cv)), lit(i.toLong))
+    }
+    val best =
+      if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
+    val base = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      best.getField("col1").as("d2c"), best.getField("col2").as("centroid"))
+    val x = base.select(col("centroid"), col("vec_id").as("dom_id"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"),
+      col("d2c").as("d2_a"))
+    val y = base.select(col("centroid"), col("vec_id"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"),
+      col("d2c").as("d2_b"))
+    val dom = x.join(y, Seq("centroid"))
+      .filter(col("dom_id") =!= col("vec_id") &&
+        (col("d2_a") < col("d2_b") ||
+          (col("d2_a") === col("d2_b") && col("dom_id") < col("vec_id"))))
+      .filter(r4(cosinePrenormed(dot(col("emb_a"), col("emb_b")),
+        col("norm_a"), col("norm_b"))) >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dominators"))
+    base.join(dom, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid"), col("d2c"),
+        coalesce(col("n_dominators"), lit(0L)).as("n_dominators"),
+        (coalesce(col("n_dominators"), lit(0L)) === 0L).as("keep"),
+        lit(nIters).as("n_iters"))
+      .orderBy("vec_id")
+  }
+
   /** Sign-LSH bucketed ANN top-k: bucket on the sign pattern of the
     * first 8 dimensions (2^8 buckets), join query↔candidate on equal
     * bucket, rank within bucket. Recall < 1 by construction (that's the

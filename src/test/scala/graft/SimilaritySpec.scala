@@ -329,4 +329,51 @@ class SimilaritySpec extends AnyFunSuite {
     val nHit = exact.count(ivf.contains)
     assert(nHit * 10 >= exact.length * 3, s"IVF recall $nHit/${exact.length}")
   }
+
+  test("q163 SemDeDup prune: matches a driver-side dominance recount over the shared fit") {
+    val got = SparkEntry.queries("q163_semdedup_prune")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getLong(5))).toSeq
+    // independent JVM recount: same centroid MODEL (the fit itself is
+    // q48's, already spec/oracle-gated), but assignment, distances,
+    // cosines, and the dominance rule all recomputed from raw parquet
+    val (cents, nIters, _) = Similarity.quantize(spark, sf, 8)
+    val rows = spark.read.parquet(sf + "/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def micro(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L) { (acc, i) =>
+        val d = a(i) - b(i); acc + d * d
+      }
+    def dotD(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+    def cos4(a: Array[Float], b: Array[Float]): Double =
+      graft.functions.Round.jvmRn(
+        dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))), 4)
+    val assigned = rows.map { case (id, emb) =>
+      val mv = micro(emb)
+      val (dd, c) = cents.zipWithIndex
+        .map { case (cv, i) => (d2(mv, cv), i.toLong) }.min
+      (id, c, dd, emb)
+    }
+    val byCluster = assigned.groupBy(_._2)
+    val expect = assigned.map { case (id, c, dd, emb) =>
+      val doms = byCluster(c).count { case (oid, _, od, oemb) =>
+        oid != id && (od < dd || (od == dd && oid < id)) &&
+          cos4(oemb, emb) >= 0.4
+      }.toLong
+      (id, c, dd, doms, doms == 0L, nIters)
+    }.sortBy(_._1).toSeq
+    assert(got == expect)
+    // the fixture must exercise BOTH outcomes or the rule is untested
+    assert(got.exists(!_._5), "no vector was pruned — fixture degenerate")
+    assert(got.exists(_._5), "no vector was kept — fixture degenerate")
+    // conservation: every cluster keeps at least its centroid-closest
+    // member (the dominance order's minimum has no dominator)
+    val keptClusters = got.filter(_._5).map(_._2).toSet
+    assert(got.map(_._2).toSet == keptClusters,
+      "a cluster lost all members — dominance order violated")
+  }
 }

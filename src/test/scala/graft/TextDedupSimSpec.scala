@@ -84,6 +84,30 @@ class TextDedupSimSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("q164 cross-source dup matrix: matches a JVM recount over the q31 pairs") {
+    val got = Dedup.q164CrossSourceDup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    val pairs = Dedup.q31JaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val labeled = pairs.map { case (a, b, j) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) (sa, sb) else (sb, sa), a, b, j)
+    }
+    val expect = labeled.groupBy(_._1).map { case ((sa, sb), rows) =>
+      (sa, sb, rows.size.toLong,
+        rows.flatMap(r => Seq(r._2, r._3)).distinct.size.toLong,
+        rows.map(_._4).min, rows.map(_._4).max)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expect)
+    // conservation: matrix pair mass is exactly the verified pair count
+    assert(got.map(_._3).sum == pairs.length.toLong)
+    // and the fixture exercises at least one cross-source cell
+    assert(got.exists(t => t._1 != t._2), "no cross-source dup — degenerate")
+  }
+
   test("q32 minhash LSH: candidate pairs are ordered and distinct") {
     val df = Dedup.q32MinHashLsh(spark, sf).cache()
     try {
