@@ -335,6 +335,18 @@ object Similarity {
     val queries = assigned.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), microVec(col("embedding")).as("qm"))
+    probeCore(queries, assigned, centroids, nProbe, k)
+      .orderBy("query_id", "rk")
+  }
+
+  /** The probe body over an EXPLICIT query frame (query_id, q_emb,
+    * q_norm, qm) — shared by [[ivfProbe]] (which derives its queries
+    * from the corpus) and the at-ingest twin's per-batch probe (whose
+    * queries arrive on the stream). Unsorted: batch callers order,
+    * stream callers append.
+    */
+  private[graft] def probeCore(queries: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("c_d2"), col("centroid"))
     val probes = queries.crossJoin(broadcast(centroids))
@@ -354,7 +366,6 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("cand_id"),
         col("centroid").cast("long").as("centroid"), r4(col("sim6")).as("cos_sim"),
         col("n_iters"))
-      .orderBy("query_id", "rk")
   }
 
   def q48IvfAnn(s: SparkSession, d: String, nCentroids: Int = 8, nProbe: Int = 2,
@@ -413,8 +424,16 @@ object Similarity {
     * writable warehouse dir.
     */
   def q70IvfProbeIndexed(s: SparkSession, d: String, nCentroids: Int = 8,
-      nProbe: Int = 2, k: Int = 3): DataFrame = {
-    val table = indexTableCache.synchronized {
+      nProbe: Int = 2, k: Int = 3): DataFrame =
+    ivfProbeIndexed(s, ivfIndexTable(s, d, nCentroids), nProbe, k)
+
+  /** Build-or-fetch the persisted IVF index table for the corpus at `d`
+    * (the memo q70 probes) and return its catalog name — the build-once
+    * half shared by the batch probe and the at-ingest probe twin.
+    */
+  private[graft] def ivfIndexTable(s: SparkSession, d: String,
+      nCentroids: Int = 8): String =
+    indexTableCache.synchronized {
       val fp = graft.core.Fingerprint.of(s, d, "embeddings")
       indexTableCache.keys
         .filter(t => t._1 == s && t._2 == d && t._3 == nCentroids && t._4 != fp)
@@ -435,7 +454,24 @@ object Similarity {
         tbl
       })
     }
-    ivfProbeIndexed(s, table, nProbe, k)
+
+  /** Probe a persisted IVF index with an EXTERNAL query frame
+    * (vec_id, embedding) — the per-batch computation of the at-ingest
+    * ANN twin, and its batch-mode equivalence target. Pure function of
+    * (queries, index): same probe core as q48/q70 (integer-metric
+    * centroid ranking, cosine top-k within nProbe buckets, self
+    * excluded by id), so streaming the corpus' own query set through it
+    * unions to q70's answer exactly. The centroid side is
+    * model-sized (nCentroids·dims) — always broadcastable; the
+    * postings join is an equality join on centroid against the
+    * bucketed table, touching only the probed buckets' rows.
+    */
+  def probeBatch(s: SparkSession, table: String, queries: DataFrame,
+      nProbe: Int = 2, k: Int = 3): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"),
+      microVec(col("embedding")).as("qm"))
+    probeCore(q, s.table(table), s.table(table + "_centroids"), nProbe, k)
   }
 
   /** SEMDEDUP PRUNE (q163) — k-means-cluster-scoped semantic dedup

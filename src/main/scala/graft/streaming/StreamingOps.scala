@@ -1111,4 +1111,40 @@ object StreamingOps {
             graft.ops.TextOps.kmvEstimate(k, n, kth.getOrElse(1L)))
       }
   }
+
+  /** ANN SERVING AT INGEST — arriving query vectors (vec_id, embedding)
+    * are answered against the PERSISTED IVF index
+    * ([[graft.ops.Similarity.ivfIndexTable]], q70's build-once memo —
+    * no fit anywhere on the stream path): per batch, integer-metric
+    * centroid ranking against the model-sized broadcast centroid
+    * table, cosine top-k within the nProbe probed buckets
+    * ([[graft.ops.Similarity.probeBatch]] = q48/q70's probe core).
+    * This is the retrieval half of a streaming dedup/curation loop:
+    * "what does the corpus already have NEAR this arriving item".
+    *
+    * A query is answered whole in the batch it arrives in and the
+    * answer is a pure function of (query, index), so per-batch outputs
+    * union to the equivalent batch probe exactly — streaming the
+    * corpus' own query set through this twin reproduces q70's frame
+    * bit-for-bit (spec-pinned). Zero streaming state; the resident
+    * pieces are the two index tables (postings bucketed by centroid, so
+    * a probe touches only the probed buckets). Same at-least-once /
+    * batch_id delivery contract as the other ingest twins.
+    */
+  def ivfProbeAtIngest(queries: DataFrame, s: SparkSession,
+      corpusDir: String, outDir: String, checkpointDir: String,
+      nProbe: Int = 2, k: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val table = graft.ops.Similarity.ivfIndexTable(s, corpusDir)
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Similarity.probeBatch(s, table, batch.toDF(), nProbe, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
+  }
 }

@@ -458,6 +458,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("streaming IVF ANN probe at ingest unions to the persisted-index batch probe (q70) exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the "arriving" queries are q70's own query set (vec_id % 25 == 0),
+    // so the union across uneven batches must reproduce the q70 frame
+    // bit-for-bit: same index memo, same probe core, zero stream state
+    val queries = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    assert(queries.length >= 3, "fixture query set degenerate")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("ivf_ingest_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ivf_ingest_ckpt").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfProbeAtIngest(
+      mem.toDF().toDF("vec_id", "embedding"), spark, TestSpark.sf,
+      outDir, ckpt)
+    try {
+      val (first, second) = queries.splitAt(1) // deliberately uneven
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5))
+      val got = spark.read.parquet(outDir)
+        .select("query_id", "rk", "cand_id", "centroid", "cos_sim", "n_iters")
+        .collect().map(key).toSet
+      val expect = SparkEntry.queries("q70_ivf_probe_indexed")(
+        spark, TestSpark.sf).collect().map(key).toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+      // every query got answers, and no query exceeded k
+      val perQuery = got.groupBy(_._1).view.mapValues(_.size)
+      assert(perQuery.keySet == queries.map(_._1).toSet)
+      assert(perQuery.values.forall(_ <= 3))
+    } finally q.stop()
+  }
+
   test("streaming quality inference at ingest equals batch q145 row-for-row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
