@@ -201,6 +201,8 @@ object SparkEntry {
     "q142_ivf_recall_gate" -> ((s, d) => Similarity.q142IvfRecallGate(s, d)),
     // SemDeDup: within-cluster dominance prune over q48's shared fit
     "q163_semdedup_prune" -> ((s, d) => Similarity.q163SemdedupPrune(s, d)),
+    // MMR diversified retrieval over q40's memoized exact pool
+    "q165_mmr_topk" -> ((s, d) => Similarity.q165MmrTopK(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -530,6 +532,62 @@ object SparkEntry {
        | conv.iters AS n_iters
        |FROM afd f LEFT JOIN dom USING (vec_id) CROSS JOIN conv
        |ORDER BY f.vec_id""".stripMargin
+
+  /** q165's oracle — mirrors Similarity.q165MmrTopK: q40's exact
+    * cosine pool (top-12 by sim6 desc, cand_id), r6 sims lifted to
+    * BIGINT micro-units, then the greedy MMR selection unrolled as one
+    * CTE block per rank (rank 1 = relevance argmax; rank t maximizes
+    * sim − max-sim-to-selected, ties to smaller cand_id). MATERIALIZED
+    * throughout — sel$$t is referenced three ways by level t+1 (the
+    * CTE-inlining lesson).
+    */
+  private lazy val q165Sql: String = {
+    val k = 5
+    def step(t: Int): String =
+      s"""c$t AS (SELECT p.query_id, p.cand_id, p.sim_micro,
+         |  CAST(max(ps.psim_micro) AS BIGINT) AS mx
+         | FROM pool p
+         | LEFT JOIN sel${t - 1} dd
+         |  ON dd.query_id = p.query_id AND dd.cand_id = p.cand_id
+         | JOIN psims ps ON ps.query_id = p.query_id AND ps.a = p.cand_id
+         | JOIN sel${t - 1} sl
+         |  ON sl.query_id = ps.query_id AND sl.cand_id = ps.b
+         | WHERE dd.cand_id IS NULL
+         | GROUP BY p.query_id, p.cand_id, p.sim_micro),
+         |s$t AS MATERIALIZED (SELECT query_id, CAST($t AS BIGINT) AS rk,
+         |  cand_id, sim_micro, sim_micro - mx AS mmr_micro FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim_micro - mx DESC, cand_id) AS rn FROM c$t)
+         | WHERE rn = 1),
+         |sel$t AS MATERIALIZED (SELECT query_id, cand_id FROM sel${t - 1}
+         | UNION ALL SELECT query_id, cand_id FROM s$t)""".stripMargin
+    s"""WITH scored AS (
+       | SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |  ${sqlRn(cosSql, 6)} AS sim6
+       | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       | WHERE a.vec_id % 50 = 0),
+       |pool AS MATERIALIZED (SELECT query_id, cand_id,
+       |  CAST(floor(sim6 * 1000000 + 0.5) AS BIGINT) AS sim_micro FROM (
+       |  SELECT query_id, cand_id, sim6, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS rk
+       |  FROM scored) WHERE rk <= 12),
+       |psims AS MATERIALIZED (
+       | SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+       |  CAST(floor(${sqlRn(cosSql, 6)} * 1000000 + 0.5) AS BIGINT) AS psim_micro
+       | FROM pool x JOIN pool y
+       |  ON x.query_id = y.query_id AND x.cand_id <> y.cand_id
+       | JOIN embeddings a ON a.vec_id = x.cand_id
+       | JOIN embeddings b ON b.vec_id = y.cand_id),
+       |s1 AS MATERIALIZED (SELECT query_id, CAST(1 AS BIGINT) AS rk,
+       |  cand_id, sim_micro, sim_micro AS mmr_micro FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim_micro DESC, cand_id) AS rn FROM pool) WHERE rn = 1),
+       |sel1 AS MATERIALIZED (SELECT query_id, cand_id FROM s1),
+       |${(2 to k).map(step).mkString(",\n")}
+       |SELECT query_id, rk, cand_id, sim_micro, mmr_micro FROM (
+       | ${(1 to k).map(t => s"SELECT * FROM s$t").mkString("\n UNION ALL ")})
+       |ORDER BY query_id, rk""".stripMargin
+  }
 
   /** The dHash fingerprint CTE chain shared by the q155 near-dup and
     * q156 Hamming-top-k oracles (mirrors Multimodal.phashBandsOf over
@@ -1864,6 +1922,7 @@ object SparkEntry {
     "q48_ivf_ann" -> q48Sql,
     "q70_ivf_probe_indexed" -> q48Sql,
     "q163_semdedup_prune" -> q163Sql,
+    "q165_mmr_topk" -> q165Sql,
     "q43_pivot" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
          | ${ScalarSuites.Priorities.map(p =>

@@ -539,6 +539,87 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** MMR DIVERSIFIED TOP-K (q165) — maximal marginal relevance
+    * (Carbonell & Goldstein 1998) at λ = ½ over the exact cosine pool:
+    * a RAG-style retrieval that trades pure relevance for coverage, so
+    * five near-identical passages can't crowd out the answer set. Per
+    * query (q40's `vec_id % 50` set): take the exact top-`pool`
+    * candidates (REUSES the memoized q40 brute-force scan — the one
+    * expensive pass), then select `k` greedily — rank 1 is the
+    * relevance argmax; each later rank maximizes
+    * `sim(q,d) − max_{s∈selected} sim(d,s)` (the λ=½ MMR objective
+    * scaled by 2), ties to the smaller cand_id.
+    *
+    * Exactness: r6 cosines are lifted to BIGINT micro-units (an r6
+    * value times 1e6 is integral, so the floor is exact) and every
+    * comparison from there is integer — the greedy argmax chain, ties
+    * included, replays bit-for-bit in the oracle's unrolled selection
+    * CTEs. Scale: pool sims and the pool×pool pairwise frame are
+    * |Q|·pool and |Q|·pool² rows (the q40 broadcast caveat governs the
+    * underlying scan); the k−1 selection rounds are joins over those
+    * bounded frames, localCheckpointed so each round's plan is a
+    * branch over a materialized frame, not a re-derivation (the
+    * q102/q103 lesson).
+    */
+  def q165MmrTopK(s: SparkSession, d: String, k: Int = 5,
+      pool: Int = 12): DataFrame = {
+    val cands = q40CosineTopK(s, d, pool)
+      .select(col("query_id"), col("cand_id"))
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm", norm(col("embedding")))
+    val qs = e.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_norm"))
+    val cs = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_norm"))
+    def micro6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val poolSims = cands.join(qs, Seq("query_id")).join(cs, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        micro6(r6(cosinePrenormed(dot(col("q_emb"), col("c_emb")),
+          col("q_norm"), col("c_norm")))).as("sim_micro"),
+        col("c_emb"), col("c_norm"))
+    val slim = poolSims.select("query_id", "cand_id", "sim_micro")
+      .localCheckpoint(false)
+    val pa = poolSims.select(col("query_id"), col("cand_id").as("a"),
+      col("c_emb").as("ea"), col("c_norm").as("na"))
+    val pb = poolSims.select(col("query_id"), col("cand_id").as("b"),
+      col("c_emb").as("eb"), col("c_norm").as("nb"))
+    val psims = pa.join(pb, Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        micro6(r6(cosinePrenormed(dot(col("ea"), col("eb")),
+          col("na"), col("nb")))).as("psim_micro"))
+      .localCheckpoint(false)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("mmr_micro").desc, col("cand_id"))
+    var result = slim
+      .withColumn("mmr_micro", col("sim_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), lit(1L).as("rk"), col("cand_id"),
+        col("sim_micro"), col("mmr_micro"))
+    for (t <- 2 to k) {
+      val selIds = result.select(col("query_id"), col("cand_id"))
+      val remaining = slim.join(selIds, Seq("query_id", "cand_id"),
+        "left_anti")
+      // every remaining candidate pairs with every selected one (psims
+      // covers all within-pool a ≠ b), so the inner joins lose nothing
+      val mx = psims
+        .join(selIds.withColumnRenamed("cand_id", "b"), Seq("query_id", "b"))
+        .select(col("query_id"), col("a").as("cand_id"), col("psim_micro"))
+        .groupBy("query_id", "cand_id")
+        .agg(max("psim_micro").as("max_sel_micro"))
+      result = result.unionByName(
+        remaining.join(mx, Seq("query_id", "cand_id"))
+          .withColumn("mmr_micro", col("sim_micro") - col("max_sel_micro"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), lit(t.toLong).as("rk"), col("cand_id"),
+            col("sim_micro"), col("mmr_micro")))
+    }
+    result.orderBy("query_id", "rk")
+  }
+
   /** Sign-LSH bucketed ANN top-k: bucket on the sign pattern of the
     * first 8 dimensions (2^8 buckets), join query↔candidate on equal
     * bucket, rank within bucket. Recall < 1 by construction (that's the

@@ -330,6 +330,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nHit * 10 >= exact.length * 3, s"IVF recall $nHit/${exact.length}")
   }
 
+  test("q165 MMR top-k: matches a fully independent JVM greedy selection") {
+    val got = SparkEntry.queries("q165_mmr_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val rows = spark.read.parquet(sf + "/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dotD(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+    def simMicro(a: Array[Float], b: Array[Float]): Long =
+      math.floor(graft.functions.Round.jvmRn(
+        dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))), 6)
+        * 1e6 + 0.5).toLong
+    val expect = rows.filter(_._1 % 50 == 0).flatMap { case (qid, qe) =>
+      val pool = rows.filter(_._1 != qid)
+        .map { case (cid, ce) => (cid, ce, simMicro(qe, ce)) }
+        .sortBy(t => (-t._3, t._1)).take(12)
+      var selected = List.empty[(Long, Array[Float], Long)]
+      (1 to 5).map { rk =>
+        val scoredT = pool.filterNot(c => selected.exists(_._1 == c._1))
+          .map { c =>
+            val mmr =
+              if (selected.isEmpty) c._3
+              else c._3 - selected.map(s0 => simMicro(c._2, s0._2)).max
+            (c, mmr)
+          }
+        val (pick, mmr) = scoredT.minBy { case (c, m) => (-m, c._1) }
+        selected ::= pick
+        (qid, rk.toLong, pick._1, pick._3, mmr)
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got == expect)
+    // diversity bites on the fixture: some query's rank-2 is NOT the
+    // relevance rank-2 (otherwise MMR degenerated to plain top-k)
+    val plainTop = rows.filter(_._1 % 50 == 0).map { case (qid, qe) =>
+      qid -> rows.filter(_._1 != qid)
+        .map { case (cid, ce) => (cid, simMicro(qe, ce)) }
+        .sortBy(t => (-t._2, t._1)).take(5).map(_._1)
+    }.toMap
+    val mmrOrder = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    assert(mmrOrder.exists { case (q, sel) => sel != plainTop(q).toSeq },
+      "MMR == plain top-k for every query — diversity term never bit")
+  }
+
   test("q163 SemDeDup prune: matches a driver-side dominance recount over the shared fit") {
     val got = SparkEntry.queries("q163_semdedup_prune")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
