@@ -203,6 +203,9 @@ object SparkEntry {
     "q163_semdedup_prune" -> ((s, d) => Similarity.q163SemdedupPrune(s, d)),
     // MMR diversified retrieval over q40's memoized exact pool
     "q165_mmr_topk" -> ((s, d) => Similarity.q165MmrTopK(s, d)),
+    // contrastive-training data ops over the same exact-kNN machinery
+    "q166_hard_negatives" -> ((s, d) => Similarity.q166HardNegatives(s, d)),
+    "q167_label_noise" -> ((s, d) => Similarity.q167LabelNoise(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -1923,6 +1926,48 @@ object SparkEntry {
     "q70_ivf_probe_indexed" -> q48Sql,
     "q163_semdedup_prune" -> q163Sql,
     "q165_mmr_topk" -> q165Sql,
+    // mirrors Similarity.q166HardNegatives — the q40 scan with the
+    // label-inequality predicate, same (sim6 desc, cand_id) ranking
+    "q166_hard_negatives" ->
+      s"""WITH scored AS (
+         | SELECT a.vec_id AS query_id, CAST(a.label AS BIGINT) AS anchor_label,
+         |  b.vec_id AS cand_id, CAST(b.label AS BIGINT) AS cand_label,
+         |  ${sqlRn(cosSql, 6)} AS sim6
+         | FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id <> b.vec_id AND a.label <> b.label
+         | WHERE a.vec_id % 50 = 0),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |   ORDER BY sim6 DESC, cand_id) AS BIGINT) AS rk FROM scored)
+         |SELECT query_id, anchor_label, rk, cand_id, cand_label,
+         | ${sqlRn("sim6", 4)} AS cos_sim
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // mirrors Similarity.q167LabelNoise — q35's vote rule (votes desc,
+    // smaller label) vs the vector's own label, over the exact top-5
+    "q167_label_noise" ->
+      s"""WITH scored AS (
+         | SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |  CAST(b.label AS BIGINT) AS cand_label, ${sqlRn(cosSql, 6)} AS sim6
+         | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         | WHERE a.vec_id % 50 = 0),
+         |top5 AS (SELECT query_id, cand_label FROM (
+         | SELECT query_id, cand_label, row_number() OVER (
+         |   PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS rk
+         | FROM scored) WHERE rk <= 5),
+         |votes AS (SELECT query_id, cand_label,
+         |  CAST(count(*) AS BIGINT) AS votes
+         | FROM top5 GROUP BY query_id, cand_label),
+         |pred AS (SELECT query_id, cand_label AS knn_label FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY votes DESC, cand_label) AS rn FROM votes) WHERE rn = 1),
+         |own AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS own_label
+         | FROM embeddings),
+         |agree AS (SELECT t.query_id, CAST(count(CASE WHEN
+         |   t.cand_label = o.own_label THEN 1 END) AS BIGINT) AS n_agree
+         | FROM top5 t JOIN own o USING (query_id) GROUP BY t.query_id)
+         |SELECT p.query_id, o.own_label, p.knn_label, a.n_agree,
+         | p.knn_label <> o.own_label AS suspect
+         |FROM pred p JOIN own o USING (query_id) JOIN agree a USING (query_id)
+         |ORDER BY p.query_id""".stripMargin,
     "q43_pivot" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
          | ${ScalarSuites.Priorities.map(p =>

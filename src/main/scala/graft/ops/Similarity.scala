@@ -128,6 +128,80 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** HARD-NEGATIVE MINING (q166) — for each anchor (q40's `vec_id % 50`
+    * query set), the top-k most-similar candidates with a DIFFERENT
+    * label: the "hard negatives" a contrastive/metric-learning trainer
+    * pairs with each anchor (Schroff et al. 2015's semi-hard mining,
+    * made deterministic and exact). Same brute-force-exact contract,
+    * ranking discipline (sim6 desc, cand_id tie), and broadcast caveat
+    * as q40 — the label-inequality predicate rides the scan, so the
+    * pair space is the q40 scan minus same-label pairs; the scale
+    * paths for the scan itself remain q41/q48.
+    */
+  def q166HardNegatives(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("label").as("a_label"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_norm"), col("label").as("c_label"))
+    val scored = broadcast(q).join(c,
+        col("query_id") =!= col("cand_id") &&
+          col("a_label") =!= col("c_label"))
+      .select(col("query_id"),
+        r6(cosinePrenormed(dot(col("q_emb"), col("c_emb")),
+          col("q_norm"), col("c_norm"))).as("sim6"),
+        col("cand_id"))
+      .as[(Long, Double, Long)]
+    val top = scored.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.api.TypedPipeline.TopK(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+    val labels = e.select(col("vec_id").as("cand_id"),
+      col("label").cast("long").as("cand_label"))
+    val anchors = e.select(col("vec_id").as("query_id"),
+      col("label").cast("long").as("anchor_label"))
+    top.select(col("query_id"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("pair._2").as("cand_id"), col("pair._1").as("sim6"))
+      .join(labels, Seq("cand_id")).join(anchors, Seq("query_id"))
+      .select(col("query_id"), col("anchor_label"), col("rk"),
+        col("cand_id"), col("cand_label"), r4(col("sim6")).as("cos_sim"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** LABEL-NOISE DETECTION (q167) — confident-learning-style suspects
+    * over the exact kNN frame: a vector whose own label disagrees with
+    * the majority label of its 5 nearest neighbors (q35's vote rule —
+    * ties toward the smaller label) is flagged, with the raw agreement
+    * count carried so downstream can re-threshold. Built ENTIRELY on
+    * the memoized q40 scan — no new pass over the corpus; the one
+    * extra exchange is the |Q|-sized vote aggregation.
+    */
+  def q167LabelNoise(s: SparkSession, d: String): DataFrame = {
+    val top = q40CosineTopK(s, d, k = 5)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("cand_label"))
+    val pred = top.groupBy("query_id", "cand_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cand_label").as("knn_label"))
+    val own = Tables.embeddings(s, d)
+      .select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("own_label"))
+    val agree = top.join(own, Seq("query_id"))
+      .groupBy("query_id")
+      .agg(sum(when(col("cand_label") === col("own_label"), lit(1L))
+        .otherwise(lit(0L))).as("n_agree"))
+    pred.join(own, Seq("query_id")).join(agree, Seq("query_id"))
+      .select(col("query_id"), col("own_label"), col("knn_label"),
+        col("n_agree"),
+        (col("knn_label") =!= col("own_label")).as("suspect"))
+      .orderBy("query_id")
+  }
+
   /** IVF-style ANN: a DETERMINISTIC exact-integer k-means as the coarse
     * quantizer, candidates drawn only from the query's `nProbe` nearest
     * centroids, cosine top-k within them. The inverted-file layout is

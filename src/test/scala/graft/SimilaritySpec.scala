@@ -330,6 +330,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nHit * 10 >= exact.length * 3, s"IVF recall $nHit/${exact.length}")
   }
 
+  test("q166 hard negatives: matches a JVM recount; every mined negative has a different label") {
+    val got = SparkEntry.queries("q166_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    val rows = spark.read.parquet(sf + "/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2).toLong))
+    def dotD(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+    def sim6(a: Array[Float], b: Array[Float]): Double =
+      graft.functions.Round.jvmRn(
+        dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))), 6)
+    val expect = rows.filter(_._1 % 50 == 0).flatMap { case (qid, qe, ql) =>
+      rows.filter(c => c._1 != qid && c._3 != ql)
+        .map { case (cid, ce, cl) => (cid, cl, sim6(qe, ce)) }
+        .sortBy(t => (-t._3, t._1)).take(3).zipWithIndex
+        .map { case ((cid, cl, s6), i) =>
+          (qid, ql, (i + 1).toLong, cid, cl,
+            graft.functions.Round.jvmRn(s6, 4))
+        }
+    }.sortBy(t => (t._1, t._3)).toSeq
+    assert(got == expect)
+    assert(got.forall(t => t._2 != t._5), "a same-label pair leaked in")
+  }
+
+  test("q167 label noise: suspects are exactly the q35-vs-own-label disagreements") {
+    val got = SparkEntry.queries("q167_label_noise")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    val pred = Similarity.q35KnnClassify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val own = spark.read.parquet(sf + "/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got.map(_._1) == got.map(_._1).sorted)
+    got.foreach { case (q, ownL, knnL, nAgree, suspect) =>
+      assert(ownL == own(q))
+      assert(knnL == pred(q), s"q167 prediction diverged from q35 for $q")
+      assert(suspect == (knnL != ownL))
+      assert(nAgree >= 0L && nAgree <= 5L)
+      // majority agreement implies no suspicion under the vote rule
+      if (nAgree >= 3L) assert(!suspect,
+        s"query $q agrees with $nAgree/5 neighbors but was flagged")
+    }
+    assert(got.exists(_._5) && got.exists(!_._5),
+      "fixture degenerate: suspects all or none")
+  }
+
   test("q165 MMR top-k: matches a fully independent JVM greedy selection") {
     val got = SparkEntry.queries("q165_mmr_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
