@@ -156,6 +156,16 @@ object StreamStress {
               s, spark, dst, s"$workDir/iv_out", s"$workDir/iv_ckpt")
           }
         },
+        "semdedup_admit_ingest" -> {
+          // corpus model + persisted assignment frame built once,
+          // outside the timed stream (the static-index discipline)
+          val semIdx = graft.streaming.StreamingOps
+            .buildSemdedupIndex(spark, dst)
+          try runStream(spark, embIn, nEmb) { s =>
+            graft.streaming.StreamingOps.semdedupAdmitAtIngest(
+              s, semIdx, s"$workDir/sd_out", s"$workDir/sd_ckpt")
+          } finally semIdx.unpersist()
+        },
         "phash_match_ingest" -> {
           // corpus index over the full 20x docs (reps = sf0.1-sized
           // after the exact-text contraction inside the builder)

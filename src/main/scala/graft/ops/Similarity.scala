@@ -579,22 +579,45 @@ object Similarity {
   def q163SemdedupPrune(s: SparkSession, d: String, nCentroids: Int = 8,
       threshold: Double = 0.4): DataFrame = {
     val (cents, nIters, _) = quantize(s, d, nCentroids)
-    val e = Tables.embeddings(s, d)
-      .withColumn("nrm", norm(col("embedding")))
+    val base = assignWithDist(cents)(Tables.embeddings(s, d))
+    semdedupScore(base, base, nIters, threshold).orderBy("vec_id")
+  }
+
+  /** Decorate a raw (vec_id, embedding) frame with the quantizer's
+    * assignment AND the argmin distance kept — (nrm, d2c, centroid),
+    * same `least(...)` lexicographic tie rule as [[assignExpr]].
+    * Shared by q163 (corpus side + scored side are the same frame) and
+    * the admission-control ingest twin (arrivals get decorated per
+    * batch against the same literal model).
+    */
+  private[graft] def assignWithDist(cents: Array[Array[Long]])(
+      e: DataFrame): DataFrame = {
+    val withM = e.withColumn("nrm", norm(col("embedding")))
       .withColumn("mvec", microVec(col("embedding")))
-    // the assignment argmin with BOTH struct fields kept — (d2c,
-    // centroid), same least(...) lexicographic tie rule as assignExpr
     val scored = cents.zipWithIndex.map { case (cv, i) =>
       struct(dist2(col("mvec"), lit(cv)), lit(i.toLong))
     }
     val best =
       if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
-    val base = e.select(col("vec_id"), col("embedding"), col("nrm"),
+    withM.select(col("vec_id"), col("embedding"), col("nrm"),
       best.getField("col1").as("d2c"), best.getField("col2").as("centroid"))
+  }
+
+  /** The SemDeDup dominance scoring shared by batch q163 (arrivals =
+    * base = the corpus) and the ingest twin (arrivals = the batch,
+    * base = the persisted corpus frame): each arrival is dominated by
+    * any BASE vector in its cluster at r4-cosine ≥ `threshold` that
+    * sits strictly closer to the centroid (ties to the smaller
+    * vec_id — an identical re-arrival of a corpus vector is NOT
+    * dominated by itself). Pure function of (arrival, base), so
+    * per-batch outputs union to the batch formulation exactly.
+    */
+  private[graft] def semdedupScore(arrivals: DataFrame, base: DataFrame,
+      nIters: Long, threshold: Double): DataFrame = {
     val x = base.select(col("centroid"), col("vec_id").as("dom_id"),
       col("embedding").as("emb_a"), col("nrm").as("norm_a"),
       col("d2c").as("d2_a"))
-    val y = base.select(col("centroid"), col("vec_id"),
+    val y = arrivals.select(col("centroid"), col("vec_id"),
       col("embedding").as("emb_b"), col("nrm").as("norm_b"),
       col("d2c").as("d2_b"))
     val dom = x.join(y, Seq("centroid"))
@@ -605,12 +628,11 @@ object Similarity {
         col("norm_a"), col("norm_b"))) >= threshold)
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_dominators"))
-    base.join(dom, Seq("vec_id"), "left")
+    arrivals.join(dom, Seq("vec_id"), "left")
       .select(col("vec_id"), col("centroid"), col("d2c"),
         coalesce(col("n_dominators"), lit(0L)).as("n_dominators"),
         (coalesce(col("n_dominators"), lit(0L)) === 0L).as("keep"),
         lit(nIters).as("n_iters"))
-      .orderBy("vec_id")
   }
 
   /** MMR DIVERSIFIED TOP-K (q165) — maximal marginal relevance

@@ -1131,6 +1131,63 @@ object StreamingOps {
     * a probe touches only the probed buckets). Same at-least-once /
     * batch_id delivery contract as the other ingest twins.
     */
+  /** Static corpus model for [[semdedupAdmitAtIngest]]: the quantizer's
+    * centroid model (driver-held, nCentroids·dims longs) plus the
+    * corpus assignment frame persisted with the argmin distance kept —
+    * the `base` side of q163's dominance rule, built once per stream
+    * lifetime (the q86/q143/phash static-index discipline).
+    */
+  final case class SemdedupIndex(base: DataFrame,
+      cents: Array[Array[Long]], nIters: Long) {
+    def unpersist(): Unit =
+      try { base.unpersist(); (): Unit } catch { case _: Throwable => () }
+  }
+
+  def buildSemdedupIndex(s: SparkSession, corpusDir: String,
+      nCentroids: Int = 8): SemdedupIndex = {
+    val (cents, nIters, _) =
+      graft.ops.Similarity.quantize(s, corpusDir, nCentroids)
+    val base = graft.ops.Similarity.assignWithDist(cents)(
+      graft.core.Tables.embeddings(s, corpusDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    SemdedupIndex(base, cents, nIters)
+  }
+
+  /** SEMANTIC ADMISSION CONTROL AT INGEST — q163's streaming twin:
+    * every arriving embedding is scored against the EXISTING corpus
+    * under the same SemDeDup dominance rule (same cluster, r4-cosine ≥
+    * threshold, strictly centroid-closer, ties to the smaller vec_id),
+    * and `keep` says whether the arrival adds semantic diversity or is
+    * redundant with what the corpus already holds — the decision an
+    * ingest pipeline makes BEFORE paying to store/train on the item.
+    *
+    * The arrival's cluster assignment is a map-side argmin against the
+    * literal centroid model; the dominance join is an equality join on
+    * centroid against the persisted corpus frame (corpus-sized — never
+    * broadcast; at 100 TB it is the same shuffle-hash shape as batch
+    * q163's self-join, with the arrival side small). The score is a
+    * pure function of (arrival, corpus), so per-batch outputs union to
+    * the batch formulation exactly — streaming the corpus' own vectors
+    * reproduces q163's frame bit-for-bit (spec-pinned). Zero streaming
+    * state; same at-least-once/batch_id contract as the other twins.
+    */
+  def semdedupAdmitAtIngest(queries: DataFrame, index: SemdedupIndex,
+      outDir: String, checkpointDir: String, threshold: Double = 0.4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Similarity.semdedupScore(
+          graft.ops.Similarity.assignWithDist(index.cents)(batch.toDF()),
+          index.base, index.nIters, threshold)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
+
   def ivfProbeAtIngest(queries: DataFrame, s: SparkSession,
       corpusDir: String, outDir: String, checkpointDir: String,
       nProbe: Int = 2, k: Int = 3)

@@ -500,6 +500,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SemDeDup admission at ingest unions to batch q163 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // arrivals are the corpus' own vectors (self excluded by id inside
+    // the dominance rule), so the union across uneven batches must be
+    // q163's frame bit-for-bit
+    val vecs = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val index = StreamingOps.buildSemdedupIndex(spark, TestSpark.sf)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("semdedup_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("semdedup_ckpt").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.semdedupAdmitAtIngest(
+      mem.toDF().toDF("vec_id", "embedding"), index, outDir, ckpt)
+    try {
+      val (first, second) = vecs.splitAt(vecs.length / 3)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getLong(5))
+      val got = spark.read.parquet(outDir)
+        .select("vec_id", "centroid", "d2c", "n_dominators", "keep",
+          "n_iters")
+        .collect().map(key).toSet
+      val expect = SparkEntry.queries("q163_semdedup_prune")(
+        spark, TestSpark.sf).collect().map(key).toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+      // a genuinely NOVEL direction is admitted: a vector orthogonal to
+      // everything cannot be dominated (cosine to every corpus vector
+      // is ~0 < threshold)... covered structurally by q163's keep rows
+      assert(got.exists(_._5) && got.exists(!_._5))
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("streaming quality inference at ingest equals batch q145 row-for-row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
