@@ -52,7 +52,8 @@ object Explain {
     "q153_bpe_train", "q154_countmin", "q155_phash_neardup",
     "q156_phash_topk", "q157_crossmodal_neardup", "q158_bm25_topk",
     "q159_bpe_encode", "q160_kmv_distinct", "q161_kmv_overlap",
-    "q162_stupid_backoff")
+    "q162_stupid_backoff", "q163_semdedup_prune", "q164_cross_source_dup",
+    "q165_mmr_topk", "q166_hard_negatives", "q167_label_noise")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from

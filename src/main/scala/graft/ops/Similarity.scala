@@ -705,6 +705,11 @@ object Similarity {
         .select(col("query_id"), col("a").as("cand_id"), col("psim_micro"))
         .groupBy("query_id", "cand_id")
         .agg(max("psim_micro").as("max_sel_micro"))
+      // checkpoint the ACCUMULATED selection each round: it is re-read
+      // twice by round t+1 (the anti-join and the max-sim join) and
+      // carried into the union, so an un-truncated lineage doubles per
+      // round — the q102/q103 2^k plan blow-up (this frame is ≤ |Q|·k
+      // rows; measured 12.6k-line explain without, ~0.3k with)
       result = result.unionByName(
         remaining.join(mx, Seq("query_id", "cand_id"))
           .withColumn("mmr_micro", col("sim_micro") - col("max_sel_micro"))
@@ -712,6 +717,7 @@ object Similarity {
           .filter(col("rn") === 1)
           .select(col("query_id"), lit(t.toLong).as("rk"), col("cand_id"),
             col("sim_micro"), col("mmr_micro")))
+        .localCheckpoint(false)
     }
     result.orderBy("query_id", "rk")
   }
