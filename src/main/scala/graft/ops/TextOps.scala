@@ -2678,13 +2678,40 @@ object TextOps {
     * numbers closed-form.
     */
   def q159BpeEncode(s: SparkSession, d: String, merges: Int = 3): DataFrame = {
-    val mergeTable = q153BpeTrain(s, d, merges).collect()
+    val mergeTable = bpeMergeTable(s, d, merges)
+    val (repDocs, membership) = textContraction(s, d)
+    bpeEncodeDocs(repDocs, mergeTable)
+      .withColumnRenamed("doc_id", "rep")
+      .join(membership, Seq("rep"))
+      .select("doc_id", "n_words", "n_chars", "n_symbols",
+        "fertility_micro", "compression_micro")
+      .orderBy("doc_id")
+  }
+
+  /** The trained merge table as the driver-held model a shipped BPE
+    * tokenizer carries — (x1, x2, merged) in training order. Shared by
+    * q159 and the encode-at-ingest twin so both serve the SAME model.
+    */
+  private[graft] def bpeMergeTable(s: SparkSession, d: String,
+      merges: Int = 3): Array[(String, String, String)] =
+    q153BpeTrain(s, d, merges).collect()
       .map(r => (r.getString(1), r.getString(2)))
       .map { case (pair, merged) =>
         val Array(x1, x2) = pair.split(" ", 2); (x1, x2, merged)
       }
-    val (repDocs, membership) = textContraction(s, d)
-    val docToks = repDocs
+
+  /** The per-doc encode core shared by batch q159 (applied to the
+    * contraction reps, members inheriting closed-form) and the ingest
+    * twin (applied to each arriving micro-batch): fold runs ONCE per
+    * DISTINCT word of the input frame (corpus vocab for batch, batch
+    * vocab for the stream — same per-word values either way, the fold
+    * is a pure function of the word), broadcast back onto the
+    * row-local (doc, word, cnt) stream, aggregated per doc. Empty docs
+    * survive the left join with zero counts and null ratios.
+    */
+  private[graft] def bpeEncodeDocs(docs: DataFrame,
+      mergeTable: Array[(String, String, String)]): DataFrame = {
+    val docToks = docs
       .select(col("doc_id"),
         explode(graft.functions.expressions.TextExpressions
           .tokenCounts(col("text"))).as("tc"))
@@ -2704,7 +2731,7 @@ object TextOps {
       .agg(sum("cnt").as("n_words"),
         sum(col("cnt") * col("n_ch")).as("n_chars"),
         sum(col("cnt") * col("n_sym")).as("n_symbols"))
-    repDocs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
@@ -2716,11 +2743,6 @@ object TextOps {
       .withColumn("compression_micro",
         when(col("n_symbols") > 0L,
           expr("(n_chars * 1000000) div n_symbols")))
-      .withColumnRenamed("doc_id", "rep")
-      .join(membership, Seq("rep"))
-      .select("doc_id", "n_words", "n_chars", "n_symbols",
-        "fertility_micro", "compression_micro")
-      .orderBy("doc_id")
   }
 
   // ---- KMV / bottom-k-theta distinct sketches (q160, q161) --------------

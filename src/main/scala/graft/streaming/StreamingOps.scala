@@ -1112,6 +1112,36 @@ object StreamingOps {
       }
   }
 
+  /** BPE TOKENIZER METERING AT INGEST — q159's streaming twin: every
+    * arriving document is encoded with the TRAINED merge table
+    * ([[graft.ops.TextOps.bpeMergeTable]], the driver-held model built
+    * once per stream lifetime) through the SAME `bpeEncodeDocs` core
+    * as batch q159, emitting the per-doc tokenizer-cost numbers
+    * (n_words/n_chars/n_symbols, fertility/compression in exact
+    * micro-units) the moment data lands — the metering a
+    * budget-gated ingest pipeline reads before admitting a document
+    * against a token budget. The expensive step (the greedy merge
+    * fold) runs once per DISTINCT word of each batch; the per-doc
+    * numbers are pure functions of (text, model), so per-batch
+    * outputs union to batch q159 exactly (spec-pinned). Zero
+    * streaming state.
+    */
+  def bpeEncodeAtIngest(docs: DataFrame,
+      mergeTable: Array[(String, String, String)], outDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.TextOps.bpeEncodeDocs(
+          batch.toDF().select(col("doc_id"), col("text")), mergeTable)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
+
   /** ANN SERVING AT INGEST — arriving query vectors (vec_id, embedding)
     * are answered against the PERSISTED IVF index
     * ([[graft.ops.Similarity.ivfIndexTable]], q70's build-once memo —

@@ -21,6 +21,10 @@ class PlanSpec extends AnyFunSuite {
   private val nestedLoopAllowed: Map[String, String] = Map(
     "q40_cosine_topk" -> "exact all-pairs baseline: =!= join, broadcast query subset",
     "q35_knn_classify" -> "built on q40's exact baseline",
+    "q166_hard_negatives" -> ("q40's exact-baseline scan with the " +
+      "label-inequality predicate riding it — same =!= join, same " +
+      "broadcast query subset"),
+    "q167_label_noise" -> "built on q40's exact baseline (the memoized top-5)",
     "q132_ann_recall" -> "recall eval built on q40's exact baseline",
     "q140_retrieval_metrics" -> "MRR/NDCG eval built on q40's exact baseline",
     "q142_ivf_recall_gate" -> ("recall gate built on q40's exact baseline " +

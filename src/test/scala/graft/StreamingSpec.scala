@@ -500,6 +500,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BPE encode at ingest unions to batch q159 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val model = graft.ops.TextOps.bpeMergeTable(spark, TestSpark.sf)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("bpe_ingest_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("bpe_ingest_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.bpeEncodeAtIngest(
+      mem.toDF().toDF("doc_id", "text"), model, outDir, ckpt)
+    try {
+      val (first, second) = docs.splitAt(docs.length / 4)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "n_words", "n_chars", "n_symbols",
+          "fertility_micro", "compression_micro")
+        .collect().map(key).toSet
+      val expect = SparkEntry.queries("q159_bpe_encode")(
+        spark, TestSpark.sf).collect().map(key).toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+    } finally q.stop()
+  }
+
   test("streaming SemDeDup admission at ingest unions to batch q163 exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
