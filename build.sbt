@@ -32,5 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // storage squeeze execution memory and big joins started spilling
   // late in a full sweep (q49 7.8->18.7s). Sizing memory to the
   // working set is the local analog of executor sizing on a cluster.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g default (was 16g): the 165-query bench sweep accumulates the
+  // session memos (signatures, pairs, labels, exact-top-k) on one local
+  // JVM; at 16g storage eviction thrashed mid-sweep — q122 measured
+  // 20.1 s min-of-2 inside the sweep vs 1.17 s isolated; at 32g it is
+  // 0.84 s in-sweep. The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
