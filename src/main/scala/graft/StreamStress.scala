@@ -149,11 +149,23 @@ object StreamStress {
           },
         "ivf_probe_ingest" -> {
           // build-once persisted index over the 20x embeddings (the
-          // fit + bucketed write pay once, outside the timed stream)
-          graft.ops.Similarity.ivfIndexTable(spark, dst)
+          // fit + bucketed write pay once, outside the timed stream).
+          // nCentroids = 128 ~ sqrt(20k): the serving-scale index
+          // geometry — the fixture's 8-centroid config brute-forces a
+          // quarter of the corpus per query (measured 231 q/s vs this)
+          graft.ops.Similarity.ivfIndexTable(spark, dst, 128)
           runStream(spark, embIn, nEmb) { s =>
             graft.streaming.StreamingOps.ivfProbeAtIngest(
-              s, spark, dst, s"$workDir/iv_out", s"$workDir/iv_ckpt")
+              s, spark, dst, s"$workDir/iv_out", s"$workDir/iv_ckpt",
+              nCentroids = 128)
+          }
+        },
+        "bpe_encode_ingest" -> {
+          // trained merge table built once (the driver-held model)
+          val bpeModel = graft.ops.TextOps.bpeMergeTable(spark, dst)
+          runStream(spark, inDir, nTrain) { s =>
+            graft.streaming.StreamingOps.bpeEncodeAtIngest(
+              s, bpeModel, s"$workDir/bp_out", s"$workDir/bp_ckpt")
           }
         },
         "semdedup_admit_ingest" -> {

@@ -291,25 +291,55 @@ object Similarity {
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.expressions.FloatVecExpressions.longDist2(a, b)
 
-  /** Map-side argmin over the driver-held centroid model: one
-    * `least(...)` over per-centroid (dist2, id) structs — struct
-    * ordering is lexicographic, so equal distances break to the smaller
-    * centroid id. Each leaf is one codegen'd native loop; at the
-    * probe's 256-centroid config this is 256 small calls (codegen
-    * splits methods), measured fast where the O(1)-sized interpreted
-    * fold alternative was ~20× slower. Bound: nCentroids in the low
-    * thousands; beyond that, shard the model (IVF at 100 TB sizes
-    * nCentroids ~√N but probes a PERSISTED index — the in-session
-    * literal model is the build path, not the serving path).
+  /** Above this model size, assignment switches from the literal
+    * `least(...)` expression to a broadcast-frame argmin. The literal
+    * form embeds nCentroids·dims array literals in ONE expression tree
+    * and the driver's optimize/codegen pass over it stopped scaling:
+    * the 128-centroid fit over the 20× stress corpus sat >35 minutes
+    * in driver-side plan work (the "Truncated the string
+    * representation of a plan" warning was its last sign of life)
+    * where the frame form fits in seconds. Small models keep the
+    * literal path — it is the committed q48/q70/q163 plan shape and
+    * avoids a join entirely.
     */
-  private def assignExpr(cents: Array[Array[Long]],
-      mvec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val scored = cents.zipWithIndex.map { case (cv, i) =>
-      struct(dist2(mvec, lit(cv)), lit(i.toLong))
+  private[graft] val AssignLiteralMax = 32
+
+  /** Adds (d2c, centroid) — the quantizer argmin with the distance
+    * kept — to a frame carrying (vec_id, mvec, ...): for small models
+    * ONE literal `least(...)` over per-centroid (dist2, id) structs —
+    * lexicographic struct ordering breaks equal distances to the
+    * smaller centroid id, each leaf a codegen'd native loop; for large
+    * models a broadcast
+    * centroid-frame `row_number` argmin (the oracle's `af` CTE
+    * formulation, identical (d2, centroid) lexicographic tie rule)
+    * above [[AssignLiteralMax]].
+    */
+  private[graft] def withAssignment(e: DataFrame,
+      cents: Array[Array[Long]]): DataFrame =
+    if (cents.length <= AssignLiteralMax) {
+      val scored = cents.zipWithIndex.map { case (cv, i) =>
+        struct(dist2(col("mvec"), lit(cv)), lit(i.toLong))
+      }
+      val best =
+        if (scored.length == 1) scored.head
+        else least(scored.toIndexedSeq: _*)
+      e.withColumn("d2c", best.getField("col1"))
+        .withColumn("centroid", best.getField("col2"))
+    } else {
+      val s = e.sparkSession
+      import s.implicits._
+      val cdf = cents.zipWithIndex.toSeq
+        .map { case (c, i) => (i.toLong, c.toSeq) }
+        .toDF("c_id", "cvec")
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("d2c"), col("c_id"))
+      e.crossJoin(broadcast(cdf))
+        .withColumn("d2c", dist2(col("mvec"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumnRenamed("c_id", "centroid")
+        .drop("rn", "cvec")
     }
-    (if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*))
-      .getField("col2")
-  }
 
   /** Fit-or-fetch the memoized deterministic quantizer over the
     * embeddings at `d`: returns the driver-held centroid model (row i =
@@ -331,12 +361,12 @@ object Similarity {
       ivfCache.getOrElseUpdate((s, d, nCentroids, fp),
         fitKMeans(e.select("vec_id", "mvec"), nCentroids))
     }
-    (cents, nIters, e.select(col("vec_id"), col("embedding"), col("nrm"),
-      assignExpr(cents, col("mvec")).as("centroid")))
+    (cents, nIters, withAssignment(e, cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid")))
   }
 
   /** The Lloyd loop over micro-unit vectors — `e` must carry (vec_id,
-    * mvec). Each iteration: map-side [[assignExpr]] argmin, one
+    * mvec). Each iteration: the [[withAssignment]] argmin, one
     * (centroid, dim)-keyed partial-agg shuffle (≤ nCentroids·dims rows
     * after map-side combine), integer-div means collected to the
     * driver-held model. Mirrors SparkEntry's q48 oracle CTE unroll —
@@ -354,9 +384,8 @@ object Similarity {
     var iters = 0L
     var converged = false
     while (iters < IvfItersCap && !converged) {
-      val sums = e
-        .select(assignExpr(cents, col("mvec")).as("centroid"),
-          posexplode(col("mvec")).as(Seq("dim", "v")))
+      val sums = withAssignment(e, cents)
+        .select(col("centroid"), posexplode(col("mvec")).as(Seq("dim", "v")))
         .groupBy("centroid", "dim")
         .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
         .collect()
@@ -585,23 +614,18 @@ object Similarity {
 
   /** Decorate a raw (vec_id, embedding) frame with the quantizer's
     * assignment AND the argmin distance kept — (nrm, d2c, centroid),
-    * same `least(...)` lexicographic tie rule as [[assignExpr]].
+    * same (d2, centroid) lexicographic tie rule as [[withAssignment]].
     * Shared by q163 (corpus side + scored side are the same frame) and
     * the admission-control ingest twin (arrivals get decorated per
     * batch against the same literal model).
     */
   private[graft] def assignWithDist(cents: Array[Array[Long]])(
-      e: DataFrame): DataFrame = {
-    val withM = e.withColumn("nrm", norm(col("embedding")))
-      .withColumn("mvec", microVec(col("embedding")))
-    val scored = cents.zipWithIndex.map { case (cv, i) =>
-      struct(dist2(col("mvec"), lit(cv)), lit(i.toLong))
-    }
-    val best =
-      if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
-    withM.select(col("vec_id"), col("embedding"), col("nrm"),
-      best.getField("col1").as("d2c"), best.getField("col2").as("centroid"))
-  }
+      e: DataFrame): DataFrame =
+    withAssignment(
+      e.withColumn("nrm", norm(col("embedding")))
+        .withColumn("mvec", microVec(col("embedding"))), cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("d2c"), col("centroid"))
 
   /** The SemDeDup dominance scoring shared by batch q163 (arrivals =
     * base = the corpus) and the ingest twin (arrivals = the batch,

@@ -1220,9 +1220,17 @@ object StreamingOps {
 
   def ivfProbeAtIngest(queries: DataFrame, s: SparkSession,
       corpusDir: String, outDir: String, checkpointDir: String,
-      nProbe: Int = 2, k: Int = 3)
+      nProbe: Int = 2, k: Int = 3, nCentroids: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val table = graft.ops.Similarity.ivfIndexTable(s, corpusDir)
+    // nCentroids sizes the candidate fan-out: each query pays
+    // ~nProbe·N/nCentroids exact cosines, so a serving index wants
+    // nCentroids ~ √N (the IVF scaling rule) — MEASURED at the 20×
+    // stress corpus (20k vectors, all streamed as queries): 8
+    // centroids = 5k candidates/query = 231 q/s; 128 centroids =
+    // ~300 candidates/query = the stress artifact's rate. The
+    // fixture default stays 8 so the equivalence spec pins the twin
+    // against q70's exact frame.
+    val table = graft.ops.Similarity.ivfIndexTable(s, corpusDir, nCentroids)
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
