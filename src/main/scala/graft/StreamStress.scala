@@ -170,9 +170,12 @@ object StreamStress {
         },
         "semdedup_admit_ingest" -> {
           // corpus model + persisted assignment frame built once,
-          // outside the timed stream (the static-index discipline)
+          // outside the timed stream (the static-index discipline).
+          // Same serving geometry as the ivf surface: 128 ~ sqrt(20k)
+          // clusters bound the per-arrival dominance comparisons at
+          // ~N/128 instead of the fixture default's N/8
           val semIdx = graft.streaming.StreamingOps
-            .buildSemdedupIndex(spark, dst)
+            .buildSemdedupIndex(spark, dst, nCentroids = 128)
           try runStream(spark, embIn, nEmb) { s =>
             graft.streaming.StreamingOps.semdedupAdmitAtIngest(
               s, semIdx, s"$workDir/sd_out", s"$workDir/sd_ckpt")
