@@ -676,35 +676,43 @@ object SparkEntry {
     * convergence DECISION, not just the ranks. Generated, not
     * hand-written: one template per step, in lockstep with the Spark
     * loop body.
+    *
+    * Every CTE in the chain is MATERIALIZED: pr$i is referenced by
+    * both sh$(i+1) and allpr, edges/deg/bb by all 12 unrolled steps,
+    * allpr three times (resid twice + the final select). Under
+    * DuckDB's default CTE inlining the unrolled multiply-referenced
+    * chain re-expands exponentially in the depth (>15 min at sf0.01;
+    * 5.1 s materialized, values identical) — the same failure mode
+    * the IVF-fit/BPE/MMR oracles hit, fixed the same way.
     */
   private lazy val q147Sql: String = {
     val K = 12
     val steps = (1 to K).map { i =>
-      s"""sh$i AS (SELECT e.t AS doc_id, CAST(sum(p.pr // g.deg) AS BIGINT) AS c
+      s"""sh$i AS MATERIALIZED (SELECT e.t AS doc_id, CAST(sum(p.pr // g.deg) AS BIGINT) AS c
          | FROM edges e JOIN pr${i - 1} p ON e.s = p.doc_id JOIN deg g ON g.doc_id = e.s
          | GROUP BY e.t),
-         |pr$i AS (SELECT d.doc_id,
+         |pr$i AS MATERIALIZED (SELECT d.doc_id,
          |  CAST(bb.b + (coalesce(sh$i.c, 0) * 85) // 100 AS BIGINT) AS pr
          | FROM documents d CROSS JOIN bb LEFT JOIN sh$i ON sh$i.doc_id = d.doc_id)""".stripMargin
     }.mkString(",\n")
     val unions = (0 to K).map(i =>
       s"SELECT CAST($i AS BIGINT) AS it, doc_id, pr FROM pr$i")
       .mkString("\n UNION ALL ")
-    s"""WITH pairs AS ($q31Sql),
-       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+    s"""WITH pairs AS MATERIALIZED ($q31Sql),
+       |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM pairs
        | UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |deg AS (SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS deg
+       |deg AS MATERIALIZED (SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS deg
        | FROM edges GROUP BY s),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-       |bb AS (SELECT CAST(((1000000000000 * 15) // 100) // n AS BIGINT) AS b,
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |bb AS MATERIALIZED (SELECT CAST(((1000000000000 * 15) // 100) // n AS BIGINT) AS b,
        |  CAST(1000000000000 // n AS BIGINT) AS p0 FROM nn),
-       |pr0 AS (SELECT d.doc_id, bb.p0 AS pr FROM documents d, bb),
+       |pr0 AS MATERIALIZED (SELECT d.doc_id, bb.p0 AS pr FROM documents d, bb),
        |$steps,
-       |allpr AS ($unions),
-       |resid AS (SELECT a.it AS it, CAST(max(abs(a.pr - b.pr)) AS BIGINT) AS r
+       |allpr AS MATERIALIZED ($unions),
+       |resid AS MATERIALIZED (SELECT a.it AS it, CAST(max(abs(a.pr - b.pr)) AS BIGINT) AS r
        | FROM allpr a JOIN allpr b ON b.it = a.it - 1 AND b.doc_id = a.doc_id
        | WHERE a.it >= 1 GROUP BY a.it),
-       |conv AS (SELECT CAST(coalesce(
+       |conv AS MATERIALIZED (SELECT CAST(coalesce(
        |  min(CASE WHEN r <= bb.p0 // 10 THEN it END), $K) AS BIGINT) AS iters
        | FROM resid CROSS JOIN bb)
        |SELECT p.doc_id, CAST(coalesce(deg.deg, 0) AS BIGINT) AS degree,
