@@ -32,10 +32,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // storage squeeze execution memory and big joins started spilling
   // late in a full sweep (q49 7.8->18.7s). Sizing memory to the
   // working set is the local analog of executor sizing on a cluster.
-  // 32g default (was 16g): the 165-query bench sweep accumulates the
-  // session memos (signatures, pairs, labels, exact-top-k) on one local
-  // JVM; at 16g storage eviction thrashed mid-sweep — q122 measured
-  // 20.1 s min-of-2 inside the sweep vs 1.17 s isolated; at 32g it is
-  // 0.84 s in-sweep. The box has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Default heap adapts to the host: the full 165-query sweep wants
+  // 32g (the session memos — signatures, pairs, labels, exact-top-k —
+  // accumulate on one local JVM; at 16g storage eviction thrashed
+  // mid-sweep: q122 20.1 s in-sweep vs 1.17 s isolated, 0.84 s at
+  // 32g), but hard-coding 32g would fail JVM startup on smaller
+  // hosts where 16g ran everything except that sweep. So: 32g when
+  // the host has the physical memory for it, 16g otherwise, and
+  // SPARK_DRIVER_MEM always wins.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM",
+    if (java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getTotalMemorySize >= 64L * 1024 * 1024 * 1024) "32g" else "16g")}",
 )

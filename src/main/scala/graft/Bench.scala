@@ -9,6 +9,32 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** A timed run plus its own contention evidence: per-query min
+    * seconds across sweeps, the calibration-probe times bracketing each
+    * sweep, how many sweeps ran, and how many were CLEAN (both
+    * bracketing probes within [[ProbeSlack]] of the run's best probe).
+    */
+  final case class Run(results: Seq[(String, Double)],
+      probes: Seq[Double], sweeps: Int, cleanSweeps: Int)
+
+  /** A sweep counts as clean only if the probes on BOTH sides stayed
+    * within this factor of the run's fastest probe. */
+  val ProbeSlack = 1.5
+
+  /** One calibration probe: a fixed CPU-bound codegen'd job (~50-80 ms
+    * at local[32]) whose cost depends only on machine load — no I/O, no
+    * shuffle, no data. When a co-tenant process steals cores, the probe
+    * inflates in the same proportion the queries do, so it converts
+    * "this sweep looks slow" into measured evidence.
+    */
+  def probeOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 64L * 1000 * 1000, 1,
+        spark.sparkContext.defaultParallelism)
+      .selectExpr("sum(id * 3 + 1)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Warm up (classloading + codegen) at `warmDir`, then warm once more
     * at the TIMED `sfDir` — session memos (IVF quantizer, LSH signature
     * frame) are keyed per (session, dir), so a warmup at a different dir
@@ -16,15 +42,28 @@ object Bench {
     * what inflated q48 from 2.1 s to 9.7 s in round 3). The second pass
     * also absorbs parquet-footer reads and any first-use codegen at the
     * real data scale, so the timed pass measures steady-state probes for
-    * every query uniformly. Then time each query once at `sfDir`. A
-    * query that throws is reported as -1 (NOT its elapsed-until-crash
-    * time) so a regression can't masquerade as a fast run. `only`
-    * non-empty restricts to that subset (Stress's targeted mode) — one
-    * timing protocol, no duplicated loop.
+    * every query uniformly.
+    *
+    * Then time WHOLE-SWEEP passes (every query once per sweep, probes
+    * before/after each) and report each query's MIN across sweeps.
+    * Sweep-ordering beats per-query repeats under contention: a
+    * co-tenant burst (the r10/r11 committed artifacts both carried one —
+    * trivial untouched queries at 4-10× with the spikes MOVING between
+    * identical-code runs) spans a contiguous time window, so it hits the
+    * same query in back-to-back repeats but DIFFERENT queries in
+    * separate sweeps — the cross-sweep min recovers the idle number.
+    * When the probes say a sweep was contended, extra sweeps run (up to
+    * 3 beyond `passes`) until `passes` clean ones exist; if the window
+    * never goes quiet, the artifact says so (clean_sweeps < passes)
+    * instead of shipping polluted numbers as facts. A query that throws
+    * in any sweep is reported as -1 (NOT its elapsed-until-crash time)
+    * so a regression can't masquerade as a fast run. `only` non-empty
+    * restricts to that subset (Stress's targeted mode) — one timing
+    * protocol, no duplicated loop.
     */
   def timeAll(spark: SparkSession, sfDir: String,
       warmDir: String = "/root/testdata/sf0.001",
-      only: Set[String] = Set.empty, passes: Int = 1): Seq[(String, Double)] = {
+      only: Set[String] = Set.empty, passes: Int = 1): Run = {
     // fail loudly on unknown names: a typo in a targeted stress run must
     // not produce a success-looking empty artifact
     val unknown = only.filterNot(SparkEntry.queries.contains)
@@ -37,30 +76,45 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    // passes > 1: report each query's MIN across timed passes — the
-    // noise-floor estimate. A single pass over a long heavy sweep shows
-    // one-off ~2.5x outliers (GC pauses, page-cache turnover) that read
-    // as regressions; the min is stable while still honest (fully warm
-    // protocol either way). A crash in ANY pass reports -1 (loud).
-    names.map { name =>
-      val ts = (1 to passes).map { _ =>
+    probeOnce(spark) // probe warmup (its own codegen/classloading)
+    val maxSweeps = passes + 3
+    val probes = scala.collection.mutable.ArrayBuffer(probeOnce(spark))
+    val sweeps = scala.collection.mutable.ArrayBuffer
+      .empty[Map[String, Double]]
+    def cleanCount(): Int = {
+      val floor = probes.min
+      sweeps.indices.count(i =>
+        probes(i) <= floor * ProbeSlack && probes(i + 1) <= floor * ProbeSlack)
+    }
+    while (sweeps.size < maxSweeps &&
+        (sweeps.size < passes || cleanCount() < passes)) {
+      sweeps += names.map { name =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }
+        val t = try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        name -> t
+      }.toMap
+      probes += probeOnce(spark)
+    }
+    val results = names.map { name =>
+      val ts = sweeps.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
+    Run(results, probes.toSeq, sweeps.size, cleanCount())
   }
 
   /** Timing-protocol version, embedded in every artifact so cross-round
     * totals are never silently compared across protocol changes (the
     * round-3→4 warm-at-timed-dir change made r3 numbers look like
-    * regressions until re-diagnosed). warm2 = warmup at sf0.001 AND at
-    * the timed dir (steady-state memos), one timed pass; warm2-minN =
-    * same warmup, min over N timed passes (Stress uses N=2).
+    * regressions until re-diagnosed). warm2-sweepminN = warmup at
+    * sf0.001 AND at the timed dir (steady-state memos), then per-query
+    * min over N+ whole-sweep passes with probe-bracketed contention
+    * detection (r12; the prior warm2-minN repeated each query
+    * back-to-back, which a contention burst hits on both repeats).
     */
-  def protocol(passes: Int): String =
-    if (passes > 1) s"warm2-min$passes" else "warm2"
+  def protocol(passes: Int): String = s"warm2-sweepmin$passes"
 
   /** Per-query seconds at 3 decimals (1 ms resolution — run-to-run noise
     * is ±20% on sub-second queries, so extra digits are false precision)
@@ -70,16 +124,19 @@ object Bench {
     * r05 both captured query timings but not the total). Key order makes
     * the tail self-sufficient; the line is still one valid JSON object.
     */
-  def jsonLine(results: Seq[(String, Double)], sfDir: String,
-      passes: Int = 1): String = {
+  def jsonLine(run: Run, sfDir: String, passes: Int = 1): String = {
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would emit 0,123 — invalid JSON
     def r3(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = run.results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"queries":$qs,"sf":"$sfDir","protocol":"${protocol(passes)}","unit":"sec","metric":"total","value":${r3(total)}}"""
+    val probes = run.probes.map(r3).mkString("[", ",", "]")
+    val total = run.results.map(_._2).filter(_ >= 0).sum
+    // probes/sweeps/clean_sweeps are the artifact's own contention
+    // evidence: clean_sweeps < the target means the measurement window
+    // never went quiet and the numbers carry a documented asterisk
+    s"""{"queries":$qs,"sf":"$sfDir","protocol":"${protocol(passes)}","probes":$probes,"sweeps":${run.sweeps},"clean_sweeps":${run.cleanSweeps},"unit":"sec","metric":"total","value":${r3(total)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,14 +151,18 @@ object Bench {
       .builder("graft-bench", s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // min-of-2 timed passes, same as Stress: a single pass over a 70+
-    // query sweep shows one-off ~2.5x GC/page-cache outliers (r5 driver
-    // run: q52 0.5→3.4 s, q69 3.0→6.6 s) that read as regressions in
-    // round-over-round comparison. The min is the stable noise-floor
-    // estimate; protocol field records the change.
+    // 2 clean whole-sweep passes (probe-gated, up to 5 total): a single
+    // pass over a 70+ query sweep shows one-off ~2.5x GC/page-cache
+    // outliers (r5 driver run: q52 0.5→3.4 s, q69 3.0→6.6 s), and the
+    // r10/r11 committed artifacts were both polluted by co-tenant
+    // bursts the old back-to-back min-of-2 couldn't see past. The
+    // cross-sweep min is the stable noise-floor estimate; probes/
+    // clean_sweeps in the artifact say whether it was reached.
     val passes = 2
-    val line = jsonLine(timeAll(spark, sfDir, only = only, passes = passes),
-      sfDir, passes)
+    val run = timeAll(spark, sfDir, only = only, passes = passes)
+    System.err.println(s"[bench] sweeps=${run.sweeps} clean=${run.cleanSweeps} " +
+      s"probes=${run.probes.map(p => f"$p%.3f").mkString(",")}")
+    val line = jsonLine(run, sfDir, passes)
     println(line)
     // the stdout line is harvested through a fixed-size tail window and
     // with 118 queries the per-query map loses its head (BENCH_r06 kept

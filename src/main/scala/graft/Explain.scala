@@ -6,54 +6,13 @@ import org.apache.spark.sql.SparkSession
   * queries (or a pushdown/broadcast/codegen summary for all with no args).
   *
   * Usage: runMain graft.Explain [sfDir] [queryName...]
-  *        runMain graft.Explain write [sfDir] [outDir]   — dump the
-  *          headline queries' formatted plans to <outDir>/<name>.txt
+  *        runMain graft.Explain write [sfDir] [outDir]   — dump EVERY
+  *          registered query's formatted plan to <outDir>/<name>.txt
   *          (committed under explain/ so pushdown, broadcast choices and
   *          join strategies are reviewable facts, not claims)
   */
 object Explain {
 
-  /** The judge-reviewed headline set: scan+agg, shuffled joins, TF-IDF,
-    * the dedup/LSH family, and ANN.
-    */
-  val headline: Seq[String] = Seq(
-    "q01_pricing_summary", "q03_customer_revenue", "q05_nation_revenue",
-    "q26_tfidf", "q31_jaccard_pairs", "q32_minhash_lsh",
-    "q34_embedding_neardup", "q40_cosine_topk", "q41_ann_lsh_topk",
-    "q48_ivf_ann",
-    "q76_incremental_dedup", "q77_component_keeper", "q79_zorder_layout",
-    "q81_minhash_estimate", "q83_lm_score", "q84_heavy_hitters",
-    "q85_source_drift", "q86_bloom_decontaminate", "q87_semantic_clusters",
-    "q88_label_centroids", "q89_curation_report", "q90_quantize_embeddings",
-    "q91_table_stats", "q92_upsert_apply", "q93_retention_cohorts",
-    "q94_chunk_overlap", "q95_inverted_index", "q96_event_funnel",
-    "q97_click_attribution", "q98_sql_revenue", "q99_eval_holdout",
-    "q100_trailing_window", "q101_fuzzy_names", "q102_triangle_counts",
-    "q103_clustering_coeff", "q104_equidepth_hist",
-    "q105_weighted_sample", "q106_bpe_pairs", "q107_shingle_novelty",
-    "q108_content_chunks", "q109_boilerplate_chunks",
-    "q110_skipgram_cooccur", "q111_unattributed_purchases",
-    "q112_resample_ffill", "q113_containment_pairs", "q114_frame_features",
-    "q115_weighted_group_sample", "q116_url_extract", "q117_sql_wordcount",
-    "q118_winnow_fingerprints", "q119_winnow_pairs", "q120_vocab_growth",
-    "q121_containment_exact", "q122_dup_ngram_spans", "q123_source_overlap",
-    "q124_mix_temperature", "q125_quality_rules", "q126_trunc_energy",
-    "q127_phrase_topk", "q128_token_budget_mix", "q129_component_size_hist",
-    "q130_semantic_decontaminate",
-    "q131_bigram_lm", "q132_ann_recall", "q133_simpson_diversity",
-    "q134_dedup_adjusted_mix", "q135_pii_redact", "q136_corpus_diff",
-    "q137_pagerank", "q138_token_fertility", "q139_sorted_neighborhood",
-    "q140_retrieval_metrics", "q141_containment_reps",
-    "q142_ivf_recall_gate", "q143_contamination_spans",
-    "q144_temporal_split", "q145_linear_quality_score",
-    "q146_multiprobe_ann", "q147_pagerank_converged",
-    "q148_repeated_spans", "q149_dedup_rewrite", "q150_dsir_weights",
-    "q151_dedup_keep_first", "q152_decontaminate_rewrite",
-    "q153_bpe_train", "q154_countmin", "q155_phash_neardup",
-    "q156_phash_topk", "q157_crossmodal_neardup", "q158_bm25_topk",
-    "q159_bpe_encode", "q160_kmv_distinct", "q161_kmv_overlap",
-    "q162_stupid_backoff", "q163_semdedup_prune", "q164_cross_source_dup",
-    "q165_mmr_topk", "q166_hard_negatives", "q167_label_noise")
 
   /** q69 needs bespoke treatment: the interesting plan is the PER-ROUND
     * propagation step inside connectedComponents' loop (invisible from
@@ -107,7 +66,12 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    headline.foreach { name =>
+    // EVERY registered query gets an artifact — the plan-shape record is
+    // the 100×-scale insurance, and a partial set invites "was this one
+    // skipped because its plan is embarrassing?" (q69's generic artifact
+    // is overwritten below by the bespoke per-round one, which is the
+    // plan that actually matters for the iterative kernel).
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // EXECUTE before explaining: the artifact must show the AQE-final
       // plan (isFinalPlan=true) — the runtime join-strategy choices are

@@ -14,13 +14,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * already get from scripts/stress.sh.
   *
   * The contamination-spans surface runs twice after an unmeasured warm
-  * pass: with the `coalesce(1)` tidy-output default and with parallel
-  * per-batch writes — measuring, not assuming, what collapsing the
-  * reduce side of the span agg to one task costs at this ingest rate.
-  * Answer (mirrored-order runs, NOTES round 9): a wash — the variant
-  * effect is below the ~15% run-order noise; the report is small. The
-  * warm pass exists because the first draft, without it, attributed a
-  * 2× JIT/ordering artifact to the coalesce.
+  * pass: with the parallel per-batch-write default and with the
+  * `coalesce(1)` tidy-output variant — measuring, not assuming, what
+  * collapsing the reduce side of the span agg to one task costs at
+  * this ingest rate. The r9 mirrored-order probe read it as a wash
+  * (below the ~15% run-order noise), but the r11 artifact separated
+  * them cleanly — 7.1k vs 4.9k docs/s — so parallel became the
+  * default in r12. The warm pass exists because the first draft,
+  * without it, attributed a 2× JIT/ordering artifact to the coalesce.
   *
   * Usage: runMain graft.StreamStress [corpusDir] [artifactPath]
   */
@@ -137,15 +138,19 @@ object StreamStress {
           graft.streaming.StreamingOps.decontaminateRewriteAtIngest(
             s, benchGrams, s"$workDir/dr_out", s"$workDir/dr_ckpt")
         },
+        // default path = parallel per-batch writes since r12 (the r11
+        // artifact separated the variants: 7.1k vs 4.9k docs/s); the
+        // coalesced variant stays measured so the tidy-output cost is a
+        // recorded fact, not a remembered one
         "contamination_spans_ingest" -> runStream(spark, inDir, nTrain) { s =>
           graft.streaming.StreamingOps.contaminationSpansAtIngest(
             s, benchGrams, s"$workDir/s_out", s"$workDir/s_ckpt")
         },
-        "contamination_spans_ingest_parallel" ->
+        "contamination_spans_ingest_coalesced" ->
           runStream(spark, inDir, nTrain) { s =>
             graft.streaming.StreamingOps.contaminationSpansAtIngest(
               s, benchGrams, s"$workDir/s2_out", s"$workDir/s2_ckpt",
-              coalescePerBatch = false)
+              coalescePerBatch = true)
           },
         "ivf_probe_ingest" -> {
           // build-once persisted index over the 20x embeddings (the

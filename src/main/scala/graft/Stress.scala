@@ -61,11 +61,13 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generateIfAbsent(spark, "/root/testdata/sf0.1", dst)
-    // min-of-2 timed passes: the 20x sweep is long enough that single
-    // passes show one-off GC/page-cache outliers on heavy queries (see
-    // Bench.timeAll) — the regression gate needs the noise floor
-    val results = Bench.timeAll(spark, dst, only = only, passes = 2)
-    val line = Bench.jsonLine(results, dst, passes = 2)
+    // 2 clean probe-gated sweeps: the 20x sweep is long enough that
+    // single passes show one-off GC/page-cache outliers on heavy
+    // queries (see Bench.timeAll) — the regression gate needs the
+    // noise floor, and the probes say whether it was reached
+    val run = Bench.timeAll(spark, dst, only = only, passes = 2)
+    System.err.println(s"[stress] sweeps=${run.sweeps} clean=${run.cleanSweeps}")
+    val line = Bench.jsonLine(run, dst, passes = 2)
     println(line)
     artifact.foreach(f => Files.writeString(Paths.get(f), line + "\n"))
     spark.stop()

@@ -385,10 +385,24 @@ object Multimodal {
     */
   def q157CrossModalNearDup(s: SparkSession, d: String,
       maxHamming: Int = 7): DataFrame = {
-    val (_, membership) = TextOps.textContraction(s, d)
+    // lineage truncation (the q102/q103 discipline): the three input
+    // frames are session memos, so re-computation is already shared —
+    // but their LINEAGE is not. membership feeds four branches and
+    // phashRepPairs/embeddingNearDupPairs each carry a banded
+    // candidate+verify subtree that references its own memo frames
+    // several times, so without the checkpoints the full-outer's plan
+    // re-inlines everything (measured: a 2,204-line explain with 119
+    // parquet scans — driver-side compile cost and per-branch AQE
+    // re-optimization at scale). All three frames are near-dup-density
+    // -sized, the same bound the CC kernels checkpoint at; eager=false
+    // so the memo's persist stays the materializing action.
+    val membership = TextOps.textContraction(s, d)._2
+      .localCheckpoint(eager = false)
+    val repPairs = phashRepPairs(s, d, maxHamming)
+      .localCheckpoint(eager = false)
     // rep pairs → member doc pairs, canonicalized a < b (rep order and
     // member-id order need not agree across groups)
-    val cross = phashRepPairs(s, d, maxHamming)
+    val cross = repPairs
       .join(membership.select(col("rep").as("doc_a"), col("doc_id").as("ma")),
         Seq("doc_a"))
       .join(membership.select(col("rep").as("doc_b"), col("doc_id").as("mb")),
@@ -408,6 +422,7 @@ object Multimodal {
     val emb = Dedup.embeddingNearDupPairs(s, d)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
         col("cos_sim"))
+      .localCheckpoint(eager = false)
     media.join(emb, Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("cos_sim"),
         when(col("hamming").isNotNull && col("cos_sim").isNotNull, "both")

@@ -331,14 +331,21 @@ object Similarity {
       val cdf = cents.zipWithIndex.toSeq
         .map { case (c, i) => (i.toLong, c.toSeq) }
         .toDF("c_id", "cvec")
-      val w = Window.partitionBy("vec_id")
+      // the argmin window partitions by a PER-ROW id, not vec_id: the
+      // literal path maps rows 1:1, so this path must too — keyed on
+      // vec_id, a micro-batch carrying a repeated vec_id (at-least-once
+      // redelivery into the streaming twins, or an upstream id
+      // collision) would silently collapse to one row, a behavior
+      // change across the AssignLiteralMax boundary.
+      val w = Window.partitionBy("__rid")
         .orderBy(col("d2c"), col("c_id"))
-      e.crossJoin(broadcast(cdf))
+      e.withColumn("__rid", monotonically_increasing_id())
+        .crossJoin(broadcast(cdf))
         .withColumn("d2c", dist2(col("mvec"), col("cvec")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .withColumnRenamed("c_id", "centroid")
-        .drop("rn", "cvec")
+        .drop("rn", "cvec", "__rid")
     }
 
   /** Fit-or-fetch the memoized deterministic quantizer over the
@@ -608,7 +615,14 @@ object Similarity {
   def q163SemdedupPrune(s: SparkSession, d: String, nCentroids: Int = 8,
       threshold: Double = 0.4): DataFrame = {
     val (cents, nIters, _) = quantize(s, d, nCentroids)
+    // both sides of the dominance self-join read this frame; without
+    // the checkpoint the assignment (a crossJoin+window shuffle above
+    // AssignLiteralMax, a wide least() expression below) evaluates
+    // twice per run — the streaming twin persists the same frame
+    // (buildSemdedupIndex) for exactly this reason. eager=false: the
+    // self-join's first materialization is the computing action.
     val base = assignWithDist(cents)(Tables.embeddings(s, d))
+      .localCheckpoint(eager = false)
     semdedupScore(base, base, nIters, threshold).orderBy("vec_id")
   }
 

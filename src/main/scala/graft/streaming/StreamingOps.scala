@@ -762,7 +762,7 @@ object StreamingOps {
     */
   def contaminationSpansAtIngest(docs: DataFrame, benchGrams: DataFrame,
       outDir: String, checkpointDir: String,
-      coalescePerBatch: Boolean = true)
+      coalescePerBatch: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -784,15 +784,13 @@ object StreamingOps {
           .select(col("train_doc"), col("bench_doc"), col("n_seeds"),
             col("longest_run"))
           .withColumn("batch_id", lit(batchId))
-        // per-batch reports are contamination-density-sized, so one
-        // file per batch keeps the output tidy. coalesce(1) collapses
-        // the reduce side of the span agg to a single task; StreamStress
-        // measured that as a wash at the 20x ingest rate (mirrored-order
-        // warm runs: 28.2/29.6 s coalesced vs 31.7/23.8 s parallel —
-        // the variant effect is below the run-order noise) because the
-        // report is small. Flip to `coalescePerBatch = false` if
-        // per-batch contamination reports grow to genuine
-        // multi-partition size (then compact with Layout.compact).
+        // default is PARALLEL writes (coalescePerBatch = false): the r10
+        // mirrored-order probe read the coalesce(1) as a wash, but the
+        // r11 stream-stress separated the variants cleanly — 7.1k docs/s
+        // parallel vs 4.9k coalesced at 20× (the single-task reduce side
+        // serializes the span agg's tail every batch). Opt back into
+        // coalesce(1) only for tidy one-file-per-batch output on LOW
+        // ingest rates; at scale, compact afterwards (Layout.compact).
         (if (coalescePerBatch) report.coalesce(1) else report)
           .write.mode("append").parquet(outDir)
         (): Unit
@@ -1192,8 +1190,12 @@ object StreamingOps {
     * redundant with what the corpus already holds — the decision an
     * ingest pipeline makes BEFORE paying to store/train on the item.
     *
-    * The arrival's cluster assignment is a map-side argmin against the
-    * literal centroid model; the dominance join is an equality join on
+    * The arrival's cluster assignment takes [[graft.ops.Similarity]]'s
+    * model-size-gated argmin: a map-side literal `least()` at ≤ 32
+    * centroids, a broadcast-centroid-frame window argmin above (the
+    * serving geometry, e.g. the stress run's 128 centroids, takes the
+    * frame path — a per-batch shuffle of the ARRIVALS only, never the
+    * corpus); the dominance join is an equality join on
     * centroid against the persisted corpus frame (corpus-sized — never
     * broadcast; at 100 TB it is the same shuffle-hash shape as batch
     * q163's self-join, with the arrival side small). The score is a
@@ -1231,6 +1233,16 @@ object StreamingOps {
     // fixture default stays 8 so the equivalence spec pins the twin
     // against q70's exact frame.
     val table = graft.ops.Similarity.ivfIndexTable(s, corpusDir, nCentroids)
+    // serving pins the postings + centroid tables in memory: a
+    // stream-static join re-executes the static subplan every
+    // micro-batch, so an uncached index pays the parquet
+    // scan+decode of the full postings table per batch — the same
+    // rationale as the other twins' persisted index frames
+    // (buildSemdedupIndex/buildMediaPhashIndex). cacheTable is
+    // idempotent; the memo's DROP TABLE on corpus-version change
+    // also evicts the cache entry.
+    s.catalog.cacheTable(table)
+    s.catalog.cacheTable(table + "_centroids")
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
