@@ -35,6 +35,16 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** One bracketing measurement = min of 3 [[probeOnce]] runs: a single
+    * probe right after a heavy sweep reads the sweep's own tail (GC,
+    * page-cache reclaim) as "contention" — measured 0.095 s floor vs
+    * 0.2-0.5 s single probes around 20× sweeps on an otherwise idle
+    * box. The min of three ~0.1 s runs (~0.4 s total) sees through a
+    * one-off pause while still catching a co-tenant that persists.
+    */
+  def probe(spark: SparkSession): Double =
+    (1 to 3).map(_ => probeOnce(spark)).min
+
   /** Warm up (classloading + codegen) at `warmDir`, then warm once more
     * at the TIMED `sfDir` — session memos (IVF quantizer, LSH signature
     * frame) are keyed per (session, dir), so a warmup at a different dir
@@ -78,7 +88,7 @@ object Bench {
     }
     probeOnce(spark) // probe warmup (its own codegen/classloading)
     val maxSweeps = passes + 3
-    val probes = scala.collection.mutable.ArrayBuffer(probeOnce(spark))
+    val probes = scala.collection.mutable.ArrayBuffer(probe(spark))
     val sweeps = scala.collection.mutable.ArrayBuffer
       .empty[Map[String, Double]]
     def cleanCount(): Int = {
@@ -96,7 +106,7 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
         name -> t
       }.toMap
-      probes += probeOnce(spark)
+      probes += probe(spark)
     }
     val results = names.map { name =>
       val ts = sweeps.map(_(name))

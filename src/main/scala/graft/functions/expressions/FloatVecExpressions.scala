@@ -123,6 +123,63 @@ case class LongVecDist2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd popcount of the bitwise AND over two `array<long>` bitmask
+  * columns — |A ∩ B| when each array packs a set as 64-bit words.
+  *
+  * Why a custom Expression: the composable formulation
+  * (`aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, _+_)`)
+  * runs on the interpreted higher-order-function machinery — one
+  * zip_with array allocation plus boxed lambda calls per PAIR. On the
+  * containment family's bitset verify (all rep pairs × nw words) that
+  * interpretation was ~50 µs/pair — several hundred seconds for the 20×
+  * stress corpus's 7.7M rep pairs — where this loop is a few ns/word.
+  * Same arithmetic (Long.bitCount of the word AND, summed left to
+  * right), so results are bit-identical; length mismatch folds over the
+  * shorter prefix (callers build equal-width masks).
+  *
+  * Null contract: null if either input is null (BinaryExpression
+  * default); elements are required non-null mask words.
+  */
+case class BitsetIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "bitset_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object FloatVecExpressions {
   /** Column API for [[FloatDot]]. */
   def floatDot(a: Column, b: Column): Column =
@@ -131,4 +188,8 @@ object FloatVecExpressions {
   /** Column API for [[LongVecDist2]]. */
   def longDist2(a: Column, b: Column): Column =
     Bridge.column(LongVecDist2(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for [[BitsetIntersectCount]]. */
+  def bitsetIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(BitsetIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -182,31 +182,70 @@ object Dedup {
     */
   def q113ContainmentPairs(s: SparkSession, d: String,
       threshold: Double = 0.8): DataFrame = {
-    val cand = lshCandidatePairs(s, d)
+    // EXACT-TEXT CONTRACTION (the q102/q121 move, exact here because
+    // both the LSH signature and the containment value are functions
+    // of the text alone): verify once per contracted REP pair, expand
+    // member pairs closed-form. The previous member-level form paid
+    // the token-array intersect once per RAW candidate pair — ~copies²
+    // per rep pair on a dup-heavy corpus (the r11 stress drift: 5.6 →
+    // ~10.5 s isolated at 20× as the memo working set pushed the raw
+    // verify out of cache); the contracted space is
+    // near-dup-density-sized and dup-count-invariant.
+    val docRep = docReps(s, d)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
     val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
       size(col("toks")).as("na"))
     val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
       size(col("toks")).as("nb"))
-    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    val repVerified = contractedCandidatePairs(s, d)
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("common",
         graft.functions.expressions.TextExpressions
           .arrayIntersectCount(col("toks_a"), col("toks_b")))
       .withColumn("containment",
         r4(col("common").cast("double") / least(col("na"), col("nb")).cast("double")))
       .filter(col("containment") >= threshold)
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"),
+        col("na"), col("nb"), col("containment"))
+    // cross-group expansion: identical texts ⇒ identical signatures, so
+    // every (member of ra) × (member of rb) pair is a raw candidate
+    // with the SAME token sets — the verdict and value are rep-pair
+    // constants, and only the contained/container id rule needs the
+    // member ids. Output-sized joins, never recomputation.
+    val cross = repVerified
+      .join(docRep.select(col("rep").as("ra"), col("doc_id").as("ida")),
+        Seq("ra"))
+      .join(docRep.select(col("rep").as("rb"), col("doc_id").as("idb")),
+        Seq("rb"))
       // the contained side is the smaller token set; ties break to the
       // smaller id (deterministic, engine-portable)
       .select(
-        when(col("na") < col("nb"), col("doc_a"))
-          .when(col("nb") < col("na"), col("doc_b"))
-          .otherwise(least(col("doc_a"), col("doc_b"))).as("contained_doc"),
-        when(col("na") < col("nb"), col("doc_b"))
-          .when(col("nb") < col("na"), col("doc_a"))
-          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("container_doc"),
+        when(col("na") < col("nb"), col("ida"))
+          .when(col("nb") < col("na"), col("idb"))
+          .otherwise(least(col("ida"), col("idb"))).as("contained_doc"),
+        when(col("na") < col("nb"), col("idb"))
+          .when(col("nb") < col("na"), col("ida"))
+          .otherwise(greatest(col("ida"), col("idb"))).as("container_doc"),
         col("containment"))
-      .orderBy("contained_doc", "container_doc")
+    // within-group pairs: identical texts collide on EVERY band (the
+    // signature is a text function) and verify at containment exactly
+    // r4(n/n) = 1.0 ≥ any t ≤ 1. Eligibility (≥ 3 tokens ⇒ has a
+    // shingle ⇒ has signatures) is also a text function, so a group is
+    // eligible iff its rep is — one filter on the rep's text covers
+    // every member.
+    val eligRep = Tables.documents(s, d)
+      .select(col("doc_id").as("rep"),
+        (size(tokens(col("text"))) >= 3).as("elig"))
+      .filter(col("elig")).select("rep")
+    val withinMembers = docRep.join(eligRep, Seq("rep"))
+    val within = withinMembers.select(col("rep"), col("doc_id").as("ida"))
+      .join(withinMembers.select(col("rep"), col("doc_id").as("idb")),
+        Seq("rep"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("contained_doc"), col("idb").as("container_doc"),
+        lit(1.0).as("containment"))
+    cross.unionByName(within).orderBy("contained_doc", "container_doc")
   }
 
   /** PREFIX-FILTERED containment pairs — the EXACT-recall upgrade path
@@ -344,10 +383,15 @@ object Dedup {
         col("mask").as("ma"))
       val bS = masks.select(col("doc_id").as("rb"), col("n").as("nb"),
         col("mask").as("mb"))
+      // codegen'd AND-popcount: the interpreted zip_with/aggregate
+      // formulation allocated an array + boxed lambda calls per pair —
+      // ~50 µs/pair, several hundred seconds over the 20× stress
+      // corpus's 7.7M rep pairs and the dominant term of the memo
+      // build (the FloatDot lesson, re-learned on bitsets)
       aS.crossJoin(broadcast(bS)).filter(col("ra") < col("rb"))
-        .withColumn("common", expr(
-          "CAST(aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), " +
-            "0, (acc, c) -> acc + c) AS BIGINT)"))
+        .withColumn("common",
+          graft.functions.expressions.FloatVecExpressions
+            .bitsetIntersectCount(col("ma"), col("mb")))
         .filter(col("common") * lit(10000L) >= lit(tS) * least(col("na"), col("nb")))
         .select(col("ra"), col("rb"), col("na"), col("nb"), col("common"))
     } else {
@@ -504,18 +548,40 @@ object Dedup {
       .withColumn("containment",
         r4(col("common").cast("double") / least(col("na"), col("nb")).cast("double")))
       .select(col("ra"), col("rb"), col("na"), col("nb"), col("containment"))
-    val repPairs = if (rebalance) repPairs0.repartition(sp) else repPairs0
-    // cross-group pairs: every (member of ra) × (member of rb); sizes
-    // are group-constant, so the contained/container rule only needs
-    // the per-pair id tie-break. The expansion joins attach the two
-    // MEMBER-LIST arrays (size-gated broadcast — rep-keyed frames whose
-    // payload is one long per doc) and explode them MAP-SIDE, so the
-    // quadratic member blow-up never crosses an exchange: the old
-    // membership-join form shuffled the half-expanded (pairs × m_a)
-    // intermediate on rb — at the 20× dup-heavy stress corpus that is
-    // a ~20× row multiplier through a full shuffle, and it was the
-    // dominant term of q121's 37 s stress cost.
-    val cross = repPairs
+    // within-group pairs fold in as SELF rep pairs (ra = rb) so the
+    // union happens at the PAIR level — 5.3M rows at the 20× stress
+    // corpus, where an extra iterator boundary is free — instead of at
+    // the member level. A member-level Union is a whole-stage-codegen
+    // boundary: every one of the 4.03e9 expanded rows materialized as
+    // an UnsafeRow crossing the Union iterator before the count/sink
+    // consumed it, and THAT — not the enumeration — was q121's stress
+    // cost (measured: 74 s warm for the unioned count vs 1.0-2.4 s for
+    // the identical cross expansion counted inside its own fused
+    // stage). Self pairs carry na = nb = 0 (the tie rule then picks
+    // least/greatest of the ids — exactly the within-group contract)
+    // and containment literal 1.0 ≡ r4(n/n), bit-identical to the
+    // verified path's rounding. Identical token sets qualify at any
+    // t ≤ 1, so no threshold check is needed.
+    val selfPairs = f.memberLists.filter(size(col("mids")) >= 2)
+      .select(col("rep").as("ra"), col("rep").as("rb"),
+        lit(0L).as("na"), lit(0L).as("nb"), lit(1.0).as("containment"))
+    val allPairs0 = repPairs0.unionByName(selfPairs)
+    val allPairs = if (rebalance) allPairs0.repartition(sp) else allPairs0
+    // every (member of ra) × (member of rb); sizes are group-constant,
+    // so the contained/container rule only needs the per-pair id
+    // tie-break. The expansion joins attach the two MEMBER-LIST arrays
+    // (size-gated broadcast — rep-keyed frames whose payload is one
+    // long per doc) and explode them MAP-SIDE, so the quadratic member
+    // blow-up never crosses an exchange: the old membership-join form
+    // shuffled the half-expanded (pairs × m_a) intermediate on rb — at
+    // the 20× dup-heavy stress corpus that is a ~20× row multiplier
+    // through a full shuffle, and it was the dominant term of q121's
+    // 37 s stress cost. Self pairs enumerate m² and keep the i < j
+    // half in the SAME codegen'd filter (mids is sorted, so id order
+    // is position order) — 2× the minimal within-group work on a
+    // frame that is ~0.4% of the output, for a pipeline that runs
+    // fused end-to-end.
+    val out = allPairs
       .join(memberListGated(f.memberLists
         .select(col("rep").as("ra"), col("mids").as("mids_a")), f.nDocs),
         Seq("ra"))
@@ -524,6 +590,7 @@ object Dedup {
         Seq("rb"))
       .withColumn("ida", explode(col("mids_a")))
       .withColumn("idb", explode(col("mids_b")))
+      .filter(col("ra") =!= col("rb") || col("ida") < col("idb"))
       .select(
         when(col("na") < col("nb"), col("ida"))
           .when(col("nb") < col("na"), col("idb"))
@@ -532,18 +599,7 @@ object Dedup {
           .when(col("nb") < col("na"), col("ida"))
           .otherwise(greatest(col("ida"), col("idb"))).as("container_doc"),
         col("containment"))
-    // within-group pairs: identical token sets ⇒ containment exactly
-    // 1.0 (qualifies at any t ≤ 1); r4(n/n) ≡ 1.0 so the literal is
-    // bit-identical to the verified path's rounding. mids is sorted,
-    // so position order (i < j) IS id order — the enumeration is two
-    // generates over the rep-count-sized list frame, no join at all.
-    val within = f.memberLists.filter(size(col("mids")) >= 2)
-      .select(col("mids"), posexplode(col("mids")).as(Seq("i", "ida")))
-      .select(col("ida"), col("i"), posexplode(col("mids")).as(Seq("j", "idb")))
-      .filter(col("j") > col("i"))
-      .select(col("ida").as("contained_doc"), col("idb").as("container_doc"),
-        lit(1.0).as("containment"))
-    cross.unionByName(within).orderBy("contained_doc", "container_doc")
+    out.orderBy("contained_doc", "container_doc")
   }
 
   /** REP-LEVEL containment artifact (q141) — the dup-count-INVARIANT

@@ -34,6 +34,33 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got == (1.5 * 0.5 + -2.0 * 4.0 + 3.25 * -1.0))
   }
 
+  test("BitsetIntersectCount ≡ aggregate(zip_with(bit_count(&))) on random masks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { _ =>
+      val nw = 1 + rnd.nextInt(32)
+      (Array.fill(nw)(rnd.nextLong()), Array.fill(nw)(rnd.nextLong()))
+    }
+    val df = rows.toDF("ma", "mb")
+    val diff = df.select(
+      graft.functions.expressions.FloatVecExpressions
+        .bitsetIntersectCount(col("ma"), col("mb")).as("fast"),
+      expr("CAST(aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), " +
+        "0, (acc, c) -> acc + c) AS BIGINT)").as("spec"))
+      .filter(col("fast") =!= col("spec"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("BitsetIntersectCount interpreted eval matches a hand computation") {
+    import spark.implicits._
+    val df = Seq((Array(0xFL, 0x3L), Array(0x6L, 0x1L))).toDF("a", "b")
+    val got = df.select(graft.functions.expressions.FloatVecExpressions
+      .bitsetIntersectCount(col("a"), col("b"))).as[Long].head()
+    // 0xF & 0x6 = 0x6 (2 bits); 0x3 & 0x1 = 0x1 (1 bit)
+    assert(got == 3L)
+  }
+
   test("TokenShingles ≡ transform/slice/array_join formulation on fixture docs") {
     import spark.implicits._
     val d = graft.core.Tables.documents(spark, TestSpark.sf)
