@@ -41,11 +41,12 @@ object StreamStress {
   /** Run one streaming surface over the chunked input; returns the
     * measurement fields as (key, json-value) pairs.
     */
-  private def runStream(spark: SparkSession, inDir: String, nRows: Long)(
+  private def runStream(spark: SparkSession, inDir: String, nRows: Long,
+      filesPerTrigger: Int = 1)(
       start: DataFrame => StreamingQuery): Seq[(String, String)] = {
     val schema = spark.read.parquet(inDir).schema
     val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(inDir)
     val q = start(src)
     val t0 = System.nanoTime()
     try q.processAllAvailable() finally q.stop()
@@ -121,6 +122,12 @@ object StreamStress {
         graft.streaming.StreamingOps.decontaminateRewriteAtIngest(
           s, benchGrams, s"$workDir/warm_rw_out", s"$workDir/warm_rw_ckpt")
       }
+      // contention evidence, the Bench discipline: a CPU-bound probe
+      // before and after the measured surfaces — the r12 artifact's
+      // first cut was globally ~20% slower than an identical-code run
+      // an hour earlier (quality p50 0.88 → 1.27 s on untouched code),
+      // and without probes that reads as a code regression
+      val probeBefore = Bench.probe(spark)
       val surfaces = Seq(
         "quality_score_ingest" -> runStream(spark, inDir, nTrain) { s =>
           graft.streaming.StreamingOps.qualityScoreAtIngest(s)
@@ -155,16 +162,29 @@ object StreamStress {
         "ivf_probe_ingest" -> {
           // build-once persisted index over the 20x embeddings (the
           // fit + bucketed write pay once, outside the timed stream).
-          // nCentroids = 128 ~ sqrt(20k): the serving-scale index
-          // geometry — the fixture's 8-centroid config brute-forces a
-          // quarter of the corpus per query (measured 231 q/s vs this)
-          graft.ops.Similarity.ivfIndexTable(spark, dst, 128)
+          // nCentroids derives from the √N serving rule inside the twin
+          // (141 at this corpus); pre-building here keeps the fit out
+          // of the timed stream
+          graft.ops.Similarity.ivfIndexTable(spark, dst,
+            graft.streaming.StreamingOps.servingCentroids(nEmb))
           runStream(spark, embIn, nEmb) { s =>
             graft.streaming.StreamingOps.ivfProbeAtIngest(
-              s, spark, dst, s"$workDir/iv_out", s"$workDir/iv_ckpt",
-              nCentroids = 128)
+              s, spark, dst, s"$workDir/iv_out", s"$workDir/iv_ckpt")
           }
         },
+        // the same serving surface at SATURATED batches (all 8 chunk
+        // files in one trigger): the 8-batch variant above streams
+        // 2.5k rows/batch, where the micro-batch fixed cost — offset
+        // log, per-batch planning, sink commit, measured ~0.85 s even
+        // for the trivial quality surface's 12.4k-row batches —
+        // dominates; docs/s at that size reports the floor, not the
+        // probe. Throughput-vs-latency is the operator's real knob at
+        // scale, so the artifact records both ends of it.
+        "ivf_probe_ingest_saturated" ->
+          runStream(spark, embIn, nEmb, filesPerTrigger = nBatches) { s =>
+            graft.streaming.StreamingOps.ivfProbeAtIngest(
+              s, spark, dst, s"$workDir/iv2_out", s"$workDir/iv2_ckpt")
+          },
         "bpe_encode_ingest" -> {
           // trained merge table built once (the driver-held model)
           val bpeModel = graft.ops.TextOps.bpeMergeTable(spark, dst)
@@ -196,12 +216,14 @@ object StreamStress {
               s, phashIdx, s"$workDir/p_out", s"$workDir/p_ckpt")
           } finally phashIdx.unpersist()
         })
+      val probeAfter = Bench.probe(spark)
       val line = surfaces.map { case (name, fields) =>
         "\"" + name + "\":{" +
           fields.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") +
           "}"
       }.mkString(
-        s"""{"metric":"stream_stress_20x","cpus":$cpus,"n_batches":$nBatches,""",
+        s"""{"metric":"stream_stress_20x","cpus":$cpus,"n_batches":$nBatches,""" +
+          s""""probes":[${fmt(probeBefore)},${fmt(probeAfter)}],""",
         ",", "}")
       println(line)
       artifact.foreach(f => Files.writeString(Paths.get(f), line + "\n"))

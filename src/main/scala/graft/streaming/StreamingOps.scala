@@ -1220,19 +1220,33 @@ object StreamingOps {
       }
       .start()
 
+  /** √N serving-geometry rule: each probe pays ~nProbe·N/nCentroids
+    * exact cosines plus an O(nCentroids) centroid ranking, so the
+    * candidate budget is minimized at nCentroids ~ √N — MEASURED at
+    * the 20× stress corpus (20k vectors, all streamed as queries): 8
+    * centroids = 5k candidates/query = 231 q/s; ~√N centroids = ~300
+    * candidates/query = the stress artifact's rate. Floor of 8 keeps
+    * tiny fixtures from degenerating to a near-exhaustive scan with a
+    * 1-2 centroid model.
+    */
+  private[graft] def servingCentroids(n: Long): Int =
+    math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
+
   def ivfProbeAtIngest(queries: DataFrame, s: SparkSession,
       corpusDir: String, outDir: String, checkpointDir: String,
-      nProbe: Int = 2, k: Int = 3, nCentroids: Int = 8)
+      nProbe: Int = 2, k: Int = 3, nCentroids: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // nCentroids sizes the candidate fan-out: each query pays
-    // ~nProbe·N/nCentroids exact cosines, so a serving index wants
-    // nCentroids ~ √N (the IVF scaling rule) — MEASURED at the 20×
-    // stress corpus (20k vectors, all streamed as queries): 8
-    // centroids = 5k candidates/query = 231 q/s; 128 centroids =
-    // ~300 candidates/query = the stress artifact's rate. The
-    // fixture default stays 8 so the equivalence spec pins the twin
-    // against q70's exact frame.
-    val table = graft.ops.Similarity.ivfIndexTable(s, corpusDir, nCentroids)
+    // nCentroids ≤ 0 (the default) sizes the serving index from the
+    // corpus via [[servingCentroids]] — the r11 stress ran the
+    // fixture's 8 on a 20k corpus and paid a quarter-corpus
+    // brute-force per query until the geometry was overridden by
+    // hand; the default should be the rule, not the fixture. An
+    // explicit positive value pins the geometry (the equivalence
+    // spec pins the twin against q70's exact frame at the fixture's
+    // 8).
+    val nc = if (nCentroids > 0) nCentroids
+      else servingCentroids(graft.core.Tables.embeddings(s, corpusDir).count())
+    val table = graft.ops.Similarity.ivfIndexTable(s, corpusDir, nc)
     // serving pins the postings + centroid tables in memory: a
     // stream-static join re-executes the static subplan every
     // micro-batch, so an uncached index pays the parquet

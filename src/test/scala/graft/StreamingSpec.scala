@@ -474,9 +474,11 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files
       .createTempDirectory("ivf_ingest_ckpt").toString
     val mem = MemoryStream[(Long, Seq[Float])]
+    // nCentroids pinned to the fixture's 8 so the equivalence target is
+    // q70's default frame; the serving default derives √N instead
     val q = StreamingOps.ivfProbeAtIngest(
       mem.toDF().toDF("vec_id", "embedding"), spark, TestSpark.sf,
-      outDir, ckpt)
+      outDir, ckpt, nCentroids = 8)
     try {
       val (first, second) = queries.splitAt(1) // deliberately uneven
       mem.addData(first.toSeq)
@@ -497,6 +499,46 @@ class StreamingSpec extends AnyFunSuite {
       val perQuery = got.groupBy(_._1).view.mapValues(_.size)
       assert(perQuery.keySet == queries.map(_._1).toSet)
       assert(perQuery.values.forall(_ <= 3))
+    } finally q.stop()
+  }
+
+  test("ivf serving default self-sizes by the √N rule and unions to q70 at that size") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    assert(StreamingOps.servingCentroids(20000) == 141)
+    assert(StreamingOps.servingCentroids(3) == 8) // floor
+    val n = graft.core.Tables.embeddings(spark, TestSpark.sf).count()
+    val nc = StreamingOps.servingCentroids(n)
+    // q70's own query subset (vec_id % 25), so the equivalence target is
+    // its complete frame at the derived geometry
+    val queries = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val outDir = java.nio.file.Files
+      .createTempDirectory("ivf_default_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ivf_default_ckpt").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // DEFAULT nCentroids — must derive nc and answer ≡ q70 at nc
+    val q = StreamingOps.ivfProbeAtIngest(
+      mem.toDF().toDF("vec_id", "embedding"), spark, TestSpark.sf,
+      outDir, ckpt)
+    try {
+      mem.addData(queries.toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5))
+      val got = spark.read.parquet(outDir)
+        .select("query_id", "rk", "cand_id", "centroid", "cos_sim", "n_iters")
+        .collect().map(key).toSet
+      val expect = graft.ops.Similarity
+        .q70IvfProbeIndexed(spark, TestSpark.sf, nCentroids = nc)
+        .collect().map(key).toSet
+      assert(got == expect)
+      assert(got.exists(_._4 >= 16), // geometry proof: centroids beyond the fixture's 8
+        s"derived-geometry run never used a centroid >= 16 (nc=$nc)")
     } finally q.stop()
   }
 
