@@ -206,6 +206,10 @@ object SparkEntry {
     // contrastive-training data ops over the same exact-kNN machinery
     "q166_hard_negatives" -> ((s, d) => Similarity.q166HardNegatives(s, d)),
     "q167_label_noise" -> ((s, d) => Similarity.q167LabelNoise(s, d)),
+    // product quantization: the memory-bounded ANN tier (PQ encode +
+    // IVF-ADC probe over the compressed codes, full fits oracle-replayed)
+    "q168_pq_encode" -> ((s, d) => Similarity.q168PqEncode(s, d)),
+    "q169_pq_adc_topk" -> ((s, d) => Similarity.q169PqAdcTopK(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -418,14 +422,17 @@ object SparkEntry {
   private def ivfD2(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
 
-  /** The unrolled k-means fit as a reusable CTE chain (no `WITH`):
-    * `m` (micro-unit vectors) → `kc0` (salted-hash seeds) → capped
-    * iteration blocks → `allkc`/`kresid`/`conv` (the residual stop) →
-    * `kcf` (the converged model). Shared VERBATIM by q48/q70's probe
-    * oracle and q163's SemDeDup prune so the fit has one SQL
-    * definition.
+  /** The unrolled k-means fit as a PARAMETERIZED reusable CTE chain
+    * (no `WITH`): `{p}m` (micro-unit vectors from `srcSel`) → `{p}kc0`
+    * (salted-hash seeds, the SAME vec_id rank in every instance) →
+    * capped iteration blocks → `{p}allkc`/`{p}kresid`/`{p}conv` (the
+    * residual stop) → `{p}kcf` (the converged model). Instantiated
+    * with p="" and k=8 for the coarse quantizer (shared VERBATIM by
+    * q48/q70's probe oracle and q163's SemDeDup prune) and with
+    * p="p0_".."p3_" over subvector slices for q168/q169's PQ
+    * sub-fits — ONE SQL definition of the fit for all six uses.
     */
-  private lazy val ivfChainCtes: String = {
+  private def kmeansChainCtes(p: String, k: Int, srcSel: String): String = {
     val iters = graft.ops.Similarity.IvfItersCap
     val eps = graft.ops.Similarity.IvfConvergeEps
     def d2(a: String, b: String): String = ivfD2(a, b)
@@ -436,46 +443,54 @@ object SparkEntry {
     // materialized (the 4-iteration r10 oracle survived inlining only
     // because 2^4 is small).
     def iterBlock(i: Int): String =
-      s"""ka$i AS MATERIALIZED (SELECT vec_id, mvec, centroid FROM (
+      s"""${p}ka$i AS MATERIALIZED (SELECT vec_id, mvec, centroid FROM (
          |  SELECT m.vec_id, m.mvec, c.centroid,
          |   row_number() OVER (PARTITION BY m.vec_id
          |     ORDER BY ${d2("m.mvec", "c.cvec")}, c.centroid) AS rn
-         |  FROM m, kc${i - 1} c) WHERE rn = 1),
-         |ks$i AS MATERIALIZED (SELECT centroid, dim, CAST(sum(mvec[dim]) AS BIGINT) AS sv,
+         |  FROM ${p}m m, ${p}kc${i - 1} c) WHERE rn = 1),
+         |${p}ks$i AS MATERIALIZED (SELECT centroid, dim, CAST(sum(mvec[dim]) AS BIGINT) AS sv,
          |  CAST(count(*) AS BIGINT) AS cnt FROM (
          |  SELECT centroid, CAST(unnest(range(1, len(mvec) + 1)) AS BIGINT) AS dim, mvec
-         |  FROM ka$i) GROUP BY centroid, dim),
-         |kc$i AS MATERIALIZED (SELECT p.centroid, list(COALESCE(s.sv // s.cnt, p.v) ORDER BY p.dim) AS cvec
+         |  FROM ${p}ka$i) GROUP BY centroid, dim),
+         |${p}kc$i AS MATERIALIZED (SELECT p.centroid, list(COALESCE(s.sv // s.cnt, p.v) ORDER BY p.dim) AS cvec
          | FROM (SELECT centroid, dim, cvec[dim] AS v FROM (
          |   SELECT centroid, CAST(unnest(range(1, len(cvec) + 1)) AS BIGINT) AS dim, cvec
-         |   FROM kc${i - 1})) p
-         | LEFT JOIN ks$i s ON s.centroid = p.centroid AND s.dim = p.dim
+         |   FROM ${p}kc${i - 1})) p
+         | LEFT JOIN ${p}ks$i s ON s.centroid = p.centroid AND s.dim = p.dim
          | GROUP BY p.centroid)""".stripMargin
-    s"""m AS MATERIALIZED (SELECT vec_id,
-       |  list_transform(embedding, v ->
-       |    CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mvec
-       | FROM embeddings),
-       |kc0 AS MATERIALIZED (SELECT centroid, mvec AS cvec FROM (
+    s"""${p}m AS MATERIALIZED ($srcSel),
+       |${p}kc0 AS MATERIALIZED (SELECT centroid, mvec AS cvec FROM (
        |  SELECT CAST(row_number() OVER (
        |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':ivfseed'), vec_id) AS BIGINT) - 1
        |    AS centroid, mvec
-       |  FROM m) WHERE centroid < 8),
+       |  FROM ${p}m) WHERE centroid < $k),
        |${(1 to iters).map(iterBlock).mkString(",\n")},
-       |allkc AS MATERIALIZED (${(0 to iters).map(i =>
-           s"SELECT CAST($i AS BIGINT) AS it, centroid, cvec FROM kc$i")
+       |${p}allkc AS MATERIALIZED (${(0 to iters).map(i =>
+           s"SELECT CAST($i AS BIGINT) AS it, centroid, cvec FROM ${p}kc$i")
            .mkString("\n UNION ALL ")}),
-       |kresid AS (SELECT a.it AS it, CAST(max(list_max(
+       |${p}kresid AS (SELECT a.it AS it, CAST(max(list_max(
        |  list_transform(range(1, len(a.cvec) + 1),
        |    j -> abs(a.cvec[j] - b.cvec[j])))) AS BIGINT) AS r
-       | FROM allkc a JOIN allkc b
+       | FROM ${p}allkc a JOIN ${p}allkc b
        |  ON b.it = a.it - 1 AND b.centroid = a.centroid
        | WHERE a.it >= 1 GROUP BY a.it),
-       |conv AS (SELECT CAST(coalesce(
+       |${p}conv AS (SELECT CAST(coalesce(
        |  min(CASE WHEN r <= $eps THEN it END), $iters) AS BIGINT) AS iters
-       | FROM kresid),
-       |kcf AS (SELECT centroid, cvec FROM allkc CROSS JOIN conv
-       | WHERE it = conv.iters)""".stripMargin
+       | FROM ${p}kresid),
+       |${p}kcf AS (SELECT centroid, cvec FROM ${p}allkc CROSS JOIN ${p}conv
+       | WHERE it = ${p}conv.iters)""".stripMargin
   }
+
+  /** Micro-unit vector source for the coarse chain (and, sliced, for
+    * the PQ sub-chains).
+    */
+  private val microVecSel: String =
+    s"""SELECT vec_id,
+       |  list_transform(embedding, v ->
+       |    CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS mvec
+       | FROM embeddings""".stripMargin
+
+  private lazy val ivfChainCtes: String = kmeansChainCtes("", 8, microVecSel)
 
   private lazy val q48Sql: String = {
     def d2(a: String, b: String): String = ivfD2(a, b)
@@ -535,6 +550,108 @@ object SparkEntry {
        | conv.iters AS n_iters
        |FROM afd f LEFT JOIN dom USING (vec_id) CROSS JOIN conv
        |ORDER BY f.vec_id""".stripMargin
+
+  /** PQ sub-fit chains: one [[kmeansChainCtes]] instance per subspace
+    * (prefix p{m}_) over the contiguous micro-unit subvector slice —
+    * the SAME fit template as the coarse chain, so seeds, ties,
+    * integer-div means and the residual stop have one SQL definition.
+    * Requires an `m` CTE (the micro-unit vectors) in scope; slice
+    * bounds derive from `len(mvec)` so the SQL is dimension-agnostic
+    * like the Spark side (which reads dims off the data).
+    */
+  private def pqSubChains: String = {
+    val mM = graft.ops.Similarity.PqM
+    val kS = graft.ops.Similarity.PqSubK
+    (0 until mM).map { m =>
+      kmeansChainCtes(s"p${m}_", kS,
+        s"""SELECT vec_id, list_slice(mvec,
+           |  $m * (len(mvec) // $mM) + 1,
+           |  ${m + 1} * (len(mvec) // $mM)) AS mvec FROM m""".stripMargin)
+    }.mkString(",\n")
+  }
+
+  /** Per-subspace encode CTE body (argmin code + reconstruction d2 per
+    * (vec, subspace), ties to the smaller code — mirrors
+    * Similarity.pqEncodeFrame's literal least()).
+    */
+  private def pqEncSql(withIters: Boolean): String = {
+    val mM = graft.ops.Similarity.PqM
+    (0 until mM).map { m =>
+      val iterCol =
+        if (withIters) s", p${m}_conv.iters AS n_iters" else ""
+      val iterJoin = if (withIters) s" CROSS JOIN p${m}_conv" else ""
+      s"""SELECT vec_id, CAST($m AS BIGINT) AS subspace,
+         |  code, d2_sub$iterCol FROM (
+         | SELECT vec_id, centroid AS code, d2 AS d2_sub FROM (
+         |  SELECT pm.vec_id, c.centroid, CAST(${ivfD2("pm.mvec", "c.cvec")} AS BIGINT) AS d2,
+         |   row_number() OVER (PARTITION BY pm.vec_id
+         |     ORDER BY ${ivfD2("pm.mvec", "c.cvec")}, c.centroid) AS rn
+         |  FROM p${m}_m pm, p${m}_kcf c) WHERE rn = 1)$iterJoin""".stripMargin
+    }.mkString("\n UNION ALL ")
+  }
+
+  /** q168's oracle — mirrors Similarity.q168PqEncode: the four
+    * sub-fits replayed through the shared unrolled chain, then each
+    * vector's per-subspace argmin code, reconstruction distance and
+    * the sub-fit's residual-stop count. All BIGINT.
+    */
+  private lazy val q168Sql: String =
+    s"""WITH m AS MATERIALIZED ($microVecSel),
+       |$pqSubChains,
+       |enc AS (${pqEncSql(withIters = true)})
+       |SELECT vec_id, subspace, code, d2_sub, n_iters
+       |FROM enc ORDER BY vec_id, subspace""".stripMargin
+
+  /** q169's oracle — mirrors Similarity.q169PqAdcTopK: the coarse
+    * chain (q48's, verbatim) prunes candidates to nProbe=2 buckets;
+    * the four sub-chains give codes (enc) and the per-query lookup
+    * tables (lut, one BIGINT d2 per (query, subspace, code)); the ADC
+    * distance is the PqM-term lut sum per (query, candidate); top-3
+    * by (adc_d2, cand_id).
+    */
+  private lazy val q169Sql: String = {
+    val mM = graft.ops.Similarity.PqM
+    def d2(a: String, b: String): String = ivfD2(a, b)
+    val lutUnion = (0 until mM).map { m =>
+      s"""SELECT q.query_id, CAST($m AS BIGINT) AS subspace,
+         |  c.centroid AS code,
+         |  CAST(${d2(
+             s"list_slice(q.mvec, $m * (len(q.mvec) // $mM) + 1, ${m + 1} * (len(q.mvec) // $mM))",
+             "c.cvec")} AS BIGINT) AS pd
+         | FROM q, p${m}_kcf c""".stripMargin
+    }.mkString("\n UNION ALL ")
+    s"""WITH $ivfChainCtes,
+       |$pqSubChains,
+       |af AS MATERIALIZED (SELECT vec_id, centroid FROM (
+       |  SELECT m.vec_id, c.centroid,
+       |   row_number() OVER (PARTITION BY m.vec_id
+       |     ORDER BY ${d2("m.mvec", "c.cvec")}, c.centroid) AS rn
+       |  FROM m, kcf c) WHERE rn = 1),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, mvec FROM m WHERE vec_id % 25 = 0),
+       |pr AS (SELECT query_id, centroid FROM (
+       |  SELECT q.query_id, c.centroid,
+       |   row_number() OVER (PARTITION BY q.query_id
+       |     ORDER BY ${d2("q.mvec", "c.cvec")}, c.centroid) AS rn
+       |  FROM q, kcf c) WHERE rn <= 2),
+       |enc AS MATERIALIZED (${pqEncSql(withIters = false)}),
+       |lut AS MATERIALIZED ($lutUnion),
+       |cand AS (SELECT pr.query_id, af.vec_id AS cand_id, af.centroid
+       | FROM pr JOIN af ON pr.centroid = af.centroid
+       | WHERE pr.query_id <> af.vec_id),
+       |adc AS (SELECT cand.query_id, cand.cand_id, cand.centroid,
+       |  CAST(sum(lut.pd) AS BIGINT) AS adc_d2
+       | FROM cand JOIN enc ON enc.vec_id = cand.cand_id
+       | JOIN lut ON lut.query_id = cand.query_id
+       |  AND lut.subspace = enc.subspace AND lut.code = enc.code
+       | GROUP BY cand.query_id, cand.cand_id, cand.centroid),
+       |ranked AS (SELECT query_id, cand_id, centroid, adc_d2,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_d2, cand_id) AS BIGINT) AS rk FROM adc)
+       |SELECT query_id, rk, cand_id, CAST(centroid AS BIGINT) AS centroid,
+       | adc_d2, conv.iters AS n_iters
+       |FROM ranked CROSS JOIN conv WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  }
 
   /** q165's oracle — mirrors Similarity.q165MmrTopK: q40's exact
     * cosine pool (top-12 by sim6 desc, cand_id), r6 sims lifted to
@@ -1934,6 +2051,10 @@ object SparkEntry {
     "q70_ivf_probe_indexed" -> q48Sql,
     "q163_semdedup_prune" -> q163Sql,
     "q165_mmr_topk" -> q165Sql,
+    // product quantization: four sub-fits replayed through the shared
+    // unrolled k-means chain; encode and the IVF-ADC probe all-BIGINT
+    "q168_pq_encode" -> q168Sql,
+    "q169_pq_adc_topk" -> q169Sql,
     // mirrors Similarity.q166HardNegatives — the q40 scan with the
     // label-inequality predicate, same (sim6 desc, cand_id) ranking
     "q166_hard_negatives" ->

@@ -196,14 +196,27 @@ object StreamStress {
         "semdedup_admit_ingest" -> {
           // corpus model + persisted assignment frame built once,
           // outside the timed stream (the static-index discipline).
-          // Same serving geometry as the ivf surface: 128 ~ sqrt(20k)
+          // Same serving geometry as the ivf surface: ~sqrt(20k)
           // clusters bound the per-arrival dominance comparisons at
-          // ~N/128 instead of the fixture default's N/8
-          val semIdx = graft.streaming.StreamingOps
-            .buildSemdedupIndex(spark, dst, nCentroids = 128)
+          // ~N/141 instead of the fixture default's N/8
+          val semIdx = graft.streaming.StreamingOps.buildSemdedupIndex(
+            spark, dst,
+            nCentroids = graft.streaming.StreamingOps.servingCentroids(nEmb))
           try runStream(spark, embIn, nEmb) { s =>
             graft.streaming.StreamingOps.semdedupAdmitAtIngest(
               s, semIdx, s"$workDir/sd_out", s"$workDir/sd_ckpt")
+          } finally semIdx.unpersist()
+        },
+        // saturated-batch twin of the admission surface (the ivf
+        // variant's rationale: 2.5k-row batches report the micro-batch
+        // floor, not the dominance join)
+        "semdedup_admit_ingest_saturated" -> {
+          val semIdx = graft.streaming.StreamingOps.buildSemdedupIndex(
+            spark, dst,
+            nCentroids = graft.streaming.StreamingOps.servingCentroids(nEmb))
+          try runStream(spark, embIn, nEmb, filesPerTrigger = nBatches) { s =>
+            graft.streaming.StreamingOps.semdedupAdmitAtIngest(
+              s, semIdx, s"$workDir/sd2_out", s"$workDir/sd2_ckpt")
           } finally semIdx.unpersist()
         },
         "phash_match_ingest" -> {

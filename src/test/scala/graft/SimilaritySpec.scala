@@ -468,4 +468,110 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2).toSet == keptClusters,
       "a cluster lost all members — dominance order violated")
   }
+
+  private def jvmMicro(emb: Array[Float]): Array[Long] =
+    emb.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+
+  private def jvmD2(a: Array[Long], b: Array[Long]): Long =
+    a.indices.foldLeft(0L) { (s, i) => val d = a(i) - b(i); s + d * d }
+
+  test("q168 PQ encode: codes/distances match a JVM recompute over the codebooks") {
+    import spark.implicits._
+    val got = Similarity.q168PqEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val (books, nIters, subDim) = Similarity.pqCodebooks(spark, sf)
+    assert(books.length == Similarity.PqM)
+    assert(books.forall(_.length == Similarity.PqSubK))
+    val rows = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val expect = rows.flatMap { case (id, emb) =>
+      val mv = jvmMicro(emb)
+      (0 until Similarity.PqM).map { m =>
+        val sub = mv.slice(m * subDim, (m + 1) * subDim)
+        // argmin with ties to the smaller code — the struct-least rule
+        val (d2, code) = books(m).zipWithIndex
+          .map { case (cv, c) => (jvmD2(sub, cv), c.toLong) }.min
+        (id, m.toLong, code, d2, nIters(m))
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got == expect)
+    // every code id in range, all PqM subspaces present per vector
+    assert(got.forall(t => t._3 >= 0 && t._3 < Similarity.PqSubK))
+    assert(got.groupBy(_._1).values.forall(_.length == Similarity.PqM))
+  }
+
+  test("q169 IVF-ADC: matches a JVM ADC recompute within the coarse buckets; recall@3 >= 0.2") {
+    import spark.implicits._
+    val got = Similarity.q169PqAdcTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val (books, _, subDim) = Similarity.pqCodebooks(spark, sf)
+    val rows = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    // coarse model via the registered q48 path's own frames: recompute
+    // assignment + probe ranking in the JVM from the memoized centroids
+    val ivf = Similarity.q48IvfAnn(spark, sf) // warms the coarse memo
+    val nItersCoarse = ivf.select("n_iters").head().getLong(0)
+    // centroid model from the persisted side table (the q70 contract)
+    val tbl = graft.ops.Similarity.ivfIndexTable(spark, sf, 8)
+    val cents = spark.table(tbl + "_centroids")
+      .orderBy("centroid").collect()
+      .map(_.getSeq[Long](1).toArray)
+    val micro = rows.map { case (id, e) => id -> jvmMicro(e) }.toMap
+    val codes = rows.map { case (id, e) =>
+      val mv = jvmMicro(e)
+      id -> (0 until Similarity.PqM).map { m =>
+        books(m).zipWithIndex
+          .map { case (cv, c) => (jvmD2(mv.slice(m * subDim, (m + 1) * subDim), cv), c) }
+          .min._2
+      }.toArray
+    }.toMap
+    val assignOf = rows.map { case (id, _) =>
+      id -> cents.zipWithIndex
+        .map { case (cv, c) => (jvmD2(micro(id), cv), c.toLong) }.min._2
+    }.toMap
+    val queries = rows.map(_._1).filter(_ % 25 == 0)
+    val expect = queries.flatMap { qid =>
+      val qm = micro(qid)
+      val probes = cents.zipWithIndex
+        .map { case (cv, c) => (jvmD2(qm, cv), c.toLong) }
+        .sorted.take(2).map(_._2).toSet
+      val lut = (0 until Similarity.PqM).map { m =>
+        books(m).map(cv => jvmD2(qm.slice(m * subDim, (m + 1) * subDim), cv))
+      }
+      rows.map(_._1)
+        .filter(c => c != qid && probes(assignOf(c)))
+        .map { c =>
+          val adc = (0 until Similarity.PqM)
+            .foldLeft(0L)((s, m) => s + lut(m)(codes(c)(m)))
+          (adc, c)
+        }
+        .sorted.take(3).zipWithIndex
+        .map { case ((adc, c), i) =>
+          (qid, (i + 1).toLong, c, assignOf(c), adc, nItersCoarse) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got == expect)
+    // recall floor vs exact cosine — the ANN family's documented bound
+    val gotPairs = got.map(t => (t._1, t._3)).toSet
+    def dotD(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+    val byId = rows.toMap
+    val exact = queries.flatMap { qid =>
+      rows.map(_._1).filter(_ != qid)
+        .map { c =>
+          val q = byId(qid); val e = byId(c)
+          (-dotD(q, e) / (math.sqrt(dotD(q, q)) * math.sqrt(dotD(e, e))), c)
+        }
+        .sorted.take(3).map { case (_, c) => (qid, c) }
+    }.toSet
+    // 0.2, not the IVF family's 0.3: ADC quantizes the RANKING metric
+    // itself, and the synthetic random fixture is the adversarial case
+    // for a vector quantizer (measured 0.25 here / 0.40 at sf0.01 at
+    // this 64-bit budget; see PqM's scaladoc for the config sweep)
+    val recall = gotPairs.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ADC recall@3 $recall below the measured fixture floor")
+  }
 }
