@@ -39,9 +39,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32g), but hard-coding 32g would fail JVM startup on smaller
   // hosts where 16g ran everything except that sweep. So: 32g when
   // the host has the physical memory for it, 16g otherwise, and
-  // SPARK_DRIVER_MEM always wins.
+  // SPARK_DRIVER_MEM always wins. The probe is HotSpot-specific
+  // (com.sun.management cast, getTotalMemorySize is JDK 14+), so it
+  // sits in a Try: on any other JVM the cast would crash the sbt
+  // load, and the right behavior there is the conservative 16g
+  // default, not a ClassCastException.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM",
-    if (java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-        .getTotalMemorySize >= 64L * 1024 * 1024 * 1024) "32g" else "16g")}",
+    scala.util.Try(
+      if (java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+          .getTotalMemorySize >= 64L * 1024 * 1024 * 1024) "32g" else "16g"
+    ).getOrElse("16g"))}",
 )

@@ -91,6 +91,18 @@ object Bench {
     val probes = scala.collection.mutable.ArrayBuffer(probe(spark))
     val sweeps = scala.collection.mutable.ArrayBuffer
       .empty[Map[String, Double]]
+    // RELATIVE-only contention semantics, by design: a sweep is clean
+    // when its bracketing probes sit within ProbeSlack of the RUN'S OWN
+    // fastest probe — so the flag detects contention that varies within
+    // the run (the failure mode that actually corrupted r10/r11: bursts
+    // moving between sweeps), but a run uniformly contended end-to-end
+    // reports clean_sweeps == passes with uniformly-inflated probes.
+    // That case is still visible in the artifact: the probes array is
+    // committed verbatim, and this machine's idle floor is ~0.08 s
+    // (every committed clean artifact since r12 — compare across
+    // rounds). An ABSOLUTE floor constant would silently rot when the
+    // harness moves hosts; the probes-array-plus-cross-round-comparison
+    // is the durable version of the same check.
     def cleanCount(): Int = {
       val floor = probes.min
       sweeps.indices.count(i =>

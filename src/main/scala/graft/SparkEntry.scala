@@ -429,8 +429,9 @@ object SparkEntry {
     * residual stop) → `{p}kcf` (the converged model). Instantiated
     * with p="" and k=8 for the coarse quantizer (shared VERBATIM by
     * q48/q70's probe oracle and q163's SemDeDup prune) and with
-    * p="p0_".."p3_" over subvector slices for q168/q169's PQ
-    * sub-fits — ONE SQL definition of the fit for all six uses.
+    * p="p0_".."p15_" (one per PqM subspace) over subvector slices for
+    * q168/q169's PQ sub-fits — ONE SQL definition of the fit for all
+    * its uses.
     */
   private def kmeansChainCtes(p: String, k: Int, srcSel: String): String = {
     val iters = graft.ops.Similarity.IvfItersCap
@@ -590,7 +591,7 @@ object SparkEntry {
     }.mkString("\n UNION ALL ")
   }
 
-  /** q168's oracle — mirrors Similarity.q168PqEncode: the four
+  /** q168's oracle — mirrors Similarity.q168PqEncode: the PqM=16
     * sub-fits replayed through the shared unrolled chain, then each
     * vector's per-subspace argmin code, reconstruction distance and
     * the sub-fit's residual-stop count. All BIGINT.
@@ -604,7 +605,7 @@ object SparkEntry {
 
   /** q169's oracle — mirrors Similarity.q169PqAdcTopK: the coarse
     * chain (q48's, verbatim) prunes candidates to nProbe=2 buckets;
-    * the four sub-chains give codes (enc) and the per-query lookup
+    * the PqM=16 sub-chains give codes (enc) and the per-query lookup
     * tables (lut, one BIGINT d2 per (query, subspace, code)); the ADC
     * distance is the PqM-term lut sum per (query, candidate); top-3
     * by (adc_d2, cand_id).
@@ -2051,7 +2052,7 @@ object SparkEntry {
     "q70_ivf_probe_indexed" -> q48Sql,
     "q163_semdedup_prune" -> q163Sql,
     "q165_mmr_topk" -> q165Sql,
-    // product quantization: four sub-fits replayed through the shared
+    // product quantization: PqM=16 sub-fits replayed through the shared
     // unrolled k-means chain; encode and the IVF-ADC probe all-BIGINT
     "q168_pq_encode" -> q168Sql,
     "q169_pq_adc_topk" -> q169Sql,

@@ -193,11 +193,19 @@ case class BitsetIntersectCount(left: Expression, right: Expression)
   * fused in the candidate-join stage: per pair, PqM array reads and
   * adds.
   *
-  * Null contract: null if either input is null; code values are
-  * trusted in-range (the encoder produces 0..k−1 by construction).
+  * Null contract: null if either input is null. The interpreted eval
+  * bounds-checks each code against [0, k) and the lut length against
+  * the implied PqM·k — UnsafeArrayData.getLong does NO bounds check,
+  * so a mismatched k or malformed code would otherwise read garbage
+  * memory and return a silently-wrong distance. The codegen'd path
+  * keeps the unguarded loop (the hot path, call sites produce codes
+  * in-range by construction); any new call site is exercised through
+  * the interpreted path first by its spec, which is where a geometry
+  * mismatch surfaces as a loud require.
   */
 case class AdcLookupSum(lut: Expression, codes: Expression, k: Int)
     extends BinaryExpression {
+  require(k > 0, s"AdcLookupSum: k must be positive, got $k")
 
   override def left: Expression = lut
   override def right: Expression = codes
@@ -209,10 +217,16 @@ case class AdcLookupSum(lut: Expression, codes: Expression, k: Int)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val l = a.asInstanceOf[ArrayData]
     val c = b.asInstanceOf[ArrayData]
+    require(l.numElements() == c.numElements() * k,
+      s"AdcLookupSum: lut length ${l.numElements()} != " +
+        s"codes ${c.numElements()} * k $k")
     var acc = 0L
     var m = 0
     while (m < c.numElements()) {
-      acc += l.getLong(m * k + c.getLong(m).toInt)
+      val code = c.getLong(m)
+      require(code >= 0 && code < k,
+        s"AdcLookupSum: code $code out of [0, $k) at subspace $m")
+      acc += l.getLong(m * k + code.toInt)
       m += 1
     }
     acc

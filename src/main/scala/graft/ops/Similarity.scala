@@ -1058,9 +1058,10 @@ object Similarity {
   // at 100 TB the postings' vector payload is the dominant index cost.
   // PQ splits each vector into PqM subvectors and quantizes each
   // subspace independently with its own small codebook, so a vector is
-  // carried as PqM small codes (here 4 codes over 8-entry codebooks =
-  // ~2 bytes/vector vs 256 bytes of floats, with the codebooks
-  // model-sized). Distances come from the ADC (asymmetric distance
+  // carried as PqM small codes (here PqM=16 codes over PqSubK=16-entry
+  // codebooks = 16·log2(16) bits = 8 bytes/vector vs 256 bytes of
+  // floats, with the codebooks model-sized). Distances come from the
+  // ADC (asymmetric distance
   // computation) identity: d2(q, c) ≈ Σ_m d2(q_m, codebook_m[code_m(c)])
   // — per query a PqM×PqSubK lookup table, per candidate PqM table
   // lookups, no float vector ever read on the probe path.
@@ -1161,9 +1162,9 @@ object Similarity {
   /** PQ ENCODE (q168): every corpus vector's PqM codes, per-subspace
     * reconstruction distance and the sub-fit's convergence count — the
     * artifact a 100 TB pipeline persists as the compressed index
-    * payload (~2 bytes/vector here vs 256 of floats). All BIGINT, so
-    * codes, distances AND the four residual-stop decisions sit inside
-    * the oracle hash gate.
+    * payload (PqM·log2(PqSubK) bits = 8 bytes/vector here vs 256 of
+    * floats). All BIGINT, so codes, distances AND the PqM per-subspace
+    * residual-stop decisions sit inside the oracle hash gate.
     */
   def q168PqEncode(s: SparkSession, d: String): DataFrame =
     pqEncodeFrame(s, d).orderBy("vec_id", "subspace")

@@ -1257,7 +1257,7 @@ object StreamingOps {
     // also evicts the cache entry.
     s.catalog.cacheTable(table)
     s.catalog.cacheTable(table + "_centroids")
-    queries.writeStream
+    val query = queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1267,5 +1267,28 @@ object StreamingOps {
         (): Unit
       }
       .start()
+    // The pin lives exactly as long as the query it serves: without
+    // this, a long-lived session serving several corpus dirs (or a
+    // test suite cycling streams) accumulates cached index tables
+    // until a corpus-version DROP TABLE happens to fire. Uncache on
+    // termination is safe for a shared table too — a concurrent query
+    // over the same corpus re-pins on its next batch via its own
+    // cacheTable (idempotent), paying one re-materialization.
+    val qid = query.id
+    s.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            try {
+              s.catalog.uncacheTable(table)
+              s.catalog.uncacheTable(table + "_centroids")
+            } catch { case _: Throwable => () }
+            s.streams.removeListener(this)
+          }
+      })
+    query
   }
 }
