@@ -1197,28 +1197,36 @@ object Similarity {
     * smaller cand_id).
     */
   def q169PqAdcTopK(s: SparkSession, d: String, nProbe: Int = 2,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, nCentroids: Int = 8): DataFrame = {
     val (books, _, subDim) = pqCodebooks(s, d)
-    val (cents, nItersCoarse, assigned) = quantize(s, d, 8)
-    val q = Tables.embeddings(s, d)
-      .filter(col("vec_id") % 25 === 0)
-      .select(col("vec_id").as("query_id"),
-        microVec(col("embedding")).as("qm"))
-    // coarse probe selection — q48's committed shape (broadcast
-    // centroid frame + per-query rank window over nCentroids rows)
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("c_d2"), col("centroid"))
-    val probes = q.crossJoin(broadcast(
-        centroidFrame(s, cents, nItersCoarse).select("centroid", "cvec")))
-      .withColumn("c_d2", dist2(col("qm"), col("cvec")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("centroid"))
-    // flattened per-query LUT (subspace-major), map-side literals
-    val lutEntries = for (m <- 0 until PqM; c <- 0 until PqSubK) yield
-      dist2(slice(col("qm"), m * subDim + 1, subDim), lit(books(m)(c)))
-    val lut = q.select(col("query_id"), array(lutEntries: _*).as("lutv"))
-    // per-candidate code array, map-side literals (the q168 argmins)
+    val (cents, nItersCoarse, _) = quantize(s, d, nCentroids)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), microVec(col("embedding")).as("mvec"))
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("mvec").as("qm"))
+    // the compressed postings computed in-plan: ONE pass over the
+    // corpus yields both the coarse assignment (the literal argmin at
+    // the fixture's 8 centroids; the broadcast-frame argmin above
+    // AssignLiteralMax) and the PQ code array, all map-side — the
+    // batch formulation of the index the serving twin persists
+    val postings = withAssignment(e, cents)
+      .select(col("vec_id").as("cand_id"), col("centroid"),
+        pqCodeArray(books, subDim).as("codes"))
+    adcProbeCore(q, postings,
+        centroidFrame(s, cents, nItersCoarse).select("centroid", "cvec"),
+        books, subDim, nProbe, k)
+      .withColumn("n_iters", lit(nItersCoarse))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Per-candidate PQ code array (subspace-major, one code per
+    * subspace) as a MAP-SIDE column over a frame carrying `mvec` —
+    * the q168 per-subspace argmins flattened to one array&lt;long&gt;.
+    * The codebooks ride as literals (PqSubK ≤ [[AssignLiteralMax]]):
+    * no join, no shuffle anywhere in the encode.
+    */
+  private[graft] def pqCodeArray(books: Array[Array[Array[Long]]],
+      subDim: Int): org.apache.spark.sql.Column = {
     val codeEntries = (0 until PqM).map { m =>
       val scored = (0 until PqSubK).map { c =>
         struct(dist2(slice(col("mvec"), m * subDim + 1, subDim),
@@ -1227,30 +1235,82 @@ object Similarity {
       (if (scored.length == 1) scored.head else least(scored: _*))
         .getField("col2")
     }
-    val codes = Tables.embeddings(s, d)
-      .select(col("vec_id").as("cand_id"),
-        microVec(col("embedding")).as("mvec"))
-      .select(col("cand_id"), array(codeEntries: _*).as("codes"))
+    array(codeEntries: _*)
+  }
+
+  /** Per-query flattened ADC lookup table (subspace-major: entry
+    * m·PqSubK + c = d2(query_m, codebook_m[c])) as a map-side column
+    * over a frame carrying `qm` — PqM·PqSubK BIGINT entries in ONE
+    * array, built from literal codebooks.
+    */
+  private[graft] def pqLutArray(books: Array[Array[Array[Long]]],
+      subDim: Int): org.apache.spark.sql.Column = {
+    val lutEntries = for (m <- 0 until PqM; c <- 0 until PqSubK) yield
+      dist2(slice(col("qm"), m * subDim + 1, subDim), lit(books(m)(c)))
+    array(lutEntries: _*)
+  }
+
+  /** The ADC probe body over EXPLICIT query / postings / centroid
+    * frames — shared by batch q169 (queries derived from the corpus,
+    * postings computed in-plan) and the at-ingest serving twin
+    * (queries arrive on the stream, postings persisted with the PQ
+    * codes as the payload — the float vectors NEVER on the probe
+    * path). `queries`: (query_id, qm); `postings`: (cand_id,
+    * centroid, codes); `centroids`: (centroid, cvec).
+    *
+    * Plan shape (the measured q169 lesson): coarse probe selection is
+    * q48's committed shape (broadcast centroid frame + per-query rank
+    * window over nCentroids rows); candidates come from the equality
+    * join on centroid; the per-query LUT rides in by a broadcast
+    * equality join (query-batch-sized); the ADC distance is the
+    * codegen'd [[graft.functions.expressions.AdcLookupSum]] fused in
+    * the join stage; and the fat arrays are dropped BEFORE the top-k
+    * shuffle — the window moves (query, cand, d2) rows, not 256-long
+    * LUTs. Unsorted: batch callers order, stream callers append.
+    */
+  private[graft] def adcProbeCore(queries: DataFrame, postings: DataFrame,
+      centroids: DataFrame, books: Array[Array[Array[Long]]], subDim: Int,
+      nProbe: Int, k: Int): DataFrame = {
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("c_d2"), col("centroid"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_d2", dist2(col("qm"), col("cvec")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("centroid"))
+    val lut = queries.select(col("query_id"),
+      pqLutArray(books, subDim).as("lutv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_d2"), col("cand_id"))
     probes
-      .join(assigned.select(col("vec_id").as("cand_id"), col("centroid")),
-        Seq("centroid"))
+      .join(postings, Seq("centroid"))
       .filter(col("query_id") =!= col("cand_id"))
-      .join(codes, Seq("cand_id"))
       .join(broadcast(lut), Seq("query_id"))
       .withColumn("adc_d2",
         graft.functions.expressions.FloatVecExpressions
           .adcLookupSum(col("lutv"), col("codes"), PqSubK))
-      // drop the fat array columns BEFORE the top-k shuffle — the
-      // window must move (query, cand, d2) rows, not 256-long LUTs
       .select(col("query_id"), col("cand_id"), col("centroid"),
         col("adc_d2"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("cand_id"),
-        col("centroid").cast("long").as("centroid"), col("adc_d2"),
-        lit(nItersCoarse).as("n_iters"))
-      .orderBy("query_id", "rk")
+        col("centroid").cast("long").as("centroid"), col("adc_d2"))
+  }
+
+  /** ADC probe with an EXTERNAL query frame (vec_id, embedding) over a
+    * PERSISTED compressed index — the per-batch computation of the
+    * at-ingest ADC serving twin, and its batch-mode equivalence
+    * target. Pure function of (queries, index): same probe core as
+    * q169, so streaming the corpus' own query set through it unions to
+    * q169's answer exactly at matching geometry (spec-pinned).
+    */
+  def adcProbeBatch(queries: DataFrame, postings: DataFrame,
+      centroids: DataFrame, books: Array[Array[Array[Long]]], subDim: Int,
+      nIters: Long, nProbe: Int = 2, k: Int = 3): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      microVec(col("embedding")).as("qm"))
+    adcProbeCore(q, postings, centroids.select("centroid", "cvec"),
+        books, subDim, nProbe, k)
+      .withColumn("n_iters", lit(nIters))
   }
 }

@@ -1291,4 +1291,85 @@ object StreamingOps {
       })
     query
   }
+
+  /** Static compressed-index model for [[adcProbeAtIngest]]: the
+    * corpus postings carrying PQ CODES as the payload (cand_id,
+    * centroid, codes — PqM·log2(PqSubK) bits = 8 bytes of codes per
+    * vector instead of 256 bytes of floats, which is what makes the
+    * serving index memory-resident at corpus scales where the raw
+    * postings are not), the model-sized centroid frame, and the
+    * driver-held PQ codebooks. Built once per stream lifetime,
+    * caller-owned lifecycle (the [[SemdedupIndex]] /
+    * [[buildMediaPhashIndex]] contract — unpersist when done).
+    */
+  final case class PqServingIndex(postings: DataFrame,
+      centroids: DataFrame, books: Array[Array[Array[Long]]],
+      subDim: Int, nIters: Long) {
+    def unpersist(): Unit =
+      try { postings.unpersist(); (): Unit } catch { case _: Throwable => () }
+  }
+
+  /** Build the compressed ADC serving index over the corpus at
+    * `corpusDir`: coarse quantizer at `nCentroids` (≤ 0 = the √N
+    * [[servingCentroids]] rule, the serving default), PQ codebooks
+    * from the shared memoized sub-fits, postings = ONE pass over the
+    * embeddings computing the coarse assignment and the PQ code array
+    * map-side. The persisted frame holds ONLY (cand_id, centroid,
+    * codes) — the expensive fit + encode pay once, outside any timed
+    * stream, and the float vectors never reach the serving path.
+    */
+  def buildPqServingIndex(s: SparkSession, corpusDir: String,
+      nCentroids: Int = 0): PqServingIndex = {
+    val sim = graft.ops.Similarity
+    val nc = if (nCentroids > 0) nCentroids
+      else servingCentroids(graft.core.Tables.embeddings(s, corpusDir).count())
+    val (books, _, subDim) = sim.pqCodebooks(s, corpusDir)
+    val (cents, nIters, _) = sim.quantize(s, corpusDir, nc)
+    val e = graft.core.Tables.embeddings(s, corpusDir)
+      .select(col("vec_id"), sim.microVec(col("embedding")).as("mvec"))
+    val postings = sim.withAssignment(e, cents)
+      .select(col("vec_id").as("cand_id"), col("centroid"),
+        sim.pqCodeArray(books, subDim).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postings.count()
+    PqServingIndex(postings, sim.centroidFrame(s, cents, nIters),
+      books, subDim, nIters)
+  }
+
+  /** ANN SERVING AT INGEST OVER THE COMPRESSED INDEX — q169's
+    * streaming twin and [[ivfProbeAtIngest]]'s memory-bounded
+    * sibling: arriving query vectors (vec_id, embedding) are answered
+    * against the PERSISTED PQ postings by ADC ranking — per batch,
+    * integer-metric centroid ranking against the model-sized
+    * broadcast centroid frame, then within the nProbe probed buckets
+    * the codegen'd AdcLookupSum over a per-query map-side LUT
+    * ([[graft.ops.Similarity.adcProbeBatch]] = q169's probe core).
+    * The trade vs the float-cosine twin is PQ's: ~32× smaller
+    * resident index (8 code bytes vs 256 float bytes per vector), ADC
+    * lookups instead of float dot products, recall bounded by
+    * codebook resolution (measured in SimilaritySpec).
+    *
+    * A query is answered whole in the batch it arrives in and the
+    * answer is a pure function of (query, index), so per-batch
+    * outputs union to the batch probe exactly — streaming the
+    * corpus' own query set reproduces q169's frame bit-for-bit at
+    * matching geometry (spec-pinned, the q70-twin discipline). Zero
+    * streaming state; same at-least-once/batch_id contract as the
+    * other twins.
+    */
+  def adcProbeAtIngest(queries: DataFrame, index: PqServingIndex,
+      outDir: String, checkpointDir: String, nProbe: Int = 2, k: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Similarity.adcProbeBatch(batch.toDF(), index.postings,
+            index.centroids, index.books, index.subDim, index.nIters,
+            nProbe, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
 }

@@ -542,6 +542,88 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ADC probe at ingest unions to batch q169 exactly at fixture geometry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the "arriving" queries are q169's own query set (vec_id % 25 == 0)
+    // and the index is pinned to the fixture's 8-centroid coarse
+    // geometry, so the union across uneven batches must reproduce the
+    // oracle-gated q169 frame bit-for-bit: same codebooks (shared
+    // memoized sub-fits), same probe core, zero stream state
+    val queries = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    assert(queries.length >= 3, "fixture query set degenerate")
+    val index = StreamingOps.buildPqServingIndex(
+      spark, TestSpark.sf, nCentroids = 8)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("adc_ingest_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("adc_ingest_ckpt").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.adcProbeAtIngest(
+      mem.toDF().toDF("vec_id", "embedding"), index, outDir, ckpt)
+    try {
+      val (first, second) = queries.splitAt(1) // deliberately uneven
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      val got = spark.read.parquet(outDir)
+        .select("query_id", "rk", "cand_id", "centroid", "adc_d2", "n_iters")
+        .collect().map(key).toSet
+      val expect = SparkEntry.queries("q169_pq_adc_topk")(
+        spark, TestSpark.sf).collect().map(key).toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+      val perQuery = got.groupBy(_._1).view.mapValues(_.size)
+      assert(perQuery.keySet == queries.map(_._1).toSet)
+      assert(perQuery.values.forall(_ <= 3))
+    } finally { q.stop(); index.unpersist() }
+  }
+
+  test("ADC serving default self-sizes by the √N rule and unions to q169 at that size") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = graft.core.Tables.embeddings(spark, TestSpark.sf).count()
+    val nc = StreamingOps.servingCentroids(n)
+    val queries = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    // DEFAULT nCentroids — must derive nc; the equivalence target is
+    // q169 re-parameterized to the same derived coarse geometry (the
+    // PQ codebooks are geometry-independent: same sub-fits either way)
+    val index = StreamingOps.buildPqServingIndex(spark, TestSpark.sf)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("adc_default_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("adc_default_ckpt").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.adcProbeAtIngest(
+      mem.toDF().toDF("vec_id", "embedding"), index, outDir, ckpt)
+    try {
+      mem.addData(queries.toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      val got = spark.read.parquet(outDir)
+        .select("query_id", "rk", "cand_id", "centroid", "adc_d2", "n_iters")
+        .collect().map(key).toSet
+      val expect = graft.ops.Similarity
+        .q169PqAdcTopK(spark, TestSpark.sf, nCentroids = nc)
+        .collect().map(key).toSet
+      assert(got == expect)
+      assert(got.exists(_._4 >= 16), // geometry proof: centroids beyond the fixture's 8
+        s"derived-geometry run never used a centroid >= 16 (nc=$nc)")
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("streaming BPE encode at ingest unions to batch q159 exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
