@@ -138,6 +138,36 @@ object Bench {
     */
   def protocol(passes: Int): String = s"warm2-sweepmin$passes"
 
+  /** Per-query regression gate against the committed protocol-clean
+    * baseline (BENCH_BASELINE.json, seeded from r12's BENCH_FULL — the
+    * first trustworthy per-query sweep under the probe-gated protocol):
+    * stress_diff's two-sided tolerance (regressed iff >2× the baseline
+    * AND >2 s absolute — matches the measured noise profile on
+    * sub-second queries), crashed queries (-1) always fail, queries
+    * absent from the baseline are never failed so adding coverage
+    * can't break the gate. Returns None when no baseline file exists
+    * (first run on a fresh machine); otherwise (verdict, offenders).
+    * The verdict is embedded in the artifact line so a silent per-query
+    * regression can't ship inside a flat-looking total.
+    */
+  def benchDiff(results: Seq[(String, Double)],
+      baselinePath: String): Option[(String, Seq[String])] = {
+    val p = java.nio.file.Paths.get(baselinePath)
+    if (!java.nio.file.Files.exists(p)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(
+      java.nio.file.Files.readString(p).trim.linesIterator.toList.last)
+    val old = root.get("queries")
+    val offenders = results.collect {
+      case (q, t) if t < 0 => s"$q:crashed"
+      case (q, t) if old.has(q) && old.get(q).asDouble >= 0 &&
+          t > 2 * old.get(q).asDouble && t - old.get(q).asDouble > 2.0 =>
+        String.format(java.util.Locale.ROOT, "%s:%.2f->%.2f",
+          q, Double.box(old.get(q).asDouble), Double.box(t))
+    }
+    Some((if (offenders.isEmpty) "PASS" else "FAIL", offenders))
+  }
+
   /** Per-query seconds at 3 decimals (1 ms resolution — run-to-run noise
     * is ±20% on sub-second queries, so extra digits are false precision)
     * and the headline total LAST: the artifact harvester keeps only a
@@ -146,7 +176,8 @@ object Bench {
     * r05 both captured query timings but not the total). Key order makes
     * the tail self-sufficient; the line is still one valid JSON object.
     */
-  def jsonLine(run: Run, sfDir: String, passes: Int = 1): String = {
+  def jsonLine(run: Run, sfDir: String, passes: Int = 1,
+      diff: Option[(String, Seq[String])] = None): String = {
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would emit 0,123 — invalid JSON
     def r3(v: Double): String =
@@ -158,7 +189,11 @@ object Bench {
     // probes/sweeps/clean_sweeps are the artifact's own contention
     // evidence: clean_sweeps < the target means the measurement window
     // never went quiet and the numbers carry a documented asterisk
-    s"""{"queries":$qs,"sf":"$sfDir","protocol":"${protocol(passes)}","probes":$probes,"sweeps":${run.sweeps},"clean_sweeps":${run.cleanSweeps},"unit":"sec","metric":"total","value":${r3(total)}}"""
+    val diffFields = diff.map { case (verdict, offenders) =>
+      val offs = offenders.map(o => "\"" + o + "\"").mkString("[", ",", "]")
+      s""""bench_diff":"$verdict","bench_regressed":$offs,"""
+    }.getOrElse("")
+    s"""{"queries":$qs,"sf":"$sfDir","protocol":"${protocol(passes)}","probes":$probes,"sweeps":${run.sweeps},"clean_sweeps":${run.cleanSweeps},$diffFields"unit":"sec","metric":"total","value":${r3(total)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -184,7 +219,16 @@ object Bench {
     val run = timeAll(spark, sfDir, only = only, passes = passes)
     System.err.println(s"[bench] sweeps=${run.sweeps} clean=${run.cleanSweeps} " +
       s"probes=${run.probes.map(p => f"$p%.3f").mkString(",")}")
-    val line = jsonLine(run, sfDir, passes)
+    // the regression gate only applies to full sweeps — a targeted run's
+    // result set would read as mass removals and prove nothing
+    val diff = if (only.isEmpty)
+      benchDiff(run.results,
+        sys.env.getOrElse("GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
+    else None
+    diff.foreach { case (v, offs) =>
+      System.err.println(s"[bench] bench_diff=$v ${offs.mkString(" ")}")
+    }
+    val line = jsonLine(run, sfDir, passes, diff)
     println(line)
     // the stdout line is harvested through a fixed-size tail window and
     // with 118 queries the per-query map loses its head (BENCH_r06 kept

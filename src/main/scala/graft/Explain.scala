@@ -59,6 +59,44 @@ object Explain {
     println(s"wrote $outDir/q69_dedup_components.txt")
   }
 
+  /** The checkpoint-truncated queries' PRE-checkpoint plans, appended to
+    * their explain files: q137/q147's explains end at the final eager
+    * localCheckpoint (`Scan ExistingRDD` — a 10-line stub), q165's final
+    * round branches over lazily-checkpointed frames, and q157's three
+    * inputs are deliberately truncated (the 2,204→334-line plan-size
+    * trade). The loop/input bodies are where the iterative scale cost
+    * lives, so each is executed once and its AQE-final plan committed
+    * alongside the stub — plan review and future plan gates see both.
+    */
+  private def appendPreCheckpointPlans(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    }
+    def append(file: String, header: String, body: String): Unit = {
+      val p = java.nio.file.Paths.get(s"$outDir/$file")
+      java.nio.file.Files.writeString(p,
+        s"\n\n== $header (executed: AQE-final plan) ==\n\n" + body,
+        java.nio.file.StandardOpenOption.APPEND)
+      println(s"appended pre-checkpoint plan to $outDir/$file")
+    }
+    val prBody = planOf(graft.ops.Dedup.pagerankLoopBody(spark, sfDir))
+    append("q137_pagerank.txt",
+      "per-iteration loop body, pre-checkpoint (pagerankStepWithPrev)", prBody)
+    append("q147_pagerank_converged.txt",
+      "per-iteration loop body, pre-checkpoint (pagerankStepWithPrev)", prBody)
+    append("q165_mmr_topk.txt",
+      "round-2 selection body, pre-checkpoint (mmrRound)",
+      planOf(graft.ops.Similarity.mmrLoopBody(spark, sfDir)))
+    graft.ops.Multimodal.q157InputFrames(spark, sfDir).foreach {
+      case (label, df) =>
+        append("q157_crossmodal_neardup.txt",
+          s"truncated input, pre-checkpoint: $label", planOf(df))
+    }
+  }
+
   private def writeArtifacts(sfDir: String, outDir: String): Unit = {
     // the SAME session config every real run uses — artifacts generated
     // under a drifting hand-built config would be claims, not facts
@@ -86,6 +124,7 @@ object Explain {
       println(s"wrote $outDir/$name.txt")
     }
     writeQ69Artifact(spark, sfDir, outDir)
+    appendPreCheckpointPlans(spark, sfDir, outDir)
     spark.stop()
   }
 

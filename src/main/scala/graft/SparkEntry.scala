@@ -210,6 +210,9 @@ object SparkEntry {
     // IVF-ADC probe over the compressed codes, full fits oracle-replayed)
     "q168_pq_encode" -> ((s, d) => Similarity.q168PqEncode(s, d)),
     "q169_pq_adc_topk" -> ((s, d) => Similarity.q169PqAdcTopK(s, d)),
+    // lexical ⊕ dense fusion — the step between the retrieval lists
+    // (q158 BM25, the cosine/ANN family) and a consumer
+    "q170_hybrid_rrf" -> ((s, d) => Similarity.q170HybridRrf(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -258,6 +261,37 @@ object SparkEntry {
   /** StringTokenizer-faithful tokens of a text column, as DuckDB SQL. */
   private def toksSql(c: String): String =
     s"list_filter(string_split($c, ' '), x -> x <> '')"
+
+  /** q158's full BM25 chain (mirrors TextOps.q158Bm25TopK — keep in
+    * lockstep), ending at `bm25rk(rank, doc_id, n_terms, score_micro)`:
+    * shared by the q158 oracle and q170's lexical-list CTE so both
+    * gates replay ONE definition of the ranking.
+    */
+  private lazy val bm25Ctes: String =
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST((sum(len(ts)) * 1000) // count(*) AS BIGINT) AS avgdl_milli
+       | FROM t),
+       |u AS (SELECT doc_id, unnest(ts) AS token,
+       |  CAST(len(ts) AS BIGINT) AS dl FROM t),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+       |  CAST(min(dl) AS BIGINT) AS dl
+       | FROM u
+       | WHERE token IN (${graft.ops.TextOps.DefaultBm25Terms.map(t => s"'$t'").mkString(", ")})
+       | GROUP BY doc_id, token),
+       |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+       | FROM tf GROUP BY token),
+       |c AS (SELECT doc_id,
+       |  CAST(((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1) AS BIGINT) AS idf_micro,
+       |  CAST((22 * tf * avgdl_milli * 1000000)
+       |    // (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl) AS BIGINT) AS frac_micro
+       | FROM tf JOIN dfx USING (token), st),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum((idf_micro * frac_micro) // 1000000) AS BIGINT) AS score_micro
+       | FROM c GROUP BY doc_id),
+       |bm25rk AS (SELECT CAST(row_number() OVER (
+       |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, n_terms, score_micro FROM sc)""".stripMargin
 
   /** Shared q160/q161 KMV sketch CTEs (mirrors TextOps.kmvSketches —
     * keep in lockstep): per-source distinct 48-bit shingle hashes
@@ -2489,32 +2523,33 @@ object SparkEntry {
     // division, per-term micro-unit floors, BIGINT score sum (keep in
     // lockstep)
     "q158_bm25_topk" ->
-      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |  CAST((sum(len(ts)) * 1000) // count(*) AS BIGINT) AS avgdl_milli
-         | FROM t),
-         |u AS (SELECT doc_id, unnest(ts) AS token,
-         |  CAST(len(ts) AS BIGINT) AS dl FROM t),
-         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
-         |  CAST(min(dl) AS BIGINT) AS dl
-         | FROM u
-         | WHERE token IN (${graft.ops.TextOps.DefaultBm25Terms.map(t => s"'$t'").mkString(", ")})
-         | GROUP BY doc_id, token),
-         |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
-         | FROM tf GROUP BY token),
-         |c AS (SELECT doc_id,
-         |  CAST(((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1) AS BIGINT) AS idf_micro,
-         |  CAST((22 * tf * avgdl_milli * 1000000)
-         |    // (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl) AS BIGINT) AS frac_micro
-         | FROM tf JOIN dfx USING (token), st),
-         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-         |  CAST(sum((idf_micro * frac_micro) // 1000000) AS BIGINT) AS score_micro
-         | FROM c GROUP BY doc_id),
-         |rk AS (SELECT CAST(row_number() OVER (
-         |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
-         |  doc_id, n_terms, score_micro FROM sc)
-         |SELECT rank, doc_id, n_terms, score_micro FROM rk
+      s"""WITH $bm25Ctes
+         |SELECT rank, doc_id, n_terms, score_micro FROM bm25rk
          |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // mirrors Similarity.q170HybridRrf — q158's BM25 chain as the
+    // lexical list, a min-vec_id query-by-example exact-cosine top-20
+    // as the dense list (q40's sim6 rounding + cand_id tie), integer
+    // 1e6 // (60 + rank) RRF with absent-list 0 (keep in lockstep)
+    "q170_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |lex AS (SELECT doc_id, rank AS lex_rank FROM bm25rk WHERE rank <= 20),
+         |anchor AS (SELECT min(vec_id) AS aid FROM embeddings),
+         |sem AS (SELECT b.vec_id AS doc_id, ${sqlRn(cosSql, 6)} AS sim6
+         | FROM embeddings a, anchor, embeddings b
+         | WHERE a.vec_id = aid AND b.vec_id <> a.vec_id),
+         |semrk AS (SELECT doc_id, CAST(row_number() OVER (
+         |   ORDER BY sim6 DESC, doc_id) AS BIGINT) AS sem_rank FROM sem),
+         |semtop AS (SELECT doc_id, sem_rank FROM semrk WHERE sem_rank <= 20),
+         |f AS (SELECT COALESCE(l.doc_id, st2.doc_id) AS doc_id,
+         |  l.lex_rank, st2.sem_rank,
+         |  CAST(COALESCE(CAST(1000000 AS BIGINT) // (60 + l.lex_rank), 0) +
+         |       COALESCE(CAST(1000000 AS BIGINT) // (60 + st2.sem_rank), 0)
+         |    AS BIGINT) AS rrf_micro
+         | FROM lex l FULL OUTER JOIN semtop st2 ON l.doc_id = st2.doc_id)
+         |SELECT CAST(row_number() OVER (
+         |   ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank,
+         | doc_id, lex_rank, sem_rank, rrf_micro
+         |FROM f ORDER BY rank""".stripMargin,
     // mirrors TextOps.q128TokenBudgetMix — md5-ranked order, explicit
     // ROWS-frame running token sum, cum_before < 1000 membership (keep
     // in lockstep)

@@ -731,7 +731,9 @@ object Dedup {
               sigCache.synchronized {
                 hashCache.synchronized {
                   (triCache.values ++ epairCache.values ++ compCache.values ++
-                    prEdgeCache.values ++ vpairCache.values ++
+                    prEdgeCache.values.flatMap { case (e, dg, dc) =>
+                      Seq(e, dg, dc) } ++
+                    vpairCache.values ++
                     candCache.values ++ sigCache.values ++ hashCache.values ++
                     repPairCache.values.flatMap(f =>
                       Seq(f.membership, f.groups, f.pairs, f.memberLists)))
@@ -1898,12 +1900,9 @@ object Dedup {
     */
   def q137Pagerank(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
     val Scale = 1000000000000L
-    val docs = Tables.documents(s, d).select("doc_id")
+    val (edges, deg, docs) = pagerankGraph(s, d) // memoized; shared with q147
     val n = docs.count()
     val base = (Scale * 15L / 100L) / n
-    val edges = pagerankEdges(s, d) // memoized; shared with q147
-    val deg = edges.groupBy(col("doc_a").as("doc_id"))
-      .agg(count(lit(1)).as("deg"))
     var pr = docs.withColumn("pr", lit(Scale / n))
     for (_ <- 1 to iters)
       pr = pagerankStep(pr, docs, edges, deg, base)
@@ -1931,23 +1930,46 @@ object Dedup {
   // bodies previously each built and unpersisted their own. In the memo
   // lock order prEdgeCache sits directly above vpairCache (its build
   // takes vpairCache → candCache → sigCache).
+  //
+  // The memo holds ALL THREE loop-invariant frames, each persisted:
+  // edges, the degree frame, and the doc-id frame. deg and docs were
+  // previously rebuilt inside every iteration's plan — at the 20×
+  // graph that was a 2M-row re-agg and a 1.2M-row parquet re-scan +
+  // exchange PER POWER ITERATION (×10-12 for the convergent variant,
+  // ×2 sweeps under the bench). deg inherits edges' hash partitioning
+  // on the key through the co-located groupBy; docs persists
+  // REPARTITIONED on doc_id, so the per-iteration contrib left-join
+  // shuffles only the contrib side.
   private val prEdgeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    .empty[(SparkSession, String, String), (DataFrame, DataFrame, DataFrame)]
 
-  private def pagerankEdges(s: SparkSession, d: String): DataFrame =
+  private def pagerankGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
     prEdgeCache.synchronized {
       val fp = graft.core.Fingerprint.of(s, d, "documents")
       prEdgeCache.keys
         .filter(k => k._1 == s && k._2 == d && k._3 != fp)
         .foreach { stale =>
-          prEdgeCache.remove(stale).foreach { df =>
-            try df.unpersist() catch { case _: Throwable => () }
+          prEdgeCache.remove(stale).foreach { case (e, dg, dc) =>
+            Seq(e, dg, dc).foreach { df =>
+              try df.unpersist() catch { case _: Throwable => () }
+            }
           }
         }
-      prEdgeCache.getOrElseUpdate((s, d, fp),
-        symmetrizeEdges(verifiedPairs(s, d).select("doc_a", "doc_b"))
-          .repartition(col("doc_a"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      prEdgeCache.getOrElseUpdate((s, d, fp), {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val edges =
+          symmetrizeEdges(verifiedPairs(s, d).select("doc_a", "doc_b"))
+            .repartition(col("doc_a"))
+            .persist(lvl)
+        val deg = edges.groupBy(col("doc_a").as("doc_id"))
+          .agg(count(lit(1)).as("deg"))
+          .persist(lvl)
+        val docs = Tables.documents(s, d).select("doc_id")
+          .repartition(col("doc_id"))
+          .persist(lvl)
+        (edges, deg, docs)
+      })
     }
 
   /** One integer power iteration — per-node outgoing share, pushed along
@@ -1968,6 +1990,32 @@ object Dedup {
       .select(col("doc_id"),
         (lit(base) + expr("(coalesce(c, CAST(0 AS BIGINT)) * 85) div 100"))
           .as("pr"))
+  }
+
+  /** [[pagerankStep]] with the PREVIOUS rank carried through as a
+    * column — the convergent variant's step. The left side of the
+    * re-attach join is `pr` itself instead of the docs frame (their
+    * key sets are identical by the loop invariant: every iteration
+    * emits exactly one row per doc), so the RESIDUAL becomes a scalar
+    * agg over the step's own checkpointed output — no separate
+    * next ⨝ prev join per iteration. Safe only where `pr`'s lineage
+    * is truncated each step (q147 checkpoints); the lazy-chained q137
+    * keeps [[pagerankStep]], whose single `pr` reference per step
+    * keeps the unchained plan linear.
+    */
+  private[graft] def pagerankStepWithPrev(pr: DataFrame,
+      edges: DataFrame, deg: DataFrame, base: Long): DataFrame = {
+    val share = pr.join(deg, Seq("doc_id"))
+      .select(col("doc_id"), expr("pr div deg").as("sh"))
+    val pushed = edges.join(share, edges("doc_a") === share("doc_id"))
+      .select(col("doc_b").as("doc_id"), col("sh"))
+    val contrib = pushed.groupBy("doc_id").agg(sum("sh").as("c"))
+    pr.select(col("doc_id"), col("pr").as("prev"))
+      .join(contrib, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(base) + expr("(coalesce(c, CAST(0 AS BIGINT)) * 85) div 100"))
+          .as("pr"),
+        col("prev"))
   }
 
   /** CONVERGENT PageRank (q147) — [[q137Pagerank]]'s integer formulation
@@ -2012,25 +2060,24 @@ object Dedup {
   def q147PagerankConverged(s: SparkSession, d: String,
       tolDiv: Long = 10L, maxIters: Int = 12): DataFrame = {
     val Scale = 1000000000000L
-    val docs = Tables.documents(s, d).select("doc_id")
+    val (edges, deg, docs) = pagerankGraph(s, d) // memoized; shared with q137
     val n = docs.count()
     val base = (Scale * 15L / 100L) / n
     val p0 = Scale / n
     val tol = p0 / tolDiv
-    val edges = pagerankEdges(s, d) // memoized; shared with q137
-    val deg = edges.groupBy(col("doc_a").as("doc_id"))
-      .agg(count(lit(1)).as("deg"))
     var pr = docs.withColumn("pr", lit(p0)).localCheckpoint(true)
     var it = 0
     var resid = Long.MaxValue
     while (it < maxIters && resid > tol) {
-      val next = pagerankStep(pr, docs, edges, deg, base)
+      // the step carries prev as a column, so the checkpointed output
+      // already holds both ranks: the residual is one scalar agg over
+      // cached partitions, not a next ⨝ prev join
+      val next = pagerankStepWithPrev(pr, edges, deg, base)
         .localCheckpoint(true)
       resid = next
-        .join(pr.select(col("doc_id"), col("pr").as("prev")), Seq("doc_id"))
         .agg(max(abs(col("pr") - col("prev"))).as("r"))
         .head().getLong(0)
-      pr = next
+      pr = next.select("doc_id", "pr")
       it += 1
     }
     val out = pr.join(deg, Seq("doc_id"), "left")
@@ -2038,6 +2085,23 @@ object Dedup {
         col("pr").as("pr_mass"), lit(it.toLong).as("n_iters"))
       .orderBy(col("pr_mass").desc, col("doc_id"))
     out.localCheckpoint(true)
+  }
+
+  /** The PER-ITERATION PageRank plan, pre-checkpoint: the q147 loop body
+    * ([[pagerankStepWithPrev]]) over the initial rank frame, un-truncated.
+    * The committed explain for q137/q147 shows only the post-checkpoint
+    * `Scan ExistingRDD` stub — the loop body's join/agg shape (the plan
+    * each power iteration actually runs, ×iters at scale) is invisible
+    * there, so [[graft.Explain]] executes THIS frame once and appends it
+    * to the explain artifacts. Not a registered query; plan review only.
+    */
+  private[graft] def pagerankLoopBody(s: SparkSession, d: String): DataFrame = {
+    val Scale = 1000000000000L
+    val (edges, deg, docs) = pagerankGraph(s, d)
+    val n = docs.count()
+    val base = (Scale * 15L / 100L) / n
+    val pr = docs.withColumn("pr", lit(Scale / n)).localCheckpoint(true)
+    pagerankStepWithPrev(pr, edges, deg, base)
   }
 
   /** MULTI-PASS SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo 1997's SNM,

@@ -431,6 +431,18 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q157's three checkpoint-truncated input frames, un-truncated — the
+    * committed q157 explain (deliberately) shows `Scan ExistingRDD` where
+    * these subtrees sit, so [[graft.Explain]] executes and dumps each one
+    * once. Near-dup-density-sized, same bound as in the query itself.
+    * Not registered queries; plan review only.
+    */
+  private[graft] def q157InputFrames(s: SparkSession, d: String,
+      maxHamming: Int = 7): Seq[(String, DataFrame)] = Seq(
+    "membership (textContraction)" -> TextOps.textContraction(s, d)._2,
+    "media rep pairs (phashRepPairs)" -> phashRepPairs(s, d, maxHamming),
+    "embedding near-dup pairs" -> Dedup.embeddingNearDupPairs(s, d))
+
   /** Decoded-media record produced by the per-partition decode pass. */
   case class DecodedMedia(doc_id: Long, n_bytes: Int, format: String,
       width: Int, height: Int, n_frames: Int)

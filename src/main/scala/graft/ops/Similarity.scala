@@ -128,17 +128,54 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  // q166's memo — the exactCache discipline keyed on the PREDICATE
+  // (this is the label-filtered variant of the exact scan): the r12
+  // verdict's alternative of one shared scan at k' = k + max label
+  // multiplicity is ruled out by the data — labels are 10-ary with
+  // multiplicity ~N/10, so k' would be ~2,200 at the 20× corpus and
+  // the TopK shuffle would carry k' pairs per (query, partition),
+  // most of the pair space. Instead the filtered scan pays once per
+  // (session, corpus) and every later execution reads the persisted
+  // |Q|·k frame — same build-once/probe-many economics as q40's memo.
+  private val hardNegCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, String), DataFrame]
+
+  /** Drop memoized hard-negative frames — the [[invalidateExactTopKCache]]
+    * contract for q166's predicate-keyed memo.
+    */
+  def invalidateHardNegCache(): Unit = hardNegCache.synchronized {
+    hardNegCache.values.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    hardNegCache.clear()
+  }
+
   /** HARD-NEGATIVE MINING (q166) — for each anchor (q40's `vec_id % 50`
     * query set), the top-k most-similar candidates with a DIFFERENT
     * label: the "hard negatives" a contrastive/metric-learning trainer
     * pairs with each anchor (Schroff et al. 2015's semi-hard mining,
     * made deterministic and exact). Same brute-force-exact contract,
-    * ranking discipline (sim6 desc, cand_id tie), and broadcast caveat
-    * as q40 — the label-inequality predicate rides the scan, so the
-    * pair space is the q40 scan minus same-label pairs; the scale
-    * paths for the scan itself remain q41/q48.
+    * ranking discipline (sim6 desc, cand_id tie), broadcast caveat
+    * AND memoization as q40 — the label-inequality predicate rides the
+    * scan, so the pair space is the q40 scan minus same-label pairs;
+    * the scale paths for the scan itself remain q41/q48.
     */
-  def q166HardNegatives(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+  def q166HardNegatives(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    hardNegCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "embeddings")
+      hardNegCache.keys
+        .filter(key => key._1 == s && key._2 == d && key._4 != fp)
+        .foreach { stale =>
+          hardNegCache.remove(stale).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+        }
+      hardNegCache.getOrElseUpdate((s, d, k, fp),
+        buildHardNegatives(s, d, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  private def buildHardNegatives(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
     val q = e.filter(col("vec_id") % 50 === 0)
@@ -697,6 +734,26 @@ object Similarity {
     */
   def q165MmrTopK(s: SparkSession, d: String, k: Int = 5,
       pool: Int = 12): DataFrame = {
+    val (slim, psims, first) = mmrSetup(s, d, pool)
+    var result = first
+    for (t <- 2 to k) {
+      // checkpoint the ACCUMULATED selection each round: it is re-read
+      // twice by round t+1 (the anti-join and the max-sim join) and
+      // carried into the union, so an un-truncated lineage doubles per
+      // round — the q102/q103 2^k plan blow-up (this frame is ≤ |Q|·k
+      // rows; measured 12.6k-line explain without, ~0.3k with)
+      result = mmrRound(slim, psims, result, t).localCheckpoint(false)
+    }
+    result.orderBy("query_id", "rk")
+  }
+
+  /** q165's bounded inputs and rank-1 seed: the |Q|·pool sims frame,
+    * the |Q|·pool² pairwise frame (both localCheckpointed — each round's
+    * plan is a branch over a materialized frame, not a re-derivation),
+    * and the rank-1 relevance-argmax selection.
+    */
+  private def mmrSetup(s: SparkSession, d: String, pool: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val cands = q40CosineTopK(s, d, pool)
       .select(col("query_id"), col("cand_id"))
     val e = Tables.embeddings(s, d)
@@ -726,38 +783,105 @@ object Similarity {
       .localCheckpoint(false)
     val w = Window.partitionBy("query_id")
       .orderBy(col("mmr_micro").desc, col("cand_id"))
-    var result = slim
+    val first = slim
       .withColumn("mmr_micro", col("sim_micro"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("query_id"), lit(1L).as("rk"), col("cand_id"),
         col("sim_micro"), col("mmr_micro"))
-    for (t <- 2 to k) {
-      val selIds = result.select(col("query_id"), col("cand_id"))
-      val remaining = slim.join(selIds, Seq("query_id", "cand_id"),
-        "left_anti")
-      // every remaining candidate pairs with every selected one (psims
-      // covers all within-pool a ≠ b), so the inner joins lose nothing
-      val mx = psims
-        .join(selIds.withColumnRenamed("cand_id", "b"), Seq("query_id", "b"))
-        .select(col("query_id"), col("a").as("cand_id"), col("psim_micro"))
-        .groupBy("query_id", "cand_id")
-        .agg(max("psim_micro").as("max_sel_micro"))
-      // checkpoint the ACCUMULATED selection each round: it is re-read
-      // twice by round t+1 (the anti-join and the max-sim join) and
-      // carried into the union, so an un-truncated lineage doubles per
-      // round — the q102/q103 2^k plan blow-up (this frame is ≤ |Q|·k
-      // rows; measured 12.6k-line explain without, ~0.3k with)
-      result = result.unionByName(
-        remaining.join(mx, Seq("query_id", "cand_id"))
-          .withColumn("mmr_micro", col("sim_micro") - col("max_sel_micro"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("query_id"), lit(t.toLong).as("rk"), col("cand_id"),
-            col("sim_micro"), col("mmr_micro")))
-        .localCheckpoint(false)
-    }
-    result.orderBy("query_id", "rk")
+    (slim, psims, first)
+  }
+
+  /** One MMR selection round, PRE-checkpoint: rank-t's argmax over the
+    * remaining pool, unioned onto the accumulated selection. Extracted
+    * so [[mmrLoopBody]] can hand the un-truncated round plan to
+    * [[graft.Explain]] (the committed q165 explain shows only the final
+    * round's post-checkpoint branch).
+    */
+  private def mmrRound(slim: DataFrame, psims: DataFrame,
+      result: DataFrame, t: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("mmr_micro").desc, col("cand_id"))
+    val selIds = result.select(col("query_id"), col("cand_id"))
+    val remaining = slim.join(selIds, Seq("query_id", "cand_id"),
+      "left_anti")
+    // every remaining candidate pairs with every selected one (psims
+    // covers all within-pool a ≠ b), so the inner joins lose nothing
+    val mx = psims
+      .join(selIds.withColumnRenamed("cand_id", "b"), Seq("query_id", "b"))
+      .select(col("query_id"), col("a").as("cand_id"), col("psim_micro"))
+      .groupBy("query_id", "cand_id")
+      .agg(max("psim_micro").as("max_sel_micro"))
+    result.unionByName(
+      remaining.join(mx, Seq("query_id", "cand_id"))
+        .withColumn("mmr_micro", col("sim_micro") - col("max_sel_micro"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(t.toLong).as("rk"), col("cand_id"),
+          col("sim_micro"), col("mmr_micro")))
+  }
+
+  /** q165's round-2 selection plan, pre-checkpoint — the per-round loop
+    * body over the materialized slim/psims frames, for plan review via
+    * [[graft.Explain]]. Not a registered query.
+    */
+  private[graft] def mmrLoopBody(s: SparkSession, d: String,
+      pool: Int = 12): DataFrame = {
+    val (slim, psims, first) = mmrSetup(s, d, pool)
+    mmrRound(slim, psims, first, 2)
+  }
+
+  /** HYBRID RETRIEVAL VIA RECIPROCAL-RANK FUSION (q170) — the fusion
+    * step every production RAG/retrieval stack runs between its lexical
+    * and dense retrievers (Cormack, Clarke & Buettcher 2009's RRF; the
+    * same K=60 form Elasticsearch/Vespa ship): fuse q158's BM25 top-k
+    * (the lexical list for the fixed term query) with an exact-cosine
+    * "query-by-example" top-k anchored at the corpus' smallest vec_id
+    * (the dense list, over the 1:1 doc_id ↔ vec_id multimodal link),
+    * scoring each doc Σ_lists 1/(K + rank).
+    *
+    * Exactness: RRF is integer end-to-end — 1e6 div (K + rank) per
+    * list, absent-from-list contributes 0, BIGINT sum; ranks come from
+    * each list's own deterministic unique sort key (BM25: score desc +
+    * doc_id; dense: sim6 desc + cand_id — q40's rounding discipline),
+    * so the fused frame hash-matches the oracle with no rounding gate.
+    *
+    * Plan shape at 100 TB: the fusion itself touches two k-row lists —
+    * a full-outer join over ≤ 2k rows, driver-free. The lexical list is
+    * q158's shape (contraction, map-side term pruning, broadcast df,
+    * TakeOrdered top-k); the dense list here is ONE brute-force scan
+    * (one query vector × corpus, a map-side broadcast of a single row,
+    * top-k per-partition heaps — no shuffle of the scored corpus); at
+    * index-serving scale the dense list swaps to the ANN family
+    * (q48 IVF / q169 ADC) without touching the fusion.
+    */
+  def q170HybridRrf(s: SparkSession, d: String, k: Int = 20,
+      kRrf: Int = 60): DataFrame = {
+    val lex = graft.ops.TextOps.q158Bm25TopK(s, d, k = k)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val e = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    // the anchor rides as a broadcast 1-row frame — no driver collect
+    val q = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("anchor_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_norm"))
+    val sem = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("vec_id").as("doc_id"),
+        r6(cosinePrenormed(dot(col("embedding"), col("q_emb")),
+          col("nrm"), col("q_norm"))).as("sim6"))
+    val semTop = ScalarSuites.globalRank(
+      sem.orderBy(col("sim6").desc, col("doc_id")).limit(k),
+      Seq(col("sim6").desc, col("doc_id")), "sem_rank")
+      .select(col("doc_id"), col("sem_rank"))
+    val rrfOf = (rank: String) => coalesce(
+      expr(s"CAST(1000000 AS BIGINT) div ($kRrf + $rank)"), lit(0L))
+    val fused = lex.join(semTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (rrfOf("lex_rank") + rrfOf("sem_rank")).as("rrf_micro"))
+    ScalarSuites.globalRank(fused,
+      Seq(col("rrf_micro").desc, col("doc_id")), "rank")
+      .select("rank", "doc_id", "lex_rank", "sem_rank", "rrf_micro")
+      .orderBy("rank")
   }
 
   /** Sign-LSH bucketed ANN top-k: bucket on the sign pattern of the
@@ -1083,8 +1207,14 @@ object Similarity {
     * within noise of raw, 0.22-0.37 across configs, and doubling M to
     * 32 bought only ~0.07). M=16 × PqSubK=16 = 64-bit codes, 32×
     * smaller than the float payload; SimilaritySpec pins the measured
-    * fixture floor (≥ 0.2) and real embedding corpora with actual
-    * cluster structure sit far above it at this bit budget.
+    * fixture floor (≥ 0.2) AND the clustered upside — on a 100-cluster
+    * gaussian fixture (the shape an embedding model emits) the same
+    * config measures recall@3 = 1.0 for cluster-level retrieval, so
+    * the floor is the structureless worst case, not the expectation.
+    * The boundary between the two is code resolution: top-k decided by
+    * sim differences below the 64-bit code's resolution (uniform tight
+    * noise) re-states the floor; top-k decided by cluster membership
+    * is where the bits were spent.
     */
   private[graft] val PqM = 16
 

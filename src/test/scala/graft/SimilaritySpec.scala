@@ -574,4 +574,96 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = gotPairs.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.2, s"ADC recall@3 $recall below the measured fixture floor")
   }
+
+  test("q170 hybrid RRF: fusion matches a JVM recount over the lexical/dense lists") {
+    import spark.implicits._
+    // doc_id -> lexical rank, from q158's own (spec- and oracle-gated)
+    // frame — the q132/q140 recount discipline: the component lists are
+    // already gated, the fusion math is what THIS test proves
+    val lex = graft.ops.TextOps.q158Bm25TopK(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val rows = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def dotD(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val anchor = rows.map(_._1).min
+    val qe = rows.find(_._1 == anchor).get._2
+    val qn = math.sqrt(dotD(qe, qe))
+    val semRank = rows.filter(_._1 != anchor)
+      .map { case (id, e) =>
+        (id, r6d(dotD(qe, e) / (qn * math.sqrt(dotD(e, e))))) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expect = (lex.keySet ++ semRank.keySet).toSeq
+      .map { id =>
+        val rrf = lex.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+          semRank.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L)
+        (id, lex.get(id), semRank.get(id), rrf)
+      }
+      .sortBy { case (id, _, _, rrf) => (-rrf, id) }
+      .zipWithIndex
+      .map { case ((id, l, sr, rrf), i) => (i + 1L, id, l, sr, rrf) }
+    val got = Similarity.q170HybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+    // the fixture exercises BOTH partial-membership cases (a doc in one
+    // list but not the other) or the COALESCE/outer-join paths are dead
+    assert(got.exists(t => t._3.isEmpty && t._4.nonEmpty),
+      "no dense-only doc — fixture degenerate")
+    assert(got.exists(t => t._3.nonEmpty && t._4.isEmpty),
+      "no lexical-only doc — fixture degenerate")
+  }
+
+  test("PQ upside on a clustered fixture: q169 recall@3 >= 0.8 at M=16") {
+    // The committed 0.2 floor is measured on the ADVERSARIAL fixture —
+    // i.i.d. random vectors, where a vector quantizer has no structure
+    // to exploit. The scaladoc claim that real corpora sit far above it
+    // (clustered data concentrates codebook mass where the vectors are)
+    // was asserted, not measured — this fixture measures it as the
+    // claim actually means it: CLUSTER-LEVEL retrieval. 100 tight
+    // gaussian clusters of 4 members each (sigma 0.05 around unit-range
+    // 64-dim centers), so each query's exact cosine top-3 IS its
+    // co-member set (within-cluster cos ~0.996 vs cross-cluster ~0) and
+    // recall measures whether ADC ranks co-cluster above cross-cluster —
+    // the semantic-retrieval upside. (A uniform-noise 40-member-cluster
+    // variant measures 0.35: there top-3 is decided by noise-scale
+    // sim differences BELOW the 64-bit code's resolution — that fixture
+    // re-states the random floor, it doesn't test the cluster claim.)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 64; val nClusters = 100; val perCluster = 4
+    val centers = Array.fill(nClusters, dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val rows = (0 until nClusters * perCluster).map { i =>
+      val c = i % nClusters
+      val emb = Array.tabulate(dim)(j =>
+        centers(c)(j) + (rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, emb, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-clustered")
+      .toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.q169PqAdcTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def dotD(x: Array[Float], y: Array[Float]): Double =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+    val byId = rows.map(t => t._1 -> t._2).toMap
+    val queries = rows.map(_._1).filter(_ % 25 == 0)
+    val exact = queries.flatMap { qid =>
+      rows.map(_._1).filter(_ != qid)
+        .map { c =>
+          val q = byId(qid); val e = byId(c)
+          (-dotD(q, e) / (math.sqrt(dotD(q, q)) * math.sqrt(dotD(e, e))), c)
+        }
+        .sorted.take(3).map { case (_, c) => (qid, c) }
+    }.toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(s"clustered-fixture ADC recall@3 = $recall")
+    assert(recall >= 0.8,
+      s"clustered-fixture recall@3 $recall — the PQ upside claim failed")
+  }
 }
