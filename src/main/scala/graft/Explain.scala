@@ -84,9 +84,9 @@ object Explain {
     }
     val prBody = planOf(graft.ops.Dedup.pagerankLoopBody(spark, sfDir))
     append("q137_pagerank.txt",
-      "per-iteration loop body, pre-checkpoint (pagerankStepWithPrev)", prBody)
+      "per-iteration loop body, pre-checkpoint (pagerankRepStep)", prBody)
     append("q147_pagerank_converged.txt",
-      "per-iteration loop body, pre-checkpoint (pagerankStepWithPrev)", prBody)
+      "per-iteration loop body, pre-checkpoint (pagerankRepStep)", prBody)
     append("q165_mmr_topk.txt",
       "round-2 selection body, pre-checkpoint (mmrRound)",
       planOf(graft.ops.Similarity.mmrLoopBody(spark, sfDir)))

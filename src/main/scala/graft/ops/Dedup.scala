@@ -131,10 +131,19 @@ object Dedup {
     }
 
   private def verifiedPairsRaw(s: SparkSession, d: String,
+      threshold: Double): DataFrame =
+    verifyJaccardPairs(lshCandidatePairs(s, d),
+      Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks")),
+      threshold)
+
+  /** The ONE exact-Jaccard verify over a candidate pair frame — shared
+    * by the member-level memo (q31 and everything on it) and the
+    * rep-level pagerank graph so the two cannot diverge on what a
+    * verified pair IS. `docs` = (doc_id, toks).
+    */
+  private def verifyJaccardPairs(cand: DataFrame, docs: DataFrame,
       threshold: Double): DataFrame = {
-    val cand = lshCandidatePairs(s, d)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
     val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
       size(col("toks")).as("na"))
     val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
@@ -731,8 +740,8 @@ object Dedup {
               sigCache.synchronized {
                 hashCache.synchronized {
                   (triCache.values ++ epairCache.values ++ compCache.values ++
-                    prEdgeCache.values.flatMap { case (e, dg, dc) =>
-                      Seq(e, dg, dc) } ++
+                    prEdgeCache.values.flatMap { case (e, ri) =>
+                      Seq(e, ri) } ++
                     vpairCache.values ++
                     candCache.values ++ sigCache.values ++ hashCache.values ++
                     repPairCache.values.flatMap(f =>
@@ -1887,97 +1896,156 @@ object Dedup {
     * deliberately LEAKS mass (standard in integer PageRank); ranks are
     * comparable within a run, which is what centrality ranking needs.
     *
-    * Scale shape: each iteration is one keyed join (rank → edge push)
-    * plus one keyed agg — the q69 propagation shape exactly, sized by
-    * the near-dup pair graph, not the corpus; the full-corpus frame is
-    * touched once per iteration by a left join to re-attach
-    * no-in-edge docs at teleport base. Dangling docs (no out-edges)
-    * keep base rank; symmetric edges mean dangling ⟺ isolated here.
-    * Driver holds N (one scalar count) and the loop index — no row
-    * data. 3 iterations ≡ rank flow over paths of length ≤ 3, inside
-    * any near-dup cluster's diameter for the hub question; the oracle
-    * unrolls the same 3 steps as chained CTEs.
+    * Scale shape: the iteration runs on the exact-text-CONTRACTED rep
+    * graph ([[pagerankGraph]] — copy-weighted, provably bit-equal to
+    * the member iteration), so each step is one keyed join (rank →
+    * weighted edge push) plus one keyed agg sized by the REP-level
+    * near-dup pair graph — on the 20× dup-heavy corpus that is
+    * thousands of rows per iteration where the member graph is 52M
+    * edges. Members inherit their rep's rank closed-form once at the
+    * end. Dangling docs (no out-edges) keep base rank; symmetric edges
+    * mean dangling ⟺ isolated here. Driver holds N (one scalar count)
+    * and the loop index — no row data. 3 iterations ≡ rank flow over
+    * paths of length ≤ 3, inside any near-dup cluster's diameter for
+    * the hub question; the oracle unrolls the same 3 steps as chained
+    * CTEs at MEMBER level — the hash gate is exactly the contraction's
+    * exactness proof run end-to-end.
     */
   def q137Pagerank(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
     val Scale = 1000000000000L
-    val (edges, deg, docs) = pagerankGraph(s, d) // memoized; shared with q147
-    val n = docs.count()
+    val (redges, repInfo, membership) = pagerankGraph(s, d) // shared w/ q147
+    val n = membership.count()
     val base = (Scale * 15L / 100L) / n
-    var pr = docs.withColumn("pr", lit(Scale / n))
+    // EAGER checkpoint per iteration (q147's discipline; the rank frame
+    // is two BIGINTs per rep): the lazy-chained 3-iteration plan looked
+    // harmless but measured 9.8–130 s at the 20× member graph — one
+    // nested plan makes every iteration's join subtree a sibling branch
+    // competing for memory in ONE stage graph, where the checkpointed
+    // form runs each iteration against materialized inputs. The
+    // per-iteration loop-body plan is committed via Explain
+    // (pagerankLoopBody).
+    var pr = repInfo.select(col("rep"), lit(Scale / n).as("pr"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters)
-      pr = pagerankStep(pr, docs, edges, deg, base)
-    val out = pr.join(deg, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
-        col("pr").as("pr_mass"))
+      pr = pagerankRepStep(pr, redges, repInfo, base)
+        .select("rep", "pr").localCheckpoint(true)
+    val out = membership
+      .join(pr.join(repInfo.select("rep", "deg"), Seq("rep")), Seq("rep"))
+      .select(col("doc_id"), col("deg").as("degree"), col("pr").as("pr_mass"))
       .orderBy(col("pr_mass").desc, col("doc_id"))
     out.localCheckpoint(true)
   }
 
-  /** The symmetrized verified-pair edge frame, persisted HASH-PARTITIONED
-    * on `doc_a` — the source-side join key every power iteration probes.
-    * The persisted partitioning is visible to the planner through the
-    * InMemoryTableScan, so the per-iteration `edges ⨝ share` join
-    * re-shuffles only the rank side (|docs| rows of two BIGINTs), never
-    * the edge frame — on the 20× dup-heavy graph that is the difference
-    * between moving ~2M edge rows per iteration and moving none. The
-    * one remaining edge-sized exchange per iteration is the push-agg on
-    * the DESTINATION key, inherent to the push formulation (and partial-
-    * aggregated map-side). `deg` also builds shuffle-free off the same
-    * co-location. Paid once, shared by q137 and q147.
+  /** The PageRank graph after EXACT-TEXT CONTRACTION — the q69/q71/q121
+    * move carried to the iterative kernel, and provably EXACT here:
+    * identical texts have identical verified-neighbor sets (Jaccard is a
+    * function of the token sets alone, and LSH signatures of identical
+    * texts are identical, so candidate recall contracts losslessly too),
+    * hence identical degree, hence identical rank at every iteration by
+    * symmetry. The power iteration therefore runs on REP-level frames —
+    * weighted by copy counts — and members inherit their rep's rank
+    * closed-form at the end. On the 20× dup-heavy corpus the member
+    * graph is 52.2M symmetrized edges (every 20-copy group is a clique,
+    * every cross-group near-dup pair a 400-edge biclique) while the rep
+    * graph is near-dup-density-sized — the difference between joining
+    * 52M rows per iteration and joining thousands.
+    *
+    * Member-level semantics preserved exactly (the member step is kept
+    * as [[pagerankStep]], the spec's reference): for a member b of rep
+    * r with c_r copies,
+    *   deg(b)     = Σ_{r'~r} c_{r'} + (c_r − 1)
+    *   share(b)   = pr_r div deg_r                      (identical ∀ b)
+    *   contrib(b) = Σ_{r'~r} c_{r'}·share_{r'} + (c_r − 1)·share_r
+    * — every term a BIGINT, every div a floor on non-negatives, so the
+    * rep-level fold reproduces the member-level BIGINTs bit-for-bit.
+    *
+    * Memo (fingerprint-keyed, persisted): symmetric rep edges
+    * (hash-partitioned on the push key), rep info (rep, copies, deg).
+    * membership rides from the contraction memo (owned there — not
+    * re-persisted, not evicted here). Rep pairs verify through the ONE
+    * shared [[verifyJaccardPairs]] over [[contractedCandidatePairs]],
+    * so "verified pair" cannot diverge between q31's member frame and
+    * this graph. In the memo lock order prEdgeCache sits directly above
+    * vpairCache.
     */
-  // memoized like the other session frames (fingerprint-keyed) so the
-  // two variants genuinely share ONE persisted copy across calls — the
-  // bodies previously each built and unpersisted their own. In the memo
-  // lock order prEdgeCache sits directly above vpairCache (its build
-  // takes vpairCache → candCache → sigCache).
-  //
-  // The memo holds ALL THREE loop-invariant frames, each persisted:
-  // edges, the degree frame, and the doc-id frame. deg and docs were
-  // previously rebuilt inside every iteration's plan — at the 20×
-  // graph that was a 2M-row re-agg and a 1.2M-row parquet re-scan +
-  // exchange PER POWER ITERATION (×10-12 for the convergent variant,
-  // ×2 sweeps under the bench). deg inherits edges' hash partitioning
-  // on the key through the co-located groupBy; docs persists
-  // REPARTITIONED on doc_id, so the per-iteration contrib left-join
-  // shuffles only the contrib side.
   private val prEdgeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), (DataFrame, DataFrame, DataFrame)]
+    .empty[(SparkSession, String, String), (DataFrame, DataFrame)]
 
   private def pagerankGraph(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) =
-    prEdgeCache.synchronized {
+      : (DataFrame, DataFrame, DataFrame) = {
+    val membership = graft.ops.TextOps.textContraction(s, d)._2
+    val (redges, repInfo) = prEdgeCache.synchronized {
       val fp = graft.core.Fingerprint.of(s, d, "documents")
       prEdgeCache.keys
         .filter(k => k._1 == s && k._2 == d && k._3 != fp)
         .foreach { stale =>
-          prEdgeCache.remove(stale).foreach { case (e, dg, dc) =>
-            Seq(e, dg, dc).foreach { df =>
+          prEdgeCache.remove(stale).foreach { case (e, ri) =>
+            Seq(e, ri).foreach { df =>
               try df.unpersist() catch { case _: Throwable => () }
             }
           }
         }
       prEdgeCache.getOrElseUpdate((s, d, fp), {
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val edges =
-          symmetrizeEdges(verifiedPairs(s, d).select("doc_a", "doc_b"))
-            .repartition(col("doc_a"))
-            .persist(lvl)
-        val deg = edges.groupBy(col("doc_a").as("doc_id"))
-          .agg(count(lit(1)).as("deg"))
+        val (repDocs, _) = graft.ops.TextOps.textContraction(s, d)
+        val repToks = repDocs
+          .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+        val repPairs = verifyJaccardPairs(
+          contractedCandidatePairs(s, d), repToks, 0.6)
+          .select("doc_a", "doc_b")
+        val redges = symmetrizeEdges(repPairs)
+          .repartition(col("doc_a"))
           .persist(lvl)
-        val docs = Tables.documents(s, d).select("doc_id")
-          .repartition(col("doc_id"))
+        val copies = repDocs.select(col("doc_id").as("rep"), col("copies"))
+        val nbr = redges
+          .join(copies.select(col("rep").as("doc_b"), col("copies").as("cb")),
+            Seq("doc_b"))
+          .groupBy(col("doc_a").as("rep"))
+          .agg(sum("cb").as("nbr_copies"))
+        val repInfo = copies.join(nbr, Seq("rep"), "left")
+          .select(col("rep"), col("copies"),
+            (coalesce(col("nbr_copies"), lit(0L)) + col("copies") - lit(1L))
+              .as("deg"))
           .persist(lvl)
-        (edges, deg, docs)
+        repInfo.count()
+        (redges, repInfo)
       })
     }
+    (redges, repInfo, membership)
+  }
 
-  /** One integer power iteration — per-node outgoing share, pushed along
-    * each edge, summed per destination: all BIGINT, so the agg is
-    * partition-invariant. Shared by the fixed-3 [[q137Pagerank]] (which
-    * chains 3 lazy steps into one plan) and the convergent
-    * [[q147PagerankConverged]] (which materializes each step to check
-    * the residual).
+  /** One integer power iteration at REP level, previous rank carried as
+    * a column (so q147's residual is a scalar agg over the step's own
+    * checkpointed output — no next ⨝ prev join): per-rep outgoing share,
+    * pushed copy-weighted along rep edges, plus the within-group term,
+    * all BIGINT so the agg is partition-invariant and bit-equal to the
+    * member-level fold (see [[pagerankGraph]]'s exactness argument).
+    * q137 drops the `prev` column; q147 aggregates it.
+    */
+  private[graft] def pagerankRepStep(pr: DataFrame, redges: DataFrame,
+      repInfo: DataFrame, base: Long): DataFrame = {
+    val share = pr.join(repInfo.filter(col("deg") > 0), Seq("rep"))
+      .select(col("rep"), col("copies"), expr("pr div deg").as("sh"))
+    val cross = redges
+      .join(share.select(col("rep").as("doc_a"),
+        (col("sh") * col("copies")).as("w")), Seq("doc_a"))
+      .groupBy(col("doc_b").as("rep"))
+      .agg(sum("w").as("c_cross"))
+    val within = share
+      .select(col("rep"), ((col("copies") - lit(1L)) * col("sh")).as("c_within"))
+    pr.select(col("rep"), col("pr").as("prev"))
+      .join(cross, Seq("rep"), "left")
+      .join(within, Seq("rep"), "left")
+      .select(col("rep"),
+        (lit(base) + expr("((coalesce(c_cross, CAST(0 AS BIGINT)) + " +
+          "coalesce(c_within, CAST(0 AS BIGINT))) * 85) div 100")).as("pr"),
+        col("prev"))
+  }
+
+  /** One MEMBER-level integer power iteration — the REFERENCE
+    * formulation the rep-level step must reproduce bit-for-bit
+    * (spec-pinned on a dup-bearing fixture; also the residual-curve
+    * probe's step). Production runs [[pagerankRepStep]].
     */
   private[graft] def pagerankStep(pr: DataFrame, docs: DataFrame,
       edges: DataFrame, deg: DataFrame, base: Long): DataFrame = {
@@ -1990,32 +2058,6 @@ object Dedup {
       .select(col("doc_id"),
         (lit(base) + expr("(coalesce(c, CAST(0 AS BIGINT)) * 85) div 100"))
           .as("pr"))
-  }
-
-  /** [[pagerankStep]] with the PREVIOUS rank carried through as a
-    * column — the convergent variant's step. The left side of the
-    * re-attach join is `pr` itself instead of the docs frame (their
-    * key sets are identical by the loop invariant: every iteration
-    * emits exactly one row per doc), so the RESIDUAL becomes a scalar
-    * agg over the step's own checkpointed output — no separate
-    * next ⨝ prev join per iteration. Safe only where `pr`'s lineage
-    * is truncated each step (q147 checkpoints); the lazy-chained q137
-    * keeps [[pagerankStep]], whose single `pr` reference per step
-    * keeps the unchained plan linear.
-    */
-  private[graft] def pagerankStepWithPrev(pr: DataFrame,
-      edges: DataFrame, deg: DataFrame, base: Long): DataFrame = {
-    val share = pr.join(deg, Seq("doc_id"))
-      .select(col("doc_id"), expr("pr div deg").as("sh"))
-    val pushed = edges.join(share, edges("doc_a") === share("doc_id"))
-      .select(col("doc_b").as("doc_id"), col("sh"))
-    val contrib = pushed.groupBy("doc_id").agg(sum("sh").as("c"))
-    pr.select(col("doc_id"), col("pr").as("prev"))
-      .join(contrib, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (lit(base) + expr("(coalesce(c, CAST(0 AS BIGINT)) * 85) div 100"))
-          .as("pr"),
-        col("prev"))
   }
 
   /** CONVERGENT PageRank (q147) — [[q137Pagerank]]'s integer formulation
@@ -2060,35 +2102,37 @@ object Dedup {
   def q147PagerankConverged(s: SparkSession, d: String,
       tolDiv: Long = 10L, maxIters: Int = 12): DataFrame = {
     val Scale = 1000000000000L
-    val (edges, deg, docs) = pagerankGraph(s, d) // memoized; shared with q137
-    val n = docs.count()
+    val (redges, repInfo, membership) = pagerankGraph(s, d) // shared w/ q137
+    val n = membership.count()
     val base = (Scale * 15L / 100L) / n
     val p0 = Scale / n
     val tol = p0 / tolDiv
-    var pr = docs.withColumn("pr", lit(p0)).localCheckpoint(true)
+    var pr = repInfo.select(col("rep"), lit(p0).as("pr")).localCheckpoint(true)
     var it = 0
     var resid = Long.MaxValue
     while (it < maxIters && resid > tol) {
       // the step carries prev as a column, so the checkpointed output
       // already holds both ranks: the residual is one scalar agg over
-      // cached partitions, not a next ⨝ prev join
-      val next = pagerankStepWithPrev(pr, edges, deg, base)
+      // cached partitions, not a next ⨝ prev join. Max over REPS equals
+      // max over members — members share their rep's rank exactly.
+      val next = pagerankRepStep(pr, redges, repInfo, base)
         .localCheckpoint(true)
       resid = next
         .agg(max(abs(col("pr") - col("prev"))).as("r"))
         .head().getLong(0)
-      pr = next.select("doc_id", "pr")
+      pr = next.select("rep", "pr")
       it += 1
     }
-    val out = pr.join(deg, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
-        col("pr").as("pr_mass"), lit(it.toLong).as("n_iters"))
+    val out = membership
+      .join(pr.join(repInfo.select("rep", "deg"), Seq("rep")), Seq("rep"))
+      .select(col("doc_id"), col("deg").as("degree"), col("pr").as("pr_mass"),
+        lit(it.toLong).as("n_iters"))
       .orderBy(col("pr_mass").desc, col("doc_id"))
     out.localCheckpoint(true)
   }
 
-  /** The PER-ITERATION PageRank plan, pre-checkpoint: the q147 loop body
-    * ([[pagerankStepWithPrev]]) over the initial rank frame, un-truncated.
+  /** The PER-ITERATION PageRank plan, pre-checkpoint: the loop body
+    * ([[pagerankRepStep]]) over the initial rank frame, un-truncated.
     * The committed explain for q137/q147 shows only the post-checkpoint
     * `Scan ExistingRDD` stub — the loop body's join/agg shape (the plan
     * each power iteration actually runs, ×iters at scale) is invisible
@@ -2097,11 +2141,20 @@ object Dedup {
     */
   private[graft] def pagerankLoopBody(s: SparkSession, d: String): DataFrame = {
     val Scale = 1000000000000L
-    val (edges, deg, docs) = pagerankGraph(s, d)
-    val n = docs.count()
+    val (redges0, repInfo0, membership) = pagerankGraph(s, d)
+    // checkpoint the loop-INVARIANT inputs for the dumped plan: the
+    // iterations read these frames' persisted partitions, so a plan
+    // carrying their full cached-build lineage (measured: 4.4k lines —
+    // the q31/q34 candidate chains re-printed under InMemoryRelation)
+    // would misstate what an iteration re-runs. Their build plans live
+    // in the q31/q34/q69 artifacts; THIS artifact is the step shape.
+    val redges = redges0.localCheckpoint(true)
+    val repInfo = repInfo0.localCheckpoint(true)
+    val n = membership.count()
     val base = (Scale * 15L / 100L) / n
-    val pr = docs.withColumn("pr", lit(Scale / n)).localCheckpoint(true)
-    pagerankStepWithPrev(pr, edges, deg, base)
+    val pr = repInfo.select(col("rep"), lit(Scale / n).as("pr"))
+      .localCheckpoint(true)
+    pagerankRepStep(pr, redges, repInfo, base)
   }
 
   /** MULTI-PASS SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo 1997's SNM,

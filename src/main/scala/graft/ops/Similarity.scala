@@ -324,7 +324,7 @@ object Similarity {
     * expression's scaladoc for the measurement). The DuckDB oracle
     * mirrors the identical BIGINT arithmetic.
     */
-  private def dist2(a: org.apache.spark.sql.Column,
+  private[graft] def dist2(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.expressions.FloatVecExpressions.longDist2(a, b)
 
@@ -1352,33 +1352,29 @@ object Similarity {
   /** Per-candidate PQ code array (subspace-major, one code per
     * subspace) as a MAP-SIDE column over a frame carrying `mvec` —
     * the q168 per-subspace argmins flattened to one array&lt;long&gt;.
-    * The codebooks ride as literals (PqSubK ≤ [[AssignLiteralMax]]):
-    * no join, no shuffle anywhere in the encode.
+    * The codebooks ride INSIDE the codegen'd [[graft.functions
+    * .expressions.PqEncodeCodes]] expression: no join, no shuffle
+    * anywhere in the encode. (The first form — an `array` of PqM
+    * `least`-of-struct chains — fell out of whole-stage codegen on
+    * method size and its interpreted eval was 5.6 s of q169's 7.4 s
+    * at 20×, single-tasked inside the postings broadcast build; the
+    * expression is the same exact-integer arithmetic and tie rule.)
     */
   private[graft] def pqCodeArray(books: Array[Array[Array[Long]]],
-      subDim: Int): org.apache.spark.sql.Column = {
-    val codeEntries = (0 until PqM).map { m =>
-      val scored = (0 until PqSubK).map { c =>
-        struct(dist2(slice(col("mvec"), m * subDim + 1, subDim),
-          lit(books(m)(c))), lit(c.toLong))
-      }
-      (if (scored.length == 1) scored.head else least(scored: _*))
-        .getField("col2")
-    }
-    array(codeEntries: _*)
-  }
+      subDim: Int): org.apache.spark.sql.Column =
+    graft.functions.expressions.FloatVecExpressions
+      .pqEncodeCodes(col("mvec"), books, subDim)
 
   /** Per-query flattened ADC lookup table (subspace-major: entry
     * m·PqSubK + c = d2(query_m, codebook_m[c])) as a map-side column
     * over a frame carrying `qm` — PqM·PqSubK BIGINT entries in ONE
-    * array, built from literal codebooks.
+    * array via the codegen'd [[graft.functions.expressions.PqLutFlat]]
+    * (same codegen rationale as the encode).
     */
   private[graft] def pqLutArray(books: Array[Array[Array[Long]]],
-      subDim: Int): org.apache.spark.sql.Column = {
-    val lutEntries = for (m <- 0 until PqM; c <- 0 until PqSubK) yield
-      dist2(slice(col("qm"), m * subDim + 1, subDim), lit(books(m)(c)))
-    array(lutEntries: _*)
-  }
+      subDim: Int): org.apache.spark.sql.Column =
+    graft.functions.expressions.FloatVecExpressions
+      .pqLutFlat(col("qm"), books, subDim)
 
   /** The ADC probe body over EXPLICIT query / postings / centroid
     * frames — shared by batch q169 (queries derived from the corpus,
@@ -1410,21 +1406,43 @@ object Similarity {
       .select(col("query_id"), col("centroid"))
     val lut = queries.select(col("query_id"),
       pqLutArray(books, subDim).as("lutv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_d2"), col("cand_id"))
-    probes
+    // EXPLICIT-width re-spread of the (query, probe-bucket) list before
+    // the candidate join: the probe window's exchange carries only
+    // |Q|·nCentroids rows, so AQE coalesces it to ONE partition — and
+    // when the postings side broadcasts, the nProbe·bucket candidate
+    // EXPLOSION inherits that single partition (AQE can't see row
+    // growth INSIDE a stage). Keyed on (query_id, centroid), NOT
+    // query_id: a query_id repartition is partitioning-redundant with
+    // the probe window's own exchange, so the optimizer collapses it
+    // and the coalesce returns (measured: no effect); the composite key
+    // survives and its explicit N is AQE-uncoalescible.
+    val scored = probes
+      .repartition(queries.sparkSession.sessionState.conf.numShufflePartitions,
+        col("query_id"), col("centroid"))
       .join(postings, Seq("centroid"))
       .filter(col("query_id") =!= col("cand_id"))
       .join(broadcast(lut), Seq("query_id"))
-      .withColumn("adc_d2",
+      .select(col("query_id"),
         graft.functions.expressions.FloatVecExpressions
-          .adcLookupSum(col("lutv"), col("codes"), PqSubK))
-      .select(col("query_id"), col("cand_id"), col("centroid"),
-        col("adc_d2"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"),
-        col("centroid").cast("long").as("centroid"), col("adc_d2"))
+          .adcLookupSum(col("lutv"), col("codes"), PqSubK).as("adc_d2"),
+        col("cand_id"), col("centroid").cast("long").as("centroid"))
+    // top-k via the NATIVE O(k)-state aggregate, NOT a window and NOT a
+    // Dataset Aggregator: the candidate frame is |Q|·nProbe·bucket rows
+    // (4M at the 20× fixture geometry) and BOTH of those pay ~6 s of
+    // object-path row machinery there while the underlying sort is
+    // 0.8 s (measured; NOTES round 13). TopKAscLongAgg folds inside
+    // ObjectHashAggregate with codegen'd child eval — three compares
+    // per row — and its partial mode shuffles ≤ k triples per (query,
+    // partition). Same (adc_d2 asc, cand_id asc) order, exact BIGINT.
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.expressions.TopKAggregates
+        .topKAscLong(col("adc_d2"), col("cand_id"), col("centroid"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("t.id").as("cand_id"), col("t.payload").as("centroid"),
+        col("t.metric").as("adc_d2"))
   }
 
   /** ADC probe with an EXTERNAL query frame (vec_id, embedding) over a

@@ -1731,6 +1731,63 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).distinct.length == 1)
   }
 
+  test("q137/q147 contraction exactness: rep-level iteration equals the member-level JVM fold on a dup-heavy mixed graph") {
+    import spark.implicits._
+    // the fixture the clique test can't cover: exact-dup groups of
+    // UNEQUAL sizes whose texts ALSO near-dup across groups (jaccard
+    // >= 0.6 between group texts), so the rep graph has cross-rep
+    // edges with copy weights AND within-group terms at once — every
+    // term of pagerankRepStep's weighted fold is exercised, plus an
+    // isolated singleton (deg 0 → teleport base only)
+    val baseToks = (0 until 10).map(i => s"tok$i")
+    val textA = baseToks.mkString(" ")                      // group A
+    val textB = (baseToks.take(8) ++ Seq("xb1", "xb2")).mkString(" ") // jac 8/12 = 0.667 vs A
+    val textC = "zzz yyy xxx www"                           // isolated
+    val rows =
+      (0 until 5).map(k => (k.toLong, textA, "en", "s")) ++
+      (0 until 3).map(k => (100L + k, textB, "en", "s")) ++
+      Seq((200L, textC, "en", "s"))
+    val dir = java.nio.file.Files.createTempDirectory("q137_mixed").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // member-level JVM reference (the formulation the oracle replays)
+    val Scale = 1000000000000L
+    val pairs = Dedup.q31JaccardPairs(spark, dir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = rows.map(_._1)
+    val n = ids.length.toLong
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    // the fixture must actually have both edge kinds or it proves nothing
+    assert(edges.exists { case (a, b) => a < 100 && b >= 100 && b < 200 },
+      "no cross-group near-dup edge — fixture degenerate")
+    assert(edges.exists { case (a, b) => a < 100 && b < 100 },
+      "no within-group edge — fixture degenerate")
+    assert(!deg.contains(200L), "isolated doc gained an edge")
+    val base = (Scale * 15L / 100L) / n
+    var pr = ids.map(_ -> Scale / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = ids.map(id => id -> (base + contrib.getOrElse(id, 0L) * 85L / 100L)).toMap
+    }
+    val want = ids.map(id => id -> (deg.getOrElse(id, 0L), pr(id))).toMap
+    val got = Dedup.q137Pagerank(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // q147 on the same fixture: same per-member exactness + a shared
+    // deterministic iteration count
+    val got147 = Dedup.q147PagerankConverged(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got147.map(_._4).distinct.length == 1)
+    val members = got147.map(t => t._1 -> (t._2, t._3)).toMap
+    // members of one exact-dup group hold identical (degree, rank)
+    assert((0 until 5).map(k => members(k.toLong)).distinct.length == 1)
+    assert((0 until 3).map(k => members(100L + k)).distinct.length == 1)
+    assert(members(200L)._1 == 0L) // isolated: degree 0, base-only rank
+  }
+
   test("q138 token fertility: matches a JVM reference; exact integer sums") {
     val docs = Tables.documents(spark, sf)
       .select("lang", "source", "text").collect()
