@@ -502,16 +502,36 @@ object Similarity {
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid"),
         col("n_iters"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("cand_id"))
-    probes.join(assigned.withColumnRenamed("vec_id", "cand_id"), Seq("centroid"))
+    // same two scale fixes as the ADC probe core (measured there,
+    // NOTES round 13): (1) composite-key explicit-N repartition so the
+    // nProbe·bucket candidate explosion cannot inherit the probe
+    // window's AQE-coalesced single partition; (2) top-k via the
+    // native O(k)-state aggregate instead of WindowExec over the full
+    // candidate frame. The metric is the EXACT micro-unit integer
+    // floor(cos·1e6 + 0.5) — the same integer r6 floors by — negated
+    // for the ascending fold, so (sim6 desc, cand_id) order is
+    // reproduced bit-for-bit and sim6 = micro/1e6 restores the exact
+    // r6 double (integral < 2^53, division by 1e6 identical).
+    val scored = probes
+      .repartition(queries.sparkSession.sessionState.conf.numShufflePartitions,
+        col("query_id"), col("centroid"))
+      .join(assigned.withColumnRenamed("vec_id", "cand_id"), Seq("centroid"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("centroid"), col("n_iters"),
-        r6(cosinePrenormed(dot(col("q_emb"), col("embedding")), col("q_norm"), col("nrm")))
-          .as("sim6"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"),
-        col("centroid").cast("long").as("centroid"), r4(col("sim6")).as("cos_sim"),
+      .select(col("query_id"), col("n_iters"),
+        (-floor(cosinePrenormed(dot(col("q_emb"), col("embedding")),
+          col("q_norm"), col("nrm")) * lit(1e6) + lit(0.5)).cast("long"))
+          .as("neg_micro"),
+        col("cand_id"), col("centroid").cast("long").as("centroid"))
+    scored
+      .groupBy("query_id", "n_iters")
+      .agg(graft.functions.expressions.TopKAggregates
+        .topKAscLong(col("neg_micro"), col("cand_id"), col("centroid"), k)
+        .as("top"))
+      .select(col("query_id"), col("n_iters"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("t.id").as("cand_id"), col("t.payload").as("centroid"),
+        r4((-col("t.metric")).cast("double") / lit(1e6)).as("cos_sim"),
         col("n_iters"))
   }
 
