@@ -213,6 +213,9 @@ object SparkEntry {
     // lexical ⊕ dense fusion — the step between the retrieval lists
     // (q158 BM25, the cosine/ANN family) and a consumer
     "q170_hybrid_rrf" -> ((s, d) => Similarity.q170HybridRrf(s, d)),
+    // greedy k-center coreset: global exemplar selection with a
+    // coverage guarantee (the data-pruning anchor-set primitive)
+    "q171_kcenter_coreset" -> ((s, d) => Similarity.q171KcenterCoreset(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -526,6 +529,56 @@ object SparkEntry {
        | FROM embeddings""".stripMargin
 
   private lazy val ivfChainCtes: String = kmeansChainCtes("", 8, microVecSel)
+
+  /** q171's oracle — mirrors Similarity.q171KcenterCoreset (keep in
+    * lockstep): the full Gonzalez traversal unrolled as k CTE blocks
+    * (c$t = farthest unselected point under (mind DESC, vec_id),
+    * s$t = the running min-distance frame after adding it), the same
+    * salted-hash seed rank, exact-BIGINT micro-unit squared-L2, and
+    * the (d2, rk) argmin assignment. Every s$t/c$t is MATERIALIZED:
+    * s$t is read by both c$(t+1) and s$(t+1) — the 2^k inlining trap
+    * (NOTES round 11).
+    */
+  private lazy val q171Sql: String = {
+    val k = 6
+    def d2(a: String, b: String): String = ivfD2(a, b)
+    val blocks = (2 to k).map { t =>
+      val prior = (1 until t).map(i => s"SELECT vec_id FROM c$i")
+        .mkString(" UNION ALL ")
+      s"""c$t AS MATERIALIZED (SELECT vec_id, mvec, mind FROM s${t - 1}
+         | WHERE vec_id NOT IN ($prior)
+         | ORDER BY mind DESC, vec_id LIMIT 1),
+         |s$t AS MATERIALIZED (SELECT s.vec_id, s.mvec,
+         |  least(s.mind, ${d2("s.mvec", "c.mvec")}) AS mind
+         | FROM s${t - 1} s, c$t c)""".stripMargin
+    }.mkString(",\n")
+    val centSel =
+      (s"SELECT CAST(1 AS BIGINT) AS rk, vec_id, CAST(NULL AS BIGINT) AS sel_d2, mvec FROM c1" +:
+        (2 to k).map(t =>
+          s"SELECT CAST($t AS BIGINT), vec_id, CAST(mind AS BIGINT), mvec FROM c$t"))
+        .mkString("\n UNION ALL ")
+    s"""WITH m AS MATERIALIZED ($microVecSel),
+       |c1 AS MATERIALIZED (SELECT vec_id, mvec FROM (
+       |  SELECT vec_id, mvec, row_number() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':kcseed'), vec_id) AS rn
+       |  FROM m) WHERE rn = 1),
+       |s1 AS MATERIALIZED (SELECT m.vec_id, m.mvec,
+       |  ${d2("m.mvec", "c.mvec")} AS mind FROM m, c1 c),
+       |$blocks,
+       |cent AS MATERIALIZED ($centSel),
+       |rad AS (SELECT CAST(max(mind) AS BIGINT) AS radius FROM s$k),
+       |asg AS (SELECT vec_id, rk FROM (
+       |  SELECT m.vec_id, c.rk, row_number() OVER (PARTITION BY m.vec_id
+       |    ORDER BY ${d2("m.mvec", "c.mvec")}, c.rk) AS rn
+       |  FROM m, cent c) WHERE rn = 1),
+       |cnt AS (SELECT rk, CAST(count(*) AS BIGINT) AS n_assigned
+       | FROM asg GROUP BY rk)
+       |SELECT cent.rk, cent.vec_id, cent.sel_d2,
+       |  CAST(coalesce(cnt.n_assigned, 0) AS BIGINT) AS n_assigned,
+       |  rad.radius AS radius
+       |FROM cent LEFT JOIN cnt USING (rk) CROSS JOIN rad
+       |ORDER BY cent.rk""".stripMargin
+  }
 
   private lazy val q48Sql: String = {
     def d2(a: String, b: String): String = ivfD2(a, b)
@@ -2550,6 +2603,10 @@ object SparkEntry {
          |   ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank,
          | doc_id, lex_rank, sem_rank, rrf_micro
          |FROM f ORDER BY rank""".stripMargin,
+    // mirrors Similarity.q171KcenterCoreset — the unrolled Gonzalez
+    // traversal (seed, k−1 farthest picks, assignment counts, coverage
+    // radius); generated chain, keep k in lockstep with the default
+    "q171_kcenter_coreset" -> q171Sql,
     // mirrors TextOps.q128TokenBudgetMix — md5-ranked order, explicit
     // ROWS-frame running token sum, cum_before < 1000 membership (keep
     // in lockstep)

@@ -1481,4 +1481,85 @@ object Similarity {
         books, subDim, nProbe, k)
       .withColumn("n_iters", lit(nIters))
   }
+
+  /** GREEDY K-CENTER CORESET (q171) — Gonzalez (1985) farthest-point
+    * traversal over the embedding corpus: seed one exemplar, then k−1
+    * times pick the point FARTHEST from everything selected so far.
+    * The classic 2-approximation to the k-center objective, and the
+    * coreset-selection primitive of data-pruning pipelines (pick the k
+    * most mutually-distant exemplars as the anchor set; `sel_d2` — the
+    * selection's distance to the already-chosen set — is the coverage
+    * radius the previous prefix achieved, so the trace IS the pruning
+    * curve). Complements the family's other selectors: q165's MMR
+    * diversifies a RANKED pool per query; this selects a global
+    * corpus-level exemplar set with a worst-case coverage guarantee.
+    *
+    * Determinism discipline (the q48 k-means rules verbatim): vectors
+    * in BIGINT micro-units, distances the codegen'd exact-integer
+    * [[dist2]], seed = the salted-hash rank-1 row
+    * (md5(vec_id || ':kcseed'), vec_id), farthest tie → smaller
+    * vec_id, and selection excludes prior picks BY ID (on a dup-heavy
+    * corpus every copy of a chosen center has mind = 0, so a
+    * "mind > 0" exclusion would be wrong once k exceeds the distinct
+    * vector count; id exclusion stays exact). The oracle replays the
+    * whole traversal through k unrolled CTE blocks.
+    *
+    * Scale shape: each of the k−1 rounds is ONE map pass (the new
+    * center rides as a literal micro-vector — no join, no shuffle)
+    * feeding a TakeOrdered(1) whose reduce ships exactly one row per
+    * partition to the driver; the running `mind` frame is
+    * localCheckpoint'd per round (the q165 lineage rule), so round t's
+    * plan is a branch over a materialized frame, not a t-deep
+    * re-derivation. The driver holds exactly the model — k
+    * (vec_id, mvec) rows, the q153 bounded-artifact discipline — and
+    * the final assignment is one more literal-model map pass + a
+    * k-row aggregate. At 100 TB: k linear scans, no pair space,
+    * driver state O(k·dims).
+    */
+  def q171KcenterCoreset(s: SparkSession, d: String, k: Int = 6): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), microVec(col("embedding")).as("mvec"))
+    val seed = e
+      .select(col("vec_id"), col("mvec"),
+        md5(concat(col("vec_id").cast("string"), lit(":kcseed"))).as("h"))
+      .orderBy("h", "vec_id").limit(1)
+      .select("vec_id", "mvec").head()
+    // (rk, vec_id, sel_d2, micro-vector) — sel_d2 undefined for the seed
+    var centers = Vector(
+      (1L, seed.getLong(0), Option.empty[Long], seed.getSeq[Long](1).toArray))
+    var state = e
+      .withColumn("mind", dist2(col("mvec"), lit(centers.head._4)))
+      .localCheckpoint(false)
+    for (t <- 2 to k) {
+      val selected = centers.map(_._2)
+      val far = state.filter(!col("vec_id").isin(selected: _*))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1).head()
+      val fmv = far.getSeq[Long](1).toArray
+      centers :+= ((t.toLong, far.getLong(0), Some(far.getLong(2)), fmv))
+      // update runs for t = k too: the final `mind` IS the k-center
+      // coverage radius the output reports
+      state = state
+        .withColumn("mind", least(col("mind"), dist2(col("mvec"), lit(fmv))))
+        .localCheckpoint(false)
+    }
+    val radius = state.agg(max(col("mind"))).head().getLong(0)
+    // final assignment: literal argmin over the k (d2, rk) structs —
+    // lexicographic struct ordering breaks distance ties to the
+    // earlier-selected center, mirroring the oracle's (d2, rk) window
+    val scored = centers.map { case (rk, _, _, mv) =>
+      struct(dist2(col("mvec"), lit(mv)), lit(rk))
+    }
+    val counts = state
+      .withColumn("rk", least(scored: _*).getField("col2"))
+      .groupBy("rk").agg(count(lit(1)).as("n_assigned"))
+    val centerDf = centers
+      .map { case (rk, id, selD2, _) => (rk, id, selD2) }
+      .toDF("rk", "vec_id", "sel_d2")
+    centerDf.join(counts, Seq("rk"), "left_outer")
+      .select(col("rk"), col("vec_id"), col("sel_d2"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        lit(radius).as("radius"))
+      .orderBy("rk")
+  }
 }

@@ -666,4 +666,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8,
       s"clustered-fixture recall@3 $recall — the PQ upside claim failed")
   }
+
+  test("q171 k-center: matches an independent JVM Gonzalez traversal; selection radii non-increasing") {
+    val k = 6
+    val got = Similarity.q171KcenterCoreset(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getLong(4)))
+    // independent reference: plain-Scala greedy k-center over the
+    // collected fixture, micro-unit integers, same seed/tie rules
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seed = embs.minBy { case (id, _) => (md5hex(s"$id:kcseed"), id) }
+    var centers = Vector((1L, seed._1, Option.empty[Long], seed._2))
+    val mind = scala.collection.mutable.Map(
+      embs.map { case (id, v) => id -> d2(v, seed._2) }.toSeq: _*)
+    val byId = embs.toMap
+    for (t <- 2L to k.toLong) {
+      val selIds = centers.map(_._2).toSet
+      val (fid, fd) = embs.iterator.filterNot(e => selIds(e._1))
+        .map { case (id, _) => (id, mind(id)) }
+        .reduceLeft((a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+      centers :+= ((t, fid, Some(fd), byId(fid)))
+      embs.foreach { case (id, v) =>
+        mind(id) = math.min(mind(id), d2(v, byId(fid))) }
+    }
+    val radius = mind.values.max
+    val expect = centers.map { case (rk, id, sd, _) =>
+      val n = embs.count { case (_, v) =>
+        val best = centers.minBy { case (crk, _, _, cv) => (d2(v, cv), crk) }
+        best._1 == rk
+      }
+      (rk, id, sd, n.toLong, radius)
+    }
+    assert(got.toSeq == expect, s"got ${got.toSeq}\nexpect $expect")
+    // Gonzalez monotonicity: each pick is at most as far as the last
+    val radii = got.toSeq.sortBy(_._1).flatMap(_._3)
+    assert(radii == radii.sorted(Ordering[Long].reverse),
+      s"selection radii not non-increasing: $radii")
+  }
 }
