@@ -216,6 +216,10 @@ object SparkEntry {
     // greedy k-center coreset: global exemplar selection with a
     // coverage guarantee (the data-pruning anchor-set primitive)
     "q171_kcenter_coreset" -> ((s, d) => Similarity.q171KcenterCoreset(s, d)),
+    // per-query hybrid retrieval: query-by-example BM25 over the
+    // full-vocabulary postings ⊕ exact dense cosine, RRF-fused — the
+    // retrieval engine a RAG stack runs per request, as one batch
+    "q172_hybrid_query_rrf" -> ((s, d) => Similarity.q172HybridQueryRrf(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -2607,6 +2611,60 @@ object SparkEntry {
     // traversal (seed, k−1 farthest picks, assignment counts, coverage
     // radius); generated chain, keep k in lockstep with the default
     "q171_kcenter_coreset" -> q171Sql,
+    // mirrors Similarity.q172HybridQueryRrf — per-query BM25 over the
+    // FULL vocabulary (q158's integer arithmetic, df-rarest 8 terms per
+    // query), exact-cosine dense top-12 (sim6 rounding + cand_id tie),
+    // q170's integer RRF, per-query re-rank to 10 (keep in lockstep)
+    "q172_hybrid_query_rrf" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST((sum(len(ts)) * 1000) // count(*) AS BIGINT) AS avgdl_milli
+         | FROM t),
+         |u AS (SELECT doc_id, unnest(ts) AS token,
+         |  CAST(len(ts) AS BIGINT) AS dl FROM t),
+         |tf AS MATERIALIZED (SELECT doc_id, token,
+         |  CAST(count(*) AS BIGINT) AS tf, CAST(min(dl) AS BIGINT) AS dl
+         | FROM u GROUP BY doc_id, token),
+         |dfx AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS df
+         | FROM tf GROUP BY token),
+         |qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0),
+         |qt AS (SELECT q.query_id, tf.token, dfx.df
+         | FROM qs q JOIN tf ON tf.doc_id = q.query_id JOIN dfx USING (token)),
+         |qsel AS (SELECT query_id, token FROM (
+         |  SELECT query_id, token, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY df, token) AS rn FROM qt) WHERE rn <= 8),
+         |c AS (SELECT s.query_id, tf.doc_id,
+         |  CAST(((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1) AS BIGINT) AS idf_micro,
+         |  CAST((22 * tf * avgdl_milli * 1000000)
+         |    // (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl) AS BIGINT) AS frac_micro
+         | FROM qsel s JOIN tf USING (token) JOIN dfx USING (token), st),
+         |sc AS (SELECT query_id, doc_id,
+         |  CAST(sum((idf_micro * frac_micro) // 1000000) AS BIGINT) AS score_micro
+         | FROM c WHERE doc_id <> query_id GROUP BY query_id, doc_id),
+         |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id)
+         |    AS BIGINT) AS lex_rank FROM sc) WHERE lex_rank <= 12),
+         |den AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         |  ${sqlRn(cosSql, 6)} AS sim6
+         | FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         | WHERE a.vec_id % 50 = 0),
+         |denrk AS (SELECT query_id, doc_id, sem_rank FROM (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim6 DESC, doc_id)
+         |    AS BIGINT) AS sem_rank FROM den) WHERE sem_rank <= 12),
+         |f AS (SELECT COALESCE(l.query_id, r.query_id) AS query_id,
+         |  COALESCE(l.doc_id, r.doc_id) AS doc_id, l.lex_rank, r.sem_rank,
+         |  CAST(COALESCE(CAST(1000000 AS BIGINT) // (60 + l.lex_rank), 0) +
+         |       COALESCE(CAST(1000000 AS BIGINT) // (60 + r.sem_rank), 0)
+         |    AS BIGINT) AS rrf_micro
+         | FROM lex l FULL OUTER JOIN denrk r
+         |  ON l.query_id = r.query_id AND l.doc_id = r.doc_id)
+         |SELECT query_id, rank, doc_id, lex_rank, sem_rank, rrf_micro FROM (
+         | SELECT query_id, doc_id, lex_rank, sem_rank, rrf_micro,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank FROM f)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // mirrors TextOps.q128TokenBudgetMix — md5-ranked order, explicit
     // ROWS-frame running token sum, cum_before < 1000 membership (keep
     // in lockstep)

@@ -100,6 +100,21 @@ object StreamStress {
       .repartition(nBatches)
       .write.mode("overwrite").parquet(embIn)
     val nEmb = spark.read.parquet(embIn).count()
+    // the hybrid-retrieval twin consumes QUERY rows (query_id, text,
+    // embedding) — a request workload, not the corpus: q172's %50 set
+    // (ids past the original doc range arrive dense-only, the
+    // replicated-corpus absent-text regime)
+    val hybIn = "/tmp/graft-stream-hyb-in"
+    rmrf(hybIn)
+    spark.read.parquet(s"$dst/embeddings.parquet")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .join(docs.select(col("doc_id").as("query_id"), col("text")),
+        Seq("query_id"), "left_outer")
+      .select("query_id", "text", "embedding")
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(hybIn)
+    val nHyb = spark.read.parquet(hybIn).count()
 
     val benchGrams = graft.streaming.StreamingOps.buildBenchGramIndex(
       docs.filter(col("doc_id") % 100 === 0))
@@ -264,6 +279,27 @@ object StreamStress {
             graft.streaming.StreamingOps.semdedupAdmitAtIngest(
               s, semIdx, s"$workDir/sd2_out", s"$workDir/sd2_ckpt")
           } finally semIdx.unpersist()
+        },
+        // per-REQUEST hybrid retrieval (q172's twin): each arriving
+        // query runs rarest-8-term BM25 against the persisted postings
+        // plus exact dense cosine against the 50k-vector corpus side,
+        // RRF-fused — rows here are QUERIES, so rows_per_sec is
+        // requests/s. Same trigger-size curve rationale as ivf/adc.
+        "hybrid_rrf_ingest" -> {
+          val hybIdx = graft.streaming.StreamingOps
+            .buildHybridServingIndex(spark, dst)
+          try runStream(spark, hybIn, nHyb) { s =>
+            graft.streaming.StreamingOps.hybridRrfAtIngest(
+              s, hybIdx, s"$workDir/h_out", s"$workDir/h_ckpt")
+          } finally hybIdx.unpersist()
+        },
+        "hybrid_rrf_ingest_saturated" -> {
+          val hybIdx = graft.streaming.StreamingOps
+            .buildHybridServingIndex(spark, dst)
+          try runStream(spark, hybIn, nHyb, filesPerTrigger = nBatches) { s =>
+            graft.streaming.StreamingOps.hybridRrfAtIngest(
+              s, hybIdx, s"$workDir/h2_out", s"$workDir/h2_ckpt")
+          } finally hybIdx.unpersist()
         },
         "phash_match_ingest" -> {
           // corpus index over the full 20x docs (reps = sf0.1-sized

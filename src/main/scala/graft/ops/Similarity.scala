@@ -1482,6 +1482,177 @@ object Similarity {
       .withColumn("n_iters", lit(nIters))
   }
 
+  /** Retrieval-serving index for the per-query hybrid family (q172 /
+    * the at-ingest twin): the rep-level full-vocabulary BM25 postings
+    * ([[TextOps.bm25IndexFrames]]) plus the dense corpus side
+    * (cand_id, c_emb, c_norm). postings/df/membership persist
+    * (lifecycle is the caller's via [[HybridIndex.unpersist]] — the
+    * PqServingIndex contract); totals stays lazy (one agg over the
+    * already-persisted contraction reps).
+    */
+  final case class HybridIndex(postings: DataFrame, dfTable: DataFrame,
+      totals: DataFrame, membership: DataFrame, corpus: DataFrame) {
+    def unpersist(): Unit =
+      Seq(postings, dfTable).foreach { f =>
+        try { f.unpersist(); (): Unit } catch { case _: Throwable => () }
+      }
+  }
+
+  // fingerprint-keyed session memo for the batch surfaces (q172 and the
+  // bench re-runs) — the exactCache discipline; the streaming twin
+  // builds its own caller-owned index instead
+  private val hybridCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), HybridIndex]
+
+  private[graft] def hybridIndex(s: SparkSession, d: String): HybridIndex =
+    hybridCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "documents") + ":" +
+        graft.core.Fingerprint.of(s, d, "embeddings")
+      hybridCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+        .foreach(stale => hybridCache.remove(stale).foreach(_.unpersist()))
+      hybridCache.getOrElseUpdate((s, d, fp), buildHybridIndex(s, d))
+    }
+
+  private[graft] def buildHybridIndex(s: SparkSession, d: String)
+      : HybridIndex = {
+    val (postings, dfTable, totals, membership) =
+      TextOps.bm25IndexFrames(s, d)
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_norm"))
+    HybridIndex(
+      postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      dfTable.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      totals, membership, corpus)
+  }
+
+  /** The per-query hybrid retrieval core — q172's computation and the
+    * at-ingest twin's per-batch body (ONE definition, the q70-twin
+    * discipline). `queries` carries (query_id, text, embedding);
+    * either modality may be absent (null text → no lexical list, the
+    * fusion's absent-list-0 handles it).
+    *
+    * Lexical side: the query's distinct tokens look up the df table,
+    * the `mTerms` RAREST terms (df asc, token — the standard
+    * best-terms-first budget; candidate volume is bounded by mTerms
+    * posting lists per query, never corpus-shaped) retrieve from the
+    * full-vocabulary rep postings, per-(query, rep) BM25 scores are
+    * the q158 integer arithmetic verbatim ([[TextOps.bm25IdfMicro]]),
+    * members inherit their rep's score closed-form, and the per-query
+    * top-`kList` ranks under (score desc, doc_id). Query-by-example
+    * excludes only the query doc itself — its dup twins are
+    * legitimate hits.
+    *
+    * Dense side: exact cosine against the corpus side (the honest
+    * baseline — the IVF/ADC twins are the approximate serving tier),
+    * ranked through the native O(k)-state [[TopKAscLongAgg]] on the
+    * negated micro-unit integer (the probeCore lesson — no WindowExec
+    * over the |Q|·N candidate frame).
+    *
+    * Fusion: reciprocal-rank fusion at K = `kRrf` (q170's integer
+    * form, 1e6 div (K + rank), absent list contributes 0), per-query
+    * re-rank to `kOut`. All-BIGINT output — no rounding discipline
+    * needed anywhere.
+    */
+  private[graft] def hybridQueryCore(queries: DataFrame, idx: HybridIndex,
+      mTerms: Int = 8, kList: Int = 12, kOut: Int = 10, kRrf: Int = 60)
+      : DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val qtok = queries.select(col("query_id"),
+      explode(array_distinct(tokens(col("text")))).as("token"))
+    val wTerm = Window.partitionBy("query_id")
+      .orderBy(col("df"), col("token"))
+    val qsel = broadcast(qtok).join(idx.dfTable, Seq("token"))
+      .withColumn("rn", row_number().over(wTerm))
+      .filter(col("rn") <= mTerms)
+      .select("query_id", "token", "df")
+    // per-query top-k through the native O(k)-state aggregate fused
+    // over the member-expanded frame, NOT a window: WindowExec would
+    // sort the whole expansion per query (measured 9-12 s at 20×)
+    // where the partial-mode TopK fold ships ≤ kList triples per
+    // (query, partition). Metric = negated score so (score desc,
+    // doc_id asc) is reproduced exactly — the probeCore move. The
+    // expansion itself (reps × copies, 40M rows at the 20× dup-heavy
+    // stress) enumerates inside one codegen stage at ~0.4 s — a
+    // tie-inclusive rep-level threshold cut before the join was
+    // measured NET SLOWER here (it re-reads the rep-score frame, and
+    // either a localCheckpoint or a recompute costs more than the
+    // enumeration it saves); revisit if members ever carry payloads
+    // wider than two BIGINTs.
+    val lex = idx.postings.join(broadcast(qsel), Seq("token"))
+      .crossJoin(broadcast(idx.totals))
+      .select(col("query_id"), col("rep"),
+        TextOps.bm25IdfMicro.as("idf_micro"),
+        TextOps.bm25FracMicro.as("frac_micro"))
+      .select(col("query_id"), col("rep"),
+        expr("(idf_micro * frac_micro) div 1000000").as("contrib_micro"))
+      .groupBy("query_id", "rep")
+      .agg(sum("contrib_micro").as("score_micro"))
+      .join(idx.membership, Seq("rep"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.expressions.TopKAggregates
+        .topKAscLong(-col("score_micro"), col("doc_id"), col("doc_id"),
+          kList)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("lex_rank"))
+    val qv = queries.filter(col("embedding").isNotNull)
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+    val den = broadcast(qv)
+      .join(idx.corpus, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"),
+        (-floor(cosinePrenormed(dot(col("q_emb"), col("c_emb")),
+          col("q_norm"), col("c_norm")) * lit(1e6) + lit(0.5)).cast("long"))
+          .as("neg_micro"),
+        col("cand_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.expressions.TopKAggregates
+        .topKAscLong(col("neg_micro"), col("cand_id"), col("cand_id"), kList)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("sem_rank"))
+    val wOut = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("sem_rank"),
+        (coalesce(expr(s"CAST(1000000 AS BIGINT) div ($kRrf + lex_rank)"),
+            lit(0L)) +
+          coalesce(expr(s"CAST(1000000 AS BIGINT) div ($kRrf + sem_rank)"),
+            lit(0L))).as("rrf_micro"))
+      .withColumn("rank", row_number().over(wOut).cast("long"))
+      .filter(col("rank") <= kOut)
+      .select("query_id", "rank", "doc_id", "lex_rank", "sem_rank",
+        "rrf_micro")
+      .orderBy("query_id", "rank")
+  }
+
+  /** PER-QUERY HYBRID RETRIEVAL (q172) — q170's single-anchor fusion
+    * generalized to a query WORKLOAD: every corpus vector with
+    * vec_id % 50 = 0 runs query-by-example retrieval (its own text as
+    * the lexical query, its own embedding as the dense query) and the
+    * two lists fuse by reciprocal-rank fusion. This is the full
+    * retrieval engine a RAG stack runs per request, expressed as one
+    * data-parallel batch — and the at-ingest twin serves the identical
+    * core per micro-batch. Queries whose id has no document row (the
+    * replicated-corpus regime) retrieve dense-only — the fusion's
+    * absent-list semantics, exercised at stress scale.
+    */
+  def q172HybridQueryRrf(s: SparkSession, d: String): DataFrame = {
+    val queries = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .join(Tables.documents(s, d)
+          .select(col("doc_id").as("query_id"), col("text")),
+        Seq("query_id"), "left_outer")
+    hybridQueryCore(queries, hybridIndex(s, d))
+  }
+
   /** GREEDY K-CENTER CORESET (q171) — Gonzalez (1985) farthest-point
     * traversal over the embedding corpus: seed one exemplar, then k−1
     * times pick the point FARTHEST from everything selected so far.

@@ -2572,6 +2572,48 @@ object TextOps {
     */
   val DefaultBm25Terms: Seq[String] = Seq("hash", "stream", "vector", "merge")
 
+  /** ONE definition of the BM25 integer arithmetic (k1 = 6/5, b = 3/4
+    * lifted to exact BIGINT form — q158's scaladoc derives it), shared
+    * by the fixed-term ranking (q158) and the per-query hybrid
+    * retrieval (q172 / the at-ingest twin) so the surfaces can never
+    * diverge on the formula. Contract: the input frame carries
+    * `n`, `df`, `avgdl_milli`, `tf`, `dl` columns.
+    */
+  private[ops] def bm25IdfMicro: Column =
+    expr("((2 * n - 2 * df + 1) * 1000000) div (2 * df + 1)")
+  private[ops] def bm25FracMicro: Column =
+    expr("(22 * tf * avgdl_milli * 1000000) div " +
+      "(10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl)")
+
+  /** Rep-level lexical index frames over the corpus at `d` — the
+    * postings a BM25 server retrieves from, over the exact-text
+    * contraction so every piece is dup-count-invariant:
+    * (postings (token, rep, tf, dl), copy-weighted df table,
+    * single-row totals (n, avgdl_milli), rep→member membership).
+    * Unlike q158's fixed-term path (which prunes term rows to its
+    * query literals BEFORE any shuffle), these carry the FULL
+    * vocabulary — the index must answer arbitrary query terms. Used
+    * by q172's hybrid retrieval and the at-ingest twin's serving
+    * index; persistence/lifecycle is the caller's.
+    */
+  private[ops] def bm25IndexFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (repDocs, membership) = textContraction(s, d)
+    val totals = repDocs
+      .agg(sum(col("copies")).as("n"),
+        sum(col("copies") * tokenCount(col("text")).cast("long")).as("tt"))
+      .select(col("n"), expr("(tt * 1000) div n").as("avgdl_milli"))
+    val termRows = repDocs
+      .select(col("doc_id").as("rep"), col("copies"),
+        tokenCount(col("text")).cast("long").as("dl"),
+        explode(graft.functions.expressions.TextExpressions
+          .tokenCounts(col("text"))).as("tc"))
+      .select(col("rep"), col("copies"), col("dl"),
+        col("tc.token").as("token"), col("tc.cnt").cast("long").as("tf"))
+    val dfTable = termRows.groupBy("token").agg(sum("copies").as("df"))
+    (termRows.select("token", "rep", "tf", "dl"), dfTable, totals, membership)
+  }
+
   /** BM25-RANKED retrieval (Robertson et al., TREC-3; k1 = 1.2,
     * b = 0.75) — the scored-retrieval capability between q127's exact
     * phrase match and q26's per-doc TF-IDF profile: the global top-`k`
@@ -2625,11 +2667,8 @@ object TextOps {
       .join(broadcast(dfTable), Seq("token"))
       .crossJoin(broadcast(totals)) // single-row corpus stats
       .select(col("doc_id"),
-        expr("((2 * n - 2 * df + 1) * 1000000) div (2 * df + 1)")
-          .as("idf_micro"),
-        expr("(22 * tf * avgdl_milli * 1000000) div " +
-          "(10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl)")
-          .as("frac_micro"))
+        bm25IdfMicro.as("idf_micro"),
+        bm25FracMicro.as("frac_micro"))
       .select(col("doc_id"),
         expr("(idf_micro * frac_micro) div 1000000").as("contrib_micro"))
       .groupBy("doc_id")

@@ -1372,4 +1372,54 @@ object StreamingOps {
         (): Unit
       }
       .start()
+
+  /** Build the hybrid (lexical ⊕ dense) serving index over the corpus
+    * at `corpusDir` and MATERIALIZE the persisted pieces outside any
+    * timed stream — the [[buildPqServingIndex]] contract: built fresh
+    * (not the batch memo, so the caller's unpersist cannot strand
+    * q172's session cache), caller-owned lifecycle.
+    */
+  def buildHybridServingIndex(s: SparkSession, corpusDir: String)
+      : graft.ops.Similarity.HybridIndex = {
+    val idx = graft.ops.Similarity.buildHybridIndex(s, corpusDir)
+    idx.postings.count()
+    idx.dfTable.count()
+    idx
+  }
+
+  /** HYBRID RETRIEVAL AT INGEST — q172's streaming twin: arriving
+    * queries (query_id, text, embedding) are answered per micro-batch
+    * by the SAME per-query core q172 runs
+    * ([[graft.ops.Similarity.hybridQueryCore]]): the query's rarest
+    * `mTerms` terms retrieve from the persisted full-vocabulary BM25
+    * postings, the embedding ranks exact-cosine against the dense
+    * corpus side, and the two lists fuse by integer reciprocal-rank
+    * fusion. Either modality may be absent on an arriving query
+    * (null text / null embedding) — the fusion's absent-list-0
+    * semantics answer from the other list alone, which is the
+    * degraded-mode behavior a serving tier actually wants.
+    *
+    * A query is answered whole in its batch and the answer is a pure
+    * function of (query, index), so per-batch outputs union to the
+    * batch run exactly — streaming q172's own query set reproduces
+    * its oracle-gated frame bit-for-bit (spec-pinned, the q70-twin
+    * discipline). Zero streaming state; same at-least-once/batch_id
+    * contract as the other twins.
+    */
+  def hybridRrfAtIngest(queries: DataFrame,
+      index: graft.ops.Similarity.HybridIndex, outDir: String,
+      checkpointDir: String, mTerms: Int = 8, kList: Int = 12,
+      kOut: Int = 10, kRrf: Int = 60)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Similarity.hybridQueryCore(batch.toDF(), index,
+            mTerms, kList, kOut, kRrf)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
 }

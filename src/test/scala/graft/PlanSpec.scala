@@ -34,6 +34,10 @@ class PlanSpec extends AnyFunSuite {
     "q169_pq_adc_topk" -> ("q48's coarse probe shape (cross join against " +
       "the nCentroids-row centroid table) in front of the compressed-code " +
       "ADC ranking; the ADC joins themselves are keyed equality joins"),
+    "q172_hybrid_query_rrf" -> ("dense side: broadcast query workload " +
+      "against the corpus scan — q40's exact-baseline shape (|Q| is the " +
+      "bounded broadcast side); the lexical side is keyed equality joins " +
+      "and the approximate dense tier lives in the IVF/ADC serving twins"),
     "q58_band_join" -> "theta join against the fixed 5-row band table",
     "q26_tfidf" -> "single-row nDocs aggregate frame cross-joined in",
     "q49_collocations" -> "single-row corpus-totals aggregate frame cross-joined in",

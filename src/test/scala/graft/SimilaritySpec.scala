@@ -717,4 +717,95 @@ class SimilaritySpec extends AnyFunSuite {
     assert(radii == radii.sorted(Ordering[Long].reverse),
       s"selection radii not non-increasing: $radii")
   }
+
+  test("q172 hybrid retrieval: matches an independent JVM BM25 ⊕ cosine RRF reference") {
+    val got = Similarity.q172HybridQueryRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5))).toSeq
+    // independent reference: plain-Scala BM25 (integer arithmetic),
+    // exact cosine, RRF — same tie rules, UTF-8 byte collation on the
+    // term pick (Spark/DuckDB order strings by UTF-8 bytes; Java
+    // String compareTo does not, for supplementary-plane chars)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def toks(t: String): Seq[String] =
+      t.split(" ").filter(_.nonEmpty).toSeq
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val m = math.min(x.length, y.length)
+      var i = 0
+      while (i < m) {
+        if (x(i) != y(i)) return (x(i) & 0xff) < (y(i) & 0xff)
+        i += 1
+      }
+      x.length < y.length
+    }
+    val dtoks = docs.map { case (id, t) => id -> toks(t) }.toMap
+    val n = docs.length.toLong
+    val dl = dtoks.map { case (id, ts) => id -> ts.length.toLong }
+    val avgdlMilli = dl.values.sum * 1000L / n
+    val tf = docs.flatMap { case (id, t) =>
+      toks(t).groupBy(identity).map { case (w, o) =>
+        ((id, w), o.length.toLong) }
+    }.toMap
+    val df = tf.keys.toSeq.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val byToken = tf.keys.toSeq.groupBy(_._2).view
+      .mapValues(_.map(_._1)).toMap
+    val queries = embs.map(_._1).filter(_ % 50 == 0)
+    def lexList(q: Long): Seq[(Long, Long)] = {
+      val qts = dtoks.get(q).map(_.distinct).getOrElse(Seq.empty)
+        .filter(df.contains)
+      val sel = qts.sortWith { (a, b) =>
+        if (df(a) != df(b)) df(a) < df(b) else utf8Lt(a, b)
+      }.take(8)
+      val scores = sel.flatMap(t => byToken(t).map(d => (d, t)))
+        .filter(_._1 != q)
+        .groupBy(_._1).map { case (d, terms) =>
+          (d, terms.map { case (_, t) =>
+            val idf = ((2 * n - 2 * df(t) + 1) * 1000000L) / (2 * df(t) + 1)
+            val a = avgdlMilli
+            val frac = (22L * tf((d, t)) * a * 1000000L) /
+              (10L * tf((d, t)) * a + 3L * a + 9000L * dl(d))
+            (idf * frac) / 1000000L
+          }.sum)
+        }
+      scores.toSeq.sortBy { case (d, s) => (-s, d) }.take(12)
+        .zipWithIndex.map { case ((d, _), i) => (d, i + 1L) }
+    }
+    val embMap = embs.toMap
+    def dotD(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def denList(q: Long): Seq[(Long, Long)] = {
+      val qv = embMap(q); val qn = math.sqrt(dotD(qv, qv))
+      embs.filter(_._1 != q).map { case (c, cv) =>
+        (c, math.floor(dotD(qv, cv) / (qn * math.sqrt(dotD(cv, cv)))
+          * 1e6 + 0.5).toLong)
+      }.sortBy { case (c, s) => (-s, c) }.take(12).toSeq
+        .zipWithIndex.map { case ((c, _), i) => (c, i + 1L) }
+    }
+    val expect = queries.toSeq.flatMap { q =>
+      val lx = lexList(q).toMap; val dn = denList(q).toMap
+      (lx.keySet ++ dn.keySet).toSeq.map { d =>
+        val rrf = lx.get(d).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          dn.get(d).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        (d, rrf)
+      }.sortBy { case (d, s) => (-s, d) }.take(10)
+        .zipWithIndex.map { case ((d, s), i) =>
+          (q, i + 1L, d, lx.get(d), dn.get(d), s) }
+    }
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the fusion must be exercised from both sides on the fixture
+    assert(got.exists(r => r._4.isDefined && r._5.isDefined),
+      "no row ranked by both lists")
+    assert(got.exists(r => r._4.isEmpty != r._5.isEmpty),
+      "no single-list row — absent-list fusion unexercised")
+  }
 }
