@@ -220,6 +220,9 @@ object SparkEntry {
     // full-vocabulary postings ⊕ exact dense cosine, RRF-fused — the
     // retrieval engine a RAG stack runs per request, as one batch
     "q172_hybrid_query_rrf" -> ((s, d) => Similarity.q172HybridQueryRrf(s, d)),
+    // coreset assignment + coverage-drift flags: the consumer side of
+    // q171's model (the ingest drift monitor's batch body)
+    "q173_coreset_assign" -> ((s, d) => Similarity.q173CoresetAssign(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -543,8 +546,13 @@ object SparkEntry {
     * s$t is read by both c$(t+1) and s$(t+1) — the 2^k inlining trap
     * (NOTES round 11).
     */
-  private lazy val q171Sql: String = {
-    val k = 6
+  /** The unrolled Gonzalez traversal as a reusable CTE chain (no
+    * `WITH`), ending at `cent` (rk, vec_id, sel_d2, mvec), `rad`
+    * (coverage radius) and `asg` (per-vector (d2, rk) argmin with the
+    * distance kept) — shared verbatim by q171's model view and q173's
+    * assignment view, ONE SQL definition of the fit for both gates.
+    */
+  private def kcenterChainCtes(k: Int): String = {
     def d2(a: String, b: String): String = ivfD2(a, b)
     val blocks = (2 to k).map { t =>
       val prior = (1 until t).map(i => s"SELECT vec_id FROM c$i")
@@ -561,7 +569,7 @@ object SparkEntry {
         (2 to k).map(t =>
           s"SELECT CAST($t AS BIGINT), vec_id, CAST(mind AS BIGINT), mvec FROM c$t"))
         .mkString("\n UNION ALL ")
-    s"""WITH m AS MATERIALIZED ($microVecSel),
+    s"""m AS MATERIALIZED ($microVecSel),
        |c1 AS MATERIALIZED (SELECT vec_id, mvec FROM (
        |  SELECT vec_id, mvec, row_number() OVER (
        |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':kcseed'), vec_id) AS rn
@@ -571,10 +579,15 @@ object SparkEntry {
        |$blocks,
        |cent AS MATERIALIZED ($centSel),
        |rad AS (SELECT CAST(max(mind) AS BIGINT) AS radius FROM s$k),
-       |asg AS (SELECT vec_id, rk FROM (
-       |  SELECT m.vec_id, c.rk, row_number() OVER (PARTITION BY m.vec_id
+       |asg AS (SELECT vec_id, rk, CAST(d2c AS BIGINT) AS d2c FROM (
+       |  SELECT m.vec_id, c.rk, ${d2("m.mvec", "c.mvec")} AS d2c,
+       |   row_number() OVER (PARTITION BY m.vec_id
        |    ORDER BY ${d2("m.mvec", "c.mvec")}, c.rk) AS rn
-       |  FROM m, cent c) WHERE rn = 1),
+       |  FROM m, cent c) WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val q171Sql: String =
+    s"""WITH ${kcenterChainCtes(6)},
        |cnt AS (SELECT rk, CAST(count(*) AS BIGINT) AS n_assigned
        | FROM asg GROUP BY rk)
        |SELECT cent.rk, cent.vec_id, cent.sel_d2,
@@ -582,7 +595,12 @@ object SparkEntry {
        |  rad.radius AS radius
        |FROM cent LEFT JOIN cnt USING (rk) CROSS JOIN rad
        |ORDER BY cent.rk""".stripMargin
-  }
+
+  private lazy val q173Sql: String =
+    s"""WITH ${kcenterChainCtes(6)}
+       |SELECT asg.vec_id, asg.rk, asg.d2c,
+       |  asg.d2c > rad.radius AS novel
+       |FROM asg CROSS JOIN rad ORDER BY asg.vec_id""".stripMargin
 
   private lazy val q48Sql: String = {
     def d2(a: String, b: String): String = ivfD2(a, b)
@@ -2611,6 +2629,10 @@ object SparkEntry {
     // traversal (seed, k−1 farthest picks, assignment counts, coverage
     // radius); generated chain, keep k in lockstep with the default
     "q171_kcenter_coreset" -> q171Sql,
+    // mirrors Similarity.q173CoresetAssign — the SAME unrolled Gonzalez
+    // chain (kcenterChainCtes, verbatim q171's), read through the
+    // per-vector assignment view with the coverage-radius novelty flag
+    "q173_coreset_assign" -> q173Sql,
     // mirrors Similarity.q172HybridQueryRrf — per-query BM25 over the
     // FULL vocabulary (q158's integer arithmetic, df-rarest 8 terms per
     // query), exact-cosine dense top-12 (sim6 rounding + cand_id tie),

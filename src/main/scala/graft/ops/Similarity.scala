@@ -1689,6 +1689,45 @@ object Similarity {
     */
   def q171KcenterCoreset(s: SparkSession, d: String, k: Int = 6): DataFrame = {
     import s.implicits._
+    val (centers, radius) = kcenterFit(s, d, k)
+    val counts = withKcenterAssignment(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), microVec(col("embedding")).as("mvec")),
+        centers)
+      .groupBy("rk").agg(count(lit(1)).as("n_assigned"))
+    val centerDf = centers
+      .map { case (rk, id, selD2, _) => (rk, id, selD2) }
+      .toDF("rk", "vec_id", "sel_d2")
+    centerDf.join(counts, Seq("rk"), "left_outer")
+      .select(col("rk"), col("vec_id"), col("sel_d2"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        lit(radius).as("radius"))
+      .orderBy("rk")
+  }
+
+  /** The driver-held k-center model: (rk, vec_id, sel_d2, micro-vector)
+    * per selected exemplar plus the coverage radius — the whole state
+    * q171, q173 and the ingest drift monitor share. Memoized like the
+    * quantizer ([[ivfCache]] discipline): k·dims longs, fit once per
+    * (session, corpus, k).
+    */
+  private val kcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, String),
+      (Vector[(Long, Long, Option[Long], Array[Long])], Long)]
+
+  private[graft] def kcenterFit(s: SparkSession, d: String, k: Int)
+      : (Vector[(Long, Long, Option[Long], Array[Long])], Long) =
+    kcCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "embeddings")
+      kcCache.keys
+        .filter(key => key._1 == s && key._2 == d && key._3 == k &&
+          key._4 != fp)
+        .foreach(kcCache.remove)
+      kcCache.getOrElseUpdate((s, d, k, fp), runKcenterFit(s, d, k))
+    }
+
+  private def runKcenterFit(s: SparkSession, d: String, k: Int)
+      : (Vector[(Long, Long, Option[Long], Array[Long])], Long) = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), microVec(col("embedding")).as("mvec"))
     val seed = e
@@ -1709,28 +1748,63 @@ object Similarity {
       val fmv = far.getSeq[Long](1).toArray
       centers :+= ((t.toLong, far.getLong(0), Some(far.getLong(2)), fmv))
       // update runs for t = k too: the final `mind` IS the k-center
-      // coverage radius the output reports
+      // coverage radius the model carries
       state = state
         .withColumn("mind", least(col("mind"), dist2(col("mvec"), lit(fmv))))
         .localCheckpoint(false)
     }
     val radius = state.agg(max(col("mind"))).head().getLong(0)
-    // final assignment: literal argmin over the k (d2, rk) structs —
-    // lexicographic struct ordering breaks distance ties to the
-    // earlier-selected center, mirroring the oracle's (d2, rk) window
+    (centers, radius)
+  }
+
+  /** Adds (d2c, rk) — the nearest-coreset-center argmin — to a frame
+    * carrying (…, mvec): one literal `least(...)` over the k (d2, rk)
+    * structs; lexicographic struct ordering breaks distance ties to
+    * the earlier-selected center, mirroring the oracle's (d2, rk)
+    * window. Pure map pass — the model rides as k literal vectors.
+    */
+  private def withKcenterAssignment(frame: DataFrame,
+      centers: Vector[(Long, Long, Option[Long], Array[Long])])
+      : DataFrame = {
     val scored = centers.map { case (rk, _, _, mv) =>
       struct(dist2(col("mvec"), lit(mv)), lit(rk))
     }
-    val counts = state
-      .withColumn("rk", least(scored: _*).getField("col2"))
-      .groupBy("rk").agg(count(lit(1)).as("n_assigned"))
-    val centerDf = centers
-      .map { case (rk, id, selD2, _) => (rk, id, selD2) }
-      .toDF("rk", "vec_id", "sel_d2")
-    centerDf.join(counts, Seq("rk"), "left_outer")
-      .select(col("rk"), col("vec_id"), col("sel_d2"),
-        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
-        lit(radius).as("radius"))
-      .orderBy("rk")
+    val best = if (scored.length == 1) scored.head else least(scored: _*)
+    frame.withColumn("d2c", best.getField("col1"))
+      .withColumn("rk", best.getField("col2"))
   }
+
+  /** CORESET ASSIGNMENT + COVERAGE-DRIFT flags (q173) — the consumer
+    * side of q171's model: every vector labeled with its nearest
+    * coreset exemplar, the exact-integer distance, and `novel` =
+    * distance beyond the fit-time coverage radius. On the training
+    * corpus itself `novel` is false by construction (the radius IS the
+    * max assignment distance) — the flag exists for NEW data: the
+    * at-ingest twin ([[graft.streaming.StreamingOps.coresetAssignAtIngest]])
+    * runs this exact map pass per micro-batch as the drift monitor a
+    * curation pipeline puts in front of re-fitting (arrivals landing
+    * outside every exemplar's coverage are the "new region" signal).
+    * Pure map pass over the literal k-vector model; no join, no
+    * shuffle beyond the output sort.
+    */
+  def q173CoresetAssign(s: SparkSession, d: String, k: Int = 6): DataFrame = {
+    val (centers, radius) = kcenterFit(s, d, k)
+    coresetAssignBatch(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      centers, radius)
+      .orderBy("vec_id")
+  }
+
+  /** The per-batch computation of the coreset drift monitor — q173's
+    * core and the at-ingest twin's body (ONE definition, the q70-twin
+    * discipline): (vec_id, rk, d2c, novel) per input vector.
+    */
+  private[graft] def coresetAssignBatch(vecs: DataFrame,
+      centers: Vector[(Long, Long, Option[Long], Array[Long])],
+      radius: Long): DataFrame =
+    withKcenterAssignment(
+        vecs.select(col("vec_id"), microVec(col("embedding")).as("mvec")),
+        centers)
+      .select(col("vec_id"), col("rk"), col("d2c"),
+        (col("d2c") > lit(radius)).as("novel"))
 }

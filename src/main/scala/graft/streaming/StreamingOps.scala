@@ -1387,6 +1387,50 @@ object StreamingOps {
     idx
   }
 
+  /** Driver-held coreset drift model for [[coresetAssignAtIngest]]:
+    * q171's k exemplars (micro-unit vectors) plus the fit-time
+    * coverage radius — k·dims longs, the whole serving state. Built
+    * from the memoized fit, so q171/q173 and the twin share one model
+    * per (session, corpus, k).
+    */
+  final case class CoresetModel(
+      centers: Vector[(Long, Long, Option[Long], Array[Long])],
+      radius: Long)
+
+  def buildCoresetModel(s: SparkSession, corpusDir: String, k: Int = 6)
+      : CoresetModel = {
+    val (centers, radius) = graft.ops.Similarity.kcenterFit(s, corpusDir, k)
+    CoresetModel(centers, radius)
+  }
+
+  /** CORESET COVERAGE-DRIFT MONITOR AT INGEST — q173's streaming twin:
+    * every arriving vector is labeled with its nearest coreset
+    * exemplar, the exact-integer distance, and `novel` = distance
+    * beyond the fit-time coverage radius — the "new region" signal a
+    * curation pipeline watches to decide when the exemplar set needs
+    * re-fitting. Pure map pass per batch (the k-vector model rides as
+    * literals — no join, no shuffle, no state), so per-batch outputs
+    * union to the batch run exactly: streaming the training corpus
+    * reproduces q173's frame bit-for-bit with `novel` all-false by
+    * construction, and a genuinely out-of-coverage arrival flags true
+    * (both spec-pinned). Same at-least-once/batch_id contract as the
+    * other twins.
+    */
+  def coresetAssignAtIngest(queries: DataFrame, model: CoresetModel,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Similarity.coresetAssignBatch(batch.toDF(),
+            model.centers, model.radius)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
+
   /** HYBRID RETRIEVAL AT INGEST — q172's streaming twin: arriving
     * queries (query_id, text, embedding) are answered per micro-batch
     * by the SAME per-query core q172 runs

@@ -718,6 +718,55 @@ class SimilaritySpec extends AnyFunSuite {
       s"selection radii not non-increasing: $radii")
   }
 
+  test("q173 coreset assign: matches a JVM reference; training corpus is never novel; radius is tight") {
+    val got = Similarity.q173CoresetAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    // the training corpus sits inside its own coverage by construction
+    assert(got.nonEmpty && got.forall(!_._4), "training vector flagged novel")
+    // radius tightness: some vector's distance EQUALS the radius (the
+    // radius is the max assignment distance, not a loose bound)
+    val q171 = Similarity.q171KcenterCoreset(spark, sf).collect()
+    val radius = q171.head.getLong(4)
+    assert(got.exists(_._3 == radius), "no vector at the coverage radius")
+    // independent JVM reference: refit + assign
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }
+      s
+    }
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seed = embs.minBy { case (id, _) => (md5hex(s"$id:kcseed"), id) }
+    var centers = Vector((1L, seed._2))
+    val mind = scala.collection.mutable.Map(
+      embs.map { case (id, v) => id -> d2(v, seed._2) }.toSeq: _*)
+    val selIds = scala.collection.mutable.Set(seed._1)
+    val byId = embs.toMap
+    for (t <- 2L to 6L) {
+      val (fid, _) = embs.iterator.filterNot(e => selIds(e._1))
+        .map { case (id, _) => (id, mind(id)) }
+        .reduceLeft((a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+      centers :+= ((t, byId(fid))); selIds += fid
+      embs.foreach { case (id, v) =>
+        mind(id) = math.min(mind(id), d2(v, byId(fid))) }
+    }
+    val refRadius = mind.values.max
+    val expect = embs.map { case (id, v) =>
+      val (rk, dd) = centers.map { case (crk, cv) => (crk, d2(v, cv)) }
+        .minBy { case (crk, dd) => (dd, crk) }
+      (id, rk, dd, dd > refRadius)
+    }.toSeq
+    assert(got == expect, s"first diff: ${got.zip(expect).find(p => p._1 != p._2)}")
+  }
+
   test("q172 hybrid retrieval: matches an independent JVM BM25 ⊕ cosine RRF reference") {
     val got = Similarity.q172HybridQueryRrf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

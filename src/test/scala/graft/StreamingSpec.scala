@@ -624,6 +624,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("streaming coreset drift monitor unions to batch q173; an out-of-coverage arrival flags novel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val dim = corpus.head._2.length
+    // far outside the unit-ball corpus: d2 to every exemplar is
+    // ~dim·(10e6)² — beyond any coverage radius the fixture can produce
+    val outlier = (999999L, Seq.fill(dim)(10.0f))
+    val model = StreamingOps.buildCoresetModel(spark, TestSpark.sf)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("coreset_ingest_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("coreset_ingest_ckpt").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.coresetAssignAtIngest(
+      mem.toDF().toDF("vec_id", "embedding"), model, outDir, ckpt)
+    try {
+      val (first, second) = corpus.splitAt(3) // deliberately uneven
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq :+ outlier)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      val got = spark.read.parquet(outDir)
+        .select("vec_id", "rk", "d2c", "novel")
+        .collect().map(key).toSet
+      val expect = SparkEntry.queries("q173_coreset_assign")(
+        spark, TestSpark.sf).collect().map(key).toSet
+      val (outlierRows, corpusRows) = got.partition(_._1 == outlier._1)
+      assert(corpusRows == expect,
+        s"stream/batch mismatch: ${(corpusRows diff expect) ++ (expect diff corpusRows)}")
+      assert(outlierRows.size == 1 && outlierRows.head._4,
+        s"out-of-coverage arrival not flagged novel: $outlierRows")
+    } finally { q.stop(); (): Unit }
+  }
+
   test("streaming hybrid RRF at ingest unions to the batch core; q172's workload reproduces its frame") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
