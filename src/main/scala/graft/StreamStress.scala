@@ -293,6 +293,19 @@ object StreamStress {
               s, hybIdx, s"$workDir/h_out", s"$workDir/h_ckpt")
           } finally hybIdx.unpersist()
         },
+        "hybrid_rrf_ingest_f4" -> {
+          val hybIdx = graft.streaming.StreamingOps
+            .buildHybridServingIndex(spark, dst)
+          try runStream(spark, hybIn, nHyb, filesPerTrigger = 4) { s =>
+            graft.streaming.StreamingOps.hybridRrfAtIngest(
+              s, hybIdx, s"$workDir/h4_out", s"$workDir/h4_ckpt")
+          } finally hybIdx.unpersist()
+        },
+        // unlike the row-linear ivf/adc surfaces, per-batch work here
+        // scales SUPERLINEARLY in batch size through the (query, rep)
+        // aggregation state, so the saturated point is not the
+        // throughput-optimal end of this curve — the artifact records
+        // that fact rather than assuming the ivf-shaped monotonicity
         "hybrid_rrf_ingest_saturated" -> {
           val hybIdx = graft.streaming.StreamingOps
             .buildHybridServingIndex(spark, dst)

@@ -80,5 +80,63 @@ object Q172Probe {
         graft.ops.Similarity.q172HybridQueryRrf(spark, dir).count()
       }
     }
+    // twin-saturated simulation: the SAME core over a parquet-read
+    // 400-query frame against a FRESH (non-memo) serving index — the
+    // StreamStress saturated surface minus the streaming wrapper
+    val freshIdx = time("fresh serving index build") {
+      graft.streaming.StreamingOps.buildHybridServingIndex(spark, dir)
+    }
+    val hybIn = "/tmp/graft-stream-hyb-in"
+    if (new java.io.File(hybIn).exists()) {
+      val qf = spark.read.parquet(hybIn)
+      (1 to 2).foreach { i =>
+        time(s"core-on-parquet-queries pass $i (fresh idx)") {
+          graft.ops.Similarity.hybridQueryCore(qf, freshIdx).count()
+        }
+      }
+      // halves on the parquet frame, against the fresh index
+      val pQtok = qf.select(col("query_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      val pQsel = broadcast(pQtok).join(freshIdx.dfTable, Seq("token"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("df"), col("token"))))
+        .filter(col("rn") <= 8)
+        .select("query_id", "token", "df")
+      val pScored = freshIdx.postings.join(broadcast(pQsel), Seq("token"))
+        .crossJoin(broadcast(freshIdx.totals))
+        .select(col("query_id"), col("rep"),
+          expr("(((2 * n - 2 * df + 1) * 1000000) div (2 * df + 1) * " +
+            "((22 * tf * avgdl_milli * 1000000) div " +
+            "(10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl))) div 1000000")
+            .as("contrib_micro"))
+        .groupBy("query_id", "rep")
+        .agg(sum("contrib_micro").as("score_micro"))
+        .join(freshIdx.membership, Seq("rep"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id")
+        .agg(graft.functions.expressions.TopKAggregates
+          .topKAscLong(-col("score_micro"), col("doc_id"), col("doc_id"), 12)
+          .as("top"))
+      time("parquet lex half") { println("  lex: " + pScored.count()) }
+      time("parquet lex half again") { pScored.count() }
+      import graft.functions.VectorFunctions._
+      val pQv = qf.filter(col("embedding").isNotNull)
+        .select(col("query_id"), col("embedding").as("q_emb"),
+          norm(col("embedding")).as("q_norm"))
+      val pDen = broadcast(pQv)
+        .join(freshIdx.corpus, col("query_id") =!= col("cand_id"))
+        .select(col("query_id"),
+          (-floor(cosinePrenormed(dot(col("q_emb"), col("c_emb")),
+            col("q_norm"), col("c_norm")) * lit(1e6) + lit(0.5)).cast("long"))
+            .as("neg_micro"),
+          col("cand_id"))
+        .groupBy("query_id")
+        .agg(graft.functions.expressions.TopKAggregates
+          .topKAscLong(col("neg_micro"), col("cand_id"), col("cand_id"), 12)
+          .as("top"))
+      time("parquet den half") { println("  den: " + pDen.count()) }
+      time("parquet den half again") { pDen.count() }
+    }
+    freshIdx.unpersist()
   }
 }
