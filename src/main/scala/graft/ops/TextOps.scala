@@ -201,29 +201,42 @@ object TextOps {
     */
   def q84HeavyHitters(s: SparkSession, d: String, k: Int = 256): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("word"))
-    val candidates = toks.as[String].mapPartitions { it =>
+    // both phases consume the row-local (token, cnt) pairs from the
+    // codegen'd TokenCounts (the q26/q158 move) instead of the exploded
+    // occurrence stream: the typed MG pass and the recount shuffle then
+    // scale with docs × per-doc DISTINCT tokens, not token occurrences
+    // (20.6M -> 3.1M rows at the 20x stress; measured 3.3 -> ~1 s). The
+    // MG fold becomes the WEIGHTED Misra-Gries update (Berinde et al.
+    // 2010): add the full per-doc count at once; on overflow subtract
+    // d = min(incoming, min counter) everywhere, evict zeros, keep the
+    // remainder — the superset guarantee (any token above W/(k+1)
+    // survives the summary) is the weighted form's, and the exact
+    // recount phase makes the final answer bit-identical either way.
+    val tokCnts = Tables.documents(s, d)
+      .select(explode(graft.functions.expressions.TextExpressions
+        .tokenCounts(col("text"))).as("tc"))
+      .select(col("tc.token").as("word"), col("tc.cnt").cast("long").as("cnt"))
+    val candidates = tokCnts.as[(String, Long)].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { w =>
+      it.foreach { case (w, c) =>
         counters.get(w) match {
-          case Some(c) => counters.update(w, c + 1)
-          case None if counters.size < k => counters.update(w, 1L)
+          case Some(x) => counters.update(w, x + c)
+          case None if counters.size < k => counters.update(w, c)
           case None =>
-            // classic MG step: decrement every counter, evict zeros
-            // (in-place value map + filter — no mutation mid-iteration)
-            counters.mapValuesInPlace((_, c) => c - 1)
-            counters.filterInPlace((_, c) => c > 0)
+            val d0 = math.min(c, counters.valuesIterator.min)
+            counters.mapValuesInPlace((_, x) => x - d0)
+            counters.filterInPlace((_, x) => x > 0)
+            if (c - d0 > 0) counters.update(w, c - d0)
         }
       }
       counters.keysIterator
     }.toDF("word").distinct()
-    // N without a third explode pass: per-row token counts summed
-    // row-local (identical value to count over the exploded stream)
+    // N without a third pass: per-row token counts summed row-local
+    // (identical value to count over the exploded stream)
     val totals = Tables.documents(s, d)
       .agg(sum(size(tokens(col("text"))).cast("long")).as("n_total"))
-    toks.join(broadcast(candidates), Seq("word"), "left_semi")
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    tokCnts.join(broadcast(candidates), Seq("word"), "left_semi")
+      .groupBy("word").agg(sum("cnt").as("cnt"))
       .crossJoin(broadcast(totals))
       .filter(col("cnt") * lit(k.toLong) > col("n_total"))
       .select("word", "cnt")
@@ -1063,15 +1076,23 @@ object TextOps {
     * collocation from loose co-occurrence downstream.
     */
   def q110SkipgramCooccur(s: SparkSession, d: String, k: Int = 30): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    // pairs generated ROW-LOCAL: posexplode the token array but RETAIN
+    // the array alongside each row, so a token's +1/+2 successors are
+    // O(1) null-safe `get`s into the same array — no doc-keyed
+    // exchange, no per-doc sort (the first cut's two `lead` windows
+    // cost both), and no per-doc struct-array materialization (a
+    // transform-then-explode variant measured 7.5 s at 20× against the
+    // window shape's 3.1 — building the pair arrays is dearer than the
+    // sort it saves). This shape's only exchange is the final
+    // (w_a, w_b) partial-agg shuffle. `get`, not element_at: ANSI mode
+    // throws on out-of-range element_at, get returns the null the
+    // boundary filter expects.
     Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-      .withColumn("n1", lead("w", 1).over(wd))
-      .withColumn("n2", lead("w", 2).over(wd))
+      .select(tokens(col("text")).as("ts"))
+      .select(col("ts"), posexplode(col("ts")).as(Seq("pos", "w")))
       .select(col("w"), explode(array(
-        struct(col("n1").as("c"), lit(1L).as("off")),
-        struct(col("n2").as("c"), lit(2L).as("off")))).as("e"))
+        struct(get(col("ts"), col("pos") + 1).as("c"), lit(1L).as("off")),
+        struct(get(col("ts"), col("pos") + 2).as("c"), lit(2L).as("off")))).as("e"))
       .select(col("w"), col("e.c").as("c"), col("e.off").as("off"))
       .filter(col("c").isNotNull)
       .select(least(col("w"), col("c")).as("w_a"),
