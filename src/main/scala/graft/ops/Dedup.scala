@@ -2224,19 +2224,46 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(max(when(col("p") === 1, 1).otherwise(0)).as("hp"),
         max(when(col("p") === 2, 1).otherwise(0)).as("hs"))
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-    val ta = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-      size(col("toks")).as("na"))
-    val tb = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-      size(col("toks")).as("nb"))
-    cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+    // verify per DISTINCT TEXT PAIR, not per candidate pair: on a
+    // dup-heavy corpus the sort places identical texts adjacent, so
+    // most window pairs are same-text (jaccard exactly 1.0 — closed
+    // form, nothing to compute) and the cross-text remainder collapses
+    // to the few distinct (rep_a, rep_b) combinations at group
+    // boundaries. The first cut joined the token ARRAYS onto every
+    // candidate pair (~1M arrays through two shuffle joins at the 20×
+    // stress); this shape ships arrays only for the distinct rep
+    // pairs (~50k) and joins the narrow verdict back. Same jaccard,
+    // same rows — a plan move, oracle untouched.
+    val (repDocs, membership) = graft.ops.TextOps.textContraction(s, d)
+    val mA = membership.select(col("doc_id").as("doc_a"),
+      col("rep").as("rep_a"))
+    val mB = membership.select(col("doc_id").as("doc_b"),
+      col("rep").as("rep_b"))
+    val candR = cand.join(mA, Seq("doc_a")).join(mB, Seq("doc_b"))
+      .withColumn("ra", least(col("rep_a"), col("rep_b")))
+      .withColumn("rb", greatest(col("rep_a"), col("rep_b")))
+    val crossPairs = candR.filter(col("rep_a") =!= col("rep_b"))
+      .select("ra", "rb").distinct()
+    val rtoks = repDocs
+      .select(col("doc_id").as("rid"),
+        array_distinct(tokens(col("text"))).as("toks"))
+      .select(col("rid"), col("toks"), size(col("toks")).as("n"))
+    val verified = crossPairs
+      .join(rtoks.select(col("rid").as("ra"), col("toks").as("toks_a"),
+        col("n").as("na")), Seq("ra"))
+      .join(rtoks.select(col("rid").as("rb"), col("toks").as("toks_b"),
+        col("n").as("nb")), Seq("rb"))
       .withColumn("common",
         graft.functions.expressions.TextExpressions
           .arrayIntersectCount(col("toks_a"), col("toks_b")))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("ra"), col("rb"),
         r4(col("common").cast("double") /
-          (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"),
+          (col("na") + col("nb") - col("common")).cast("double"))
+          .as("jx"))
+    candR.join(verified, Seq("ra", "rb"), "left_outer")
+      .select(col("doc_a"), col("doc_b"),
+        when(col("rep_a") === col("rep_b"), lit(1.0))
+          .otherwise(col("jx")).as("jaccard"),
         (col("hp") === 1).as("hit_prefix"), (col("hs") === 1).as("hit_suffix"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
