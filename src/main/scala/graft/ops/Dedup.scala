@@ -608,7 +608,14 @@ object Dedup {
           .when(col("nb") < col("na"), col("ida"))
           .otherwise(greatest(col("ida"), col("idb"))).as("container_doc"),
         col("containment"))
-    out.orderBy("contained_doc", "container_doc")
+    // NO presentation orderBy, deliberately: q121 is the one registered
+    // query whose ANSWER is member-quadratic (4e9 rows at the 20×
+    // stress), and a global sort of it costs what the shuffle audit
+    // measured — 29 GB of exchange write and 157 GB of sort spill —
+    // for ordering no pipeline consumer of a pair table wants. The
+    // correctness gate sorts before hashing, so the order carries no
+    // information; small-answer queries keep their tidy orderBy.
+    out
   }
 
   /** REP-LEVEL containment artifact (q141) — the dup-count-INVARIANT
