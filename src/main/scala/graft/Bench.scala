@@ -21,6 +21,22 @@ object Bench {
     * within this factor of the run's fastest probe. */
   val ProbeSlack = 1.5
 
+  /** This machine's measured idle probe floor (seconds): every committed
+    * clean artifact since r12 bottoms out at 0.050-0.085 s, so 0.090 is
+    * the upper edge of idle. Recorded in the artifact (`probe_idle_ref`)
+    * and used for `clean_sweeps_abs`, the ABSOLUTE twin of the relative
+    * gate: the r13 discarded sweep showed a contention burst can inflate
+    * BOTH sweeps' middles while the bracketing probes stay mutually
+    * consistent — relative-clean, absolutely contended. clean_sweeps_abs
+    * < clean_sweeps is that exact signature. The constant is
+    * machine-specific and would rot on a host move, which is why it's
+    * informational (embedded, compared by the reader/diff script) rather
+    * than a run-abort: the artifact says what the floor was ASSUMED to
+    * be, so a cross-round comparison can recalibrate instead of
+    * silently trusting it.
+    */
+  val IdleProbeRef = 0.090
+
   /** One calibration probe: a fixed CPU-bound codegen'd job (~50-80 ms
     * at local[32]) whose cost depends only on machine load — no I/O, no
     * shuffle, no data. When a co-tenant process steals cores, the probe
@@ -127,6 +143,14 @@ object Bench {
     Run(results, probes.toSeq, sweeps.size, cleanCount())
   }
 
+  /** Sweeps clean in the ABSOLUTE sense: both bracketing probes under
+    * [[IdleProbeRef]] * [[ProbeSlack]]. See IdleProbeRef for why this
+    * exists alongside the relative gate. */
+  def cleanSweepsAbs(run: Run): Int =
+    (0 until run.sweeps).count(i =>
+      run.probes(i) <= IdleProbeRef * ProbeSlack &&
+        run.probes(i + 1) <= IdleProbeRef * ProbeSlack)
+
   /** Timing-protocol version, embedded in every artifact so cross-round
     * totals are never silently compared across protocol changes (the
     * round-3→4 warm-at-timed-dir change made r3 numbers look like
@@ -193,7 +217,7 @@ object Bench {
       val offs = offenders.map(o => "\"" + o + "\"").mkString("[", ",", "]")
       s""""bench_diff":"$verdict","bench_regressed":$offs,"""
     }.getOrElse("")
-    s"""{"queries":$qs,"sf":"$sfDir","protocol":"${protocol(passes)}","probes":$probes,"sweeps":${run.sweeps},"clean_sweeps":${run.cleanSweeps},$diffFields"unit":"sec","metric":"total","value":${r3(total)}}"""
+    s"""{"queries":$qs,"sf":"$sfDir","protocol":"${protocol(passes)}","probes":$probes,"sweeps":${run.sweeps},"clean_sweeps":${run.cleanSweeps},"probe_idle_ref":${r3(IdleProbeRef)},"clean_sweeps_abs":${cleanSweepsAbs(run)},$diffFields"unit":"sec","metric":"total","value":${r3(total)}}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -80,8 +80,8 @@ object ShuffleAudit {
       try SparkEntry.queries(n)(spark, dst).count()
       catch { case _: Throwable => () }
     }
-    val rows = names.map { n =>
-      val cell = try {
+    val measured = names.map { n =>
+      val cell: Either[String, (Double, Double, Double, Int, Int)] = try {
         val df = SparkEntry.queries(n)(spark, dst)
         // drive THIS DataFrame's own QueryExecution: df.count() would
         // plan and execute a separate aggregate QueryExecution, leaving
@@ -98,16 +98,29 @@ object ShuffleAudit {
         val spill = metricSum(nodes, _ => true, "spillSize")
         val nShuf = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
         val nBcast = nodes.count(_.isInstanceOf[BroadcastExchangeLike])
-        s""""$n":{"shuffle_write_mb":${shufWrite / 1048576.0},""" +
-          s""""broadcast_mb":${bcast / 1048576.0},""" +
-          s""""spill_mb":${spill / 1048576.0},""" +
-          s""""exchanges":$nShuf,"broadcasts":$nBcast}"""
+        Right((shufWrite / 1048576.0, bcast / 1048576.0,
+          spill / 1048576.0, nShuf, nBcast))
       } catch { case e: Throwable =>
-        s""""$n":{"error":"${e.getClass.getSimpleName}"}"""
+        Left(e.getClass.getSimpleName)
       }
-      cell
+      n -> cell
     }
-    val line = s"""{"metric":"shuffle_audit_20x","cpus":$cpus,""" +
+    val rows = measured.map {
+      case (n, Right((shuf, bc, sp, nShuf, nBcast))) =>
+        s""""$n":{"shuffle_write_mb":$shuf,"broadcast_mb":$bc,""" +
+          s""""spill_mb":$sp,"exchanges":$nShuf,"broadcasts":$nBcast}"""
+      case (n, Left(err)) => s""""$n":{"error":"$err"}"""
+    }
+    val diff = shuffleDiff(measured,
+      sys.env.getOrElse("GRAFT_SHUFFLE_BASELINE", "SHUFFLE_r13.json"))
+    val diffFields = diff.map { case (verdict, offenders) =>
+      val offs = offenders.map(o => "\"" + o + "\"").mkString("[", ",", "]")
+      s""""shuffle_diff":"$verdict","shuffle_regressed":$offs,"""
+    }.getOrElse("")
+    diff.foreach { case (v, offs) =>
+      System.err.println(s"[shuffle] shuffle_diff=$v ${offs.mkString(" ")}")
+    }
+    val line = s"""{"metric":"shuffle_audit_20x","cpus":$cpus,$diffFields""" +
       s""""corpus":"$dst","queries":{${rows.mkString(",")}}}"""
     println(line)
     artifact.foreach { path =>
@@ -115,5 +128,46 @@ object ShuffleAudit {
         java.nio.file.Paths.get(path), line + "\n")
     }
     spark.stop()
+  }
+
+  /** Per-query shuffle regression gate vs the committed baseline
+    * artifact — the bench_diff discipline applied to BYTES instead of
+    * seconds, so a plan change that doubles an exchange fails the
+    * round even when local wall-clock hides it (exchanges are nearly
+    * free inside one JVM and dominant on a real network). A query
+    * regresses iff its shuffle write grows >2× the baseline AND >16 MB
+    * absolute (two-sided: byte metrics on small queries wobble with
+    * AQE partition counts), or it SPILLS where the baseline didn't
+    * (>1 MB vs ≤1 MB — every committed artifact is zero-spill, so any
+    * real spill is a new q121-class defect), or it errored in this
+    * run. Queries absent from the baseline never fail — adding
+    * coverage can't break the gate. Returns None when no baseline
+    * exists.
+    */
+  private[graft] def shuffleDiff(
+      measured: Seq[(String, Either[String, (Double, Double, Double, Int, Int)])],
+      baselinePath: String): Option[(String, Seq[String])] = {
+    val p = java.nio.file.Paths.get(baselinePath)
+    if (!java.nio.file.Files.exists(p)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(
+      java.nio.file.Files.readString(p).trim.linesIterator.toList.last)
+    val old = root.get("queries")
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val offenders = measured.collect {
+      case (q, Left(err)) => Seq(s"$q:error:$err")
+      case (q, Right((shuf, _, spill, _, _)))
+          if old.has(q) && old.get(q).has("shuffle_write_mb") =>
+        val oldShuf = old.get(q).get("shuffle_write_mb").asDouble
+        val oldSpill = old.get(q).get("spill_mb").asDouble
+        val shufBad = shuf > 2 * oldShuf && shuf - oldShuf > 16.0
+        val spillBad = spill > 1.0 && oldSpill <= 1.0
+        (if (shufBad)
+          Seq(s"$q:shuffle:${fmt(oldShuf)}->${fmt(shuf)}mb") else Seq.empty) ++
+          (if (spillBad)
+            Seq(s"$q:spill:${fmt(oldSpill)}->${fmt(spill)}mb") else Seq.empty)
+    }.flatten
+    Some((if (offenders.isEmpty) "PASS" else "FAIL", offenders))
   }
 }

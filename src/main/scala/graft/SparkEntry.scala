@@ -223,6 +223,8 @@ object SparkEntry {
     // coreset assignment + coverage-drift flags: the consumer side of
     // q171's model (the ingest drift monitor's batch body)
     "q173_coreset_assign" -> ((s, d) => Similarity.q173CoresetAssign(s, d)),
+    "q174_hybrid_ann_rrf" -> ((s, d) => Similarity.q174HybridAnnRrf(s, d)),
+    "q175_ce_rerank" -> ((s, d) => Similarity.q175CeRerank(s, d)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -761,6 +763,184 @@ object SparkEntry {
        | adc_d2, conv.iters AS n_iters
        |FROM ranked CROSS JOIN conv WHERE rk <= 3
        |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** The per-query hybrid LEXICAL chain (shared verbatim by q172's and
+    * q174's oracles — the Spark side shares TextOps.bm25IndexFrames +
+    * hybridFuseCore the same way): full-vocabulary tf/df, the %50 query
+    * set, df-rarest 8 terms per query, q158's integer BM25 arithmetic,
+    * per-query (score desc, doc_id) rank to 12. Ends at
+    * `lex(query_id, doc_id, lex_rank)`.
+    */
+  private lazy val hybridLexCtes: String =
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST((sum(len(ts)) * 1000) // count(*) AS BIGINT) AS avgdl_milli
+       | FROM t),
+       |u AS (SELECT doc_id, unnest(ts) AS token,
+       |  CAST(len(ts) AS BIGINT) AS dl FROM t),
+       |tf AS MATERIALIZED (SELECT doc_id, token,
+       |  CAST(count(*) AS BIGINT) AS tf, CAST(min(dl) AS BIGINT) AS dl
+       | FROM u GROUP BY doc_id, token),
+       |dfx AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS df
+       | FROM tf GROUP BY token),
+       |qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0),
+       |qt AS (SELECT q.query_id, tf.token, dfx.df
+       | FROM qs q JOIN tf ON tf.doc_id = q.query_id JOIN dfx USING (token)),
+       |qsel AS (SELECT query_id, token FROM (
+       |  SELECT query_id, token, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY df, token) AS rn FROM qt) WHERE rn <= 8),
+       |c AS (SELECT s.query_id, tf.doc_id,
+       |  CAST(((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1) AS BIGINT) AS idf_micro,
+       |  CAST((22 * tf * avgdl_milli * 1000000)
+       |    // (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl) AS BIGINT) AS frac_micro
+       | FROM qsel s JOIN tf USING (token) JOIN dfx USING (token), st),
+       |sc AS (SELECT query_id, doc_id,
+       |  CAST(sum((idf_micro * frac_micro) // 1000000) AS BIGINT) AS score_micro
+       | FROM c WHERE doc_id <> query_id GROUP BY query_id, doc_id),
+       |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id)
+       |    AS BIGINT) AS lex_rank FROM sc) WHERE lex_rank <= 12)""".stripMargin
+
+  /** The hybrid RRF fusion tail as CTEs (shared verbatim by
+    * q172/q174/q175 — the Spark side shares hybridFuseCore the same
+    * way): full-outer join of `lex` and
+    * `denrk(query_id, doc_id, sem_rank)`, integer 1e6 // (60 + rank)
+    * with absent-list 0, per-query rank. Ends at `fused` (unfiltered
+    * rank so consumers pick their own k).
+    */
+  private lazy val hybridFuseCtes: String =
+    s"""f AS (SELECT COALESCE(l.query_id, r.query_id) AS query_id,
+       |  COALESCE(l.doc_id, r.doc_id) AS doc_id, l.lex_rank, r.sem_rank,
+       |  CAST(COALESCE(CAST(1000000 AS BIGINT) // (60 + l.lex_rank), 0) +
+       |       COALESCE(CAST(1000000 AS BIGINT) // (60 + r.sem_rank), 0)
+       |    AS BIGINT) AS rrf_micro
+       | FROM lex l FULL OUTER JOIN denrk r
+       |  ON l.query_id = r.query_id AND l.doc_id = r.doc_id),
+       |fused AS (SELECT query_id, doc_id, lex_rank, sem_rank, rrf_micro,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank FROM f)""".stripMargin
+
+  /** The fused-top-10 SELECT shared by q172/q174 (q175 consumes `fused`
+    * as a CTE instead).
+    */
+  private lazy val hybridFuseSql: String =
+    s"""$hybridFuseCtes
+       |SELECT query_id, rank, doc_id, lex_rank, sem_rank, rrf_micro
+       |FROM fused WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The exact-cosine dense list as CTEs (shared by q172/q175 — the
+    * honest full-scan tier): per-%50-query (sim6 desc, doc_id) rank to
+    * 12. Ends at `denrk(query_id, doc_id, sem_rank)`.
+    */
+  private lazy val hybridExactDenCtes: String =
+    s"""den AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+       |  ${sqlRn(cosSql, 6)} AS sim6
+       | FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+       | WHERE a.vec_id % 50 = 0),
+       |denrk AS (SELECT query_id, doc_id, sem_rank FROM (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim6 DESC, doc_id)
+       |    AS BIGINT) AS sem_rank FROM den) WHERE sem_rank <= 12)""".stripMargin
+
+  /** q175's oracle — mirrors Similarity.q175CeRerank: q172's fused
+    * top-10 (the shared lexical/dense/fusion chain, verbatim), then the
+    * per-pair feature recount — list_intersect over distinct token
+    * sets, the q165-style floor(r6(cos)·1e6 + 0.5) micro cosine,
+    * integer length ratio, missing modality → 0 — and the re-rank by
+    * (ce_score desc, doc_id). Weights 3/2/1/1 in lockstep with the
+    * Spark side.
+    */
+  private lazy val q175Sql: String =
+    s"""WITH $hybridLexCtes,
+       |$hybridExactDenCtes,
+       |$hybridFuseCtes,
+       |topk AS MATERIALIZED (SELECT query_id, rank AS prior_rank, doc_id,
+       |  rrf_micro FROM fused WHERE rank <= 10),
+       |dtt AS MATERIALIZED (SELECT doc_id AS tid, list_distinct(ts) AS ts,
+       |  CAST(len(list_distinct(ts)) AS BIGINT) AS nt FROM t),
+       |feat AS (SELECT k.query_id, k.prior_rank, k.doc_id, k.rrf_micro,
+       |  CASE WHEN qa.tid IS NOT NULL AND cb.tid IS NOT NULL
+       |    THEN CAST(len(list_intersect(qa.ts, cb.ts)) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS common,
+       |  COALESCE(qa.nt, 0) AS q_nt, COALESCE(cb.nt, 0) AS c_nt,
+       |  CASE WHEN a.vec_id IS NOT NULL AND b.vec_id IS NOT NULL
+       |    THEN CAST(floor(${sqlRn(cosSql, 6)} * 1000000 + 0.5) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS cos_micro
+       | FROM topk k
+       | LEFT JOIN dtt qa ON qa.tid = k.query_id
+       | LEFT JOIN dtt cb ON cb.tid = k.doc_id
+       | LEFT JOIN embeddings a ON a.vec_id = k.query_id
+       | LEFT JOIN embeddings b ON b.vec_id = k.doc_id),
+       |scored AS (SELECT query_id, prior_rank, doc_id, rrf_micro, common,
+       |  cos_micro,
+       |  CASE WHEN q_nt + c_nt - common > 0
+       |    THEN (1000000 * common) // (q_nt + c_nt - common)
+       |    ELSE CAST(0 AS BIGINT) END AS jac_micro,
+       |  CASE WHEN q_nt > 0 AND c_nt > 0
+       |    THEN (1000000 * least(q_nt, c_nt)) // greatest(q_nt, c_nt)
+       |    ELSE CAST(0 AS BIGINT) END AS len_micro
+       | FROM feat),
+       |rr AS (SELECT query_id, doc_id, prior_rank, cos_micro, jac_micro,
+       |  len_micro, rrf_micro,
+       |  CAST(3 * cos_micro + 2 * jac_micro + len_micro + rrf_micro
+       |    AS BIGINT) AS ce_score_micro
+       | FROM scored)
+       |SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ce_score_micro DESC, doc_id) AS BIGINT) AS ce_rank,
+       | doc_id, prior_rank, ce_score_micro, cos_micro, jac_micro,
+       | len_micro, rrf_micro
+       |FROM rr ORDER BY query_id, ce_rank""".stripMargin
+
+  /** q174's oracle — mirrors Similarity.q174HybridAnnRrf: the shared
+    * lexical chain ([[hybridLexCtes]]) fused with a dense list replayed
+    * through q169's PQ/ADC machinery — the coarse chain prunes each %50
+    * query to nProbe=2 buckets, the PqM sub-chains give candidate codes
+    * and the per-query BIGINT lookup tables, ADC distance = the PqM-term
+    * lut sum, (adc_d2, cand_id) rank to 12 — then the shared RRF tail.
+    */
+  private lazy val q174Sql: String = {
+    val mM = graft.ops.Similarity.PqM
+    def d2(a: String, b: String): String = ivfD2(a, b)
+    val lutUnion = (0 until mM).map { m =>
+      s"""SELECT q.query_id, CAST($m AS BIGINT) AS subspace,
+         |  c.centroid AS code,
+         |  CAST(${d2(
+             s"list_slice(q.mvec, $m * (len(q.mvec) // $mM) + 1, ${m + 1} * (len(q.mvec) // $mM))",
+             "c.cvec")} AS BIGINT) AS pd
+         | FROM q, p${m}_kcf c""".stripMargin
+    }.mkString("\n UNION ALL ")
+    s"""WITH $hybridLexCtes,
+       |$ivfChainCtes,
+       |$pqSubChains,
+       |af AS MATERIALIZED (SELECT vec_id, centroid FROM (
+       |  SELECT m.vec_id, c.centroid,
+       |   row_number() OVER (PARTITION BY m.vec_id
+       |     ORDER BY ${d2("m.mvec", "c.cvec")}, c.centroid) AS rn
+       |  FROM m, kcf c) WHERE rn = 1),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, mvec FROM m WHERE vec_id % 50 = 0),
+       |pr AS (SELECT query_id, centroid FROM (
+       |  SELECT q.query_id, c.centroid,
+       |   row_number() OVER (PARTITION BY q.query_id
+       |     ORDER BY ${d2("q.mvec", "c.cvec")}, c.centroid) AS rn
+       |  FROM q, kcf c) WHERE rn <= 2),
+       |enc AS MATERIALIZED (${pqEncSql(withIters = false)}),
+       |lut AS MATERIALIZED ($lutUnion),
+       |cand AS (SELECT pr.query_id, af.vec_id AS cand_id
+       | FROM pr JOIN af ON pr.centroid = af.centroid
+       | WHERE pr.query_id <> af.vec_id),
+       |adc AS (SELECT cand.query_id, cand.cand_id,
+       |  CAST(sum(lut.pd) AS BIGINT) AS adc_d2
+       | FROM cand JOIN enc ON enc.vec_id = cand.cand_id
+       | JOIN lut ON lut.query_id = cand.query_id
+       |  AND lut.subspace = enc.subspace AND lut.code = enc.code
+       | GROUP BY cand.query_id, cand.cand_id),
+       |denrk AS (SELECT query_id, cand_id AS doc_id, sem_rank FROM (
+       |  SELECT query_id, cand_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_d2, cand_id) AS BIGINT) AS sem_rank
+       |  FROM adc) WHERE sem_rank <= 12),
+       |$hybridFuseSql""".stripMargin
   }
 
   /** q165's oracle — mirrors Similarity.q165MmrTopK: q40's exact
@@ -2638,55 +2818,19 @@ object SparkEntry {
     // query), exact-cosine dense top-12 (sim6 rounding + cand_id tie),
     // q170's integer RRF, per-query re-rank to 10 (keep in lockstep)
     "q172_hybrid_query_rrf" ->
-      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |  CAST((sum(len(ts)) * 1000) // count(*) AS BIGINT) AS avgdl_milli
-         | FROM t),
-         |u AS (SELECT doc_id, unnest(ts) AS token,
-         |  CAST(len(ts) AS BIGINT) AS dl FROM t),
-         |tf AS MATERIALIZED (SELECT doc_id, token,
-         |  CAST(count(*) AS BIGINT) AS tf, CAST(min(dl) AS BIGINT) AS dl
-         | FROM u GROUP BY doc_id, token),
-         |dfx AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS df
-         | FROM tf GROUP BY token),
-         |qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0),
-         |qt AS (SELECT q.query_id, tf.token, dfx.df
-         | FROM qs q JOIN tf ON tf.doc_id = q.query_id JOIN dfx USING (token)),
-         |qsel AS (SELECT query_id, token FROM (
-         |  SELECT query_id, token, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY df, token) AS rn FROM qt) WHERE rn <= 8),
-         |c AS (SELECT s.query_id, tf.doc_id,
-         |  CAST(((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1) AS BIGINT) AS idf_micro,
-         |  CAST((22 * tf * avgdl_milli * 1000000)
-         |    // (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl) AS BIGINT) AS frac_micro
-         | FROM qsel s JOIN tf USING (token) JOIN dfx USING (token), st),
-         |sc AS (SELECT query_id, doc_id,
-         |  CAST(sum((idf_micro * frac_micro) // 1000000) AS BIGINT) AS score_micro
-         | FROM c WHERE doc_id <> query_id GROUP BY query_id, doc_id),
-         |lex AS (SELECT query_id, doc_id, lex_rank FROM (
-         |  SELECT query_id, doc_id, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id)
-         |    AS BIGINT) AS lex_rank FROM sc) WHERE lex_rank <= 12),
-         |den AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
-         |  ${sqlRn(cosSql, 6)} AS sim6
-         | FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-         | WHERE a.vec_id % 50 = 0),
-         |denrk AS (SELECT query_id, doc_id, sem_rank FROM (
-         |  SELECT query_id, doc_id, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY sim6 DESC, doc_id)
-         |    AS BIGINT) AS sem_rank FROM den) WHERE sem_rank <= 12),
-         |f AS (SELECT COALESCE(l.query_id, r.query_id) AS query_id,
-         |  COALESCE(l.doc_id, r.doc_id) AS doc_id, l.lex_rank, r.sem_rank,
-         |  CAST(COALESCE(CAST(1000000 AS BIGINT) // (60 + l.lex_rank), 0) +
-         |       COALESCE(CAST(1000000 AS BIGINT) // (60 + r.sem_rank), 0)
-         |    AS BIGINT) AS rrf_micro
-         | FROM lex l FULL OUTER JOIN denrk r
-         |  ON l.query_id = r.query_id AND l.doc_id = r.doc_id)
-         |SELECT query_id, rank, doc_id, lex_rank, sem_rank, rrf_micro FROM (
-         | SELECT query_id, doc_id, lex_rank, sem_rank, rrf_micro,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank FROM f)
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $hybridLexCtes,
+         |$hybridExactDenCtes,
+         |$hybridFuseSql""".stripMargin,
+    // mirrors Similarity.q174HybridAnnRrf — the SAME lexical chain and
+    // RRF fusion as q172 (shared fragments, structural lockstep), dense
+    // list replayed through q169's unrolled PQ/ADC chain at the %50
+    // query set: coarse assignment, nProbe=2 probed buckets, per-query
+    // LUT, BIGINT ADC sum, (adc_d2, cand_id) rank to 12
+    "q174_hybrid_ann_rrf" -> q174Sql,
+    // mirrors Similarity.q175CeRerank — q172's fused top-10 re-scored
+    // per pair (micro cosine, distinct-token Jaccard, length ratio,
+    // fusion prior; 3/2/1/1 weights) and re-ranked (keep in lockstep)
+    "q175_ce_rerank" -> q175Sql,
     // mirrors TextOps.q128TokenBudgetMix — md5-ranked order, explicit
     // ROWS-frame running token sum, cum_before < 1000 membership (keep
     // in lockstep)

@@ -27,7 +27,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamStress {
 
-  private def rmrf(p: String): Unit = {
+  private[graft] def rmrf(p: String): Unit = {
     val f = new java.io.File(p)
     if (f.exists()) {
       Option(f.listFiles()).foreach(_.foreach(c => rmrf(c.getPath)))
@@ -41,7 +41,7 @@ object StreamStress {
   /** Run one streaming surface over the chunked input; returns the
     * measurement fields as (key, json-value) pairs.
     */
-  private def runStream(spark: SparkSession, inDir: String, nRows: Long,
+  private[graft] def runStream(spark: SparkSession, inDir: String, nRows: Long,
       filesPerTrigger: Int = 1)(
       start: DataFrame => StreamingQuery): Seq[(String, String)] = {
     val schema = spark.read.parquet(inDir).schema
@@ -313,6 +313,43 @@ object StreamStress {
             graft.streaming.StreamingOps.hybridRrfAtIngest(
               s, hybIdx, s"$workDir/h2_out", s"$workDir/h2_ckpt")
           } finally hybIdx.unpersist()
+        },
+        // the ANN-backed hybrid twin (q174's): same lexical side and
+        // fusion, dense list from the COMPRESSED ADC index at √N
+        // serving geometry instead of the exact per-batch corpus scan —
+        // the surface that converts SCALE.md's "swaps to the ADC tier
+        // at serving scale" from prose into a measured number. Same
+        // trigger-size curve; rows are queries, so rows_per_sec is
+        // requests/s, directly comparable to hybrid_rrf_ingest's.
+        "hybrid_ann_ingest" -> {
+          val hybIdx = graft.streaming.StreamingOps
+            .buildHybridServingIndex(spark, dst)
+          val pqIdx = graft.streaming.StreamingOps.buildPqServingIndex(
+            spark, dst)
+          try runStream(spark, hybIn, nHyb) { s =>
+            graft.streaming.StreamingOps.hybridAnnAtIngest(
+              s, hybIdx, pqIdx, s"$workDir/ha_out", s"$workDir/ha_ckpt")
+          } finally { hybIdx.unpersist(); pqIdx.unpersist() }
+        },
+        "hybrid_ann_ingest_f4" -> {
+          val hybIdx = graft.streaming.StreamingOps
+            .buildHybridServingIndex(spark, dst)
+          val pqIdx = graft.streaming.StreamingOps.buildPqServingIndex(
+            spark, dst)
+          try runStream(spark, hybIn, nHyb, filesPerTrigger = 4) { s =>
+            graft.streaming.StreamingOps.hybridAnnAtIngest(
+              s, hybIdx, pqIdx, s"$workDir/ha4_out", s"$workDir/ha4_ckpt")
+          } finally { hybIdx.unpersist(); pqIdx.unpersist() }
+        },
+        "hybrid_ann_ingest_saturated" -> {
+          val hybIdx = graft.streaming.StreamingOps
+            .buildHybridServingIndex(spark, dst)
+          val pqIdx = graft.streaming.StreamingOps.buildPqServingIndex(
+            spark, dst)
+          try runStream(spark, hybIn, nHyb, filesPerTrigger = nBatches) { s =>
+            graft.streaming.StreamingOps.hybridAnnAtIngest(
+              s, hybIdx, pqIdx, s"$workDir/ha2_out", s"$workDir/ha2_ckpt")
+          } finally { hybIdx.unpersist(); pqIdx.unpersist() }
         },
         "phash_match_ingest" -> {
           // corpus index over the full 20x docs (reps = sf0.1-sized

@@ -440,6 +440,89 @@ case class PqLutFlat(child: Expression,
     copy(child = newChild)
 }
 
+/** Codegen'd NEAREST-CENTER assignment for the k-center family: the
+  * (d2, rk) lexicographic argmin of a micro-unit vector against the
+  * literal center list — returns [d2c, rk] as a 2-element array.
+  * centers(i) is the rank-(i+1) exemplar's micro-vector (rank order),
+  * so the strict `<` keeps the EARLIER-selected center on distance
+  * ties — exactly the `least()`-of-(d2, rk)-structs chain it replaces
+  * and the oracle's (d2, rk) window ordering.
+  *
+  * Why a custom Expression: the composable `least()` chain is k
+  * struct allocations + a k-deep comparison tree PER ROW and a k·dims
+  * literal tree in the PLAN. Measured at 20× (KcenterProbe, NOTES
+  * r14): unlike q169's PqEncodeCodes case the chain does NOT fall out
+  * of whole-stage codegen even at k=512 (expression splitting holds),
+  * but this loop is still 1.5-1.7× faster per pass with a per-row
+  * profile flat in k, and the model rides as ONE reference object —
+  * plan analysis/codegen cost independent of k, which is what keeps
+  * data-pruning k (10²–10⁴ exemplars) viable. Same exact-integer
+  * arithmetic, same prefix fold on a length mismatch as
+  * [[LongVecDist2]]; null vector → null.
+  */
+case class KcenterNearest(child: Expression, centers: Array[Array[Long]])
+    extends UnaryExpression {
+  require(centers.nonEmpty, "KcenterNearest: empty center list")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "kcenter_nearest"
+
+  override def nullSafeEval(v: Any): Any = {
+    val mv = v.asInstanceOf[ArrayData]
+    var best = Long.MaxValue
+    var brk = 0L
+    var c = 0
+    while (c < centers.length) {
+      val cv = centers(c)
+      val n = math.min(cv.length, mv.numElements())
+      var d = 0L
+      var i = 0
+      while (i < n) {
+        val t = mv.getLong(i) - cv(i)
+        d += t * t
+        i += 1
+      }
+      if (d < best) { best = d; brk = c + 1L }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(best, brk))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centersRef = ctx.addReferenceObj("kcCenters", centers, "long[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val n = ctx.freshName("n")
+      val cv = ctx.freshName("cv")
+      val best = ctx.freshName("best")
+      val brk = ctx.freshName("brk")
+      s"""
+         |long $best = Long.MAX_VALUE; long $brk = 0L;
+         |for (int $c = 0; $c < $centersRef.length; $c++) {
+         |  long[] $cv = $centersRef[$c];
+         |  int $n = java.lang.Math.min($cv.length, $v.numElements());
+         |  long $d = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $t = $v.getLong($i) - $cv[$i];
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $best) { $best = $d; $brk = (long) ($c + 1); }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray(new long[] { $best, $brk });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object FloatVecExpressions {
   /** Column API for [[FloatDot]]. */
   def floatDot(a: Column, b: Column): Column =
@@ -466,4 +549,8 @@ object FloatVecExpressions {
   def pqLutFlat(qm: Column, books: Array[Array[Array[Long]]],
       subDim: Int): Column =
     Bridge.column(PqLutFlat(Bridge.expression(qm), books, subDim))
+
+  /** Column API for [[KcenterNearest]]. */
+  def kcenterNearest(mvec: Column, centers: Array[Array[Long]]): Column =
+    Bridge.column(KcenterNearest(Bridge.expression(mvec), centers))
 }

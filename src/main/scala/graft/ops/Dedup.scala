@@ -2264,12 +2264,25 @@ object Dedup {
         graft.functions.expressions.TextExpressions
           .arrayIntersectCount(col("toks_a"), col("toks_b")))
       .select(col("ra"), col("rb"),
-        r4(col("common").cast("double") /
-          (col("na") + col("nb") - col("common")).cast("double"))
+        // guarded division (ANSI mode): a cross pair of two DISTINCT
+        // empty-token texts ("" vs "   ") is 0/0 — null under the
+        // oracle's `na + nb - common > 0` guard, a throw if divided
+        when(col("na") + col("nb") - col("common") > 0,
+          r4(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")).cast("double")))
           .as("jx"))
+    // the closed-form 1.0 for same-rep pairs holds only when the rep's
+    // distinct-token set is NON-EMPTY: two identical empty/whitespace
+    // texts are 0/0 under the oracle's `na + nb - common > 0` guard —
+    // NULL, dropped by the threshold filter (the pre-closed-form code
+    // got this via Spark's 0/0 null division; the closed form must
+    // reproduce it). Gate on the rep's token count joined via ra —
+    // same-rep pairs have ra = the shared rep, so n_ra IS that rep's n.
+    val repN = rtoks.select(col("rid").as("ra"), col("n").as("n_ra"))
     candR.join(verified, Seq("ra", "rb"), "left_outer")
+      .join(repN, Seq("ra"), "left_outer")
       .select(col("doc_a"), col("doc_b"),
-        when(col("rep_a") === col("rep_b"), lit(1.0))
+        when(col("rep_a") === col("rep_b") && col("n_ra") > 0, lit(1.0))
           .otherwise(col("jx")).as("jaccard"),
         (col("hp") === 1).as("hit_prefix"), (col("hs") === 1).as("hit_suffix"))
       .filter(col("jaccard") >= threshold)

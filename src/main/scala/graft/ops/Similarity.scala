@@ -1557,7 +1557,73 @@ object Similarity {
     */
   private[graft] def hybridQueryCore(queries: DataFrame, idx: HybridIndex,
       mTerms: Int = 8, kList: Int = 12, kOut: Int = 10, kRrf: Int = 60)
-      : DataFrame = {
+      : DataFrame =
+    hybridFuseCore(queries, idx, exactDenseList(queries, idx, kList),
+      mTerms, kList, kOut, kRrf)
+
+  /** The EXACT dense list — full-scan cosine against the corpus side,
+    * the honest baseline tier (documented on the PlanSpec nested-loop
+    * allowlist). Ranked through the native O(k)-state
+    * [[graft.functions.expressions.TopKAscLongAgg]] on the negated
+    * micro-unit integer (the probeCore lesson — no WindowExec over the
+    * |Q|·N candidate frame). Returns (query_id, doc_id, sem_rank).
+    */
+  private[graft] def exactDenseList(queries: DataFrame, idx: HybridIndex,
+      kList: Int): DataFrame = {
+    val qv = queries.filter(col("embedding").isNotNull)
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+    broadcast(qv)
+      .join(idx.corpus, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"),
+        (-floor(cosinePrenormed(dot(col("q_emb"), col("c_emb")),
+          col("q_norm"), col("c_norm")) * lit(1e6) + lit(0.5)).cast("long"))
+          .as("neg_micro"),
+        col("cand_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.expressions.TopKAggregates
+        .topKAscLong(col("neg_micro"), col("cand_id"), col("cand_id"), kList)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("sem_rank"))
+  }
+
+  /** The ANN dense list — the SAME (query_id, doc_id, sem_rank)
+    * interface served from the COMPRESSED index instead of the exact
+    * |Q|·N scan: q169's ADC probe core ([[adcProbeCore]] — coarse
+    * centroid pruning to nProbe buckets, codegen'd AdcLookupSum over
+    * 8-byte PQ codes, native O(k)-state top-k), rank order
+    * (adc_d2 asc, cand_id asc). This is the tier that makes hybrid
+    * retrieval SERVE at corpus scale: per query the dense cost is
+    * nProbe posting buckets of code lookups, never a corpus scan, and
+    * the resident index is codes (8 B/vector), not floats (256 B).
+    * Recall vs the exact tier is bounded by codebook resolution —
+    * measured in HybridSpec against [[exactDenseList]]'s fusion.
+    */
+  private[graft] def adcDenseList(queries: DataFrame, postings: DataFrame,
+      centroids: DataFrame, books: Array[Array[Array[Long]]], subDim: Int,
+      nProbe: Int, kList: Int): DataFrame = {
+    val q = queries.filter(col("embedding").isNotNull)
+      .select(col("query_id"), microVec(col("embedding")).as("qm"))
+    adcProbeCore(q, postings, centroids.select("centroid", "cvec"),
+        books, subDim, nProbe, kList)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("rk").as("sem_rank"))
+  }
+
+  /** The hybrid fusion body over an EXPLICIT dense list `den`
+    * (query_id, doc_id, sem_rank) — the lexical side + RRF fusion
+    * shared by the exact core ([[hybridQueryCore]]), the ANN-backed
+    * batch query (q174) and both serving twins: ONE definition of the
+    * retrieval arithmetic, so swapping the dense tier can change
+    * ranks only through the dense list itself (fusion identity is
+    * structural, and HybridSpec pins it by feeding both tiers'
+    * fusions the same dense frame).
+    */
+  private[graft] def hybridFuseCore(queries: DataFrame, idx: HybridIndex,
+      den: DataFrame, mTerms: Int = 8, kList: Int = 12, kOut: Int = 10,
+      kRrf: Int = 60): DataFrame = {
     import graft.functions.TextFunctions.tokens
     val qtok = queries.select(col("query_id"),
       explode(array_distinct(tokens(col("text")))).as("token"))
@@ -1599,23 +1665,6 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("doc_id"),
         (col("pos") + 1).cast("long").as("lex_rank"))
-    val qv = queries.filter(col("embedding").isNotNull)
-      .select(col("query_id"), col("embedding").as("q_emb"),
-        norm(col("embedding")).as("q_norm"))
-    val den = broadcast(qv)
-      .join(idx.corpus, col("query_id") =!= col("cand_id"))
-      .select(col("query_id"),
-        (-floor(cosinePrenormed(dot(col("q_emb"), col("c_emb")),
-          col("q_norm"), col("c_norm")) * lit(1e6) + lit(0.5)).cast("long"))
-          .as("neg_micro"),
-        col("cand_id"))
-      .groupBy("query_id")
-      .agg(graft.functions.expressions.TopKAggregates
-        .topKAscLong(col("neg_micro"), col("cand_id"), col("cand_id"), kList)
-        .as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("query_id"), col("t.id").as("doc_id"),
-        (col("pos") + 1).cast("long").as("sem_rank"))
     val wOut = Window.partitionBy("query_id")
       .orderBy(col("rrf_micro").desc, col("doc_id"))
     lex.join(den, Seq("query_id", "doc_id"), "full_outer")
@@ -1651,6 +1700,122 @@ object Similarity {
           .select(col("doc_id").as("query_id"), col("text")),
         Seq("query_id"), "left_outer")
     hybridQueryCore(queries, hybridIndex(s, d))
+  }
+
+  /** ANN-BACKED HYBRID RETRIEVAL (q174) — q172 with the dense tier
+    * SWAPPED from the exact |Q|·N cosine scan to the compressed-index
+    * ADC probe ([[adcDenseList]] = q169's probe core at the fixture
+    * geometry: 8-centroid coarse quantizer, nProbe=2, PqM 8-byte
+    * codes). Same query workload (vec_id % 50), same lexical side
+    * (rarest-8-term BM25 over the full-vocabulary rep postings), same
+    * integer RRF fusion through the SHARED [[hybridFuseCore]] — the
+    * ONLY difference is where the dense list comes from. This is the
+    * production shape of hybrid retrieval at 100 TB: the lexical side
+    * is term-bounded, the dense side is bucket-bounded, and nothing
+    * rescans the corpus per query. The oracle replays the whole thing
+    * — BM25 chain ⊕ the unrolled PQ/ADC chain ⊕ RRF — in exact
+    * integers; recall vs the exact-tier fusion (q172) is measured in
+    * HybridSpec, the honest approximation contract.
+    */
+  def q174HybridAnnRrf(s: SparkSession, d: String, nProbe: Int = 2,
+      nCentroids: Int = 8): DataFrame = {
+    val (books, _, subDim) = pqCodebooks(s, d)
+    val (cents, nItersCoarse, _) = quantize(s, d, nCentroids)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), microVec(col("embedding")).as("mvec"))
+    val postings = withAssignment(e, cents)
+      .select(col("vec_id").as("cand_id"), col("centroid"),
+        pqCodeArray(books, subDim).as("codes"))
+    val queries = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .join(Tables.documents(s, d)
+          .select(col("doc_id").as("query_id"), col("text")),
+        Seq("query_id"), "left_outer")
+    val den = adcDenseList(queries, postings,
+      centroidFrame(s, cents, nItersCoarse), books, subDim, nProbe,
+      kList = 12)
+    hybridFuseCore(queries, hybridIndex(s, d), den)
+  }
+
+  /** CROSS-ENCODER-STYLE RERANK (q175) — the scoring pass a retrieval
+    * stack runs over its fused candidates before serving: q172's
+    * hybrid top-10 per query is re-scored per (query, candidate) with
+    * a feature model — exact embedding cosine, distinct-token Jaccard,
+    * token-count length ratio, and the fusion prior — and re-ranked by
+    * the combined score. The combination is a FIXED integer-weighted
+    * sum (3·cos + 2·jac + len + rrf, micro-units): a deterministic
+    * stand-in for a learned cross-encoder, the multimodal-stub
+    * discipline — the model weights are a placeholder, but the
+    * Spark-side plumbing a real reranker needs (k-bounded pair frame,
+    * per-pair feature joins against corpus tables, integer micro-unit
+    * arithmetic, per-query re-rank) is real and oracle-gated. A
+    * missing modality contributes 0 (queries without a document row,
+    * candidates without an embedding) — the fusion's absent-signal
+    * semantics carried through.
+    *
+    * Scale shape: the pair frame is |Q|·kOut rows — k-bounded, never
+    * corpus-shaped — and it BROADCASTS into four keyed equality joins
+    * that probe the corpus tables (docs twice, embeddings twice, each
+    * a pushdown-pruned scan); the rerank window is kOut rows per
+    * query. At 100 TB the cost is the two corpus scans, independent of
+    * |Q|, exactly what a feature-fetch stage costs in production.
+    */
+  def q175CeRerank(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val fused = q172HybridQueryRrf(s, d)
+      .select(col("query_id"), col("rank").as("prior_rank"),
+        col("doc_id"), col("rrf_micro"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id").as("tid"),
+        array_distinct(tokens(col("text"))).as("ts"))
+      .select(col("tid"), col("ts"), size(col("ts")).cast("long").as("nt"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    def micro6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val feat = broadcast(fused)
+      .join(toks.select(col("tid").as("query_id"), col("ts").as("q_ts"),
+        col("nt").as("q_nt")), Seq("query_id"), "left_outer")
+      .join(toks.select(col("tid").as("doc_id"), col("ts").as("c_ts"),
+        col("nt").as("c_nt")), Seq("doc_id"), "left_outer")
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm")),
+        Seq("query_id"), "left_outer")
+      .join(emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm")),
+        Seq("doc_id"), "left_outer")
+      .withColumn("common",
+        when(col("q_ts").isNotNull && col("c_ts").isNotNull,
+          graft.functions.expressions.TextExpressions
+            .arrayIntersectCount(col("q_ts"), col("c_ts")).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("jac_micro", when(
+        coalesce(col("q_nt"), lit(0L)) + coalesce(col("c_nt"), lit(0L))
+          - col("common") > 0,
+        expr("(1000000 * common) div " +
+          "(coalesce(q_nt, 0) + coalesce(c_nt, 0) - common)"))
+        .otherwise(lit(0L)))
+      .withColumn("cos_micro",
+        when(col("q_emb").isNotNull && col("c_emb").isNotNull,
+          micro6(r6(cosinePrenormed(dot(col("q_emb"), col("c_emb")),
+            col("q_nrm"), col("c_nrm"))))).otherwise(lit(0L)))
+      .withColumn("len_micro", when(
+        coalesce(col("q_nt"), lit(0L)) > 0 &&
+          coalesce(col("c_nt"), lit(0L)) > 0,
+        expr("(1000000 * least(q_nt, c_nt)) div greatest(q_nt, c_nt)"))
+        .otherwise(lit(0L)))
+      .withColumn("ce_score_micro",
+        lit(3L) * col("cos_micro") + lit(2L) * col("jac_micro") +
+          col("len_micro") + col("rrf_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ce_score_micro").desc, col("doc_id"))
+    feat.withColumn("ce_rank", row_number().over(w).cast("long"))
+      .select("query_id", "ce_rank", "doc_id", "prior_rank",
+        "ce_score_micro", "cos_micro", "jac_micro", "len_micro",
+        "rrf_micro")
+      .orderBy("query_id", "ce_rank")
   }
 
   /** GREEDY K-CENTER CORESET (q171) — Gonzalez (1985) farthest-point
@@ -1741,10 +1906,20 @@ object Similarity {
     var state = e
       .withColumn("mind", dist2(col("mvec"), lit(centers.head._4)))
       .localCheckpoint(false)
+    // superseded rounds are unpersisted EXPLICITLY, one action behind:
+    // round t's farthest-point action is what materializes state_t's
+    // lazy checkpoint, and only then is state_{t-1} safe to drop
+    // (unpersisting before the child materializes would discard the
+    // blocks the child's truncated lineage reads from — localCheckpoint
+    // blocks do not recompute). Relying on GC/ContextCleaner instead is
+    // the leak the round-13 bench degradation traced to.
+    var prev: DataFrame = null
     for (t <- 2 to k) {
       val selected = centers.map(_._2)
       val far = state.filter(!col("vec_id").isin(selected: _*))
         .orderBy(col("mind").desc, col("vec_id")).limit(1).head()
+      if (prev != null) { prev.unpersist(); (): Unit }
+      prev = state
       val fmv = far.getSeq[Long](1).toArray
       centers :+= ((t.toLong, far.getLong(0), Some(far.getLong(2)), fmv))
       // update runs for t = k too: the final `mind` IS the k-center
@@ -1754,16 +1929,52 @@ object Similarity {
         .localCheckpoint(false)
     }
     val radius = state.agg(max(col("mind"))).head().getLong(0)
+    // the model is fully driver-held from here; nothing reads the fit
+    // frames again (q171/q173 assign via literal-center map passes), so
+    // the last two rounds' blocks go too
+    if (prev != null) { prev.unpersist(); (): Unit }
+    state.unpersist()
     (centers, radius)
   }
 
   /** Adds (d2c, rk) — the nearest-coreset-center argmin — to a frame
-    * carrying (…, mvec): one literal `least(...)` over the k (d2, rk)
-    * structs; lexicographic struct ordering breaks distance ties to
-    * the earlier-selected center, mirroring the oracle's (d2, rk)
-    * window. Pure map pass — the model rides as k literal vectors.
+    * carrying (…, mvec): ONE codegen'd tight loop over the flattened
+    * centers array ([[graft.functions.expressions.KcenterNearest]] —
+    * the PqEncodeCodes move), distance ties to the earlier-selected
+    * center, mirroring the oracle's (d2, rk) window. Pure map pass —
+    * the model rides inside the expression as a reference object. vs
+    * the composable `least()`-of-k-structs chain it replaced
+    * ([[withKcenterAssignmentLiteral]], kept as the spec's
+    * bit-identity twin), measured at 20× (KcenterProbe, NOTES r14):
+    * the q169-style interpreted demotion does NOT reproduce here —
+    * Spark's expression splitting keeps even the k=512 chain inside
+    * whole-stage codegen on a flat frame — but the loop is still
+    * 1.5-1.7× faster per pass, its per-row profile is flat in k
+    * (0.09 s at k=128 → 0.10 s at k=512 over 20k vectors), and the
+    * plan carries ONE reference object instead of a k·dims literal
+    * tree (the literal chain's analysis/codegen cost grows with k;
+    * its struct allocations per row grow with k). The `kn` argmin
+    * pair lands as its own projection: both field reads reference it,
+    * and CollapseProject keeps a non-cheap multi-use alias
+    * un-inlined, so the loop runs once per row.
     */
   private def withKcenterAssignment(frame: DataFrame,
+      centers: Vector[(Long, Long, Option[Long], Array[Long])])
+      : DataFrame =
+    frame
+      .withColumn("kn", graft.functions.expressions.FloatVecExpressions
+        .kcenterNearest(col("mvec"), centers.map(_._4).toArray))
+      .withColumn("d2c", col("kn").getItem(0))
+      .withColumn("rk", col("kn").getItem(1))
+      .drop("kn")
+
+  /** The composable form of [[withKcenterAssignment]] — a literal
+    * `least(...)` over k (d2, rk) structs. Retained ONLY as the
+    * independent arithmetic twin for the spec's bit-identity pin (and
+    * as documentation of the shape the codegen'd expression replaced);
+    * production call sites use the expression.
+    */
+  private[graft] def withKcenterAssignmentLiteral(frame: DataFrame,
       centers: Vector[(Long, Long, Option[Long], Array[Long])])
       : DataFrame = {
     val scored = centers.map { case (rk, _, _, mv) =>

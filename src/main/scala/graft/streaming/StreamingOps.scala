@@ -1466,4 +1466,46 @@ object StreamingOps {
         (): Unit
       }
       .start()
+
+  /** ANN-BACKED HYBRID RETRIEVAL AT INGEST — q174's streaming twin and
+    * the scale-true form of [[hybridRrfAtIngest]]: the lexical side is
+    * unchanged (rarest-`mTerms` BM25 against the persisted
+    * full-vocabulary postings), but the dense list comes from the
+    * COMPRESSED ADC serving index ([[PqServingIndex]] — √N coarse
+    * buckets, 8-byte PQ codes) instead of an exact cosine scan of the
+    * corpus per micro-batch. Per arriving query the dense cost is
+    * nProbe posting buckets of codegen'd ADC lookups; the corpus is
+    * NEVER rescanned, which is what lets this surface serve against a
+    * 100 TB corpus (the exact twin stays as the recall baseline and
+    * batch-eval tier). Fusion is the SAME [[graft.ops.Similarity
+    * .hybridFuseCore]] integer RRF — the tiers differ only in the
+    * dense list (fusion identity spec-pinned in HybridSpec), and
+    * recall of the fused answer vs the exact twin is measured there.
+    *
+    * A query is answered whole in its batch and the answer is a pure
+    * function of (query, indexes), so per-batch outputs union to the
+    * batch run exactly — streaming q174's own query set reproduces its
+    * oracle-gated frame bit-for-bit at matching geometry
+    * (spec-pinned, the q70-twin discipline). Zero streaming state;
+    * same at-least-once/batch_id contract as the other twins.
+    */
+  def hybridAnnAtIngest(queries: DataFrame,
+      index: graft.ops.Similarity.HybridIndex, pq: PqServingIndex,
+      outDir: String, checkpointDir: String, mTerms: Int = 8,
+      kList: Int = 12, kOut: Int = 10, kRrf: Int = 60, nProbe: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        val den = graft.ops.Similarity.adcDenseList(b, pq.postings,
+          pq.centroids, pq.books, pq.subDim, nProbe, kList)
+        graft.ops.Similarity.hybridFuseCore(b, index, den,
+            mTerms, kList, kOut, kRrf)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
 }

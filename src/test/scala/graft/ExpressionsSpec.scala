@@ -313,4 +313,53 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(!ints.queryExecution.optimizedPlan.toString.contains("array_intersect_count"))
     assert(ints.as[Int].collect().toSeq == Seq(1))
   }
+
+  test("KcenterNearest ≡ least()-of-(d2, rk)-structs chain at k=6 and k=64 on fixture embeddings") {
+    import graft.ops.Similarity
+    val e = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), Similarity.microVec(col("embedding")).as("mvec"))
+    for (k <- Seq(6, 64)) {
+      // deterministic center list straight off the corpus (first k by
+      // vec_id) — duplicate vectors in the dup-heavy fixture exercise
+      // the tie-to-earlier-rank rule at both sizes
+      val centers = e.orderBy("vec_id").limit(k)
+        .collect().map(_.getSeq[Long](1).toArray)
+      val scored = centers.zipWithIndex.map { case (mv, i) =>
+        struct(Similarity.dist2(col("mvec"), lit(mv)), lit(i + 1L))
+      }
+      val specBest = if (scored.length == 1) scored.head
+        else least(scored.toIndexedSeq: _*)
+      val diff = e.select(
+          graft.functions.expressions.FloatVecExpressions
+            .kcenterNearest(col("mvec"), centers).as("kn"),
+          specBest.getField("col1").as("d2_spec"),
+          specBest.getField("col2").as("rk_spec"))
+        .filter(col("kn").getItem(0) =!= col("d2_spec") ||
+          col("kn").getItem(1) =!= col("rk_spec"))
+        .count()
+      assert(diff == 0L, s"k=$k: codegen argmin diverges from least() chain")
+    }
+  }
+
+  test("KcenterNearest hand computation: tie to earlier rank, length-mismatch prefix fold, null in → null out") {
+    import spark.implicits._
+    // centers: rk1 = origin, rk2 = (3,4), rk3 = duplicate origin
+    val centers = Array(Array(0L, 0L), Array(3L, 4L), Array(0L, 0L))
+    val got = Seq(
+        Tuple1(Array(0L, 0L)),   // tie between rk1 and rk3 → rk1
+        Tuple1(Array(3L, 4L)),   // exact hit on rk2
+        Tuple1(Array(3L)))       // shorter vector: prefix fold (d2 to rk2 = 0 over 1 dim)
+      .toDF("mvec")
+      .select(graft.functions.expressions.FloatVecExpressions
+        .kcenterNearest(col("mvec"), centers).as("kn")).collect()
+      .map(r => r.getSeq[Long](0).toList)
+    assert(got(0) == List(0L, 1L), s"tie rule: ${got(0)}")
+    assert(got(1) == List(0L, 2L), s"exact hit: ${got(1)}")
+    assert(got(2) == List(0L, 2L), s"prefix fold: ${got(2)}")
+    val nul = Seq(Tuple1(Option.empty[Array[Long]])).toDF("mvec")
+      .select(graft.functions.expressions.FloatVecExpressions
+        .kcenterNearest(col("mvec"), centers).as("kn"))
+      .collect()
+    assert(nul.head.isNullAt(0), "null vector must give null assignment")
+  }
 }

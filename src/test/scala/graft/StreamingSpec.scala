@@ -713,6 +713,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("streaming hybrid ANN at ingest unions to the batch run; q174's workload reproduces its oracle-gated frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same protocol as the exact-tier twin test: batch 1 = q174's own
+    // workload (vec_id % 50 == 0), batch 2 = extra queries outside it —
+    // per-batch ANN answers must union to one batch run over both, and
+    // the workload rows must equal oracle-gated q174. The PQ index is
+    // built at the FIXTURE geometry (8 coarse centroids) so the
+    // serving index is bit-identical to q174's in-plan postings.
+    val queryFrame = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .join(graft.core.Tables.documents(spark, TestSpark.sf)
+          .select(col("doc_id").as("query_id"), col("text")),
+        Seq("query_id"), "left_outer")
+      .select("query_id", "text", "embedding")
+    val queries = queryFrame
+      .as[(Long, String, Seq[Float])].collect().sortBy(_._1)
+    assert(queries.length >= 2, "fixture needs >= 2 streaming queries")
+    val index = StreamingOps.buildHybridServingIndex(spark, TestSpark.sf)
+    val pqIdx = StreamingOps.buildPqServingIndex(spark, TestSpark.sf,
+      nCentroids = 8)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("hybrid_ann_ingest_out").toString + "/r"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("hybrid_ann_ingest_ckpt").toString
+    val mem = MemoryStream[(Long, String, Seq[Float])]
+    val q = StreamingOps.hybridAnnAtIngest(
+      mem.toDF().toDF("query_id", "text", "embedding"), index, pqIdx,
+      outDir, ckpt)
+    try {
+      val (workload, extra) = queries.partition(_._1 % 50 == 0)
+      mem.addData(workload.toSeq)
+      q.processAllAvailable()
+      mem.addData(extra.toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))
+      val cols = Seq("query_id", "rank", "doc_id", "lex_rank",
+        "sem_rank", "rrf_micro")
+      val got = spark.read.parquet(outDir)
+        .select(cols.head, cols.tail: _*).collect().map(key).toSet
+      val den = graft.ops.Similarity.adcDenseList(queryFrame,
+        pqIdx.postings, pqIdx.centroids, pqIdx.books, pqIdx.subDim,
+        nProbe = 2, kList = 12)
+      val expect = graft.ops.Similarity
+        .hybridFuseCore(queryFrame, index, den)
+        .collect().map(key).toSet
+      assert(got == expect,
+        s"stream/batch mismatch: ${(got diff expect) ++ (expect diff got)}")
+      val q174 = SparkEntry.queries("q174_hybrid_ann_rrf")(
+        spark, TestSpark.sf).collect().map(key).toSet
+      assert(got.filter(t => t._1 % 50 == 0) == q174,
+        "workload rows diverge from oracle-gated q174")
+    } finally { q.stop(); index.unpersist(); pqIdx.unpersist() }
+  }
+
   test("streaming BPE encode at ingest unions to batch q159 exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

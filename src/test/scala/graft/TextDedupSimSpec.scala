@@ -1901,6 +1901,35 @@ class TextDedupSimSpec extends AnyFunSuite {
       s"diff: ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
   }
 
+  test("q139 sorted-neighborhood with duplicate empty-token texts: same-rep 0/0 pairs are dropped, not closed-formed to 1.0") {
+    import spark.implicits._
+    // identical empty-token texts sort adjacent and ALWAYS form window
+    // pairs; their Jaccard is 0/0, which the oracle's
+    // `na + nb - common > 0` guard drops — the closed-form same-rep 1.0
+    // must be gated on a non-empty rep token set (the pre-r14 code
+    // applied 1.0 unconditionally; no driver fixture has duplicate
+    // empty texts, so only this corpus exercises the guard)
+    val docs = Array[(Long, String)](
+      (1L, ""), (2L, ""), (3L, "   "), (4L, " "),
+      (5L, "alpha beta gamma"), (6L, "alpha beta gamma"),
+      (7L, "alpha beta delta"), (8L, "zulu"))
+    val dir = java.nio.file.Files.createTempDirectory("q139_empty").toString
+    docs.toSeq.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q139SortedNeighborhood(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getBoolean(4))).toSet
+    val expected = snmReference(docs, w = 6)
+    assert(got == expected,
+      s"diff: ${(got diff expected).take(5)} / ${(expected diff got).take(5)}")
+    // the guard is the point: no pair among the empty-token docs 1-4
+    // survives, while the genuine duplicate pair (5, 6) closed-forms 1.0
+    assert(!got.exists(p => p._1 <= 4 && p._2 <= 4),
+      s"empty-token pair leaked through the closed form: $got")
+    assert(got.exists(p => p._1 == 5L && p._2 == 6L && p._3 == 1.0),
+      s"genuine duplicate pair missing: $got")
+  }
+
   test("q141 rep-level containment: matches JVM brute force; member expansion reconciles with q121's row count") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSet))
