@@ -1744,28 +1744,31 @@ object Dedup {
       // remaining cost is the candidate-pair volume itself (structured
       // fixture names make distance-1 neighborhoods dense), not key
       // width
-      .select(col("key"), col("name"), xxhash64(col("k0")).as("k"))
-    val a = keys.select(col("key").as("key_a"),
-      col("name").as("name_a"), col("k"))
-    val b = keys.select(col("key").as("key_b"),
-      col("name").as("name_b"), col("k"))
+      .select(col("key"), xxhash64(col("k0")).as("k"))
+    // SLIM candidate space (round-14 staged attribution, Q101Probe:
+    // full query 3.35 → 1.71 s at sf0.1): the join and the distinct
+    // carry ONLY (key_a, key_b, k) — three 8-byte longs — and the
+    // names re-attach to the deduped pairs by two keyed equality
+    // joins against the 15k-row base (AQE broadcasts it). The r10
+    // measurement that shaped the previous form had rotted with the
+    // fixture: candidate multiplicity is now 1.02 (977k occurrences →
+    // 956k distinct pairs), so distinct-before-verify saves almost no
+    // DPs, and verify selectivity is 0.27 (956k → 262.5k) — the
+    // dominant cost was the distinct's exchange hauling two ~25-char
+    // strings per row, which this shape removes. Length-segmented
+    // keys remain a no-op under this join: keys of different lengths
+    // can never be string-equal, so cross-length candidates already
+    // vanish (NOTES round 10).
+    val a = keys.select(col("key").as("key_a"), col("k"))
+    val b = keys.select(col("key").as("key_b"), col("k"))
     a.join(b, Seq("k"))
       .where(col("key_a") < col("key_b"))
-      // distinct BEFORE verify (round-10 re-measurement, Q101Probe:
-      // 3.18 vs 3.75 s at sf0.1): a candidate pair reaches the join
-      // once per shared key (~3.7× multiplicity here — 977k
-      // occurrences → 262k pairs), and on this fixture the verify
-      // drops NOTHING (structured names make every shared-deletion
-      // pair a true distance-≤1 pair), so deduping first does 3.7×
-      // fewer levenshtein DPs at the price of a wider distinct
-      // shuffle. The opposite order wins only when false candidates
-      // dominate (verify selectivity ≪ 1) — revisit if the name
-      // distribution changes. Length-segmented keys (the other r9
-      // suggestion) are a no-op under this join: keys of different
-      // lengths can never be string-equal, so cross-length candidates
-      // already vanish (NOTES round 10).
-      .select("key_a", "key_b", "name_a", "name_b")
+      .select("key_a", "key_b")
       .distinct()
+      .join(named.select(col("key").as("key_a"), col("name").as("name_a")),
+        Seq("key_a"))
+      .join(named.select(col("key").as("key_b"), col("name").as("name_b")),
+        Seq("key_b"))
       // bounded edit distance: the 3-arg form abandons a row's DP as
       // soon as distance 1 is exceeded (returns -1), so the verify does
       // O(threshold·len) work per candidate, not O(len²); surviving

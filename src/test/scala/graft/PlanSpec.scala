@@ -37,7 +37,11 @@ class PlanSpec extends AnyFunSuite {
     "q172_hybrid_query_rrf" -> ("dense side: broadcast query workload " +
       "against the corpus scan — q40's exact-baseline shape (|Q| is the " +
       "bounded broadcast side); the lexical side is keyed equality joins " +
-      "and the approximate dense tier lives in the IVF/ADC serving twins"),
+      "and the approximate dense tier is q174/hybridAnnAtIngest"),
+    "q174_hybrid_ann_rrf" -> ("q48's coarse probe shape (cross join " +
+      "against the nCentroids-row centroid table) inside the ADC dense " +
+      "tier (adcDenseList = q169's probe core); the lexical side and the " +
+      "ADC/fusion joins are keyed equality joins"),
     "q58_band_join" -> "theta join against the fixed 5-row band table",
     "q26_tfidf" -> "single-row nDocs aggregate frame cross-joined in",
     "q49_collocations" -> "single-row corpus-totals aggregate frame cross-joined in",

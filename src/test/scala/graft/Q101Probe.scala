@@ -4,24 +4,24 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
-/** MEASUREMENT main (Test/runMain graft.Q101Probe [dir]): the round-9
-  * verdict's item 4 — q101's candidate volume. Two variants against the
-  * shipped verify-then-distinct plan:
-  *
-  *  - distinct-before-verify: dedupe candidate PAIRS ahead of the
-  *    levenshtein, paying a bigger distinct shuffle to run fewer DP
-  *    verifications;
-  *  - length-segmented keys: NOT measured as a variant because it is a
-  *    no-op under string-equality join — a deletion key of a length-L
-  *    name has length L or L-1, so two names with |len| > 1 can never
-  *    share a key STRING; the SymSpell refinement pays off for
-  *    in-memory dictionary lookups, not for a join already keyed on
-  *    the full key (the hash join's key includes the length by
-  *    construction). Recorded in NOTES with this reasoning.
+/** MEASUREMENT main (Test/runMain graft.Q101Probe [dir]): q101 cost
+  * attribution. History: round 9 measured verify→distinct vs
+  * distinct→verify (the latter shipped, 3.18 vs 3.75 s); round 10
+  * recorded that length-segmented keys are a no-op under the
+  * string-equality join (a deletion key of a length-L name has length
+  * L or L−1, so cross-length candidates never share a key STRING —
+  * the hash join's key includes the length by construction); round 14
+  * re-runs the question as STAGE attribution on a 32-thread session
+  * (the r13 lesson: TestSpark's local[4] numbers do not extrapolate),
+  * because q101 is the slowest bench query (3.3 s) while being
+  * FIXTURE-BOUND — customer is not replicated at 20×, so the whole
+  * cost sits on a 15k-row table and must be per-stage overhead, not
+  * volume.
   */
 object Q101Probe {
   def main(args: Array[String]): Unit = {
-    val spark = TestSpark.spark
+    val spark = graft.core.GraftSession.local("q101probe",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
 
@@ -44,37 +44,50 @@ object Q101Probe {
       a.join(b, Seq("k")).where(col("key_a") < col("key_b"))
     }
 
-    // shipped: verify -> distinct
-    def current(named: DataFrame): DataFrame = candidates(named)
-      .withColumn("lev", levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
-      .where(col("lev") >= 0L && col("lev") <= 1L)
-      .select("key_a", "key_b", "name_a", "name_b", "lev")
-      .distinct()
-
-    // variant: distinct -> verify
-    def preDistinct(named: DataFrame): DataFrame = candidates(named)
-      .select("key_a", "key_b", "name_a", "name_b")
-      .distinct()
-      .withColumn("lev", levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
-      .where(col("lev") >= 0L && col("lev") <= 1L)
-      .select("key_a", "key_b", "name_a", "name_b", "lev")
-
     val named = Tables.customer(spark, dir)
       .select(col("c_custkey").as("key"), col("c_name").as("name"))
 
-    def timeMin(mk: => DataFrame): (Double, Long) = {
+    def timeMin(label: String)(mk: => DataFrame): Unit = {
       val n = mk.count() // warm
       val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); mk.count(); (System.nanoTime() - t0) / 1e9
       }.min
-      (t, n)
+      println(f"[q101probe] $label%-38s ${t}%6.2f s  rows $n")
     }
-    val occurrences = candidates(named).count()
-    val (tCur, nCur) = timeMin(current(named))
-    val (tPre, nPre) = timeMin(preDistinct(named))
-    println(f"candidate occurrences: $occurrences")
-    println(f"current (verify->distinct):     $tCur%6.2f s, rows $nCur")
-    println(f"variant (distinct->verify):     $tPre%6.2f s, rows $nPre")
-    require(nCur == nPre, s"variant changed the answer: $nCur vs $nPre")
+
+    timeMin("base scan")(named)
+    timeMin("keys (explode + xxhash64)")(keysOf(named))
+    timeMin("join (candidate occurrences)")(candidates(named))
+    timeMin("+ distinct pairs")(
+      candidates(named)
+        .select("key_a", "key_b", "name_a", "name_b").distinct())
+    timeMin("+ bounded levenshtein verify")(
+      candidates(named)
+        .select("key_a", "key_b", "name_a", "name_b").distinct()
+        .withColumn("lev",
+          levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+        .where(col("lev") >= 0L && col("lev") <= 1L))
+    timeMin("full q101 (count path, sort elided)")(
+      graft.ops.Dedup.q101FuzzyNames(spark, dir))
+    // variant: slim join — keys carry only (key, k); names re-attach to
+    // the DISTINCT pairs by two keyed joins against the 15k-row base
+    // (the candidate shuffle then moves 3×8-byte rows instead of two
+    // ~25-char strings per occurrence)
+    timeMin("variant: slim join + name re-attach")({
+      val keys = keysOf(named).select("key", "k")
+      val a = keys.select(col("key").as("key_a"), col("k"))
+      val b = keys.select(col("key").as("key_b"), col("k"))
+      val pairs = a.join(b, Seq("k")).where(col("key_a") < col("key_b"))
+        .select("key_a", "key_b").distinct()
+      pairs
+        .join(named.select(col("key").as("key_a"), col("name").as("name_a")),
+          Seq("key_a"))
+        .join(named.select(col("key").as("key_b"), col("name").as("name_b")),
+          Seq("key_b"))
+        .withColumn("lev",
+          levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+        .where(col("lev") >= 0L && col("lev") <= 1L)
+    })
+    spark.stop()
   }
 }
