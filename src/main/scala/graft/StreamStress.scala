@@ -27,6 +27,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamStress {
 
+  /** Per-query top-k overlap of two fused serving outputs (parquet
+    * dirs with (query_id, doc_id, …) rows): |ann ∩ exact| / |exact|.
+    * Distinct-guarded so an at-least-once replay can't inflate it.
+    */
+  private[graft] def fusedRecall(spark: SparkSession, exactDir: String,
+      annDir: String): Double = {
+    val ex = spark.read.parquet(exactDir).select("query_id", "doc_id").distinct()
+    val an = spark.read.parquet(annDir).select("query_id", "doc_id").distinct()
+    val hit = ex.join(an, Seq("query_id", "doc_id"), "left_semi").count()
+    val tot = ex.count()
+    if (tot == 0) 0.0 else hit.toDouble / tot
+  }
+
   private[graft] def rmrf(p: String): Unit = {
     val f = new java.io.File(p)
     if (f.exists()) {
@@ -362,12 +375,17 @@ object StreamStress {
           } finally phashIdx.unpersist()
         })
       val probeAfter = Bench.probe(spark)
+      // serving-geometry approximation number beside the throughput
+      // curves: recall@10 of the ANN-fused answers (ha_out) vs the
+      // exact-fused ones (h_out) over the same query stream
+      val annRecall = fusedRecall(spark, s"$workDir/h_out", s"$workDir/ha_out")
       val line = surfaces.map { case (name, fields) =>
         "\"" + name + "\":{" +
           fields.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") +
           "}"
       }.mkString(
         s"""{"metric":"stream_stress_20x","cpus":$cpus,"n_batches":$nBatches,""" +
+          s""""hybrid_ann_recall10":${fmt(annRecall)},""" +
           s""""probes":[${fmt(probeBefore)},${fmt(probeAfter)}],""",
         ",", "}")
       println(line)

@@ -118,7 +118,23 @@ object Stress {
     // noise floor, and the probes say whether it was reached
     val run = Bench.timeAll(spark, dst, only = only, passes = 2)
     System.err.println(s"[stress] sweeps=${run.sweeps} clean=${run.cleanSweeps}")
-    val line = Bench.jsonLine(run, dst, passes = 2)
+    // offender re-measurement against the prior round's artifact (the
+    // external scripts/stress_diff.py gate's own tolerance, via
+    // Bench.benchDiff): see Bench.requalify for the measured
+    // execution-flip failure mode this answers. Opt-in by env so
+    // targeted runs and baseline-less first runs are unaffected.
+    val (run2, requal) = sys.env.get("GRAFT_STRESS_BASELINE") match {
+      case Some(b) if only.isEmpty =>
+        Bench.benchDiff(run.results, b) match {
+          case Some((_, offs)) if offs.nonEmpty =>
+            val r = Bench.requalify(spark, dst, run, offs)
+            System.err.println(s"[stress] requalified=${r._2.mkString(" ")}")
+            r
+          case _ => (run, Seq.empty[String])
+        }
+      case _ => (run, Seq.empty[String])
+    }
+    val line = Bench.jsonLine(run2, dst, passes = 2, requalified = requal)
     println(line)
     artifact.foreach(f => Files.writeString(Paths.get(f), line + "\n"))
     spark.stop()
@@ -199,8 +215,16 @@ object ZipfStress {
       "\"" + name + "\":{" +
         fields.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "}"
     }.mkString(",")
+    // recall@10 of the ANN-fused serving answer vs the exact-fused one,
+    // over the SAME query stream at SERVING geometry (√N centroids) —
+    // the committed approximation number for the tier swap (the spec's
+    // 0.65/0.70 figures are the deliberately coarse fixture geometry)
+    val recall = StreamStress.fusedRecall(spark,
+      s"$workDir/h_out", s"$workDir/ha_out")
     val line =
       s"""{"metric":"zipf_retrieval_stress","cpus":$cpus,"corpus":"$dst",""" +
+        s""""hybrid_ann_recall10":${String.format(
+          java.util.Locale.ROOT, "%.3f", Double.box(recall))},""" +
         s""""protocol":"${Bench.protocol(2)}","sweeps":${run.sweeps},""" +
         s""""clean_sweeps":${run.cleanSweeps},""" +
         s""""probes":${run.probes.map(p => String.format(
