@@ -31,7 +31,7 @@ object ShuffleAudit {
   /** All physical nodes of the executed plan, descending through AQE
     * wrappers and query stages, counting reused exchanges once.
     */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+  private[graft] def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val here: Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
       // every QueryStageExec (shuffle, broadcast, AND the Spark-4

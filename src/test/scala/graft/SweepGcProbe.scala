@@ -67,6 +67,11 @@ object SweepGcProbe {
       }, "sweepgc-watchdog")
       watchdog.setDaemon(true)
       watchdog.start()
+      // TIME the same path Bench times (count() — the optimizer elides
+      // presentation sorts and never materializes wide answers; a
+      // toRdd-driven first cut here read q121 at 94 s because it BUILT
+      // the 4e9-row expansion Bench's count path never does — the
+      // ShuffleAudit scope note re-learned the hard way)
       val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
         catch { case _: Throwable => false }
       done = true
@@ -75,6 +80,31 @@ object SweepGcProbe {
       val dk = (taskTime.get() - k0) / 1000.0
       if (dt > 0.5 || !ok)
         println(f"[sweepgc] $n%-34s ${dt}%6.2f s  gc ${dg}%5.2f s  task ${dk}%7.1f s  storage ${storageMb}%7.0f MB${if (ok) "" else "  CRASH"}")
+      // slow count-path execution: best-effort metric capture via ONE
+      // re-execution through toRdd on a fresh frame — the flip may not
+      // recur there (that is the phenomenon), so the dump is labeled a
+      // RE-execution; AQE partition counts, agg fallbacks, spills
+      if (ok && dt > 4.0) {
+        try {
+          val df2 = SparkEntry.queries(n)(spark, dir)
+          val r0 = System.nanoTime()
+          df2.queryExecution.toRdd.foreach(_ => ())
+          val rs = (System.nanoTime() - r0) / 1e9
+          println(f"[sweepgc-plan] $n re-execution (toRdd path): ${rs}%.2f s")
+          val interesting = Set("numOutputRows", "numPartitions",
+            "spillSize", "shuffleBytesWritten", "dataSize",
+            "numTasksFallBacked", "aggTime", "sortTime")
+          ShuffleAudit.allNodes(df2.queryExecution.executedPlan)
+            .foreach { node =>
+              val ms = node.metrics.collect {
+                case (k, m) if interesting(k) && m.value != 0 =>
+                  s"$k=${m.value}"
+              }
+              if (ms.nonEmpty)
+                println(s"[sweepgc-plan] $n ${node.getClass.getSimpleName} ${ms.mkString(" ")}")
+            }
+        } catch { case _: Throwable => () }
+      }
     }
     spark.stop()
   }
