@@ -13,9 +13,40 @@ object Bench {
     * seconds across sweeps, the calibration-probe times bracketing each
     * sweep, how many sweeps ran, and how many were CLEAN (both
     * bracketing probes within [[ProbeSlack]] of the run's best probe).
+    * `loads` is one [[loadSample]] per probe point (same cadence, same
+    * indices): the machine-side twin of the probe evidence, so a
+    * cross-session "uniform ~20% drift" (two rounds of narrative —
+    * VERDICT r14 #3) is classifiable from the artifact alone instead
+    * of from memory of what else the box was doing.
     */
   final case class Run(results: Seq[(String, Double)],
-      probes: Seq[Double], sweeps: Int, cleanSweeps: Int)
+      probes: Seq[Double], sweeps: Int, cleanSweeps: Int,
+      loads: Seq[(Double, Long)] = Seq.empty)
+
+  /** One machine-load sample: the 1-minute loadavg and MemAvailable in
+    * MB, straight from /proc (this harness only runs on Linux; on any
+    * read failure the sample is (-1, -1) rather than an abort — load
+    * evidence is diagnostic, never a gate). Taken at every probe point
+    * so each sweep is bracketed by (probe seconds, loadavg, free
+    * memory): an inflated probe WITH inflated loadavg is a co-tenant;
+    * an inflated sweep with idle probes AND idle loadavg is the
+    * internal execution-flip mode (NOTES r14).
+    */
+  def loadSample(): (Double, Long) = {
+    def read(p: String): Option[String] =
+      try Some(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+      catch { case _: Throwable => None }
+    val load = read("/proc/loadavg")
+      .flatMap(_.split(" ").headOption)
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(-1.0)
+    val memMb = read("/proc/meminfo")
+      .flatMap(_.linesIterator.find(_.startsWith("MemAvailable:")))
+      .flatMap(l => scala.util.Try(
+        l.split("\\s+")(1).toLong / 1024L).toOption)
+      .getOrElse(-1L)
+    (load, memMb)
+  }
 
   /** A sweep counts as clean only if the probes on BOTH sides stayed
     * within this factor of the run's fastest probe. */
@@ -104,6 +135,7 @@ object Bench {
     }
     probeOnce(spark) // probe warmup (its own codegen/classloading)
     val maxSweeps = passes + 3
+    val loads = scala.collection.mutable.ArrayBuffer(loadSample())
     val probes = scala.collection.mutable.ArrayBuffer(probe(spark))
     val sweeps = scala.collection.mutable.ArrayBuffer
       .empty[Map[String, Double]]
@@ -134,13 +166,14 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
         name -> t
       }.toMap
+      loads += loadSample()
       probes += probe(spark)
     }
     val results = names.map { name =>
       val ts = sweeps.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
-    Run(results, probes.toSeq, sweeps.size, cleanCount())
+    Run(results, probes.toSeq, sweeps.size, cleanCount(), loads.toSeq)
   }
 
   /** Sweeps clean in the ABSOLUTE sense: both bracketing probes under
@@ -245,7 +278,8 @@ object Bench {
     */
   def jsonLine(run: Run, sfDir: String, passes: Int = 1,
       diff: Option[(String, Seq[String])] = None,
-      requalified: Seq[String] = Seq.empty): String = {
+      requalified: Seq[String] = Seq.empty,
+      extraFields: Seq[(String, String)] = Seq.empty): String = {
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would emit 0,123 — invalid JSON
     def r3(v: Double): String =
@@ -264,7 +298,17 @@ object Bench {
     val requalField = if (requalified.isEmpty) "" else
       s""""requalified":${requalified.map(o => "\"" + o + "\"")
         .mkString("[", ",", "]")},"""
-    s"""{"queries":$qs,"sf":"$sfDir","protocol":"${protocol(passes)}","probes":$probes,"sweeps":${run.sweeps},"clean_sweeps":${run.cleanSweeps},"probe_idle_ref":${r3(IdleProbeRef)},"clean_sweeps_abs":${cleanSweepsAbs(run)},$diffFields$requalField"unit":"sec","metric":"total","value":${r3(total)}}"""
+    // machine-load evidence beside the probes (same indices): loadavg-1m
+    // and MemAvailable MB at each probe point — see [[loadSample]]
+    val loadFields = if (run.loads.isEmpty) "" else {
+      val la = run.loads.map(l => r3(l._1)).mkString("[", ",", "]")
+      val mm = run.loads.map(_._2.toString).mkString("[", ",", "]")
+      s""""loadavg":$la,"mem_avail_mb":$mm,"""
+    }
+    // caller-supplied run descriptors (e.g. a Spark-conf override under
+    // A/B test) — values must already be JSON-encoded
+    val extra = extraFields.map { case (k, v) => s""""$k":$v,""" }.mkString
+    s"""{"queries":$qs,"sf":"$sfDir","protocol":"${protocol(passes)}","probes":$probes,"sweeps":${run.sweeps},"clean_sweeps":${run.cleanSweeps},"probe_idle_ref":${r3(IdleProbeRef)},"clean_sweeps_abs":${cleanSweepsAbs(run)},$loadFields$extra$diffFields$requalField"unit":"sec","metric":"total","value":${r3(total)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -306,7 +350,9 @@ object Bench {
       System.err.println(s"[bench] bench_diff=$v ${offs.mkString(" ")} " +
         s"requalified=${requal.mkString(" ")}")
     }
-    val line = jsonLine(run2, sfDir, passes, diff, requal)
+    val line = jsonLine(run2, sfDir, passes, diff, requal,
+      extraFields = graft.core.GraftSession.advisoryOverride
+        .map(v => "advisory_partition" -> ("\"" + v + "\"")).toSeq)
     println(line)
     // the stdout line is harvested through a fixed-size tail window and
     // with 118 queries the per-query map loses its head (BENCH_r06 kept

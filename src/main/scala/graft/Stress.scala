@@ -134,7 +134,9 @@ object Stress {
         }
       case _ => (run, Seq.empty[String])
     }
-    val line = Bench.jsonLine(run2, dst, passes = 2, requalified = requal)
+    val line = Bench.jsonLine(run2, dst, passes = 2, requalified = requal,
+      extraFields = graft.core.GraftSession.advisoryOverride
+        .map(v => "advisory_partition" -> ("\"" + v + "\"")).toSeq)
     println(line)
     artifact.foreach(f => Files.writeString(Paths.get(f), line + "\n"))
     spark.stop()

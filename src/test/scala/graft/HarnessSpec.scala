@@ -57,6 +57,31 @@ class HarnessSpec extends AnyFunSuite {
     assert(root.get("queries").get("q20_wordcount").asDouble == 1.5)
   }
 
+  test("artifact line embeds machine-load evidence parallel to the probes, and extra fields") {
+    val run = Bench.Run(Seq("q20_wordcount" -> 1.5), Seq(0.05, 0.08), 1, 1,
+      loads = Seq((0.12, 98304L), (31.5, 97123L)))
+    val line = Bench.jsonLine(run, "/tmp/x", passes = 1,
+      extraFields = Seq("advisory_partition" -> "\"8m\""))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(line)
+    assert(root.get("loadavg").size == root.get("probes").size)
+    assert(root.get("loadavg").get(1).asDouble == 31.5)
+    assert(root.get("mem_avail_mb").get(0).asLong == 98304L)
+    assert(root.get("advisory_partition").asText == "8m")
+    // legacy Runs (no loads) must not emit the fields at all rather
+    // than emit empty arrays that read as "sampled, saw nothing"
+    val bare = Bench.jsonLine(
+      Bench.Run(Seq("q20_wordcount" -> 1.5), Seq(0.05, 0.08), 1, 1), "/tmp/x")
+    assert(!bare.contains("loadavg") && !bare.contains("advisory_partition"))
+    assert(mapper.readTree(bare).get("queries") != null)
+  }
+
+  test("loadSample reads real /proc values on this machine") {
+    val (load, memMb) = Bench.loadSample()
+    assert(load >= 0.0, "loadavg must parse on Linux")
+    assert(memMb > 1024L, "MemAvailable must parse and exceed 1 GB here")
+  }
+
   test("clean_sweeps_abs counts only sweeps bracketed by probes under the absolute floor") {
     // one sweep, probes (0.05, 0.2): the 0.2 side exceeds
     // IdleProbeRef * ProbeSlack = 0.135 -> 0 abs-clean sweeps
