@@ -95,6 +95,33 @@ object Explain {
         append("q157_crossmodal_neardup.txt",
           s"truncated input, pre-checkpoint: $label", planOf(df))
     }
+    // the maintenance twin's per-batch delta body (r15): new-rep
+    // signatures vs the full store + shared verify — the plan every
+    // arriving micro-batch runs in pagerankMaintainAtIngest. The
+    // synthetic batch (shifted ids, suffixed texts) guarantees the
+    // new-rep arm is populated so the dumped plan is the real shape.
+    val prgState = graft.streaming.StreamingOps
+      .buildRepGraphState(spark, sfDir)
+    try {
+      val syntheticBatch = graft.core.Tables.documents(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+        .select(
+          (org.apache.spark.sql.functions.col("doc_id") + 10000000L)
+            .as("doc_id"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.col("text"),
+            org.apache.spark.sql.functions.lit(" delta")).as("text"))
+      val file = "streaming_pagerank_maintain.txt"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/$file"),
+        "streaming_pagerank_maintain — not a registered query: the " +
+          "per-batch delta of the incremental rep-graph maintenance " +
+          "twin (StreamingOps.pagerankMaintainAtIngest), spec-pinned " +
+          "bit-equal to batch q147 in StreamingSpec.")
+      append(file, "per-batch delta body (maintainDeltaBody)",
+        planOf(graft.streaming.StreamingOps
+          .maintainDeltaBody(prgState, syntheticBatch)))
+    } finally prgState.unpersist()
   }
 
   private def writeArtifacts(sfDir: String, outDir: String): Unit = {

@@ -364,6 +364,27 @@ object StreamStress {
               s, hybIdx, pqIdx, s"$workDir/ha2_out", s"$workDir/ha2_ckpt")
           } finally { hybIdx.unpersist(); pqIdx.unpersist() }
         },
+        // incremental graph maintenance (q147's twin): the corpus docs
+        // stream into a rep-graph state seeded with the 1% holdout
+        // (doc_id % 100 == 0 — the decontamination bench set), so the
+        // state grows batch-over-batch the way an ingest pipeline's
+        // does; per batch the maintained graph takes a delta update
+        // (new-rep-only candidates) and the residual-stop PageRank
+        // re-runs rep-graph-sized. rows_per_sec is ingested docs/s —
+        // the MAINTENANCE surface's throughput, not a serving number
+        "pagerank_maintain_ingest" -> {
+          val seedDir = "/tmp/graft-stream-prg-seed"
+          rmrf(seedDir)
+          docs.filter(col("doc_id") % 100 === 0)
+            .select("doc_id", "text")
+            .write.mode("overwrite").parquet(s"$seedDir/documents.parquet")
+          val prgState = graft.streaming.StreamingOps
+            .buildRepGraphState(spark, seedDir)
+          try runStream(spark, inDir, nTrain) { s =>
+            graft.streaming.StreamingOps.pagerankMaintainAtIngest(
+              s, prgState, s"$workDir/pr_out", s"$workDir/pr_ckpt")
+          } finally prgState.unpersist()
+        },
         "phash_match_ingest" -> {
           // corpus index over the full 20x docs (reps = sf0.1-sized
           // after the exact-text contraction inside the builder)

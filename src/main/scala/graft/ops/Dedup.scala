@@ -142,7 +142,7 @@ object Dedup {
     * rep-level pagerank graph so the two cannot diverge on what a
     * verified pair IS. `docs` = (doc_id, toks).
     */
-  private def verifyJaccardPairs(cand: DataFrame, docs: DataFrame,
+  private[graft] def verifyJaccardPairs(cand: DataFrame, docs: DataFrame,
       threshold: Double): DataFrame = {
     val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
       size(col("toks")).as("na"))
@@ -790,24 +790,38 @@ object Dedup {
             try df.unpersist() catch { case _: Throwable => () }
           }
         }
-      sigCache.getOrElseUpdate((s, d, bands, fp), {
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
-      // Band hash b = the 16-hex-char window of md5(shingle) at offset 2b:
-      // ONE md5 per shingle (not per band), and all band-minimums fold
-      // map-side in a single partial aggregation — the shuffle carries
-      // #docs × #bands rows, not #shingles × #bands.
-      val perDoc = sh
-        .withColumn("h", md5(col("sh")))
-        .groupBy("doc_id")
-        .agg(
-          min(substring(col("h"), bandOffset(0), BandHashWidth)).as("sig0"),
-          (1 until bands).map(b =>
-            min(substring(col("h"), bandOffset(b), BandHashWidth)).as(s"sig$b")): _*)
-      val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(s"stack($bands, ", ", ", ") as (band, sig)")
-      perDoc.selectExpr("doc_id", stackExpr)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })}
+      sigCache.getOrElseUpdate((s, d, bands, fp),
+        signaturesFor(Tables.documents(s, d).select("doc_id", "text"), bands)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** The LSH signature construction over an explicit (doc_id, text)
+    * frame — the memo-free body of [[lshSignatures]], shared with the
+    * streaming rep-graph maintenance ([[graft.streaming.StreamingOps]]
+    * `pagerankMaintainAtIngest`) so a batch-arriving document gets the
+    * IDENTICAL (band, sig) rows the batch memo would give it (the
+    * incremental edge set's exactness rests on this).
+    *
+    * Band hash b = the 16-hex-char window of md5(shingle) at offset 2b:
+    * ONE md5 per shingle (not per band), and all band-minimums fold
+    * map-side in a single partial aggregation — the shuffle carries
+    * #docs × #bands rows, not #shingles × #bands.
+    */
+  private[graft] def signaturesFor(docs: DataFrame,
+      bands: Int = 8): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+    val perDoc = sh
+      .withColumn("h", md5(col("sh")))
+      .groupBy("doc_id")
+      .agg(
+        min(substring(col("h"), bandOffset(0), BandHashWidth)).as("sig0"),
+        (1 until bands).map(b =>
+          min(substring(col("h"), bandOffset(b), BandHashWidth)).as(s"sig$b")): _*)
+    val stackExpr = (0 until bands).map(b => s"$b, sig$b")
+      .mkString(s"stack($bands, ", ", ", ") as (band, sig)")
+    perDoc.selectExpr("doc_id", stackExpr)
+  }
 
   /** Unordered LSH candidate pairs — the shared internal form: q31 and
     * q39 consume candidates as join input, where q32's presentation

@@ -2387,6 +2387,14 @@ object TextOps {
             " ").as("seq"),
           col("freq"))
           .localCheckpoint(true)
+        // deep-merge hygiene: the eager checkpoint above has already
+        // materialized `next`, so the prior vocabulary's blocks are
+        // dead — drop them (the q171 unpersist-one-behind discipline).
+        // Noise at the gated merges=3; at probe depth (BpeProbe,
+        // merges=256) it is an accumulating block-manager leak
+        // otherwise, the exact failure mode the r13 bench degradation
+        // traced to.
+        vocab.unpersist()
         vocab = next
       }
     }

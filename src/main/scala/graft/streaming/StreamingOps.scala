@@ -1489,6 +1489,310 @@ object StreamingOps {
     * (spec-pinned, the q70-twin discipline). Zero streaming state;
     * same at-least-once/batch_id contract as the other twins.
     */
+  /** Mutable contracted-rep-graph state for
+    * [[pagerankMaintainAtIngest]] — the batch PageRank's persisted
+    * loop invariants ([[graft.ops.Dedup.q147PagerankConverged]]'s
+    * `pagerankGraph`) promoted to MAINTAINED state: per distinct text
+    * the (content hash → rep, copies) table, corpus membership, the
+    * rep-level LSH signatures and distinct-token sets (what an
+    * arriving document is blocked and verified against), and the
+    * verified symmetric rep edge set. Every update eagerly checkpoints
+    * the new generation and unpersists the old (the q171
+    * one-generation discipline), so per-batch lineage stays flat over
+    * an unbounded stream. In-memory + caller-owned like the other
+    * serving indexes; recovery after a driver restart is rebuild
+    * (corpus) + replay, and [[RepGraphState.lastBatch]] makes same-run
+    * foreachBatch retries idempotent (a replayed batch must not
+    * double-count copies).
+    */
+  final class RepGraphState private[streaming] (
+      private[streaming] var repsByHash: DataFrame,
+      private[graft] var membership: DataFrame,
+      private[streaming] var repSigs: DataFrame,
+      private[streaming] var repToks: DataFrame,
+      private[graft] var redges: DataFrame,
+      private[graft] var nDocs: Long,
+      private[graft] var lastBatch: Long = -1L) {
+    private[streaming] def swapAll(newReps: DataFrame, newMem: DataFrame,
+        newSigs: DataFrame, newToks: DataFrame, newEdges: DataFrame,
+        added: Long): Unit = {
+      val fresh = Seq(newReps, newMem, newSigs, newToks, newEdges)
+        .map(_.localCheckpoint(true))
+      Seq(repsByHash, membership, repSigs, repToks, redges).foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+      repsByHash = fresh(0); membership = fresh(1); repSigs = fresh(2)
+      repToks = fresh(3); redges = fresh(4)
+      nDocs += added
+    }
+    def unpersist(): Unit =
+      Seq(repsByHash, membership, repSigs, repToks, redges).foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+  }
+
+  /** Build [[RepGraphState]] over the corpus at `corpusDir` — the
+    * same contraction (min-id rep per md5(text), copy counts), the
+    * same LSH banding ([[graft.ops.Dedup.signaturesFor]], the batch
+    * memo's own body) and the same exact-Jaccard 0.6 verify as the
+    * batch graph, built fresh so the caller owns the lifecycle
+    * (the [[buildPqServingIndex]] contract).
+    */
+  def buildRepGraphState(s: SparkSession, corpusDir: String): RepGraphState = {
+    val dedup = graft.ops.Dedup
+    val base = graft.core.Tables.documents(s, corpusDir)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val repsByHash = base.groupBy("h")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("copies"))
+    val membership = base
+      .join(repsByHash.select("h", "rep"), Seq("h"))
+      .select("doc_id", "rep")
+    val repDocs = base
+      .join(repsByHash.select(col("rep").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("rep"), col("text"))
+    val repSigs = dedup.signaturesFor(
+        repDocs.select(col("rep").as("doc_id"), col("text")))
+      .select(col("doc_id").as("rep"), col("band"), col("sig"))
+    val repToks = repDocs.select(col("rep"),
+      array_distinct(tokens(col("text"))).as("toks"))
+    val cands = repSigs.select(col("rep").as("rep_a"), col("band"), col("sig"))
+      .join(repSigs.select(col("rep").as("rep_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
+      .distinct()
+    val verified = dedup.verifyJaccardPairs(cands,
+        repToks.select(col("rep").as("doc_id"), col("toks")), 0.6)
+      .select("doc_a", "doc_b")
+    val redges = dedup.symmetrizeEdges(verified)
+    val st = new RepGraphState(
+      repsByHash.localCheckpoint(true), membership.localCheckpoint(true),
+      repSigs.localCheckpoint(true), repToks.localCheckpoint(true),
+      redges.localCheckpoint(true), 0L)
+    st.nDocs = st.membership.count()
+    st
+  }
+
+  /** Apply one arriving micro-batch of (doc_id, text) documents to the
+    * maintained rep graph as a DELTA — the incremental half of
+    * [[pagerankMaintainAtIngest]]:
+    *
+    *  - arriving docs join the hash table: existing texts increment
+    *    `copies`; genuinely new texts mint new reps (min batch id);
+    *  - a doc with a SMALLER id than its group's current rep RELABELS
+    *    the rep (the contraction is min-id over ALL arrived docs —
+    *    equality with the batch fold demands it); relabels are a tiny
+    *    broadcast rename over the rep-keyed frames, and skip entirely
+    *    on the monotone-id common case;
+    *  - candidate pairs are generated ONLY for new reps (their
+    *    signatures against the full signature store): LSH candidacy
+    *    and exact Jaccard are pure pairwise functions of the two
+    *    texts, so no arrival can change a decided old-pair — the
+    *    property that makes the per-batch cost batch-sized, not
+    *    corpus-sized;
+    *  - new pairs verify through the ONE shared exact-Jaccard body
+    *    ([[graft.ops.Dedup.verifyJaccardPairs]]) and their symmetric
+    *    edges append.
+    *
+    * Returns the number of docs applied.
+    */
+  private[graft] def updateRepGraph(state: RepGraphState,
+      batch: DataFrame): Long = {
+    val dedup = graft.ops.Dedup
+    val b = batch.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .localCheckpoint(true)
+    val added = b.count()
+    if (added == 0) { b.unpersist(); return 0L }
+    val bAgg = b.groupBy("h")
+      .agg(min("doc_id").as("bmin"), count(lit(1)).as("bcnt"))
+      .localCheckpoint(true)
+    val relabels = bAgg.join(state.repsByHash, Seq("h"))
+      .filter(col("bmin") < col("rep"))
+      .select(col("rep").as("old_rep"), col("bmin").as("new_rep"))
+      .localCheckpoint(true)
+    val nRelabels = relabels.count()
+    def relabel(df: DataFrame, cols: Seq[String]): DataFrame =
+      if (nRelabels == 0) df
+      else cols.foldLeft(df) { (acc, c) =>
+        acc.join(broadcast(relabels), acc(c) === relabels("old_rep"), "left")
+          .withColumn(c, coalesce(col("new_rep"), col(c)))
+          .drop("old_rep", "new_rep")
+      }
+    val newHashes = bAgg.join(state.repsByHash, Seq("h"), "left_anti")
+      .select(col("h"), col("bmin").as("rep"), col("bcnt").as("copies"))
+    val updatedReps = state.repsByHash.join(bAgg, Seq("h"), "left")
+      .select(col("h"),
+        least(col("rep"), coalesce(col("bmin"), col("rep"))).as("rep"),
+        (col("copies") + coalesce(col("bcnt"), lit(0L))).as("copies"))
+      .unionByName(newHashes)
+    val memUpdated = relabel(state.membership, Seq("rep"))
+      .unionByName(b.join(updatedReps.select("h", "rep"), Seq("h"))
+        .select("doc_id", "rep"))
+    val newRepDocs = b
+      .join(newHashes.select(col("h"), col("rep")), Seq("h"))
+      .filter(col("doc_id") === col("rep"))
+      .select(col("rep"), col("text"))
+    val newSigs = dedup.signaturesFor(
+        newRepDocs.select(col("rep").as("doc_id"), col("text")))
+      .select(col("doc_id").as("rep"), col("band"), col("sig"))
+    val newToks = newRepDocs.select(col("rep"),
+      array_distinct(tokens(col("text"))).as("toks"))
+    val allSigs = relabel(state.repSigs, Seq("rep")).unionByName(newSigs)
+    val allToks = relabel(state.repToks, Seq("rep")).unionByName(newToks)
+    val verified = deltaEdges(newSigs, allSigs, allToks)
+    val edgesAll = relabel(state.redges, Seq("doc_a", "doc_b"))
+      .unionByName(dedup.symmetrizeEdges(verified))
+    state.swapAll(updatedReps, memUpdated, allSigs, allToks, edgesAll, added)
+    Seq(b, bAgg, relabels).foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    added
+  }
+
+  /** The delta's candidate-generate + verify body, shared by the live
+    * update and the Explain plan artifact: new-rep signatures against
+    * the FULL signature store (batch-sized build side — LSH candidacy
+    * and exact Jaccard are pairwise, so only pairs touching a new rep
+    * can change), verified through the ONE shared exact-Jaccard body.
+    */
+  private[graft] def deltaEdges(newSigs: DataFrame, allSigs: DataFrame,
+      allToks: DataFrame): DataFrame = {
+    val cands = newSigs.select(col("rep").as("rep_n"), col("band"), col("sig"))
+      .join(allSigs.select(col("rep").as("rep_o"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("rep_n") =!= col("rep_o"))
+      .select(least(col("rep_n"), col("rep_o")).as("doc_a"),
+        greatest(col("rep_n"), col("rep_o")).as("doc_b"))
+      .distinct()
+    graft.ops.Dedup.verifyJaccardPairs(cands,
+        allToks.select(col("rep").as("doc_id"), col("toks")), 0.6)
+      .select("doc_a", "doc_b")
+  }
+
+  /** The per-batch delta body LAZILY over a hypothetical batch — the
+    * Explain artifact's view of what [[updateRepGraph]] runs per
+    * micro-batch (no state mutation, no checkpoints, no relabel arm):
+    * plan review for the candidate-join shape at scale.
+    */
+  private[graft] def maintainDeltaBody(state: RepGraphState,
+      batch: DataFrame): DataFrame = {
+    val dedup = graft.ops.Dedup
+    val b = batch.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val newHashes = b.groupBy("h").agg(min("doc_id").as("bmin"))
+      .join(state.repsByHash, Seq("h"), "left_anti")
+      .select(col("h"), col("bmin").as("rep"))
+    val newRepDocs = b.join(newHashes, Seq("h"))
+      .filter(col("doc_id") === col("rep"))
+      .select(col("rep"), col("text"))
+    val newSigs = dedup.signaturesFor(
+        newRepDocs.select(col("rep").as("doc_id"), col("text")))
+      .select(col("doc_id").as("rep"), col("band"), col("sig"))
+    val newToks = newRepDocs.select(col("rep"),
+      array_distinct(tokens(col("text"))).as("toks"))
+    deltaEdges(newSigs, state.repSigs.unionByName(newSigs),
+      state.repToks.unionByName(newToks))
+  }
+
+  /** The batch residual-stop power iteration run VERBATIM over the
+    * maintained graph (same uniform init, same integer
+    * [[graft.ops.Dedup.pagerankRepStep]], same tol = p0/tolDiv stop,
+    * same doc-level expansion), so the stream-maintained ranks are
+    * bit-equal to q147 over the arrived corpus — including `n_iters`,
+    * because the iterate sequence is exact-integer deterministic.
+    * Returns the doc-level frame plus a cleanup handle for the
+    * per-batch scratch checkpoints.
+    */
+  private def convergedDocRanks(state: RepGraphState, tolDiv: Long,
+      maxIters: Int): (DataFrame, () => Unit) = {
+    val Scale = 1000000000000L
+    val n = state.nDocs
+    val base = (Scale * 15L / 100L) / n
+    val p0 = Scale / n
+    val tol = p0 / tolDiv
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val copies = state.repsByHash.select(col("rep"), col("copies"))
+    val nbr = state.redges
+      .join(copies.select(col("rep").as("doc_b"), col("copies").as("cb")),
+        Seq("doc_b"))
+      .groupBy(col("doc_a").as("rep"))
+      .agg(sum("cb").as("nbr_copies"))
+    val repInfo = copies.join(nbr, Seq("rep"), "left")
+      .select(col("rep"), col("copies"),
+        (coalesce(col("nbr_copies"), lit(0L)) + col("copies") - lit(1L))
+          .as("deg"))
+      .localCheckpoint(true)
+    scratch += repInfo
+    var pr = repInfo.select(col("rep"), lit(p0).as("pr"))
+      .localCheckpoint(true)
+    var it = 0
+    var resid = Long.MaxValue
+    while (it < maxIters && resid > tol) {
+      val next = graft.ops.Dedup
+        .pagerankRepStep(pr, state.redges, repInfo, base)
+        .localCheckpoint(true)
+      resid = next.agg(max(abs(col("pr") - col("prev"))).as("r"))
+        .head().getLong(0)
+      try pr.unpersist() catch { case _: Throwable => () }
+      pr = next.select("rep", "pr")
+      it += 1
+    }
+    scratch += pr
+    val out = state.membership
+      .join(pr.join(repInfo.select("rep", "deg"), Seq("rep")), Seq("rep"))
+      .select(col("doc_id"), col("deg").as("degree"),
+        col("pr").as("pr_mass"), lit(it.toLong).as("n_iters"))
+    (out, () => scratch.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    })
+  }
+
+  /** INCREMENTAL GRAPH MAINTENANCE AT INGEST — the streaming twin of
+    * the batch link-analysis kernel (q137/q147): documents arrive in
+    * micro-batches, the contracted near-dup rep graph is maintained as
+    * a per-batch DELTA ([[updateRepGraph]] — new-rep-only candidate
+    * generation, shared exact-Jaccard verify, broadcast relabels), and
+    * the residual-stop power iteration re-runs over the MAINTAINED
+    * graph after each batch — rep-graph-sized work, thousands of rows
+    * where the member graph is millions. Spec-pinned
+    * (StreamingSpec): after every batch the written ranks are
+    * BIT-EQUAL to `q147PagerankConverged` over the union of arrived
+    * documents, n_iters included.
+    *
+    * Scale shape per batch at 100 TB: candidate generation is (batch
+    * signatures ⋈ signature store) — batch-sized build side against
+    * the bucket-partitioned store, never a corpus self-join; verify
+    * touches only pairs involving an arriving rep; the rank fold is
+    * rep-graph-sized. The corpus-sized pieces (membership, the
+    * doc-level expansion written per batch) are one keyed join each —
+    * a production deployment would back membership with a table
+    * ([[cdcUpsertStream]]'s Layout) and materialize the doc-level
+    * expansion on demand instead of per batch; the rep-level model IS
+    * the maintained artifact.
+    */
+  def pagerankMaintainAtIngest(docs: DataFrame, state: RepGraphState,
+      outDir: String, checkpointDir: String, tolDiv: Long = 10L,
+      maxIters: Int = 12)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // idempotence under foreachBatch's at-least-once retries: a
+        // replayed batch must not double-count copies
+        if (batchId > state.lastBatch) {
+          updateRepGraph(state, batch.toDF())
+          state.lastBatch = batchId
+          if (state.nDocs > 0) {
+            val (ranks, cleanup) = convergedDocRanks(state, tolDiv, maxIters)
+            try ranks.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir)
+            finally cleanup()
+          }
+        }
+        (): Unit
+      }
+      .start()
+
   def hybridAnnAtIngest(queries: DataFrame,
       index: graft.ops.Similarity.HybridIndex, pq: PqServingIndex,
       outDir: String, checkpointDir: String, mTerms: Int = 8,

@@ -115,6 +115,28 @@ object AnnComparisonProbe {
     }
     println(s"(recall over the $nq %50-queries; time = min of 2 warm passes)")
 
+    // UNIQUE-VECTOR SERVING-GEOMETRY recall of the hybrid tier swap
+    // (VERDICT r14 #6): the stream artifacts' hybrid_ann_recall10 =
+    // 1.000 is dup-inflated (the 20× corpora replicate embeddings, so
+    // any copy of the right vector scores a hit); this measures the
+    // same quantity — recall@10 of the ANN-fused answer vs the
+    // exact-fused answer, same query workload — over THIS dir's
+    // unique vectors at the serving twin's own geometry (√N coarse
+    // centroids, nProbe=2), so the committed record carries the honest
+    // bound beside the flattering one. SimilaritySpec gates on it.
+    val servingNc = graft.streaming.StreamingOps.servingCentroids(nVecs)
+    val exactFused = Similarity.q172HybridQueryRrf(spark, dir)
+      .select(col("query_id"), col("doc_id")).distinct()
+    val annFused = Similarity.q174HybridAnnRrf(spark, dir,
+        nProbe = 2, nCentroids = servingNc)
+      .select(col("query_id"), col("doc_id")).distinct()
+    val hybHit = exactFused
+      .join(annFused, Seq("query_id", "doc_id"), "left_semi").count()
+    val hybTot = exactFused.count()
+    val hybridServingRecall =
+      if (hybTot == 0) 0.0 else hybHit.toDouble / hybTot
+    println(f"hybrid serving-geometry recall@10 (unique vectors, ${servingNc}c/2p): $hybridServingRecall%.3f ($hybHit/$hybTot)")
+
     // args(1): write the decision record as a committed artifact
     // (ANN_DECISION.json — the round-9 verdict's item 6), so the
     // recommended family's recall/cost are diffable round-over-round
@@ -143,6 +165,8 @@ object AnnComparisonProbe {
            |"recommended":"$recommended",
            |"recommended_recall3":${r3(m(recommended)._2)},
            |"fit_free_fallback":"q146_lsh_9of256",
+           |"hybrid_serving_recall10_unique":${r3(hybridServingRecall)},
+           |"hybrid_serving_geometry":"${servingNc}c_2p_sqrtN_unique_vectors",
            |"configs":{$cfgs}}""".stripMargin.replace("\n", "")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       println(s"wrote $out (recommended: $recommended)")

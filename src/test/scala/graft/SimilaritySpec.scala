@@ -28,6 +28,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(txt.contains(s""""$rec":{"""), s"recommended $rec not in configs")
     assert(field("recommended_recall3").toDouble >= 0.3,
       s"recommended family recall ${field("recommended_recall3")} < spec floor 0.3")
+    // the HONEST serving bound (r15): recall@10 of the ANN-backed
+    // hybrid fusion vs the exact fusion on UNIQUE vectors at the
+    // serving twin's own √N/2-probe geometry — the committed twin of
+    // the stream artifacts' dup-inflated 1.000. Floor deliberately
+    // below the measured value by a noise margin: the gate exists so a
+    // silent index/codebook regression (or a flattering regeneration
+    // that quietly dropped the field) breaks the suite.
+    assert(field("hybrid_serving_recall10_unique").toDouble >= 0.5,
+      s"unique-vector serving recall ${field("hybrid_serving_recall10_unique")} < spec floor 0.5")
   }
 
   test("q48 IVF: at most k rows per query, valid sims, recall@3 vs exact >= 0.3") {

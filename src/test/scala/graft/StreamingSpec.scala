@@ -1300,4 +1300,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingOps.applyCdcBatch(
       Seq((3L, "c", 3L)).toDF("k", "v", "seq"), tbl, "w1", 1L, "k", "seq"))
   }
+
+  test("pagerank maintenance at ingest: stream-maintained ranks equal the batch q147 fold after every batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // controlled fixture: exact-dup groups + verifiable near-dups
+    // (long shared prefix ⇒ shared band minima ⇒ LSH candidacy; token
+    // Jaccard ≥ 0.6 ⇒ verified edge). Batch 2's doc 5 repeats group
+    // A's text with a SMALLER id than its current rep — the relabel
+    // path, where the maintained graph must rename rep 100 to 5
+    // everywhere (membership, signatures, edges) to stay equal to the
+    // batch min-id contraction.
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tAnear = tA.replace(" upsilon", " phi") // 19/21 tokens shared
+    val tB = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val tBnear = tB.replace(" sixteen", " seventeen")
+    val tiny = "just two" // < 3 tokens: no shingles, no signatures
+    val corpus = Seq(
+      100L -> tA, 101L -> tA, 102L -> tAnear,
+      110L -> tB, 111L -> tiny)
+    val batch1 = Seq(200L -> tA, 201L -> tBnear, 202L -> "brand new words entirely here today")
+    val batch2 = Seq(5L -> tA, 210L -> tB, 211L -> tiny)
+    def writeDocs(docs: Seq[(Long, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("prg").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val corpusDir = writeDocs(corpus)
+    val p1 = writeDocs(corpus ++ batch1)
+    val p2 = writeDocs(corpus ++ batch1 ++ batch2)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("prg_out").toString + "/r"
+    val ckpt = java.nio.file.Files.createTempDirectory("prg_ckpt").toString
+    val state = StreamingOps.buildRepGraphState(spark, corpusDir)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.pagerankMaintainAtIngest(
+      mem.toDF().toDF("doc_id", "text"), state, outDir, ckpt)
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      def rankSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "degree", "pr_mass", "n_iters")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val oracle1 = rankSet(
+        graft.ops.Dedup.q147PagerankConverged(spark, p1))
+      val oracle2 = rankSet(
+        graft.ops.Dedup.q147PagerankConverged(spark, p2))
+      val got = spark.read.parquet(outDir)
+      val got1 = rankSet(got.filter(col("batch_id") === 0L))
+      val got2 = rankSet(got.filter(col("batch_id") === 1L))
+      assert(got1 == oracle1,
+        s"batch 0 mismatch: ${(got1 diff oracle1) ++ (oracle1 diff got1)}")
+      assert(got2 == oracle2,
+        s"batch 1 mismatch: ${(got2 diff oracle2) ++ (oracle2 diff got2)}")
+      // not vacuously equal: the fixture must actually exercise edges
+      // and the relabel (rep 100 -> 5 carries 4 copies of tA)
+      assert(got2.exists(_._2 > 0L), "no near-dup edges in the fixture")
+      assert(oracle2.exists(r => r._1 == 5L && r._2 > 0L),
+        "relabeled rep 5 should carry group A's degree")
+      // idempotence guard: re-applying an already-seen batch id is a no-op
+      val before = state.nDocs
+      StreamingOps.updateRepGraph(state,
+        Seq(999L -> "should not apply twice").toDF("doc_id", "text"))
+      assert(state.nDocs == before + 1) // direct call applies...
+      assert(state.lastBatch == 1L) // ...but the stream guard is on batchId
+    } finally { q.stop(); state.unpersist() }
+  }
 }
