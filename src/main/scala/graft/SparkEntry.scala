@@ -225,6 +225,9 @@ object SparkEntry {
     "q173_coreset_assign" -> ((s, d) => Similarity.q173CoresetAssign(s, d)),
     "q174_hybrid_ann_rrf" -> ((s, d) => Similarity.q174HybridAnnRrf(s, d)),
     "q175_ce_rerank" -> ((s, d) => Similarity.q175CeRerank(s, d)),
+    // MERGE with deletes: q92's CDC apply extended with tombstones,
+    // takedown-wins precedence gated (see Layout.q176MergeDelete)
+    "q176_merge_delete" -> (Layout.q176MergeDelete(_, _)),
     // function-family suites
     "q43_pivot" -> (ScalarSuites.q43Pivot(_, _)),
     "q44_percentiles" -> (ScalarSuites.q44Percentiles(_, _)),
@@ -2242,6 +2245,29 @@ object SparkEntry {
          |SELECT o_orderstatus, count(*) AS n_rows,
          | CAST(sum(${sqlCents("o_totalprice")}) AS DOUBLE) / 100.0 AS total_price
          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // mirrors Layout.q176MergeDelete — q92's merged CTE with a
+    // tombstone pass applied LAST (takedown-wins: a key in both ups
+    // and dels comes out deleted; keep precedence in lockstep)
+    "q176_merge_delete" ->
+      s"""WITH ups AS (
+         | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         |  CAST(${sqlCents("o_totalprice")} + 5000 AS DOUBLE) / 100.0 AS o_totalprice,
+         |  o_orderdate, o_orderpriority
+         | FROM orders WHERE o_orderkey % 7 = 0
+         | UNION ALL
+         | SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+         |  o_orderdate, o_orderpriority
+         | FROM orders WHERE o_orderkey % 13 = 0),
+         |merged AS (SELECT * FROM ups
+         | UNION ALL
+         | SELECT * FROM orders
+         | WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)),
+         |survivors AS (SELECT * FROM merged
+         | WHERE o_orderkey NOT IN (
+         |   SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0))
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         | CAST(sum(${sqlCents("o_totalprice")}) AS DOUBLE) / 100.0 AS total_price
+         |FROM survivors GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // mirrors Similarity.q90QuantizeEmbeddings — per-dim min/max grid,
     // nearest-code floor, nano-unit error sums (keep in lockstep)
     "q90_quantize_embeddings" ->

@@ -231,6 +231,60 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
+  /** MERGE apply WITH DELETES — [[upsert]]'s missing half (real CDC
+    * batches carry tombstones): one changes frame with an `op` column
+    * (`upsert` | `delete`); upserted keys win over base rows, deleted
+    * keys are removed, and a key carrying BOTH ops in one batch
+    * resolves to DELETED — takedown wins, the precedence a
+    * training-data pipeline needs (a right-to-be-forgotten sweep must
+    * not be resurrected by a concurrent metadata update; re-admission
+    * is an explicit upsert in a LATER batch). Same copy-on-write scale
+    * shape as [[upsert]]: at 100 TB the change batch partition-prunes
+    * first and only touched partitions rewrite; both anti-joins
+    * broadcast whenever the batch is CDC-sized.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    val dels = changes.filter(col(opCol) === "delete").select(key)
+    val ups = changes.filter(col(opCol) === "upsert").drop(opCol)
+    upsert(base, ups, key).join(dels, Seq(key), "left_anti")
+  }
+
+  /** Driver-visible MERGE-WITH-DELETES scenario (q176) — q92's CDC
+    * batch extended with tombstones: updates (keys %7 → status 'U',
+    * +50.00 exact cents), inserts (keys %13 cloned to key+1e8, status
+    * 'N'), DELETES (keys %11 — deliberately including keys ALSO
+    * matched by the update rule at %77, which must come out deleted:
+    * takedown-wins precedence is part of the gated contract; and keys
+    * %143 whose OLD row deletes while their %13-minted clone at
+    * key+1e8 survives — a takedown-and-reissue in one batch). Same
+    * per-status checksum shape as q92 (counts + exact cent totals): a
+    * resurrected deleted row, a lost tombstone, or a mis-precedenced
+    * %77 key each move a count or a cent.
+    */
+  def q176MergeDelete(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Round._
+    val base = Tables.orders(s, d)
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice",
+        fromCents(cents(col("o_totalprice")) + lit(5000L)))
+    val inserts = base.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderstatus", lit("N"))
+    val changes = updates.unionByName(inserts)
+      .withColumn("op", lit("upsert"))
+      .unionByName(base.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("delete")))
+    applyChanges(base, changes, "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(col("o_orderstatus"), col("n_rows"),
+        (col("total_cents").cast("double") / lit(100.0)).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** CORPUS SNAPSHOT DIFF — the change-data view between two table
     * versions (what Delta/Iceberg expose as CDF): per-key status
     * added / removed / changed / unchanged, derived from a full-outer

@@ -152,6 +152,39 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows("N")._1 == nInserts)
   }
 
+  test("applyChanges: deletes remove, upserts win, takedown beats same-batch upsert") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "B", "upsert"),   // plain update
+      (5L, "E", "upsert"),   // insert
+      (3L, null, "delete"),  // plain delete
+      (4L, "D", "upsert"),   // conflicting pair: takedown must win
+      (4L, null, "delete"),
+      (9L, null, "delete")   // deleting an absent key is a no-op
+    ).toDF("k", "v", "op")
+    val got = Layout.applyChanges(base, changes, "k")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 5L -> "E"),
+      s"takedown-wins/delete semantics broken: $got")
+  }
+
+  test("q176 merge-delete summary: row conservation, takedown-wins at %77, reissue at %143") {
+    val base = graft.core.Tables.orders(spark, TestSpark.sf)
+    val rows = Layout.q176MergeDelete(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nBase = base.count()
+    val nInserts = base.filter(col("o_orderkey") % 13 === 0).count()
+    val nDels = base.filter(col("o_orderkey") % 11 === 0).count()
+    // survivors = base + inserts − deletes (clone keys +1e8 are never
+    // tombstoned, so a %143 base row deletes while its clone survives)
+    assert(rows.values.map(_._1).sum == nBase + nInserts - nDels)
+    // updated keys that are NOT deleted carry 'U' — %77 keys must be gone
+    assert(rows("U")._1 == base.filter(
+      col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0).count())
+    assert(rows("N")._1 == nInserts)
+  }
+
   test("q136 corpus diff: matches a JVM reference diff of the two slices") {
     val docs = graft.core.Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text").collect()
