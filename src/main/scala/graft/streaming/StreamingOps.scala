@@ -570,7 +570,7 @@ object StreamingOps {
     */
   def cdcUpsertStream(changes: DataFrame, tableDir: String,
       checkpointDir: String, key: String, seqCol: String,
-      keepVersions: Int = 2)
+      keepVersions: Int = 2, opCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(keepVersions >= 1,
       s"keepVersions must be >= 1 (got $keepVersions)")
@@ -579,7 +579,7 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         applyCdcBatch(batch, tableDir, streamId = checkpointDir, batchId,
-          key, seqCol, keepVersions)
+          key, seqCol, keepVersions, opCol)
         (): Unit
       }
       .start()
@@ -591,10 +591,22 @@ object StreamingOps {
     * committed. Returns whether the batch was applied (false =
     * redelivery no-op). Public so the idempotence and epoch semantics
     * are directly testable without staging a crash.
+    *
+    * `opCol` (r15) routes DELETES through the stream: when set, rows
+    * whose op is `delete` tombstone their key and everything else
+    * upserts; the op column never lands in the stored table. Delete
+    * semantics here are LOG-ORDER-wins, deliberately different from
+    * [[graft.ops.Layout.applyChanges]]'s takedown-wins: a CDC batch
+    * carries a sequence column, so "which op is current" is a fact of
+    * the log (latest seq per key decides — an upsert sequenced AFTER a
+    * delete re-admits the key in the same batch), whereas
+    * applyChanges handles UNSEQUENCED changesets where precedence must
+    * be a policy and the safe policy is takedown. Both are spec-pinned.
     */
   def applyCdcBatch(batch: Dataset[org.apache.spark.sql.Row],
       tableDir: String, streamId: String, batchId: Long,
-      key: String, seqCol: String, keepVersions: Int = 2): Boolean = {
+      key: String, seqCol: String, keepVersions: Int = 2,
+      opCol: Option[String] = None): Boolean = {
     // keepVersions < 1 would make vacuum's keepFrom exceed the version
     // just committed and delete it out from under _CURRENT
     require(keepVersions >= 1,
@@ -614,14 +626,24 @@ object StreamingOps {
           Window.partitionBy(key).orderBy(col(seqCol).desc,
             hash(struct(batch.columns.map(col): _*)).asc)))
         .where(col("__rn") === 1).drop("__rn")
+      // opCol: the latest row per key decided above — if that row is a
+      // delete, the key tombstones; otherwise it upserts (op stripped)
+      val (ups, dels) = opCol match {
+        case Some(op) =>
+          (resolved.filter(col(op) =!= lit("delete")).drop(op),
+            resolved.filter(col(op) === lit("delete")).select(key))
+        case None => (resolved, null)
+      }
       val base = m match {
         case Some(mm) => s.read.parquet(s"$tableDir/v${mm.version}")
         case None     => s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ups.schema)
       }
       val newVersion = m.map(_.version + 1).getOrElse(0L)
-      graft.ops.Layout.upsert(base, resolved, key)
-        .write.mode("overwrite").parquet(s"$tableDir/v$newVersion")
+      val merged0 = graft.ops.Layout.upsert(base, ups, key)
+      val merged = if (dels == null) merged0
+        else merged0.join(dels, Seq(key), "left_anti")
+      merged.write.mode("overwrite").parquet(s"$tableDir/v$newVersion")
       commitCdcManifest(s, tableDir,
         CdcManifest(newVersion, streamId, batchId))
       vacuumCdcVersions(s, tableDir, newVersion - (keepVersions - 1))

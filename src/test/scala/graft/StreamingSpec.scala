@@ -1301,6 +1301,35 @@ class StreamingSpec extends AnyFunSuite {
       Seq((3L, "c", 3L)).toDF("k", "v", "seq"), tbl, "w1", 1L, "k", "seq"))
   }
 
+  test("CDC deletes: log-order wins within a batch, tombstones remove, op never lands, redelivery idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc_del").toString
+    val tbl = s"$dir/table"
+    val b0 = Seq((1L, "a", 1L, "upsert"), (2L, "b", 2L, "upsert"),
+      (3L, "c", 3L, "upsert")).toDF("k", "v", "seq", "op")
+    assert(StreamingOps.applyCdcBatch(b0, tbl, "w", 0L, "k", "seq", 2,
+      Some("op")))
+    // log-order semantics, the deliberate contrast with applyChanges's
+    // takedown-wins: key 3 delete(seq10) then upsert(seq11) RE-ADMITS
+    // in the same batch; key 1 upsert(seq10) then delete(seq11) is gone
+    val b1 = Seq(
+      (2L, null.asInstanceOf[String], 10L, "delete"),
+      (3L, null.asInstanceOf[String], 10L, "delete"),
+      (3L, "C2", 11L, "upsert"),
+      (1L, "A2", 10L, "upsert"),
+      (1L, null.asInstanceOf[String], 11L, "delete"),
+      (4L, "d", 10L, "upsert")).toDF("k", "v", "seq", "op")
+    assert(StreamingOps.applyCdcBatch(b1, tbl, "w", 1L, "k", "seq", 2,
+      Some("op")))
+    val cur = StreamingOps.readCdcTable(spark, tbl)
+    assert(!cur.columns.contains("op"), "op column must never land")
+    val state = cur.select("k", "v").as[(Long, String)].collect().toMap
+    assert(state == Map(3L -> "C2", 4L -> "d"), s"got $state")
+    // redelivered batch is a no-op (manifest high-water mark)
+    assert(!StreamingOps.applyCdcBatch(b1, tbl, "w", 1L, "k", "seq", 2,
+      Some("op")))
+  }
+
   test("pagerank maintenance at ingest: stream-maintained ranks equal the batch q147 fold after every batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
