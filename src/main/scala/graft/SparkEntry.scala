@@ -114,6 +114,8 @@ object SparkEntry {
     "q143_contamination_spans" -> (TextOps.q143ContaminationSpans(_, _)),
     // linear-classifier quality margin over broadcast hashed features
     "q145_linear_quality_score" -> (TextOps.q145LinearQualityScore(_, _)),
+    // per-source rank calibration of the q145 margin (decile table)
+    "q177_score_calibration" -> (TextOps.q177ScoreCalibration(_, _)),
     // corpus-internal exact substring dedup: profile + rewrite
     "q148_repeated_spans" -> (TextOps.q148RepeatedSpans(_, _)),
     "q149_dedup_rewrite" -> (TextOps.q149DedupRewrite(_, _)),
@@ -3523,6 +3525,29 @@ object SparkEntry {
          | ${sqlRn("CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_w_milli,
          | CASE WHEN sum(w) >= 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors TextOps.q177ScoreCalibration — q145's margin chain, then
+    // rank-within-source deciles (row_number over margin desc, doc_id;
+    // ((rk-1)*10) // n) — keep in lockstep with the q145 oracle above
+    "q177_score_calibration" ->
+      s"""WITH w AS (SELECT CAST(i AS BIGINT) AS bucket,
+         |  CAST(i * 2654435761 % 2001 - 1000 AS BIGINT) AS w
+         | FROM range(0, 4096) t(i)),
+         |u AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+         |b AS (SELECT doc_id,
+         |  CAST('0x' || substr(md5(tok), 1, 3) AS BIGINT) AS bucket FROM u),
+         |j AS (SELECT doc_id, w.w FROM b JOIN w USING (bucket)),
+         |m AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS margin_milli
+         | FROM j GROUP BY doc_id),
+         |r AS (SELECT d.source, m.margin_milli,
+         |  CAST(row_number() OVER (PARTITION BY d.source
+         |    ORDER BY m.margin_milli DESC, m.doc_id ASC) AS BIGINT) AS rk,
+         |  CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS n
+         | FROM m JOIN documents d USING (doc_id))
+         |SELECT source, CAST(((rk - 1) * 10) // n AS BIGINT) AS decile,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | min(margin_milli) AS min_margin_milli,
+         | max(margin_milli) AS max_margin_milli
+         |FROM r GROUP BY source, decile ORDER BY source, decile""".stripMargin,
     // mirrors Events.q144TemporalSplit — exact BIGINT microsecond time,
     // cutoff = lo + (hi - lo)*8 div 10, user-granular split with the
     // straddle band excluded (keep in lockstep)

@@ -2036,6 +2036,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PER-SOURCE SCORE CALIBRATION (q177) — the step between a
+    * model-based quality score and a usable corpus gate: q145's margin
+    * is SOURCE-BIASED (each source's text style shifts the score
+    * distribution wholesale), so one global threshold over-prunes some
+    * sources and guts others; the standard remedy is rank calibration
+    * WITHIN source — keep the top q% of each source, whatever its raw
+    * score range. Output is the calibration table that decision
+    * consumes: per (source, decile) the doc count and the EXACT margin
+    * bounds, so any target keep-rate maps to a per-source threshold by
+    * lookup. Decile = ((rank−1)·10) div n with rank = row_number over
+    * (margin desc, doc_id asc) — all BIGINT, deterministic under ties,
+    * hash-exact with no rounding discipline at all.
+    *
+    * Plan shape: q145's margin chain (exact-text contraction, broadcast
+    * weight table) + ONE source-keyed exchange feeding the rank window
+    * and the same-keyed aggregation. Scale note: partition-by-source
+    * windows sort each source on one task — fine at dozens-of-sources
+    * with bounded skew; a 100 TB corpus where one source dominates
+    * swaps the window for the q150 range-partitioned globalRank run
+    * per source (same rank semantics, executor-bounded sorts), and the
+    * decile TABLE this emits is what ships either way (sources × 10
+    * rows — model-sized).
+    */
+  def q177ScoreCalibration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val margins = q145LinearQualityScore(s, d)
+      .select(col("doc_id"), col("margin_milli"))
+    val src = Tables.documents(s, d).select("doc_id", "source")
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("margin_milli").desc, col("doc_id").asc)
+    margins.join(src, Seq("doc_id"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("decile", expr("((rk - 1) * 10) div n"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("margin_milli").as("min_margin_milli"),
+        max("margin_milli").as("max_margin_milli"))
+      .orderBy("source", "decile")
+  }
+
   /** Shared frames of the CORPUS-INTERNAL repeated-substring family
     * (q148/q149) — the suffix-array exact-substring-dedup question
     * ("which token spans appear more than once ANYWHERE in the corpus",

@@ -2142,6 +2142,36 @@ class TextDedupSimSpec extends AnyFunSuite {
     assert(got.values.map(_._4).toSet == Set("keep", "drop"))
   }
 
+  test("q177 score calibration: matches a JVM rank-decile fold of the q145 margins") {
+    val margins = TextOps.q145LinearQualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val srcs = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = srcs.filter(x => margins.contains(x._1))
+      .groupBy(_._2).flatMap { case (src, xs) =>
+        val ordered = xs.map { case (id, _) => (margins(id), id) }
+          .sortBy { case (m, id) => (-m, id) }
+        val n = ordered.length.toLong
+        ordered.zipWithIndex
+          .map { case ((m, _), i) => (i.toLong * 10L / n, m) }
+          .groupBy(_._1).map { case (dec, ms) =>
+            (src, dec) -> (ms.length.toLong,
+              ms.map(_._2).min, ms.map(_._2).max)
+          }
+      }
+    val got = TextOps.q177ScoreCalibration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want && got.nonEmpty)
+    // deciles cover 0..9 for every source large enough, counts conserve
+    val perSource = got.keys.toSeq.groupBy(_._1)
+    perSource.foreach { case (src, ks) =>
+      val total = ks.map(got(_)._1).sum
+      assert(total == srcs.count(x =>
+        x._2 == src && margins.contains(x._1)), s"count drift for $src")
+    }
+  }
+
   test("q148/q149 planted corpus: cross-doc run, intra-doc repetition, exact copies, short doc") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("repspan_docs").toString
