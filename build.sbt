@@ -26,6 +26,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 512m code cache (JDK 17 default: 240m): a 175-query codegen'd
+  // sweep holds the default at a FLAT ~138 MB while the JIT keeps
+  // compiling 0.1-1.6 s per query (r15 instrumented sweep) — i.e.
+  // continuous nmethod eviction to make room. The intermittent
+  // "execution flip" (a query running ~8-50x slow with idle probes,
+  // zero GC, flat storage, RUNNABLE codegen threads, recovering on
+  // re-run — r14/r15 NOTES) matches an eviction landing on the next
+  // query's hot generated method, which then runs interpreted until
+  // re-JIT. A larger reserve removes the turnover; flip frequency
+  // across future sweeps is the measurement.
+  "-XX:ReservedCodeCacheSize=512m",
   // 16g: local[32] runs the whole engine in one JVM, and the session
   // memos (persisted LSH signature + candidate frames) are long-lived
   // storage by design — at the 20x stress corpus an 8g heap let pinned

@@ -50,6 +50,16 @@ object GraftSession {
       .master(master)
       // custom Catalyst expressions on the SQL surface (FunctionRegistry)
       .withExtensions(new GraftExtensions)
+      // 175 registered queries × several codegen stages each blow out
+      // the 100-entry default generated-class cache, so every sweep
+      // re-Janino-compiles and re-JITs stages it already ran — the
+      // churn behind the code-cache turnover measured in the r15
+      // instrumented sweep (and CPU burnt on the driver re-compiling
+      // identical source). Static conf: must be set before the
+      // session exists. Entries hold class references; ~1000 generated
+      // classes is tens of MB of metaspace — cheap beside the 16-32g
+      // heap this engine runs with.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

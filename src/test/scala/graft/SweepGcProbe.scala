@@ -23,6 +23,25 @@ object SweepGcProbe {
         .map { case (max, free) => max - free }.sum
       s / 1048576.0
     }
+    // JIT code-cache occupancy vs cap + cumulative compilation time:
+    // the r15 flip hypothesis (STRESS_r30 caught q49/q52 at ~8× with
+    // idle probes/loadavg/memory, SAME victims as r14, positional in
+    // the sweep) is silent CodeCache FLUSHING — the default 240 MB
+    // reserve fills under 175 codegen'd queries, HotSpot evicts cold
+    // nmethods without any warning, and the victim queries run
+    // interpreted until re-JIT (8-50× — the observed band). These two
+    // numbers make the mechanism visible: occupancy pinned at the cap
+    // plus a compilation-time spike at the slow query = flush storm.
+    def codeCache: (Double, Double) = {
+      val pools = java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+      val used = pools.map(_.getUsage.getUsed).sum / 1048576.0
+      val max = pools.map(p => math.max(p.getUsage.getMax, 0L)).sum / 1048576.0
+      (used, max)
+    }
+    def compileMs: Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
     val names = SparkEntry.queries.keys.toSeq.sorted
     // total executor task run time per query — wall ≫ taskTime means
     // the cores were IDLE (scheduler/IO/lock stall), wall ≈ taskTime/32
@@ -43,8 +62,23 @@ object SweepGcProbe {
       }
     }
     println(f"[sweepgc] warmed; storage ${storageMb}%.0f MB")
+    val (ccUsed0, ccMax0) = codeCache
+    println(f"[sweepgc] codecache at start: $ccUsed0%.0f / $ccMax0%.0f MB")
+    // per-pool breakdown: the summed number hides a single SEGMENT
+    // pinned at its own cap (under the 240 MB default the non-profiled
+    // nmethod segment caps near ~117 MB — eviction there hits final-
+    // tier compiled code specifically, invisible in the sum)
+    def poolLine(): String = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(p => f"${p.getName.stripPrefix("CodeHeap '").stripSuffix("'")}=" +
+        f"${p.getUsage.getUsed / 1048576.0}%.0f/" +
+        f"${math.max(p.getUsage.getMax, 0L) / 1048576.0}%.0f")
+      .mkString(" ")
+    println(s"[sweepgc] codecache pools: ${poolLine()}")
     names.foreach { n =>
       val g0 = gcMs; val t0 = System.nanoTime(); val k0 = taskTime.get()
+      val c0 = compileMs
       @volatile var done = false
       // watchdog: one full thread dump if the query stalls >10 s — the
       // direct answer to WHAT the JVM is doing during a silent stall
@@ -75,11 +109,15 @@ object SweepGcProbe {
       val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
         catch { case _: Throwable => false }
       done = true
+      if ((System.nanoTime() - t0) / 1e9 > 3.0)
+        println(s"[sweepgc] pools after slow $n: ${poolLine()}")
       val dt = (System.nanoTime() - t0) / 1e9
       val dg = (gcMs - g0) / 1000.0
       val dk = (taskTime.get() - k0) / 1000.0
+      val dc = (compileMs - c0) / 1000.0
+      val (ccU, ccM) = codeCache
       if (dt > 0.5 || !ok)
-        println(f"[sweepgc] $n%-34s ${dt}%6.2f s  gc ${dg}%5.2f s  task ${dk}%7.1f s  storage ${storageMb}%7.0f MB${if (ok) "" else "  CRASH"}")
+        println(f"[sweepgc] $n%-34s ${dt}%6.2f s  gc ${dg}%5.2f s  task ${dk}%7.1f s  jit ${dc}%5.2f s  cc ${ccU}%4.0f/${ccM}%4.0f MB  storage ${storageMb}%7.0f MB${if (ok) "" else "  CRASH"}")
       // slow count-path execution: best-effort metric capture via ONE
       // re-execution through toRdd on a fresh frame — the flip may not
       // recur there (that is the phenomenon), so the dump is labeled a
