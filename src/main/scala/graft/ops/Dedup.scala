@@ -1833,7 +1833,6 @@ object Dedup {
     */
   def q134DedupAdjustedMix(s: SparkSession, d: String, target: Int = 200)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val elig = Tables.documents(s, d).select("doc_id", "source")
       .join(propagationComponents(s, d), Seq("doc_id"))
       .filter(col("component") === col("doc_id"))
@@ -1845,10 +1844,10 @@ object Dedup {
     val quota = w.crossJoin(broadcast(tot))
       .withColumn("quota", expr(s"$target * w div wtot"))
       .select("source", "effective", "quota")
-    elig
+    val draw = elig
       .withColumn("hk", md5(concat(col("doc_id").cast("string"), lit("-dmix"))))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))).cast("long"))
+    ScalarSuites.groupedRank(draw, Seq("source"),
+        Seq(col("hk"), col("doc_id")), rankCol = "rk")
       .join(broadcast(quota), Seq("source"))
       .filter(col("rk") <= col("quota"))
       .select(col("source"), col("doc_id"), col("rk"), col("effective"),

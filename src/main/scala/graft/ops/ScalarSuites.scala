@@ -252,6 +252,109 @@ object ScalarSuites {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Skew-safe PER-GROUP rank — `row_number() over (partition by
+    * groupCols order by sortCols)` without the single-task-per-group
+    * sort. `Window.partitionBy(lowCardKey)` hashes each group onto ONE
+    * task; with a dominant group (one web-crawl source in a mixed
+    * corpus) that is a single-executor sort of most of the input — the
+    * skewed sibling of the no-key window hazard, and the reason
+    * PlanSpec bans corpus-sized low-cardinality-key windows. This
+    * formulation is [[globalRank]]'s: ONE range-partitioned sort on
+    * (groupCols, sortCols) — a dominant group spreads over many
+    * partitions, every per-partition sort is executor-bounded — plus a
+    * lightweight run-length count pass whose driver state is
+    * #groups + #partitions entries (groups are contiguous in the range
+    * order), broadcast back as per-(partition, group) offsets.
+    *
+    * Same contract as [[globalRank]]: sort keys must be UNIQUE within a
+    * group for deterministic ranks, and the RDD hop is rung (d) of the
+    * custom-operator ladder — Spark has no skew-safe per-group rank
+    * primitive (`InferWindowGroupLimit` rescues only constant-limit
+    * top-k, not full rankings / running sums).
+    *
+    * Also emitted in the SAME two passes (no extra jobs):
+    *  - `totalCol`   — the group's total row count on every row (the
+    *    `count(*) over (partition by g)` twin, known to the count pass);
+    *  - `cumSums`    — inclusive running sums `(srcCol → outCol)` of
+    *    non-null BIGINT columns in sort order (the
+    *    `sum(x) over (partition by g order by … rows unbounded
+    *    preceding)` twin).
+    */
+  def groupedRank(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[org.apache.spark.sql.Column], rankCol: String = "rank",
+      totalCol: Option[String] = None,
+      cumSums: Seq[(String, String)] = Nil): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    import scala.collection.mutable.ArrayBuffer
+    val sorted = df.orderBy(groupCols.map(col) ++ sortCols: _*)
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val cIdx = cumSums.map { case (src, _) => schema.fieldIndex(src) }.toArray
+    val rdd = sorted.rdd
+    // pass 1 (lightweight, like zipWithIndex's count job): per-partition
+    // run lengths + run sums, in encounter order. Range partitioning on
+    // (group, sort) keeps each partition to a handful of group runs.
+    val runs: Array[(Int, Array[(Seq[Any], Long, Array[Long])])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val out = ArrayBuffer.empty[(Seq[Any], Long, Array[Long])]
+        var key: Seq[Any] = null
+        var n = 0L
+        var sums = Array.fill(cIdx.length)(0L)
+        it.foreach { r =>
+          val k: Seq[Any] = gIdx.map(r.get).toList
+          if (k != key) {
+            if (key != null) out += ((key, n, sums))
+            key = k; n = 0L; sums = Array.fill(cIdx.length)(0L)
+          }
+          n += 1L
+          var i = 0
+          while (i < cIdx.length) { sums(i) += r.getLong(cIdx(i)); i += 1 }
+        }
+        if (key != null) out += ((key, n, sums))
+        Iterator((pid, out.toArray))
+      }.collect()
+    // driver fold: per-(partition, group) starting offsets + group totals
+    val seen = scala.collection.mutable.Map.empty[Seq[Any], (Long, Array[Long])]
+    val offsets = runs.sortBy(_._1).map { case (pid, rs) =>
+      pid -> rs.map { case (k, n, ss) =>
+        val (c0, s0) = seen.getOrElse(k, (0L, Array.fill(cIdx.length)(0L)))
+        seen(k) = (c0 + n, s0.zip(ss).map { case (a, b) => a + b })
+        k -> ((c0, s0))
+      }.toMap
+    }.toMap
+    val totals: Map[Seq[Any], Long] =
+      if (totalCol.isEmpty) Map.empty else seen.map { case (k, v) => k -> v._1 }.toMap
+    val bc = df.sparkSession.sparkContext.broadcast((offsets, totals))
+    var outSchema = schema.add(rankCol, LongType, nullable = false)
+    totalCol.foreach(c => outSchema = outSchema.add(c, LongType, nullable = false))
+    cumSums.foreach { case (_, c) => outSchema = outSchema.add(c, LongType, nullable = false) }
+    val emitTotal = totalCol.isDefined
+    val res = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (offs, tots) = bc.value
+      val mine = offs.getOrElse(pid, Map.empty)
+      var key: Seq[Any] = null
+      var rk = 0L
+      var tot = 0L
+      var sums: Array[Long] = Array.emptyLongArray
+      it.map { r =>
+        val k: Seq[Any] = gIdx.map(r.get).toList
+        if (k != key) {
+          key = k
+          val (c0, s0) = mine(k)
+          rk = c0; sums = s0.clone()
+          if (emitTotal) tot = tots(k)
+        }
+        rk += 1L
+        var i = 0
+        while (i < cIdx.length) { sums(i) += r.getLong(cIdx(i)); i += 1 }
+        val extra = (Seq(rk) ++ (if (emitTotal) Seq(tot) else Nil)) ++ sums.toSeq
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }
+    df.sparkSession.createDataFrame(res, outSchema)
+  }
+
   /** Ranking-distribution windows: ntile quartiles, percent_rank,
     * cume_dist over a UNIQUE ordering key (balance-cents, custkey) —
     * ties on raw balance would make ntile's bucket split engine-defined.

@@ -1459,14 +1459,14 @@ object TextOps {
     * remainder allocation — a 20-row driver-side fixup at any scale).
     *
     * Plan shape at 100 TB: the weight/quota frame is #sources rows
-    * (broadcast); the draw is one per-source window rank. A corpus
-    * whose single largest source outgrows one executor's sort would
-    * replace row_number with a two-pass hash-threshold selection (count
-    * → per-source hash quantile → filter), the same evolution
-    * documented on q99's holdout.
+    * (broadcast); the draw rank is [[ScalarSuites.groupedRank]] — one
+    * range-partitioned sort on (source, hk, doc_id) with executor-
+    * bounded partitions, so a dominant source never lands on a single
+    * task (the `Window.partitionBy("source")` hazard PlanSpec bans;
+    * the quota is a per-source COLUMN, so `InferWindowGroupLimit`
+    * cannot rescue a window formulation here).
     */
   def q124MixTemperature(s: SparkSession, d: String, target: Int = 200): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Tables.documents(s, d)
       .groupBy("source").agg(count(lit(1)).as("cnt"))
       .withColumn("w",
@@ -1475,11 +1475,11 @@ object TextOps {
     val quota = w.crossJoin(broadcast(tot))
       .withColumn("quota", expr(s"$target * w div wtot"))
       .select("source", "cnt", "quota")
-    Tables.documents(s, d)
+    val draw = Tables.documents(s, d)
       .select(col("source"), col("doc_id"))
       .withColumn("hk", md5(concat(col("doc_id").cast("string"), lit("-mix"))))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))).cast("long"))
+    ScalarSuites.groupedRank(draw, Seq("source"),
+        Seq(col("hk"), col("doc_id")), rankCol = "rk")
       .join(broadcast(quota), Seq("source"))
       .filter(col("rk") <= col("quota"))
       .select(col("source"), col("doc_id"), col("rk"), col("cnt"), col("quota"))
@@ -1569,27 +1569,29 @@ object TextOps {
     * greedy budget fill.
     *
     * Exactness: token counts and running sums are BIGINT; membership is
-    * one integer comparison. The running sum uses an explicit
-    * ROWS-frame over the unique (hk, doc_id) order, so engine default-
-    * frame differences (RANGE vs ROWS) can never matter.
+    * one integer comparison. The inclusive running sum is computed over
+    * the unique (hk, doc_id) order (the oracle's explicit ROWS-frame),
+    * so engine default-frame differences (RANGE vs ROWS) can never
+    * matter.
     *
-    * Plan shape at 100 TB: one window pass partitioned by source (rank
-    * + running sum share the single sort), no joins at all — cheaper
-    * than q124 (no quota frame). Same documented evolution as
-    * q99/q124 if one source outgrows an executor's sort: two-pass
-    * hash-threshold selection.
+    * Plan shape at 100 TB: rank AND running sum ride one
+    * [[ScalarSuites.groupedRank]] pass — a single range-partitioned
+    * sort on (source, hk, doc_id) with executor-bounded partitions and
+    * per-group offsets (count + token prefix) from its lightweight
+    * count pass; no joins at all — cheaper than q124 (no quota frame),
+    * and a dominant source never sorts on one task (the
+    * `Window.partitionBy("source")` hazard PlanSpec bans; a running
+    * sum has no `InferWindowGroupLimit` rescue at all).
     */
   def q128TokenBudgetMix(s: SparkSession, d: String,
       budget: Long = 1000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ord = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
         md5(concat(col("doc_id").cast("string"), lit("-budget"))).as("hk"))
-      .withColumn("rk", row_number().over(ord).cast("long"))
-      .withColumn("cum_tokens", sum("n_tokens").over(cum))
+    ScalarSuites.groupedRank(base, Seq("source"),
+        Seq(col("hk"), col("doc_id")), rankCol = "rk",
+        cumSums = Seq("n_tokens" -> "cum_tokens"))
       .filter(col("cum_tokens") - col("n_tokens") < budget)
       .select("source", "rk", "doc_id", "n_tokens", "cum_tokens")
       .orderBy("source", "rk")
@@ -2050,25 +2052,22 @@ object TextOps {
     * hash-exact with no rounding discipline at all.
     *
     * Plan shape: q145's margin chain (exact-text contraction, broadcast
-    * weight table) + ONE source-keyed exchange feeding the rank window
-    * and the same-keyed aggregation. Scale note: partition-by-source
-    * windows sort each source on one task — fine at dozens-of-sources
-    * with bounded skew; a 100 TB corpus where one source dominates
-    * swaps the window for the q150 range-partitioned globalRank run
-    * per source (same rank semantics, executor-bounded sorts), and the
-    * decile TABLE this emits is what ships either way (sources × 10
-    * rows — model-sized).
+    * weight table) + [[ScalarSuites.groupedRank]] — ONE range-
+    * partitioned sort on (source, margin, doc_id) with per-group
+    * offsets from its lightweight count pass, so a 100 TB corpus where
+    * one source dominates still sorts in executor-bounded partitions
+    * (a `Window.partitionBy("source")` would sort the dominant source
+    * on a single task — the skew hazard PlanSpec now bans). The group
+    * totals the decile needs ride out of the same count pass; the
+    * decile TABLE this emits is model-sized (sources × 10 rows).
     */
   def q177ScoreCalibration(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val margins = q145LinearQualityScore(s, d)
       .select(col("doc_id"), col("margin_milli"))
     val src = Tables.documents(s, d).select("doc_id", "source")
-    val wRank = Window.partitionBy("source")
-      .orderBy(col("margin_milli").desc, col("doc_id").asc)
-    margins.join(src, Seq("doc_id"))
-      .withColumn("rk", row_number().over(wRank).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    ScalarSuites.groupedRank(margins.join(src, Seq("doc_id")),
+        Seq("source"), Seq(col("margin_milli").desc, col("doc_id").asc),
+        rankCol = "rk", totalCol = Some("n"))
       .withColumn("decile", expr("((rk - 1) * 10) div n"))
       .groupBy("source", "decile")
       .agg(count(lit(1)).as("n_docs"),

@@ -144,6 +144,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedRank: window semantics (rank, group total, running sum) under skew, layout-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deliberately skewed groups: "a" dominates (the shape the operator
+    // exists for — a Window.partitionBy would sort it on one task)
+    val rows = (1 to 500).map { i =>
+      val g = if (i % 97 == 0) "c" else if (i % 10 == 0) "b" else "a"
+      (g, i.toLong, (i * 37 % 101 + 1).toLong)
+    }
+    val keyed = rows.toDF("g", "id", "v")
+      .withColumn("hk", md5(col("id").cast("string")))
+    val w = Window.partitionBy("g").orderBy(col("hk"), col("id"))
+    val want = keyed
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("cum_v", sum("v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def check(in: org.apache.spark.sql.DataFrame): Unit = {
+      val got = ScalarSuites.groupedRank(in, Seq("g"),
+        Seq(col("hk"), col("id")), rankCol = "rk",
+        totalCol = Some("n"), cumSums = Seq("v" -> "cum_v"))
+      assert(got.count() == 500)
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0)
+    }
+    check(keyed)              // natural layout
+    check(keyed.repartition(7)) // membership must not depend on layout
+    check(keyed.coalesce(1))    // degenerate single-partition input
+  }
+
   test("q98 SQL surface: spark.sql text agrees with an independent DataFrame formulation") {
     import graft.functions.Round._
     val viaSql = Relational.q98SqlRevenue(spark, sf)

@@ -195,4 +195,37 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"no-key global windows in: ${offenders.mkString(", ")}")
   }
+
+  test("NO corpus-sized window keyed only by low-cardinality columns — all registered queries") {
+    // the no-key window's SKEWED sibling (the r15 q177 finding): a
+    // Window partitioned only by a bounded-cardinality attribute
+    // (source / lang / label in this schema) hashes each group onto ONE
+    // task — with a dominant group at 100 TB (one web-crawl source
+    // dwarfing the curated ones is the normal case) that is a
+    // single-executor sort of most of the corpus. A low-card window is
+    // acceptable ONLY when InferWindowGroupLimit has pruned it to a
+    // constant per-group top-k (q73/q99/q115/q130: the exchange then
+    // carries <= k rows per group per map partition, never the group).
+    // Full per-group rankings, group totals, and running sums use the
+    // range-partitioned ScalarSuites.groupedRank instead
+    // (q124/q128/q134/q177) — executor-bounded sorts whatever the skew.
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit => LWgl}
+    val lowCard = Set("source", "lang", "label")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall {
+                case a: NamedExpression => lowCard.contains(a.name)
+                case _ => false
+              } &&
+              w.child.collectFirst { case g: LWgl => g }.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpruned low-cardinality-key windows in: ${offenders.mkString(", ")}")
+  }
 }
