@@ -242,6 +242,15 @@ object Layout {
     * shape as [[upsert]]: at 100 TB the change batch partition-prunes
     * first and only touched partitions rewrite; both anti-joins
     * broadcast whenever the batch is CDC-sized.
+    *
+    * Contract: the UPSERT arm must be key-unique within one changeset
+    * (the same requirement Delta's MERGE enforces by erroring on
+    * multiple source matches) — two unsequenced upserts for one key
+    * have no defined winner, and both would survive the merge as
+    * duplicate keys. Batches with intra-batch ordering route through
+    * the CDC stream ([[graft.streaming.StreamingOps.applyCdcBatch]]),
+    * where log order sequences them; LayoutSpec pins the contract and
+    * q176's scenario is verified key-unique.
     */
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
       opCol: String = "op"): DataFrame = {

@@ -1523,9 +1523,12 @@ object StreamingOps {
     * one-generation discipline), so per-batch lineage stays flat over
     * an unbounded stream. In-memory + caller-owned like the other
     * serving indexes; recovery after a driver restart is rebuild
-    * (corpus) + replay, and [[RepGraphState.lastBatch]] makes same-run
-    * foreachBatch retries idempotent (a replayed batch must not
-    * double-count copies).
+    * (corpus) + replay, and [[RepGraphState.lastBatch]] /
+    * [[RepGraphState.lastWritten]] make same-run foreachBatch retries
+    * idempotent at BOTH failure points — a replayed batch must not
+    * double-count copies, and a batch whose rank write failed must
+    * redo the write (separate guards; the write overwrites its own
+    * batch_id partition, so partial appends cannot survive).
     */
   final class RepGraphState private[streaming] (
       private[streaming] var repsByHash: DataFrame,
@@ -1534,7 +1537,8 @@ object StreamingOps {
       private[streaming] var repToks: DataFrame,
       private[graft] var redges: DataFrame,
       private[graft] var nDocs: Long,
-      private[graft] var lastBatch: Long = -1L) {
+      private[graft] var lastBatch: Long = -1L,
+      private[graft] var lastWritten: Long = -1L) {
     private[streaming] def swapAll(newReps: DataFrame, newMem: DataFrame,
         newSigs: DataFrame, newToks: DataFrame, newEdges: DataFrame,
         added: Long): Unit = {
@@ -1799,21 +1803,39 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // idempotence under foreachBatch's at-least-once retries: a
-        // replayed batch must not double-count copies
-        if (batchId > state.lastBatch) {
-          updateRepGraph(state, batch.toDF())
-          state.lastBatch = batchId
-          if (state.nDocs > 0) {
-            val (ranks, cleanup) = convergedDocRanks(state, tolDiv, maxIters)
-            try ranks.withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(outDir)
-            finally cleanup()
-          }
-        }
-        (): Unit
+        maintainBatch(state, batch.toDF(), batchId, outDir, tolDiv, maxIters)
       }
       .start()
+
+  /** One [[pagerankMaintainAtIngest]] micro-batch — idempotent under
+    * foreachBatch's at-least-once retries, with the graph update and
+    * the rank write guarded SEPARATELY: a replayed batch must not
+    * double-count copies (`lastBatch`), but a batch whose graph update
+    * succeeded and whose WRITE failed must redo the write on replay
+    * (`lastWritten`) — one shared guard advanced before the write
+    * would skip the replay and permanently drop that batch's ranks.
+    * The write itself is idempotent per batch: dynamic partition
+    * overwrite on batch_id replaces any partial append the failed
+    * attempt left behind.
+    */
+  private[graft] def maintainBatch(state: RepGraphState, batch: DataFrame,
+      batchId: Long, outDir: String, tolDiv: Long, maxIters: Int): Unit = {
+    if (batchId > state.lastBatch) {
+      updateRepGraph(state, batch)
+      state.lastBatch = batchId
+    }
+    if (batchId > state.lastWritten && state.nDocs > 0) {
+      val (ranks, cleanup) = convergedDocRanks(state, tolDiv, maxIters)
+      try {
+        ranks.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        state.lastWritten = batchId
+      } finally cleanup()
+    }
+  }
 
   def hybridAnnAtIngest(queries: DataFrame,
       index: graft.ops.Similarity.HybridIndex, pq: PqServingIndex,

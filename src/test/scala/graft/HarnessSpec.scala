@@ -79,7 +79,9 @@ class HarnessSpec extends AnyFunSuite {
   test("loadSample reads real /proc values on this machine") {
     val (load, memMb) = Bench.loadSample()
     assert(load >= 0.0, "loadavg must parse on Linux")
-    assert(memMb > 1024L, "MemAvailable must parse and exceed 1 GB here")
+    // parse-only: a concurrent 16g stress sweep can transiently take
+    // MemAvailable below any absolute floor, so no magnitude assertion
+    assert(memMb >= 0L, "MemAvailable must parse on Linux")
   }
 
   test("clean_sweeps_abs counts only sweeps bracketed by probes under the absolute floor") {

@@ -185,6 +185,63 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows("N")._1 == nInserts)
   }
 
+  test("applyChanges contract: the upsert arm is key-unique (q176's scenario included)") {
+    import spark.implicits._
+    // two unsequenced upserts for one key have no defined winner —
+    // applyChanges requires a key-unique upsert arm (Delta MERGE's
+    // multiple-source-matches rule); sequenced batches route through
+    // applyCdcBatch, where log order decides. Pin that the shipped
+    // q176 scenario honors the contract.
+    val base = graft.core.Tables.orders(spark, TestSpark.sf)
+    val nUpserts = base.filter(col("o_orderkey") % 7 === 0).count() +
+      base.filter(col("o_orderkey") % 13 === 0).count()
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"))
+    val inserts = base.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"))
+    val distinctKeys = updates.unionByName(inserts)
+      .distinct().count()
+    assert(distinctKeys == nUpserts,
+      "q176's upsert arm must be key-unique (the %13 clone shift keeps " +
+        "inserts disjoint from updates)")
+    // and the violation is visible: a duplicated upsert key survives
+    // twice — the documented reason the contract exists
+    val dup = Seq((1L, "x", "upsert"), (1L, "y", "upsert"))
+      .toDF("k", "v", "op")
+    val out = Layout.applyChanges(Seq((1L, "a")).toDF("k", "v"), dup, "k")
+    assert(out.count() == 2, "out-of-contract duplicate upserts both survive")
+  }
+
+  test("repeated delete-bearing CDC batches keep version directories bounded (vacuum)") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files.createTempDirectory("cdc_vac").toString
+    // seed: keys 0..19
+    val seed = (0L until 20L).map(k => (k, s"v$k", 0L, "upsert"))
+      .toDF("k", "v", "seq", "op")
+    assert(StreamingOps.applyCdcBatch(seed, dir, "s", 0L, "k", "seq",
+      keepVersions = 2, opCol = Some("op")))
+    // six successive delete-bearing batches: batch i deletes key i and
+    // upserts key 100+i — version dirs must stay at keepVersions, not
+    // accrete one per delete batch
+    (1L to 6L).foreach { i =>
+      val b = Seq((i - 1L, null.asInstanceOf[String], i * 10L, "delete"),
+        (100L + i, s"n$i", i * 10L + 1L, "upsert")).toDF("k", "v", "seq", "op")
+      assert(StreamingOps.applyCdcBatch(b, dir, "s", i, "k", "seq",
+        keepVersions = 2, opCol = Some("op")))
+    }
+    val versions = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+    assert(versions.length == 2,
+      s"vacuum must keep exactly keepVersions dirs, got: ${versions.sorted.mkString(",")}")
+    assert(versions.contains("v6"))
+    // content: 20 − 6 deleted + 6 new = 20 rows, deleted keys gone
+    val cur = spark.read.parquet(s"$dir/v6")
+    assert(cur.count() == 20)
+    assert(cur.filter(col("k") < 6L).count() == 0, "tombstoned keys must not survive")
+    assert(cur.filter(col("k") >= 100L).count() == 6)
+  }
+
   test("q136 corpus diff: matches a JVM reference diff of the two slices") {
     val docs = graft.core.Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text").collect()

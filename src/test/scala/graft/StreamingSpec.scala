@@ -1391,6 +1391,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(got2.exists(_._2 > 0L), "no near-dup edges in the fixture")
       assert(oracle2.exists(r => r._1 == 5L && r._2 > 0L),
         "relabeled rep 5 should carry group A's degree")
+      // write-failure replay: rewind ONLY the write guard and re-apply
+      // the same batch id — the graph guard must skip (a replayed
+      // batch must not double-count copies) while the write redoes and
+      // OVERWRITES batch 1's partition (dynamic partition overwrite:
+      // no appended duplicates, no permanently-missing ranks)
+      val docsBefore = state.nDocs
+      state.lastWritten = 0L
+      StreamingOps.maintainBatch(state, batch2.toDF("doc_id", "text"),
+        1L, outDir, 10L, 12)
+      assert(state.nDocs == docsBefore,
+        "replayed batch must not re-apply the graph update")
+      assert(state.lastWritten == 1L)
+      val replayed = spark.read.parquet(outDir)
+        .filter(col("batch_id") === 1L)
+      assert(replayed.count() == oracle2.size,
+        "replayed write must overwrite its partition, not append")
+      assert(rankSet(replayed) == oracle2)
       // idempotence guard: re-applying an already-seen batch id is a no-op
       val before = state.nDocs
       StreamingOps.updateRepGraph(state,
