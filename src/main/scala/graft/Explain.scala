@@ -122,6 +122,27 @@ object Explain {
         planOf(graft.streaming.StreamingOps
           .maintainDeltaBody(prgState, syntheticBatch)))
     } finally prgState.unpersist()
+    // the calibrated-admission twin's per-batch body (r16): in-row
+    // margin + one broadcast join against the model-sized per-source
+    // threshold table — the plan every arriving micro-batch runs in
+    // calibratedAdmitAtIngest
+    val thresholds = graft.streaming.StreamingOps
+      .buildCalibrationThresholds(spark, sfDir)
+    try {
+      val file = "streaming_calibrated_admit.txt"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/$file"),
+        "streaming_calibrated_admit — not a registered query: the " +
+          "per-batch body of the calibrated-admission twin " +
+          "(StreamingOps.calibratedAdmitAtIngest), spec-pinned equal " +
+          "to the batch thresholds applied to batch q145 margins in " +
+          "StreamingSpec.")
+      append(file, "per-batch admission body (calibratedAdmitBody)",
+        planOf(graft.streaming.StreamingOps.calibratedAdmitBody(
+          graft.core.Tables.documents(spark, sfDir)
+            .select("doc_id", "text", "source"),
+          thresholds)))
+    } finally thresholds.unpersist()
   }
 
   private def writeArtifacts(sfDir: String, outDir: String): Unit = {

@@ -128,6 +128,29 @@ object StreamStress {
       .repartition(nBatches)
       .write.mode("overwrite").parquet(hybIn)
     val nHyb = spark.read.parquet(hybIn).count()
+    // the calibrated-admission twin consumes (doc_id, text, source) —
+    // the same training stream as inDir plus the source dimension its
+    // per-source thresholds key on
+    val calIn = "/tmp/graft-stream-cal-in"
+    rmrf(calIn)
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .select("doc_id", "text", "source")
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(calIn)
+    // the CDC twin consumes CHANGE rows (key, payload, seq, op): a
+    // deterministic changelog over the training docs — every 8th key a
+    // tombstone, the rest upserts, seq unique per key — so the measured
+    // surface includes the DELETE path (anti-join + version rewrite +
+    // vacuum), not just upserts
+    val cdcIn = "/tmp/graft-stream-cdc-in"
+    rmrf(cdcIn)
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("k"), col("text").as("v"),
+        col("doc_id").as("seq"),
+        when(col("doc_id") % 8 === 0, "delete").otherwise("upsert").as("op"))
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(cdcIn)
+    val nCdc = spark.read.parquet(cdcIn).count()
 
     val benchGrams = graft.streaming.StreamingOps.buildBenchGramIndex(
       docs.filter(col("doc_id") % 100 === 0))
@@ -384,6 +407,30 @@ object StreamStress {
             graft.streaming.StreamingOps.pagerankMaintainAtIngest(
               s, prgState, s"$workDir/pr_out", s"$workDir/pr_ckpt")
           } finally prgState.unpersist()
+        },
+        // calibrated admission (q177's decision loop): per-source
+        // thresholds from the batch calibration table, broadcast; each
+        // arriving doc gated by within-source rank calibration as a
+        // pure per-row comparison — rows_per_sec is admission decisions/s
+        "calibrated_admit_ingest" -> {
+          val thresholds = graft.streaming.StreamingOps
+            .buildCalibrationThresholds(spark, dst)
+          try runStream(spark, calIn, nTrain) { s =>
+            graft.streaming.StreamingOps.calibratedAdmitAtIngest(
+              s, thresholds, s"$workDir/ca_out", s"$workDir/ca_ckpt")
+          } finally thresholds.unpersist()
+        },
+        // CDC table maintenance with deletes: every batch resolves its
+        // changes (log-order per key), merges onto the current version
+        // (upsert + tombstone anti-join), lands the next version, and
+        // vacuums — rows_per_sec is change rows APPLIED/s, the honest
+        // all-in table-maintenance cost including the full-table
+        // rewrite per commit (the documented non-file-level-COW shape)
+        "cdc_upsert_delete_ingest" -> runStream(spark, cdcIn, nCdc) { s =>
+          graft.streaming.StreamingOps.cdcUpsertStream(
+            s, s"$workDir/cdc_table", s"$workDir/cdc_ckpt",
+            key = "k", seqCol = "seq", keepVersions = 2,
+            opCol = Some("op"))
         },
         "phash_match_ingest" -> {
           // corpus index over the full 20x docs (reps = sf0.1-sized

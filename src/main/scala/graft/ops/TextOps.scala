@@ -2076,6 +2076,28 @@ object TextOps {
       .orderBy("source", "decile")
   }
 
+  /** The DECISION [[q177ScoreCalibration]]'s table exists to drive:
+    * per-source admission thresholds for a target keep-rate. Keeping
+    * the top `keepDeciles`/10 of each source by within-source rank
+    * maps to threshold = the smallest margin inside the kept deciles;
+    * the gate is then `margin_milli >= threshold_milli` — a pure
+    * per-row comparison, TIE-INCLUSIVE at the boundary (a doc whose
+    * margin equals the cut is kept even if its rank falls in the next
+    * decile: a threshold gate cannot and should not split equal-score
+    * docs, and admitting ties errs on keeping data). Output is
+    * model-sized (one row per source) — the broadcast side of the
+    * streaming admission twin
+    * ([[graft.streaming.StreamingOps.calibratedAdmitAtIngest]]).
+    */
+  def calibrationThresholds(calib: DataFrame, keepDeciles: Int = 3)
+      : DataFrame = {
+    require(keepDeciles >= 1 && keepDeciles <= 10,
+      s"keepDeciles must be in [1, 10], got $keepDeciles")
+    calib.filter(col("decile") < keepDeciles)
+      .groupBy("source")
+      .agg(min("min_margin_milli").as("threshold_milli"))
+  }
+
   /** Shared frames of the CORPUS-INTERNAL repeated-substring family
     * (q148/q149) — the suffix-array exact-substring-dedup question
     * ("which token spans appear more than once ANYWHERE in the corpus",

@@ -1054,7 +1054,21 @@ object StreamingOps {
     * 100 TB/day this is the quality filter running at wire speed in
     * the ingest path: dropped docs never land on storage.
     */
-  def qualityScoreAtIngest(docs: DataFrame): DataFrame = {
+  def qualityScoreAtIngest(docs: DataFrame): DataFrame =
+    withQualityMargin(docs)
+      .select(col("doc_id"), col("n_tokens"), col("margin_milli"),
+        graft.functions.Round.r6(col("margin_milli").cast("double")
+          / col("n_tokens").cast("double")).as("mean_w_milli"),
+        when(col("margin_milli") >= 0L, "keep").otherwise("drop")
+          .as("label"))
+
+  /** The in-row q145 margin, appended to whatever columns `docs`
+    * carries (zero-token docs filtered, as in batch q145) — ONE
+    * definition of the margin shared by [[qualityScoreAtIngest]] and
+    * [[calibratedAdmitAtIngest]], integer-exact with the batch
+    * broadcast-join plan.
+    */
+  private[graft] def withQualityMargin(docs: DataFrame): DataFrame = {
     val toksC = tokens(col("text"))
     val margin = aggregate(
       transform(toksC,
@@ -1065,11 +1079,71 @@ object StreamingOps {
       .withColumn("n_tokens", size(toksC).cast("long"))
       .filter(col("n_tokens") > 0L)
       .withColumn("margin_milli", margin)
-      .select(col("doc_id"), col("n_tokens"), col("margin_milli"),
-        graft.functions.Round.r6(col("margin_milli").cast("double")
-          / col("n_tokens").cast("double")).as("mean_w_milli"),
-        when(col("margin_milli") >= 0L, "keep").otherwise("drop")
-          .as("label"))
+  }
+
+  /** CALIBRATED ADMISSION at ingest — the decision loop q177's
+    * calibration table exists to close (the 17th twin): arriving docs
+    * are gated by their WITHIN-SOURCE score rank, not a global
+    * threshold (q145's margin is source-biased — one global cut guts
+    * some sources and under-prunes others). The per-source thresholds
+    * come out of batch q177 via
+    * [[graft.ops.TextOps.calibrationThresholds]] (model-sized: one row
+    * per source, broadcast); the streamed decision is the pure per-row
+    * comparison `margin_milli >= threshold_milli` over the SAME in-row
+    * margin as [[qualityScoreAtIngest]] — so the stream's admissions
+    * equal the batch table's thresholds applied to the batch margins,
+    * spec-pinned tie-inclusive at the decile boundary.
+    *
+    * A doc from a source the table has never seen gets
+    * `threshold_milli = null, admit = false` — a calibrated gate must
+    * QUARANTINE traffic it has no calibration for, not pass it;
+    * admission of a new source is an explicit recalibration (re-run
+    * q177 over the grown corpus), an auditable event.
+    *
+    * State story at 100 TB/day: zero streaming state — one broadcast
+    * hash join against a #sources-row table plus the in-row margin;
+    * dropped docs never land on storage.
+    */
+  def calibratedAdmitAtIngest(docs: DataFrame, thresholds: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        calibratedAdmitBody(batch.toDF(), thresholds)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        (): Unit
+      }
+      .start()
+
+  /** The per-batch admission frame of [[calibratedAdmitAtIngest]] —
+    * factored out so Explain dumps the real per-batch plan (in-row
+    * margin + one broadcast hash join, nothing corpus-sized).
+    */
+  private[graft] def calibratedAdmitBody(batch: DataFrame,
+      thresholds: DataFrame): DataFrame =
+    withQualityMargin(batch)
+      .join(broadcast(thresholds), Seq("source"), "left_outer")
+      .select(col("doc_id"), col("source"), col("margin_milli"),
+        col("threshold_milli"),
+        (col("threshold_milli").isNotNull &&
+          col("margin_milli") >= col("threshold_milli")).as("admit"))
+
+  /** Materialized per-source admission thresholds over the corpus at
+    * `corpusDir` — batch q177's calibration table folded to thresholds
+    * ([[graft.ops.TextOps.calibrationThresholds]]), persisted eagerly
+    * (model-sized) so the per-batch broadcast join never re-runs the
+    * corpus-sized calibration chain.
+    */
+  def buildCalibrationThresholds(s: SparkSession, corpusDir: String,
+      keepDeciles: Int = 3): DataFrame = {
+    val t = graft.ops.TextOps.calibrationThresholds(
+        graft.ops.TextOps.q177ScoreCalibration(s, corpusDir), keepDeciles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t.count() // materialize once, eagerly
+    t
   }
 
   /** One KMV sketch emission: current occupancy, theta threshold

@@ -876,6 +876,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("calibrated admission at ingest equals batch thresholds on batch margins; unknown source quarantined") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = TestSpark.sf
+    val thresholds = StreamingOps.buildCalibrationThresholds(spark, sf, keepDeciles = 3)
+    try {
+      val docs = graft.core.Tables.documents(spark, sf)
+        .select("doc_id", "text", "source")
+        .as[(Long, String, String)].collect()
+      // a source the calibration table has never seen must quarantine
+      val planted = (900001L, "a planted doc from an uncalibrated source",
+        "brand-new-source")
+      val mem = MemoryStream[(Long, String, String)]
+      val outDir = java.nio.file.Files
+        .createTempDirectory("cal_out").toString + "/r"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("cal_ckpt").toString
+      val q = StreamingOps.calibratedAdmitAtIngest(
+        mem.toDF().toDF("doc_id", "text", "source"), thresholds, outDir, ckpt)
+      try {
+        val (a, b) = docs.splitAt(docs.length / 2)
+        mem.addData(a.toSeq)
+        q.processAllAvailable()
+        mem.addData(b.toSeq :+ planted)
+        q.processAllAvailable()
+        def asSet(df: org.apache.spark.sql.DataFrame) = df
+          .select("doc_id", "source", "margin_milli", "threshold_milli", "admit")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getBoolean(4))).toSet
+        val got = asSet(spark.read.parquet(outDir))
+        // the quarantine contract on the planted row
+        assert(got.contains((900001L, "brand-new-source",
+          got.find(_._1 == 900001L).get._3, None, false)),
+          "uncalibrated source must get threshold=null, admit=false")
+        // batch expectation: q145 margins + source through the SAME
+        // thresholds — the streamed decisions must equal it exactly
+        val batchFrame = graft.ops.TextOps
+          .q145LinearQualityScore(spark, sf)
+          .select("doc_id", "margin_milli")
+          .join(graft.core.Tables.documents(spark, sf)
+            .select("doc_id", "source"), Seq("doc_id"))
+          .join(thresholds, Seq("source"), "left_outer")
+          .select(col("doc_id"), col("source"), col("margin_milli"),
+            col("threshold_milli"),
+            (col("threshold_milli").isNotNull &&
+              col("margin_milli") >= col("threshold_milli")).as("admit"))
+        assert(got.filter(_._1 != 900001L) == asSet(batchFrame),
+          "streamed admissions must equal the batch decision frame")
+        // rank equivalence, tie-inclusive: every doc whose within-source
+        // rank-decile is < 3 is admitted, and any admitted doc whose
+        // decile is >= 3 sits EXACTLY on the threshold (boundary tie)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("margin_milli").desc, col("doc_id").asc)
+        val deciled = batchFrame
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .withColumn("decile", expr("((rk - 1) * 10) div n"))
+        assert(deciled.filter(col("decile") < 3 && !col("admit")).count() == 0,
+          "every top-3-decile doc must be admitted")
+        assert(deciled.filter(col("admit") && col("decile") >= 3 &&
+            col("margin_milli") =!= col("threshold_milli")).count() == 0,
+          "an admitted doc outside the kept deciles must be a boundary tie")
+      } finally q.stop()
+    } finally thresholds.unpersist()
+  }
+
   test("streaming decontamination rewrite at ingest unions to batch q152 exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
