@@ -18,17 +18,27 @@ import sys
 def load(path):
     with open(path) as f:
         doc = json.loads(f.read().strip().splitlines()[-1])
-    return doc["queries"]
+    return doc
 
 
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
-    old, new = load(old_path), load(new_path)
+    old_doc, new_doc = load(old_path), load(new_path)
+    old, new = old_doc["queries"], new_doc["queries"]
+    # standing flip-victim list carried by the artifact itself (queries
+    # requalified as execution-flip victims in >=2 rounds): a regression
+    # on one of these is classified separately — "recurring victim,
+    # requalify before believing" — so it is distinguishable from a
+    # fresh plan regression without reading NOTES
+    flip_watch = set(new_doc.get("flip_watch", []))
+    requalified = {r.split(":")[0] for r in new_doc.get("requalified", [])}
     crashed = sorted(q for q, t in new.items() if t < 0)
-    regressed = sorted(
+    regressed_all = sorted(
         q for q, t in new.items()
         if q in old and old[q] >= 0 and t >= 0
         and t > 2 * old[q] and t - old[q] > 2.0)
+    regressed = [q for q in regressed_all if q not in flip_watch]
+    flipwatch_hits = [q for q in regressed_all if q in flip_watch]
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     improved = sorted(
@@ -47,10 +57,20 @@ def main():
         print(f"REMOVED   {q} (was {old[q]:.2f}s)")
     for q in regressed:
         print(f"REGRESSED {q}: {old[q]:.2f}s -> {new[q]:.2f}s")
+    for q in flipwatch_hits:
+        tag = "requalified yet STILL slow" if q in requalified \
+            else "NOT requalified this run — re-measure before believing"
+        print(f"FLIPWATCH {q}: {old[q]:.2f}s -> {new[q]:.2f}s "
+              f"(recurring flip victim; {tag})")
     for q in crashed:
         print(f"CRASHED   {q}")
     if regressed or crashed:
         print("VERDICT: FAIL")
+        return 1
+    if flipwatch_hits:
+        # known recurring victims above gate: fail, but say what it is —
+        # the requalification protocol is the resolution path
+        print("VERDICT: FAIL (flip-watch victims only — requalify, then re-diff)")
         return 1
     print("VERDICT: PASS")
     return 0

@@ -52,6 +52,20 @@ object Bench {
     * within this factor of the run's fastest probe. */
   val ProbeSlack = 1.5
 
+  /** Standing execution-flip WATCH LIST: queries requalified as flip
+    * victims in two or more separate rounds (q49/q52: the r14
+    * instrumented catch and r15's STRESS_r30 live catch — both times
+    * at ~8-50× with idle probes/loadavg/memory, both times consecutive
+    * after q48_ivf_ann in sorted sweep order, both times re-measuring
+    * normal in-session). Emitted in every artifact as `flip_watch` so
+    * stress_diff can classify a regression on one of these as
+    * "recurring flip victim — requalify before believing" instead of a
+    * fresh plan regression, without a human reading NOTES. Extend only
+    * when a query requalifies in two separate rounds; remove if the
+    * flip mechanism is pinned and fixed.
+    */
+  val FlipWatch: Seq[String] = Seq("q49_collocations", "q52_hash_sample")
+
   /** This machine's measured idle probe floor (seconds): every committed
     * clean artifact since r12 bottoms out at 0.050-0.085 s, so 0.090 is
     * the upper edge of idle. Recorded in the artifact (`probe_idle_ref`)
@@ -298,6 +312,9 @@ object Bench {
     val requalField = if (requalified.isEmpty) "" else
       s""""requalified":${requalified.map(o => "\"" + o + "\"")
         .mkString("[", ",", "]")},"""
+    // the standing watch list rides in every artifact (see [[FlipWatch]])
+    val flipField = s""""flip_watch":${FlipWatch.map(o => "\"" + o + "\"")
+      .mkString("[", ",", "]")},"""
     // machine-load evidence beside the probes (same indices): loadavg-1m
     // and MemAvailable MB at each probe point — see [[loadSample]]
     val loadFields = if (run.loads.isEmpty) "" else {
@@ -308,7 +325,7 @@ object Bench {
     // caller-supplied run descriptors (e.g. a Spark-conf override under
     // A/B test) — values must already be JSON-encoded
     val extra = extraFields.map { case (k, v) => s""""$k":$v,""" }.mkString
-    s"""{"queries":$qs,"sf":"$sfDir","protocol":"${protocol(passes)}","probes":$probes,"sweeps":${run.sweeps},"clean_sweeps":${run.cleanSweeps},"probe_idle_ref":${r3(IdleProbeRef)},"clean_sweeps_abs":${cleanSweepsAbs(run)},$loadFields$extra$diffFields$requalField"unit":"sec","metric":"total","value":${r3(total)}}"""
+    s"""{"queries":$qs,"sf":"$sfDir","protocol":"${protocol(passes)}","probes":$probes,"sweeps":${run.sweeps},"clean_sweeps":${run.cleanSweeps},"probe_idle_ref":${r3(IdleProbeRef)},"clean_sweeps_abs":${cleanSweepsAbs(run)},$loadFields$extra$diffFields$requalField$flipField"unit":"sec","metric":"total","value":${r3(total)}}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -76,6 +76,23 @@ class HarnessSpec extends AnyFunSuite {
     assert(mapper.readTree(bare).get("queries") != null)
   }
 
+  test("flip_watch rides in every artifact line and names only registered queries") {
+    val line = Bench.jsonLine(
+      Bench.Run(Seq("q20_wordcount" -> 1.5), Seq(0.05, 0.08), 1, 1), "/tmp/x")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fw = mapper.readTree(line).get("flip_watch")
+    assert(fw != null && fw.size == Bench.FlipWatch.size,
+      "flip_watch must be embedded in every artifact")
+    assert((0 until fw.size).map(fw.get(_).asText) == Bench.FlipWatch)
+    // staleness guard: a registry rename must invalidate the watch list
+    Bench.FlipWatch.foreach(q =>
+      assert(SparkEntry.queries.contains(q),
+        s"flip_watch entry $q is not a registered query"))
+    // the documented standing victims (requalified r14 AND r15)
+    assert(Bench.FlipWatch.contains("q49_collocations") &&
+      Bench.FlipWatch.contains("q52_hash_sample"))
+  }
+
   test("loadSample reads real /proc values on this machine") {
     val (load, memMb) = Bench.loadSample()
     assert(load >= 0.0, "loadavg must parse on Linux")

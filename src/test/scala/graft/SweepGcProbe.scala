@@ -47,14 +47,92 @@ object SweepGcProbe {
     // the cores were IDLE (scheduler/IO/lock stall), wall ≈ taskTime/32
     // means genuine compute
     val taskTime = new java.util.concurrent.atomic.AtomicLong
+    // total scheduler delay per query (duration − run − deserialize −
+    // result-serialize): wall ≫ taskTime WITH a big sched component
+    // means tasks sat queued — the driver/scheduler side of a stall;
+    // a big deserialize component means task-closure setup paid it
+    val schedDelay = new java.util.concurrent.atomic.AtomicLong
+    val deserTime = new java.util.concurrent.atomic.AtomicLong
+    // per-task LAUNCH-LATENCY capture for the flip bracket (r16): the
+    // flip's positional signature — q49/q52 at 8-50× right after
+    // q48_ivf_ann in sorted order, three catches across r14/r15 —
+    // points at the q48 slot leaving something behind that throttles
+    // the NEXT small queries. For bracketed queries every task's
+    // (stage, launch, finish, run) is kept so a live catch can say
+    // WHERE the time went: late first-launches after stage submission
+    // = driver/scheduler starvation (e.g. a ContextCleaner burst
+    // holding the DAGScheduler loop); prompt launches running long =
+    // executor-side (interpreted/deoptimized code); few tasks in
+    // flight = capped effective parallelism.
+    val captureTasks = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stageSubmit = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val taskRecs = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Long, Long, Long)]() // (stageId, launch, finish, runMs)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          if (captureTasks.get) {
+            stageSubmit.put(e.stageInfo.stageId,
+              e.stageInfo.submissionTime.getOrElse(
+                System.currentTimeMillis()))
+            (): Unit
+          }
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics
-          if (m != null) { taskTime.addAndGet(m.executorRunTime); (): Unit }
+          if (m != null) {
+            taskTime.addAndGet(m.executorRunTime)
+            deserTime.addAndGet(m.executorDeserializeTime)
+            val i = e.taskInfo
+            if (i != null && i.finishTime > 0) {
+              val sched = (i.finishTime - i.launchTime) -
+                m.executorRunTime - m.executorDeserializeTime -
+                m.resultSerializationTime
+              if (sched > 0) schedDelay.addAndGet(sched)
+              if (captureTasks.get) {
+                taskRecs.add((e.stageId, i.launchTime, i.finishTime,
+                  m.executorRunTime))
+                (): Unit
+              }
+            }
+          }
+          (): Unit
         }
       })
+    // flip bracket: everything from q48 to q54 in the sorted sweep
+    // order (q51 unassigned) — the recurring victims plus one on each
+    // side of them
+    def inBracket(n: String): Boolean = n >= "q48" && n < "q55"
+    def launchReport(n: String): Unit = {
+      val recs = taskRecs.asScala.toSeq
+      taskRecs.clear()
+      if (recs.isEmpty) { println(s"[sweepgc-launch] $n no tasks"); return }
+      val byStage = recs.groupBy(_._1)
+      val nStages = byStage.size
+      // worst submission→first-launch delay across stages
+      val firstDelay = byStage.map { case (sid, rs) =>
+        val sub = stageSubmit.getOrDefault(sid, rs.map(_._2).min)
+        rs.map(_._2).min - sub
+      }.max
+      // worst inter-launch gap inside one stage (sorted launches)
+      val maxGap = byStage.values.map { rs =>
+        val ls = rs.map(_._2).sorted
+        if (ls.size < 2) 0L
+        else ls.sliding(2).map(w => w(1) - w(0)).max
+      }.max
+      // peak tasks simultaneously in flight (event-sweep over all recs)
+      val events = recs.flatMap(r => Seq((r._2, 1), (r._3, -1)))
+        .sortBy(e => (e._1, e._2))
+      var cur = 0; var peak = 0
+      events.foreach { e => cur += e._2; if (cur > peak) peak = cur }
+      // per-task overhead: (finish−launch) − run, the non-run residue
+      val overhead = recs.map(r => (r._3 - r._2) - r._4)
+      println(f"[sweepgc-launch] $n%-34s stages $nStages%2d tasks ${recs.size}%4d " +
+        f"firstLaunch ${firstDelay}%5d ms  maxGap ${maxGap}%5d ms  " +
+        f"peakInflight $peak%3d  ovhd p50 ${overhead.sorted.apply(overhead.size / 2)}%4d max ${overhead.max}%5d ms")
+    }
+    stageSubmit.clear()
     Seq("/root/testdata/sf0.001", dir).foreach { d =>
       names.foreach { n =>
         try SparkEntry.queries(n)(spark, d).count()
@@ -77,7 +155,9 @@ object SweepGcProbe {
       .mkString(" ")
     println(s"[sweepgc] codecache pools: ${poolLine()}")
     names.foreach { n =>
+      if (inBracket(n)) { taskRecs.clear(); stageSubmit.clear(); captureTasks.set(true) }
       val g0 = gcMs; val t0 = System.nanoTime(); val k0 = taskTime.get()
+      val s0 = schedDelay.get(); val e0 = deserTime.get()
       val c0 = compileMs
       @volatile var done = false
       // watchdog: one full thread dump if the query stalls >10 s — the
@@ -109,15 +189,18 @@ object SweepGcProbe {
       val ok = try { SparkEntry.queries(n)(spark, dir).count(); true }
         catch { case _: Throwable => false }
       done = true
+      if (inBracket(n)) { captureTasks.set(false); launchReport(n) }
       if ((System.nanoTime() - t0) / 1e9 > 3.0)
         println(s"[sweepgc] pools after slow $n: ${poolLine()}")
       val dt = (System.nanoTime() - t0) / 1e9
       val dg = (gcMs - g0) / 1000.0
       val dk = (taskTime.get() - k0) / 1000.0
+      val ds = (schedDelay.get() - s0) / 1000.0
+      val de = (deserTime.get() - e0) / 1000.0
       val dc = (compileMs - c0) / 1000.0
       val (ccU, ccM) = codeCache
       if (dt > 0.5 || !ok)
-        println(f"[sweepgc] $n%-34s ${dt}%6.2f s  gc ${dg}%5.2f s  task ${dk}%7.1f s  jit ${dc}%5.2f s  cc ${ccU}%4.0f/${ccM}%4.0f MB  storage ${storageMb}%7.0f MB${if (ok) "" else "  CRASH"}")
+        println(f"[sweepgc] $n%-34s ${dt}%6.2f s  gc ${dg}%5.2f s  task ${dk}%7.1f s  sched ${ds}%5.2f s  deser ${de}%5.2f s  jit ${dc}%5.2f s  cc ${ccU}%4.0f/${ccM}%4.0f MB  storage ${storageMb}%7.0f MB${if (ok) "" else "  CRASH"}")
       // slow count-path execution: best-effort metric capture via ONE
       // re-execution through toRdd on a fresh frame — the flip may not
       // recur there (that is the phenomenon), so the dump is labeled a
