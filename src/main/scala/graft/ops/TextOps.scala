@@ -2405,17 +2405,69 @@ object TextOps {
     * covers the LOOP's decisions, not one step).
     *
     * Scale shape: everything after the one corpus-sized word count is
-    * VOCABULARY-bounded (q106's argument) — per iteration one
-    * vocab-keyed pair agg, ONE driver scalar (the argmax pair — the
-    * loop holds nothing else), one map-side replace; the evolving
-    * vocab is persisted and lineage-truncated per step, the q69/q147
-    * loop discipline. `merges` is a constant (a tokenizer trains tens
-    * of thousands of merges, each this same bounded step; the gated
-    * default is 3 to keep the oracle's unrolled CTEs honest).
+    * VOCABULARY-bounded (q106's argument), and since r16 the per-merge
+    * step on large vocabularies is DELTA-MAINTAINED rather than
+    * recounted: the pair-count table rides in the loop state beside
+    * the vocabulary (one combined frame, `kind` ∈ {w, p}), and a merge
+    * of (x1 x2) updates it from the AFFECTED words only — subtract the
+    * old pairs of every word containing the adjacency, add the pairs
+    * of its folded form (symbols never contain spaces, so the padded
+    * substring test `" x1 x2 " ⊆ " seq "` is an exact adjacency test
+    * with no false positives). The invariant
+    * pc = Σ_w freq(w)·pairs(seq_w) is preserved exactly, so the argmax
+    * equals a fresh recount — gated by the oracle at merges=3 and by
+    * the depth-10 JVM-reference spec plus a paths-agree pin
+    * (TextDedupSimSpec) — and the argmax job is a shuffle-free
+    * TakeOrdered over the maintained counts instead of an
+    * explode + vocabulary-wide agg every iteration. Per iteration: ONE
+    * driver scalar (the argmax pair), one affected-only fold + delta
+    * checkpoint; the state is persisted and lineage-truncated per
+    * step, the q69/q147 loop discipline with unpersist-one-behind.
+    *
+    * The path choice is COST-BASED, like Spark's own broadcast
+    * threshold, because the delta's win is regime-dependent (BpeProbe
+    * A/B, r16): the delta trades the recount's vocabulary-wide
+    * explode+agg for one extra scheduler-bound shuffle stage in the
+    * state-maintenance job. On a 1M-distinct-word corpus that wins
+    * 1.55× by depth 64 (0.86 vs 1.33 s/merge marginal) and the gap
+    * WIDENS with depth (the affected set shrinks as the argmax pair
+    * rarefies — marginal decays 1.23 → 0.86 while the recount's is
+    * flat); on a 20k-word vocabulary, where per-merge data is trivial
+    * and cost is pure scheduler latency, the same extra stage makes it
+    * ~2× SLOWER (0.48 vs 0.25 s/merge). So: vocabulary ≥
+    * [[BpeDeltaMinVocab]] → delta, below → recount, decided from one
+    * cached-count job on the materialized vocabulary;
+    * [[BpeRecountConf]] forces either path (the probe's A/B lever).
+    * `merges` is a constant (a tokenizer trains tens of thousands of
+    * merges, each this same bounded step; the gated default is 3 to
+    * keep the oracle's unrolled CTEs honest).
     */
+  /** Session conf forcing q153's merge-step path: "1" = full recount,
+    * "0" = delta maintenance, unset = cost-based auto (vocabulary size
+    * vs [[BpeDeltaMinVocab]]). The forced settings are BpeProbe's A/B
+    * lever; production leaves it unset. */
+  val BpeRecountConf = "graft.bpe.recount"
+
+  /** Distinct-word threshold above which q153's delta-maintained merge
+    * step beats the full recount (BpeProbe r16: recount wins ~2× at
+    * 20k words, delta wins 1.55×-and-widening at 1M; the crossover is
+    * where the vocabulary-wide explode+agg outgrows one extra
+    * scheduler-bound stage, ~low hundreds of thousands on this box). */
+  val BpeDeltaMinVocab = 200000L
+
   def q153BpeTrain(s: SparkSession, d: String, merges: Int = 3): DataFrame = {
     import s.implicits._
-    var vocab = Tables.documents(s, d)
+    // adjacent-pair strings of a space-joined symbol sequence; the
+    // size guard comes BEFORE the transform (Spark's sequence(1, 0)
+    // yields a DESCENDING [1, 0], not an empty array)
+    def pairsOf(seqC: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val sy = split(seqC, " ")
+      when(size(sy) >= 2,
+        transform(sequence(lit(1), size(sy) - 1),
+          i => concat(element_at(sy, i), lit(" "), element_at(sy, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val words0 = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(
@@ -2423,43 +2475,94 @@ object TextOps {
           expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
           .as("seq"),
         col("freq"))
-      .localCheckpoint(true)
+    // cost-based path pick (scaladoc above; forced by BpeRecountConf):
+    // materialize the vocabulary once, and when the conf doesn't force
+    // a path, one cached-count job decides — small vocabulary →
+    // recount (per-merge cost is scheduler latency; the delta's extra
+    // stage only hurts), large → delta (the recount's per-merge
+    // vocabulary-wide explode+agg dominates)
+    val wordsCk = words0.localCheckpoint(true)
+    val recount = s.conf.getOption(BpeRecountConf) match {
+      case Some("1") => true
+      case Some("0") => false
+      case _ => wordsCk.count() < BpeDeltaMinVocab
+    }
+    // loop state: vocabulary rows (kind=w) + the maintained pair-count
+    // table (kind=p) in one checkpointed frame — one materialization
+    // job per merge covers both (built from the cached vocabulary, so
+    // the corpus is scanned exactly once either way)
+    var state = {
+      val w = wordsCk.select(lit("w").as("kind"), col("seq"), col("freq"))
+      if (recount) w else w.unionByName(wordsCk
+        .select(explode(pairsOf(col("seq"))).as("seq"), col("freq"))
+        .groupBy("seq").agg(sum("freq").as("freq"))
+        .select(lit("p").as("kind"), col("seq"), col("freq")))
+    }.localCheckpoint(true)
+    wordsCk.unpersist()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (i <- 1 to merges) {
-      val top = vocab
-        .withColumn("sy", split(col("seq"), " "))
-        // guard BEFORE the transform: Spark's sequence(1, 0) yields a
-        // DESCENDING [1, 0], not an empty array
-        .filter(size(col("sy")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(sy) - 1)," +
-            " i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc)
+      val top = (if (recount)
+        state.filter(col("kind") === "w")
+          .select(explode(pairsOf(col("seq"))).as("seq"), col("freq"))
+          .groupBy("seq").agg(sum("freq").as("freq"))
+          .select(lit("p").as("kind"), col("seq"), col("freq"))
+      else state.filter(col("kind") === "p"))
+        .orderBy(col("freq").desc, col("seq").asc)
         .limit(1).collect()
       if (top.nonEmpty) {
-        val p = top(0).getString(0)
+        val p = top(0).getString(1)
         val Array(x1, x2) = p.split(" ", 2)
         val merged = p.replace(" ", "")
-        out += ((i.toLong, p, merged, top(0).getLong(1)))
-        val next = vocab.select(
-          array_join(
-            greedyMergeFold(split(col("seq"), " "), x1, x2, merged),
+        out += ((i.toLong, p, merged, top(0).getLong(2)))
+        val words = state.filter(col("kind") === "w")
+        // exact adjacency test: symbols are space-free, so the padded
+        // substring match hits iff (x1, x2) are adjacent symbols; only
+        // these words change under the fold — everything else passes
+        // through untouched and contributes zero pair delta
+        val hit = concat(lit(" "), col("seq"), lit(" ")).contains(s" $p ")
+        val affected = words.filter(hit)
+        val folded = affected.select(
+          array_join(greedyMergeFold(split(col("seq"), " "), x1, x2, merged),
             " ").as("seq"),
           col("freq"))
+        val deltas = affected
+          .select(explode(pairsOf(col("seq"))).as("seq"),
+            (-col("freq")).as("freq"))
+          .unionByName(folded
+            .select(explode(pairsOf(col("seq"))).as("seq"), col("freq")))
+        // the union CONCATENATES partitions (unaffected P + folded P +
+        // the delta shuffle), so without the coalesce the checkpointed
+        // state's partition count would roughly double every merge —
+        // geometric task-count growth that kills a deep train on pure
+        // scheduler overhead. Coalesce is narrow (no shuffle) and the
+        // state is vocabulary-bounded, so a fixed width is right.
+        val next = (if (recount)
+          words.select(
+              array_join(greedyMergeFold(split(col("seq"), " "), x1, x2,
+                merged), " ").as("seq"),
+              col("freq"))
+            .select(lit("w").as("kind"), col("seq"), col("freq"))
+        else words.filter(!hit)
+          .unionByName(folded.select(lit("w").as("kind"), col("seq"), col("freq")))
+          .unionByName(state.filter(col("kind") === "p")
+            .select(col("seq"), col("freq"))
+            .unionByName(deltas)
+            .groupBy("seq").agg(sum("freq").as("freq"))
+            .filter(col("freq") > 0L)
+            .select(lit("p").as("kind"), col("seq"), col("freq"))))
+          .coalesce(s.sparkContext.defaultParallelism)
           .localCheckpoint(true)
         // deep-merge hygiene: the eager checkpoint above has already
-        // materialized `next`, so the prior vocabulary's blocks are
-        // dead — drop them (the q171 unpersist-one-behind discipline).
-        // Noise at the gated merges=3; at probe depth (BpeProbe,
-        // merges=256) it is an accumulating block-manager leak
-        // otherwise, the exact failure mode the r13 bench degradation
-        // traced to.
-        vocab.unpersist()
-        vocab = next
+        // materialized `next`, so the prior state's blocks are dead —
+        // drop them (the q171 unpersist-one-behind discipline). Noise
+        // at the gated merges=3; at probe depth (BpeProbe, merges=256)
+        // it is an accumulating block-manager leak otherwise, the
+        // exact failure mode the r13 bench degradation traced to.
+        state.unpersist()
+        state = next
       }
     }
+    state.unpersist()
     out.toSeq.toDF("iter", "pair", "merged", "cnt").orderBy("iter")
   }
 
