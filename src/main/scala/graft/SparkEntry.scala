@@ -903,7 +903,11 @@ object SparkEntry {
     * through q169's PQ/ADC machinery — the coarse chain prunes each %50
     * query to nProbe=2 buckets, the PqM sub-chains give candidate codes
     * and the per-query BIGINT lookup tables, ADC distance = the PqM-term
-    * lut sum, (adc_d2, cand_id) rank to 12 — then the shared RRF tail.
+    * lut sum, (adc_d2, cand_id) rank to the HybridRefineK over-fetch —
+    * then the r16 REFINE (exact 6-dp cosine rescore of the over-fetched
+    * candidates, (sim6 desc, cand_id) rank to 12, the same rank
+    * contract as the exact tier's [[hybridExactDenCtes]]) and the
+    * shared RRF tail.
     */
   private lazy val q174Sql: String = {
     val mM = graft.ops.Similarity.PqM
@@ -941,10 +945,18 @@ object SparkEntry {
        | JOIN lut ON lut.query_id = cand.query_id
        |  AND lut.subspace = enc.subspace AND lut.code = enc.code
        | GROUP BY cand.query_id, cand.cand_id),
+       |adcrk AS (SELECT query_id, cand_id FROM (
+       |  SELECT query_id, cand_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_d2, cand_id) AS rrk
+       |  FROM adc) WHERE rrk <= ${graft.ops.Similarity.HybridRefineK}),
+       |ref AS (SELECT r.query_id, r.cand_id, ${sqlRn(cosSql, 6)} AS sim6
+       | FROM adcrk r
+       | JOIN embeddings a ON a.vec_id = r.query_id
+       | JOIN embeddings b ON b.vec_id = r.cand_id),
        |denrk AS (SELECT query_id, cand_id AS doc_id, sem_rank FROM (
        |  SELECT query_id, cand_id, CAST(row_number() OVER (
-       |    PARTITION BY query_id ORDER BY adc_d2, cand_id) AS BIGINT) AS sem_rank
-       |  FROM adc) WHERE sem_rank <= 12),
+       |    PARTITION BY query_id ORDER BY sim6 DESC, cand_id) AS BIGINT) AS sem_rank
+       |  FROM ref) WHERE sem_rank <= 12),
        |$hybridFuseSql""".stripMargin
   }
 

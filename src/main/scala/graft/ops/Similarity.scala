@@ -1612,6 +1612,64 @@ object Similarity {
         col("rk").as("sem_rank"))
   }
 
+  /** ADC over-fetch factor for the refined hybrid dense tier:
+    * [[annDenseListRefined]] pulls `HybridRefineK` candidates by ADC
+    * and re-ranks them by exact cosine before fusion. Measured at
+    * serving geometry (AnnComparisonProbe r16): raising nProbe 2→8 or
+    * centroids √N→2√N moved hybrid serving recall@10-unique only
+    * 0.570→0.618 — the loss was PQ codebook resolution (8-byte codes
+    * inverting near-tie ranks), not quantizer miss — while the exact
+    * rescore of a 4× over-fetch recovers those inversions for the
+    * price of `HybridRefineK` keyed vector fetches per query.
+    */
+  val HybridRefineK = 48
+
+  /** The PRODUCTION ANN dense tier — IVF-PQ probe with exact-rescore
+    * refine, the standard serving recipe (Jégou et al.'s IVFADC+R;
+    * what Faiss ships as `IndexRefineFlat`): ADC ranks a `kRefine`
+    * over-fetch inside the probed buckets, the survivors' ORIGINAL
+    * vectors are fetched by key and re-scored with exact cosine, and
+    * the top `kList` of THAT ranking feed the fusion. ADC's codebook
+    * error now only costs recall when a true neighbor falls outside
+    * the kRefine ADC cut entirely — rank inversions within the cut
+    * are repaired by the rescore.
+    *
+    * Scale shape: the refine adds ONE keyed join — the |Q|·kRefine
+    * candidate frame (k-bounded, broadcastable) probing the corpus
+    * vectors by cand_id — and |Q|·kRefine exact dots. Per query that
+    * is kRefine vector fetches against a keyed store, independent of
+    * corpus size; the probe stage still reads only nProbe posting
+    * buckets of 8-byte codes. Rank contract matches
+    * [[exactDenseList]]: (floor-micro cosine desc, cand_id asc).
+    */
+  private[graft] def annDenseListRefined(queries: DataFrame,
+      postings: DataFrame, centroids: DataFrame,
+      books: Array[Array[Array[Long]]], subDim: Int, nProbe: Int,
+      corpus: DataFrame, kList: Int = 12,
+      kRefine: Int = HybridRefineK): DataFrame = {
+    val cand = adcDenseList(queries, postings, centroids, books, subDim,
+      nProbe, kList = kRefine)
+    val qv = queries.filter(col("embedding").isNotNull)
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+    corpus
+      .join(broadcast(cand.select("query_id", "doc_id")
+          .join(broadcast(qv), Seq("query_id"))),
+        col("cand_id") === col("doc_id"))
+      .select(col("query_id"),
+        (-floor(cosinePrenormed(dot(col("q_emb"), col("c_emb")),
+          col("q_norm"), col("c_norm")) * lit(1e6) + lit(0.5)).cast("long"))
+          .as("neg_micro"),
+        col("doc_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.expressions.TopKAggregates
+        .topKAscLong(col("neg_micro"), col("doc_id"), col("doc_id"), kList)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("sem_rank"))
+  }
+
   /** The hybrid fusion body over an EXPLICIT dense list `den`
     * (query_id, doc_id, sem_rank) — the lexical side + RRF fusion
     * shared by the exact core ([[hybridQueryCore]]), the ANN-backed
@@ -1703,17 +1761,20 @@ object Similarity {
   }
 
   /** ANN-BACKED HYBRID RETRIEVAL (q174) — q172 with the dense tier
-    * SWAPPED from the exact |Q|·N cosine scan to the compressed-index
-    * ADC probe ([[adcDenseList]] = q169's probe core at the fixture
-    * geometry: 8-centroid coarse quantizer, nProbe=2, PqM 8-byte
-    * codes). Same query workload (vec_id % 50), same lexical side
-    * (rarest-8-term BM25 over the full-vocabulary rep postings), same
-    * integer RRF fusion through the SHARED [[hybridFuseCore]] — the
-    * ONLY difference is where the dense list comes from. This is the
-    * production shape of hybrid retrieval at 100 TB: the lexical side
-    * is term-bounded, the dense side is bucket-bounded, and nothing
-    * rescans the corpus per query. The oracle replays the whole thing
-    * — BM25 chain ⊕ the unrolled PQ/ADC chain ⊕ RRF — in exact
+    * SWAPPED from the exact |Q|·N cosine scan to the REFINED
+    * compressed-index probe ([[annDenseListRefined]] = q169's ADC core
+    * over-fetching [[HybridRefineK]] candidates at the fixture
+    * geometry — 8-centroid coarse quantizer, nProbe=2, PqM 8-byte
+    * codes — then exact-rescoring the survivors, the r16 IVFADC+R
+    * serving recipe). Same query workload (vec_id % 50), same lexical
+    * side (rarest-8-term BM25 over the full-vocabulary rep postings),
+    * same integer RRF fusion through the SHARED [[hybridFuseCore]] —
+    * the ONLY difference is where the dense list comes from. This is
+    * the production shape of hybrid retrieval at 100 TB: the lexical
+    * side is term-bounded, the dense side is bucket-bounded plus one
+    * k-bounded keyed fetch, and nothing rescans the corpus per query.
+    * The oracle replays the whole thing — BM25 chain ⊕ the unrolled
+    * PQ/ADC chain ⊕ the exact-rescore refine ⊕ RRF — in exact
     * integers; recall vs the exact-tier fusion (q172) is measured in
     * HybridSpec, the honest approximation contract.
     */
@@ -1732,10 +1793,11 @@ object Similarity {
       .join(Tables.documents(s, d)
           .select(col("doc_id").as("query_id"), col("text")),
         Seq("query_id"), "left_outer")
-    val den = adcDenseList(queries, postings,
+    val idx = hybridIndex(s, d)
+    val den = annDenseListRefined(queries, postings,
       centroidFrame(s, cents, nItersCoarse), books, subDim, nProbe,
-      kList = 12)
-    hybridFuseCore(queries, hybridIndex(s, d), den)
+      idx.corpus)
+    hybridFuseCore(queries, idx, den)
   }
 
   /** CROSS-ENCODER-STYLE RERANK (q175) — the scoring pass a retrieval

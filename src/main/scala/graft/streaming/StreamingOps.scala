@@ -1921,8 +1921,11 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
-        val den = graft.ops.Similarity.adcDenseList(b, pq.postings,
-          pq.centroids, pq.books, pq.subDim, nProbe, kList)
+        // the refined serving tier (ADC over-fetch + exact rescore on
+        // the index's corpus vectors) — identical to batch q174's, so
+        // the union-equals-batch spec stays a structural identity
+        val den = graft.ops.Similarity.annDenseListRefined(b, pq.postings,
+          pq.centroids, pq.books, pq.subDim, nProbe, index.corpus, kList)
         graft.ops.Similarity.hybridFuseCore(b, index, den,
             mTerms, kList, kOut, kRrf)
           .withColumn("batch_id", lit(batchId))

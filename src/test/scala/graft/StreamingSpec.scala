@@ -757,9 +757,9 @@ class StreamingSpec extends AnyFunSuite {
         "sem_rank", "rrf_micro")
       val got = spark.read.parquet(outDir)
         .select(cols.head, cols.tail: _*).collect().map(key).toSet
-      val den = graft.ops.Similarity.adcDenseList(queryFrame,
+      val den = graft.ops.Similarity.annDenseListRefined(queryFrame,
         pqIdx.postings, pqIdx.centroids, pqIdx.books, pqIdx.subDim,
-        nProbe = 2, kList = 12)
+        nProbe = 2, corpus = index.corpus, kList = 12)
       val expect = graft.ops.Similarity
         .hybridFuseCore(queryFrame, index, den)
         .collect().map(key).toSet
