@@ -361,30 +361,36 @@ object StreamStress {
           val hybIdx = graft.streaming.StreamingOps
             .buildHybridServingIndex(spark, dst)
           val pqIdx = graft.streaming.StreamingOps.buildPqServingIndex(
-            spark, dst)
+            spark, dst, nCentroids = graft.streaming.StreamingOps
+              .servingOperatingCentroids(nEmb))
           try runStream(spark, hybIn, nHyb) { s =>
             graft.streaming.StreamingOps.hybridAnnAtIngest(
-              s, hybIdx, pqIdx, s"$workDir/ha_out", s"$workDir/ha_ckpt")
+              s, hybIdx, pqIdx, s"$workDir/ha_out", s"$workDir/ha_ckpt",
+              nProbe = graft.streaming.StreamingOps.ServingOperatingNProbe)
           } finally { hybIdx.unpersist(); pqIdx.unpersist() }
         },
         "hybrid_ann_ingest_f4" -> {
           val hybIdx = graft.streaming.StreamingOps
             .buildHybridServingIndex(spark, dst)
           val pqIdx = graft.streaming.StreamingOps.buildPqServingIndex(
-            spark, dst)
+            spark, dst, nCentroids = graft.streaming.StreamingOps
+              .servingOperatingCentroids(nEmb))
           try runStream(spark, hybIn, nHyb, filesPerTrigger = 4) { s =>
             graft.streaming.StreamingOps.hybridAnnAtIngest(
-              s, hybIdx, pqIdx, s"$workDir/ha4_out", s"$workDir/ha4_ckpt")
+              s, hybIdx, pqIdx, s"$workDir/ha4_out", s"$workDir/ha4_ckpt",
+              nProbe = graft.streaming.StreamingOps.ServingOperatingNProbe)
           } finally { hybIdx.unpersist(); pqIdx.unpersist() }
         },
         "hybrid_ann_ingest_saturated" -> {
           val hybIdx = graft.streaming.StreamingOps
             .buildHybridServingIndex(spark, dst)
           val pqIdx = graft.streaming.StreamingOps.buildPqServingIndex(
-            spark, dst)
+            spark, dst, nCentroids = graft.streaming.StreamingOps
+              .servingOperatingCentroids(nEmb))
           try runStream(spark, hybIn, nHyb, filesPerTrigger = nBatches) { s =>
             graft.streaming.StreamingOps.hybridAnnAtIngest(
-              s, hybIdx, pqIdx, s"$workDir/ha2_out", s"$workDir/ha2_ckpt")
+              s, hybIdx, pqIdx, s"$workDir/ha2_out", s"$workDir/ha2_ckpt",
+              nProbe = graft.streaming.StreamingOps.ServingOperatingNProbe)
           } finally { hybIdx.unpersist(); pqIdx.unpersist() }
         },
         // incremental graph maintenance (q147's twin): the corpus docs

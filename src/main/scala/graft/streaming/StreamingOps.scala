@@ -1328,6 +1328,19 @@ object StreamingOps {
   private[graft] def servingCentroids(n: Long): Int =
     math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
 
+  /** The hybrid ANN serving OPERATING POINT, kept in lockstep with the
+    * committed decision record (ANN_DECISION.json r16: the pick rule is
+    * "fastest geometry clearing the 0.65 recall@10-unique floor" over
+    * the (centroids × nProbe) curve, and the pick is 2√N coarse
+    * centroids at nProbe 8 with the exact-rescore refine). The
+    * STREAM_STRESS hybrid_ann surfaces serve at THIS geometry so the
+    * artifact's throughput is the throughput of the configuration the
+    * decision record recommends, not of a cheaper one.
+    */
+  private[graft] def servingOperatingCentroids(n: Long): Int =
+    2 * servingCentroids(n)
+  private[graft] val ServingOperatingNProbe = 8
+
   def ivfProbeAtIngest(queries: DataFrame, s: SparkSession,
       corpusDir: String, outDir: String, checkpointDir: String,
       nProbe: Int = 2, k: Int = 3, nCentroids: Int = 0)
