@@ -372,13 +372,12 @@ object Dedup {
     val nReps = repToks.count()
     if (vocab <= 2048 && nReps <= 20000) {
       val nw = math.max(((vocab + 63) / 64).toInt, 1)
-      // dictionary ids via the distributed sort+zipWithIndex idiom
-      // (ScalarSuites.globalRank) — V is guard-bounded (≤ 2048) so a
-      // no-key window would be harmless here too, but using the same
-      // idiom everywhere keeps PlanSpec's "no no-key window" invariant
-      // mechanically true instead of exception-scoped
+      // dictionary ids via boundedRank (r16) — V is guard-bounded
+      // (≤ 2048), exactly the k-bounded contract: a single-task sort of
+      // ≤ 2048 tokens beats the distributed rank's exchange machinery,
+      // and no no-key window enters the plan either way
       val ids = ScalarSuites
-        .globalRank(dfreq.select("token"), Seq(col("token")), "rank")
+        .boundedRank(dfreq.select("token"), Seq(col("token")), "rank")
         .select(col("token"), (col("rank") - 1L).cast("int").as("id"))
       val masks = tok.join(broadcast(ids), Seq("token"))
         .groupBy("doc_id").agg(collect_set(col("id")).as("ids"),

@@ -231,26 +231,64 @@ object ScalarSuites {
       .orderBy("band")
   }
 
-  /** Distributed total-order rank: global sort (range partitioning) +
-    * zipWithIndex (per-partition offsets from one lightweight count job)
-    * — the standard scale-safe formulation of a global rank. Spark's
-    * no-key `Window.orderBy(...)` computes the same thing by moving
-    * EVERY row into a single partition (WindowExec warns exactly this),
-    * which is the one unbounded-hazard plan shape this engine bans
-    * (PlanSpec). The RDD hop is deliberate and local to this operator:
-    * Spark has no Catalyst primitive for distributed global ranks, so
-    * this is rung (d) of the custom-operator ladder with the rationale
-    * documented. Sort keys must be UNIQUE for deterministic ranks.
+  /** Distributed total-order rank: global range-partitioned sort with
+    * per-partition offsets — the standard scale-safe formulation of a
+    * global rank. Spark's no-key `Window.orderBy(...)` computes the
+    * same thing by moving EVERY row into a single partition (WindowExec
+    * warns exactly this), which is the one unbounded-hazard plan shape
+    * this engine bans (PlanSpec). Since r16 this is [[groupedRank]]
+    * with a constant group key (one lazy codegen plan, exchange
+    * computed once — the previous sort+`zipWithIndex` RDD hop executed
+    * the sorted lineage twice and paid an InternalRow⇄Row conversion).
+    * Sort keys must be UNIQUE for deterministic ranks.
     */
   def globalRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
       rankCol: String = "rank"): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
-    val sorted = df.orderBy(sortCols: _*)
-    val schema = sorted.schema.add(rankCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    df.sparkSession.createDataFrame(rdd, schema)
+    val pid = "__gr_pid"
+    val mid = "__gr_mid"
+    val nParts = math.max(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt, 1)
+    val base = df.repartitionByRange(nParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn(pid, spark_partition_id())
+      .withColumn(mid, monotonically_increasing_id())
+    val stats = base.groupBy(col(pid))
+      .agg(count(lit(1L)).as("n"), min(col(mid)).as("m0"))
+    // per-partition exclusive prefix offsets WITHOUT a window (a global
+    // prefix would need a no-key window — the banned shape — and a
+    // constant partition key gets constant-folded back to no-key): the
+    // stats frame is ≤ #partitions rows, so it collapses to ONE array
+    // row and the prefix is a higher-order-function fold over that
+    // array — interpreted, but over #partitions elements exactly once.
+    val offs = stats
+      .agg(sort_array(collect_list(struct(
+        col(pid).as("p"), col("n"), col("m0")))).as("arr"))
+      .select(explode(expr(
+        "transform(arr, (x, i) -> struct(x.p AS p, " +
+          "aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), (a, y) -> a + y.n) AS off, " +
+          "x.m0 AS m0))")).as("o"))
+      .select(col("o.p").as(pid), col("o.off").as("__gr_off"),
+        col("o.m0").as("__gr_m0"))
+    base.join(broadcast(offs), Seq(pid))
+      .select(df.columns.map(col).toSeq :+
+        (col(mid) - col("__gr_m0") + col("__gr_off") + lit(1L)).as(rankCol): _*)
   }
+
+  /** Total-order rank for a provably K-BOUNDED frame (a post-`limit(k)`
+    * list, a guard-bounded dictionary): one `coalesce(1)` + local sort +
+    * position. A single-task sort is exactly the shape this engine bans
+    * for corpus-sized frames — here the input is bounded by construction
+    * (callers document the bound), and the k-row sort costs less than
+    * [[globalRank]]'s exchange + stats-branch + broadcast machinery,
+    * which is pure overhead at k rows (measured r16 at sf0.1: q170
+    * 2.030 → 0.852 s when its three k-row ranks ride this instead of
+    * the distributed rank, 1.015 s at the old RDD formulation). Same
+    * contract: sort keys must be UNIQUE for deterministic ranks.
+    */
+  def boundedRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+      rankCol: String = "rank"): DataFrame =
+    df.coalesce(1).sortWithinPartitions(sortCols: _*)
+      .withColumn(rankCol, monotonically_increasing_id() + lit(1L))
 
   /** Skew-safe PER-GROUP rank — `row_number() over (partition by
     * groupCols order by sortCols)` without the single-task-per-group
@@ -259,18 +297,26 @@ object ScalarSuites {
     * corpus) that is a single-executor sort of most of the input — the
     * skewed sibling of the no-key window hazard, and the reason
     * PlanSpec bans corpus-sized low-cardinality-key windows. This
-    * formulation is [[globalRank]]'s: ONE range-partitioned sort on
-    * (groupCols, sortCols) — a dominant group spreads over many
-    * partitions, every per-partition sort is executor-bounded — plus a
-    * lightweight run-length count pass whose driver state is
-    * #groups + #partitions entries (groups are contiguous in the range
-    * order), broadcast back as per-(partition, group) offsets.
+    * formulation is [[globalRank]]'s, expressed as ONE lazy Catalyst
+    * plan (r16): a single explicit-width range exchange on (groupCols,
+    * sortCols) — a dominant group spreads over many partitions — read
+    * by two branches that ReuseExchange/AQE-stage-reuse compute once:
+    * (a) a partial-aggregated per-(partition, group) run-stats frame
+    * (≤ #partitions rows per group) from which exclusive prefix
+    * offsets and group totals are derived, and (b) the output branch,
+    * where a (partition-id, group)-keyed window — executor-bounded
+    * runs whatever the skew — computes within-run rank/running sums
+    * that the broadcast offsets lift to per-group values. All codegen,
+    * no driver collect, no InternalRow⇄Row hop. (The previous RDD
+    * two-pass formulation executed the full upstream lineage twice —
+    * three times counting the range sampler — because pass 1's collect
+    * and pass 2's output job could not share the sort.)
     *
     * Same contract as [[globalRank]]: sort keys must be UNIQUE within a
-    * group for deterministic ranks, and the RDD hop is rung (d) of the
-    * custom-operator ladder — Spark has no skew-safe per-group rank
-    * primitive (`InferWindowGroupLimit` rescues only constant-limit
-    * top-k, not full rankings / running sums).
+    * group for deterministic ranks, and group keys must be NON-NULL
+    * (the offsets join is an equi-join). Spark has no skew-safe
+    * per-group rank primitive (`InferWindowGroupLimit` rescues only
+    * constant-limit top-k, not full rankings / running sums).
     *
     * Also emitted in the SAME two passes (no extra jobs):
     *  - `totalCol`   — the group's total row count on every row (the
@@ -284,75 +330,100 @@ object ScalarSuites {
       sortCols: Seq[org.apache.spark.sql.Column], rankCol: String = "rank",
       totalCol: Option[String] = None,
       cumSums: Seq[(String, String)] = Nil): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
-    import scala.collection.mutable.ArrayBuffer
-    val sorted = df.orderBy(groupCols.map(col) ++ sortCols: _*)
-    val schema = sorted.schema
-    val gIdx = groupCols.map(schema.fieldIndex).toArray
-    val cIdx = cumSums.map { case (src, _) => schema.fieldIndex(src) }.toArray
-    val rdd = sorted.rdd
-    // pass 1 (lightweight, like zipWithIndex's count job): per-partition
-    // run lengths + run sums, in encounter order. Range partitioning on
-    // (group, sort) keeps each partition to a handful of group runs.
-    val runs: Array[(Int, Array[(Seq[Any], Long, Array[Long])])] =
-      rdd.mapPartitionsWithIndex { (pid, it) =>
-        val out = ArrayBuffer.empty[(Seq[Any], Long, Array[Long])]
-        var key: Seq[Any] = null
-        var n = 0L
-        var sums = Array.fill(cIdx.length)(0L)
-        it.foreach { r =>
-          val k: Seq[Any] = gIdx.map(r.get).toList
-          if (k != key) {
-            if (key != null) out += ((key, n, sums))
-            key = k; n = 0L; sums = Array.fill(cIdx.length)(0L)
-          }
-          n += 1L
-          var i = 0
-          while (i < cIdx.length) { sums(i) += r.getLong(cIdx(i)); i += 1 }
-        }
-        if (key != null) out += ((key, n, sums))
-        Iterator((pid, out.toArray))
-      }.collect()
-    // driver fold: per-(partition, group) starting offsets + group totals
-    val seen = scala.collection.mutable.Map.empty[Seq[Any], (Long, Array[Long])]
-    val offsets = runs.sortBy(_._1).map { case (pid, rs) =>
-      pid -> rs.map { case (k, n, ss) =>
-        val (c0, s0) = seen.getOrElse(k, (0L, Array.fill(cIdx.length)(0L)))
-        seen(k) = (c0 + n, s0.zip(ss).map { case (a, b) => a + b })
-        k -> ((c0, s0))
-      }.toMap
-    }.toMap
-    val totals: Map[Seq[Any], Long] =
-      if (totalCol.isEmpty) Map.empty else seen.map { case (k, v) => k -> v._1 }.toMap
-    val bc = df.sparkSession.sparkContext.broadcast((offsets, totals))
-    var outSchema = schema.add(rankCol, LongType, nullable = false)
-    totalCol.foreach(c => outSchema = outSchema.add(c, LongType, nullable = false))
-    cumSums.foreach { case (_, c) => outSchema = outSchema.add(c, LongType, nullable = false) }
-    val emitTotal = totalCol.isDefined
-    val res = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val (offs, tots) = bc.value
-      val mine = offs.getOrElse(pid, Map.empty)
-      var key: Seq[Any] = null
-      var rk = 0L
-      var tot = 0L
-      var sums: Array[Long] = Array.emptyLongArray
-      it.map { r =>
-        val k: Seq[Any] = gIdx.map(r.get).toList
-        if (k != key) {
-          key = k
-          val (c0, s0) = mine(k)
-          rk = c0; sums = s0.clone()
-          if (emitTotal) tot = tots(k)
-        }
-        rk += 1L
-        var i = 0
-        while (i < cIdx.length) { sums(i) += r.getLong(cIdx(i)); i += 1 }
-        val extra = (Seq(rk) ++ (if (emitTotal) Seq(tot) else Nil)) ++ sums.toSeq
-        Row.fromSeq(r.toSeq ++ extra)
+    import org.apache.spark.sql.expressions.Window
+    val pid = "__gr_pid"
+    // ONE explicit-width range exchange on (group, sort): a dominant
+    // group spreads over many partitions, and only the partition
+    // ASSIGNMENT must be range-monotone — the within-run ordering is
+    // re-established by the (pid, group)-keyed window below on
+    // executor-bounded runs, so the within-partition sort an orderBy
+    // would add here is skipped. The width is pinned (not left to AQE)
+    // because BOTH branches below key on the partition index: AQE
+    // coalescing decides per consumer (AQEShuffleRead), and two
+    // consumers of the reused exchange could in principle coalesce
+    // differently, silently misaligning pids between the stats branch
+    // and the output branch.
+    val mid = "__gr_mid"
+    val nParts = math.max(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt, 1)
+    val sortExprs = groupCols.map(col) ++ sortCols
+    // Strategy split: rank/total come for free from within-partition
+    // POSITION over the range-sorted layout (monotonically_increasing_id
+    // above the local sort encodes (pid, position) — nondeterministic-
+    // flagged, so the optimizer cannot reorder it below the Sort; the
+    // value itself is deterministic here because the shuffle output is
+    // materialized and the sort keys are unique). Running sums need a
+    // true per-row prefix, which only a window provides — that path
+    // pays one more (pid, group)-keyed exchange.
+    val base =
+      if (cumSums.isEmpty)
+        df.repartitionByRange(nParts, sortExprs: _*)
+          .sortWithinPartitions(sortExprs: _*)
+          .withColumn(pid, spark_partition_id())
+          .withColumn(mid, monotonically_increasing_id())
+      else
+        df.repartitionByRange(nParts, sortExprs: _*)
+          .withColumn(pid, spark_partition_id())
+    // per-(pid, group) run stats — the "lightweight count pass", now a
+    // sibling BRANCH of the same lazy plan: partial aggregation shrinks
+    // map output to one row per run, and ReuseExchange/AQE stage reuse
+    // computes the range exchange ONCE for both branches. (The previous
+    // RDD formulation ran pass 1 as a separate collect job and pass 2
+    // as a second full job, so the entire upstream lineage — scans,
+    // tokenization, md5 — executed twice, three times counting the
+    // range sampler, with two InternalRow⇄Row conversions on top.)
+    val statAggs = (count(lit(1L)).as("__gr_n") +:
+      (if (cumSums.isEmpty) Seq(min(col(mid)).as("__gr_m0")) else Nil)) ++
+      cumSums.map { case (src, _) => sum(col(src)).as(s"__gr_s_$src") }
+    val stats = base.groupBy((col(pid) +: groupCols.map(col)): _*)
+      .agg(statAggs.head, statAggs.tail: _*)
+    // exclusive per-(pid, group) prefix offsets + group totals over the
+    // run-stats frame (≤ #partitions rows per group — partition-count-
+    // bounded, never corpus-sized). The group columns are RENAMED to
+    // internal names before the tiny window: PlanSpec's low-cardinality
+    // window gate matches attribute NAMES (source/lang/label) because it
+    // cannot see frame sizes, and this window is exactly the bounded
+    // exception the gate's comment carves out.
+    val gRen = groupCols.zipWithIndex.map { case (g, i) => g -> s"__gr_g$i" }
+    val statsRen = gRen.foldLeft(stats) { case (f, (g, r)) => f.withColumnRenamed(g, r) }
+    val wOrd = Window.partitionBy(gRen.map(p => col(p._2)): _*).orderBy(col(pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(gRen.map(p => col(p._2)): _*)
+    val offCols =
+      (coalesce(sum(col("__gr_n")).over(wOrd), lit(0L)).as("__gr_off") +:
+        (if (cumSums.isEmpty) Seq(col("__gr_m0")) else Nil)) ++
+      totalCol.map(_ => sum(col("__gr_n")).over(wAll).as("__gr_tot")).toSeq ++
+      cumSums.map { case (src, _) =>
+        coalesce(sum(col(s"__gr_s_$src")).over(wOrd), lit(0L)).as(s"__gr_o_$src") }
+    val offs = statsRen.select((col(pid) +: gRen.map(p => col(p._2))) ++ offCols: _*)
+    val offsBack = gRen.foldLeft(offs) { case (f, (g, r)) => f.withColumnRenamed(r, g) }
+    val joined =
+      if (cumSums.isEmpty) {
+        // rank = prefix offset + within-run position, both from the ONE
+        // range exchange — no second full-data exchange at all
+        base.join(broadcast(offsBack), pid +: groupCols)
+      } else {
+        // within-run rank / running sums: one (pid, group)-keyed window —
+        // high-cardinality key (the partition index rides in it), runs
+        // bounded by the range partition size whatever the group skew.
+        val wRun = Window.partitionBy((col(pid) +: groupCols.map(col)): _*)
+          .orderBy(sortCols: _*)
+        val wRunCum = wRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withRun = base
+          .withColumn("__gr_rk", row_number().over(wRun).cast("long"))
+        cumSums.foldLeft(withRun) { case (f, (src, _)) =>
+          f.withColumn(s"__gr_c_$src", sum(col(src)).over(wRunCum))
+        }.join(broadcast(offsBack), pid +: groupCols)
       }
-    }
-    df.sparkSession.createDataFrame(res, outSchema)
+    val rankExpr =
+      if (cumSums.isEmpty) col(mid) - col("__gr_m0") + col("__gr_off") + lit(1L)
+      else col("__gr_rk") + col("__gr_off")
+    val outCols = df.columns.map(col).toSeq ++
+      Seq(rankExpr.as(rankCol)) ++
+      totalCol.map(t => col("__gr_tot").as(t)).toSeq ++
+      cumSums.map { case (src, out) =>
+        (col(s"__gr_c_$src") + col(s"__gr_o_$src")).as(out) }
+    joined.select(outCols: _*)
   }
 
   /** Ranking-distribution windows: ntile quartiles, percent_rank,

@@ -889,7 +889,9 @@ object Similarity {
       .select(col("vec_id").as("doc_id"),
         r6(cosinePrenormed(dot(col("embedding"), col("q_emb")),
           col("nrm"), col("q_norm"))).as("sim6"))
-    val semTop = ScalarSuites.globalRank(
+    // k-row frame after the limit → boundedRank (r16): the distributed
+    // rank's exchange/stats machinery is pure overhead at k rows
+    val semTop = ScalarSuites.boundedRank(
       sem.orderBy(col("sim6").desc, col("doc_id")).limit(k),
       Seq(col("sim6").desc, col("doc_id")), "sem_rank")
       .select(col("doc_id"), col("sem_rank"))
@@ -898,7 +900,8 @@ object Similarity {
     val fused = lex.join(semTop, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
         (rrfOf("lex_rank") + rrfOf("sem_rank")).as("rrf_micro"))
-    ScalarSuites.globalRank(fused,
+    // fused = full-outer of two k-row lists → ≤ 2k rows, boundedRank
+    ScalarSuites.boundedRank(fused,
       Seq(col("rrf_micro").desc, col("doc_id")), "rank")
       .select("rank", "doc_id", "lex_rank", "sem_rank", "rrf_micro")
       .orderBy("rank")

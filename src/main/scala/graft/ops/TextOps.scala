@@ -2871,8 +2871,8 @@ object TextOps {
       .join(membership, Seq("rep"))
       .select(col("doc_id"), col("n_terms"), col("score_micro"))
     // (score, doc_id) is a unique sort key: limit is deterministic and
-    // globalRank runs over k rows, not the corpus
-    ScalarSuites.globalRank(
+    // the rank runs over k rows, not the corpus — boundedRank (r16)
+    ScalarSuites.boundedRank(
       scored.orderBy(col("score_micro").desc, col("doc_id")).limit(k),
       Seq(col("score_micro").desc, col("doc_id")), "rank")
       .select("rank", "doc_id", "n_terms", "score_micro")

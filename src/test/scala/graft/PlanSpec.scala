@@ -56,9 +56,21 @@ class PlanSpec extends AnyFunSuite {
       "KMV sketch frame — both sides are one k-length array per source, " +
       "bounded by source count, never by corpus size"),
     "q162_stupid_backoff" -> "single-row N-total aggregate frame cross-joined in",
-    // q158_bm25_topk also cross-joins a single-row corpus-stats frame,
-    // but its registered shape ends at the k-row globalRank RDD hop, so
-    // the upstream join never appears in the inspected plan — no entry
+    // r16: the rank operators (globalRank/groupedRank) are single lazy
+    // Catalyst plans now — the old RDD hop truncated the inspected plan
+    // at `Scan ExistingRDD`, hiding everything upstream of a rank from
+    // this gate. Three queries' pre-existing single-row cross joins
+    // became VISIBLE (not new): they get the same entries their plan
+    // twins always had.
+    "q158_bm25_topk" -> ("single-row corpus-stats (avgdl) aggregate frame " +
+      "cross-joined in — was hidden behind the k-row globalRank RDD hop"),
+    "q150_dsir_weights" -> ("single-row totals aggregate frame cross-joined " +
+      "into the hash-feature ratio table — was hidden behind the " +
+      "globalRank RDD hop"),
+    "q170_hybrid_rrf" -> ("q158's single-row avgdl cross join (the lexical " +
+      "side) plus the broadcast 1-row query-anchor frame against the " +
+      "corpus scan (the dense side) — was hidden behind the globalRank " +
+      "RDD hop"),
     "q121_containment_exact" -> ("dictionary-bitset brute force against the " +
       "broadcast contracted-rep mask table — taken only in the measured " +
       "degenerate-vocabulary regime (V<=2048, R<=20000; the test corpus is " +
